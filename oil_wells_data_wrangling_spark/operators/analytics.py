@@ -1,0 +1,353 @@
+"""Analytics operator family (SURVEY.md §2.B).
+
+The reference serves its tables from MySQL (app.py:21-28), implying the
+full analytic SQL surface: grouped aggregation, multi-way joins, top-n,
+window functions, pivot, rollup, percentiles. Re-expressed here as
+Catalyst-optimized DataFrame plans over the star schema.
+
+Scale notes: every aggregate routes through partial (map-side) aggregation
+— one shuffle per groupBy. Dimension joins are explicitly broadcast. Sums
+of doubles use exact decimal arithmetic (functions/exact.py) so results
+are bit-reproducible across partitionings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oil_wells_data_wrangling_spark.functions.exact import dsum, dmean, sql_dsum, sql_dmean
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+# ---------------------------------------------------------------- Q1-style
+
+_PRICING_ORACLE = f"""
+SELECT
+  l_returnflag,
+  l_linestatus,
+  {sql_dsum('l_quantity')} AS sum_qty,
+  {sql_dsum('l_extendedprice')} AS sum_base_price,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS sum_disc_price,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 6)} AS sum_charge,
+  {sql_dmean('l_quantity')} AS avg_qty,
+  {sql_dmean('l_extendedprice')} AS avg_price,
+  {sql_dmean('l_discount')} AS avg_disc,
+  CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: one shuffle, map-side partials."""
+    t = load_tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price, 6).alias("sum_disc_price"),
+            dsum(charge, 6).alias("sum_charge"),
+            dmean("l_quantity").alias("avg_qty"),
+            dmean("l_extendedprice").alias("avg_price"),
+            dmean("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- Q3-style
+
+_REVENUE_TOPN_ORACLE = f"""
+SELECT
+  l_orderkey,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue,
+  o_orderdate,
+  o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-30 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register("join_revenue_topn", oracle=_REVENUE_TOPN_ORACLE, headline=True)
+def join_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: broadcast the filtered customer dim, one agg shuffle,
+    top-n via sort-limit (Spark plans TakeOrderedAndProject — no full sort)."""
+    t = load_tables(spark, sf_dir)
+    cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
+    return (
+        t.orders.filter(F.col("o_orderdate") < cutoff)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            t.lineitem.filter(F.col("l_shipdate") > cutoff),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- Q5-style
+
+_REGION_ROLLUP_ORACLE = f"""
+SELECT
+  r_name,
+  n_name,
+  {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue,
+  CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY r_name, n_name
+"""
+
+
+@register("join_region_rollup", oracle=_REGION_ROLLUP_ORACLE, headline=True)
+def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: fact filtered then joined to broadcast dims; revenue per
+    customer nation/region. At 100 TB the only shuffle is the final agg."""
+    t = load_tables(spark, sf_dir)
+    dim = (
+        t.customer.join(
+            F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey", "n_name", "r_name")
+    )
+    return (
+        t.lineitem.join(
+            t.orders.filter(
+                (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- windows
+
+_WINDOW_RANK_ORACLE = """
+SELECT n_name, c_custkey, c_name, c_acctbal, rk
+FROM (
+  SELECT n_name, c_custkey, c_name, c_acctbal,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+         ) AS INTEGER) AS rk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+WHERE rk <= 3
+"""
+
+
+@register("window_rank", oracle=_WINDOW_RANK_ORACLE)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by balance per nation. Deterministic tie-break on
+    c_custkey. One shuffle on the partition key."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        t.customer.join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("n_name", "c_custkey", "c_name", "c_acctbal", "rk")
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+@register("window_running", oracle=_WINDOW_RUNNING_ORACLE)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer spend over order time (exact decimal prefix sums
+    so the result is partition-order independent)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)")).over(w).cast("double").alias("running_spend"),
+    )
+
+
+# ---------------------------------------------------------------- distinct
+
+_DISTINCT_ORACLE = """
+SELECT
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM lineitem
+"""
+
+
+@register("distinct_count", oracle=_DISTINCT_ORACLE)
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct counts (Spark expands to partial
+    aggregates; see approx_distinct for the sketch-based scale path)."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count_distinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register("approx_distinct")  # rows-only: HLL estimates are engine-specific
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path: no shuffle of the
+    distinct values themselves, constant-size sketch per partition."""
+    t = load_tables(spark, sf_dir)
+    return t.lineitem.agg(
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+    )
+
+
+# ---------------------------------------------------------------- semi/anti
+
+_SEMI_ANTI_ORACLE = """
+SELECT c_custkey, 'with_orders' AS order_status FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS order_status FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@register("semi_anti_join", oracle=_SEMI_ANTI_ORACLE)
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti join: customers with / without orders."""
+    t = load_tables(spark, sf_dir)
+    keys = t.orders.select("o_custkey")
+    cond = F.col("c_custkey") == F.col("o_custkey")
+    semi = t.customer.join(keys, cond, "left_semi").select(
+        "c_custkey", F.lit("with_orders").alias("order_status")
+    )
+    anti = t.customer.join(keys, cond, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("order_status")
+    )
+    return semi.unionAll(anti)
+
+
+# ---------------------------------------------------------------- pivot
+
+_PIVOT_ORACLE = """
+SELECT
+  CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+  CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+  CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+  CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+FROM orders
+GROUP BY 1
+"""
+
+
+@register("pivot_status", oracle=_PIVOT_ORACLE)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders per year pivoted by status. Explicit pivot values keep the
+    plan a single pass (no extra distinct-values job at scale)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.withColumn("order_year", F.year("o_orderdate"))
+        .groupBy("order_year")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+# ---------------------------------------------------------------- rollup
+
+_ROLLUP_ORACLE = """
+SELECT r_name, n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_balance,
+       CAST(GROUPING(r_name) AS INTEGER) AS g_region,
+       CAST(GROUPING(n_name) AS INTEGER) AS g_nation
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+@register("rollup_cube", oracle=_ROLLUP_ORACLE)
+def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals region → nation → grand total with grouping flags."""
+    t = load_tables(spark, sf_dir)
+    joined = t.customer.join(
+        F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(t.region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal").alias("total_balance"),
+        F.grouping("r_name").cast("int").alias("g_region"),
+        F.grouping("n_name").cast("int").alias("g_nation"),
+    )
+
+
+# ---------------------------------------------------------------- percentiles
+
+_PERCENTILES_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("percentiles", oracle=_PERCENTILES_ORACLE)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated percentiles per priority class. At 100 TB
+    swap to approx_percentile (t-digest) — kept exact here to match oracle."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )

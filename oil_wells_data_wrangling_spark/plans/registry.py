@@ -1,0 +1,68 @@
+"""Query registry — the single source of truth for the engine's surface.
+
+Every operator from SURVEY.md §2 registers here as a named query:
+a callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible)
+an equivalent ANSI-SQL oracle string that DuckDB can execute on the same
+parquet tables. ``__spark_entry__.py`` re-exports this registry for the
+driver's correctness gate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    headline: bool = False  # included in bench.py's headline set
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, headline: bool = False
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register ``fn`` as query ``name`` with optional oracle."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, headline=headline)
+        return fn
+
+    return deco
+
+
+def _load_all() -> None:
+    """Import every operator module so registrations run."""
+    import oil_wells_data_wrangling_spark.operators.analytics  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.wrangle  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.dedup  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.similarity  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.textstats  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.multimodal  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.eventops  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.fn for name, q in REGISTRY.items()}
+
+
+def all_oracle_sql() -> dict[str, str]:
+    _load_all()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+def headline_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return {name: q.fn for name, q in REGISTRY.items() if q.headline}
