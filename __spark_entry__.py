@@ -17,7 +17,7 @@ from oil_wells_data_wrangling_spark.plans.registry import (
 )
 
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
-_FLAGSHIP = "agg_pricing_summary"
+_FLAGSHIP = "well_pipeline"
 
 
 def entry(spark: SparkSession) -> DataFrame:

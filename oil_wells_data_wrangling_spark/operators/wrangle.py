@@ -1,1 +1,644 @@
-"""Placeholder — populated in a later milestone."""
+"""Wrangling operator family (SURVEY.md §2.A) — the reference's core.
+
+The reference wrangles messy PDF-extracted text: labeled-regex field
+extraction, DMS coordinate parsing, API-number canonicalization, numeric
+sanitization, malformed-CSV repair, validation reports, upserts, and
+enrichment joins (pdf_extraction.py, pdf_to_db.py, web_scraping.py,
+app.py). Here each capability is an engine operator.
+
+Test harness: the driver's tables contain no messy strings, so each
+query *synthesizes* them deterministically from integer columns (never
+from doubles — double→string formatting is engine-specific), parses
+them back with the operator under test, and the DuckDB oracle recomputes
+the expected values straight from the integers. The parser must recover
+ground truth exactly — a stronger check than mirroring the parse SQL.
+
+Scale: synthesis + parsing are pure column expressions inside one scan
+stage (no shuffle, no UDF). The only exceptions: csv_repair (per-file
+sequential semantics → applyInPandas per file, files parallel) and the
+upsert/enrich ops (one shuffle each, broadcast where a side is small).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oil_wells_data_wrangling_spark.functions.exact import dsum, sql_dsum
+from oil_wells_data_wrangling_spark.functions.wrangling import (
+    clean_num,
+    dms_to_decimal,
+    extract_field,
+    extract_inline,
+    na_to_null,
+    norm_text,
+    normalize_api,
+)
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+def _K() -> Column:
+    return F.col("c_custkey")
+
+
+def _NL() -> Column:
+    return F.lit("\n")
+
+
+def _istr(c: Column) -> Column:
+    return c.cast("string")
+
+
+# ------------------------------------------------------------------ synthesis
+# Messy raw strings derived from c_custkey (k). Mirrored in oracle CTEs as
+# ground-truth *formulas* (the oracle never re-runs the parse).
+
+def _lat_parts():
+    return (40 + _K() % 15), (_K() % 60), ((7 * _K()) % 60), (13 * _K()) % 10000
+
+
+def _lon_parts():
+    return (95 + _K() % 20), ((3 * _K()) % 60), ((11 * _K()) % 60), (17 * _K()) % 10000
+
+
+def _dms(deg: Column, mn: Column, sec: Column) -> Column:
+    return F.concat(_istr(deg), F.lit("° "), _istr(mn), F.lit("' "), _istr(sec), F.lit('"'))
+
+
+def _decstr(deg: Column, frac: Column) -> Column:
+    return F.concat(_istr(deg), F.lit("."), F.lpad(_istr(frac), 4, "0"))
+
+
+def _coord_raw(variant: Column, deg, mn, sec, frac, hemi: str, prefix_hemi: str) -> Column:
+    """Four raw formats: DMS+suffix hemi, decimal+suffix hemi, prefix-hemi
+    DMS (southern/western → negates), signed decimal."""
+    return (
+        F.when(variant == 0, F.concat(_dms(deg, mn, sec), F.lit(" " + hemi)))
+        .when(variant == 1, F.concat(_decstr(deg, frac), F.lit(" " + hemi)))
+        .when(variant == 2, F.concat(F.lit(prefix_hemi + " "), _dms(deg, mn, sec)))
+        .otherwise(F.concat(F.lit("-"), _decstr(deg, frac)))
+    )
+
+
+def _api_raw() -> Column:
+    county = F.lpad(_istr(_K() % 999), 3, "0")
+    serial = F.lpad(_istr((11 * _K()) % 100000), 5, "0")
+    short = F.lpad(_istr((11 * _K()) % 10000), 4, "0")  # 9-digit corrupt form
+    v = _K() % 3
+    return F.when(_K() % 13 == 0, F.concat(F.lit("33"), county, short)).otherwise(
+        F.when(v == 0, F.concat(F.lit("33"), county, serial))
+        .when(v == 1, F.concat_ws("-", F.lit("33"), county, serial))
+        .otherwise(F.concat_ws(" ", F.lit("33"), county, serial))
+    )
+
+
+_API_RAW_SQL = """
+  CASE WHEN k % 13 = 0
+       THEN '33' || county || lpad(CAST((11*k) % 10000 AS VARCHAR), 4, '0')
+       WHEN k % 3 = 0 THEN '33' || county || serial
+       WHEN k % 3 = 1 THEN '33' || '-' || county || '-' || serial
+       ELSE '33' || ' ' || county || ' ' || serial END
+"""
+
+_SYN_CTE = """
+WITH syn AS (
+  SELECT c_custkey AS doc_id, c_custkey AS k, c_name,
+         40 + c_custkey % 15 AS latd, c_custkey % 60 AS latm,
+         (7 * c_custkey) % 60 AS lats,
+         CAST(40 + c_custkey % 15 AS VARCHAR) || '.' ||
+           lpad(CAST((13 * c_custkey) % 10000 AS VARCHAR), 4, '0') AS latdec,
+         95 + c_custkey % 20 AS lond, (3 * c_custkey) % 60 AS lonm,
+         (11 * c_custkey) % 60 AS lons,
+         CAST(95 + c_custkey % 20 AS VARCHAR) || '.' ||
+           lpad(CAST((17 * c_custkey) % 10000 AS VARCHAR), 4, '0') AS londec,
+         lpad(CAST(c_custkey % 999 AS VARCHAR), 3, '0') AS county,
+         lpad(CAST((11 * c_custkey) % 100000 AS VARCHAR), 5, '0') AS serial,
+         (37 * c_custkey) % 100000 AS n_psi
+  FROM customer
+)
+"""
+
+_LAT_TRUTH_SQL = """
+  CASE k % 4 WHEN 0 THEN latd + latm/60.0 + lats/3600.0
+             WHEN 1 THEN TRY_CAST(latdec AS DOUBLE)
+             WHEN 2 THEN -(latd + latm/60.0 + lats/3600.0)
+             ELSE -TRY_CAST(latdec AS DOUBLE) END
+"""
+_LON_TRUTH_SQL = """
+  CASE (k+1) % 4 WHEN 0 THEN -(lond + lonm/60.0 + lons/3600.0)
+                 WHEN 1 THEN -TRY_CAST(londec AS DOUBLE)
+                 WHEN 2 THEN -(lond + lonm/60.0 + lons/3600.0)
+                 ELSE -TRY_CAST(londec AS DOUBLE) END
+"""
+_API_TRUTH_SQL = """
+  CASE WHEN k % 13 = 0 THEN NULL
+       ELSE '33-' || county || '-' || serial END
+"""
+
+
+def _synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer messy raw fields (parity with a parsed PDF doc)."""
+    t = load_tables(spark, sf_dir)
+    latd, latm, lats, latf = _lat_parts()
+    lond, lonm, lons, lonf = _lon_parts()
+    n_psi = (37 * _K()) % 100000
+    num_raw = F.concat(
+        F.when(
+            n_psi >= 1000,
+            F.concat(
+                _istr(F.floor(n_psi / F.lit(1000)).cast("long")),
+                F.lit(","),
+                F.lpad(_istr(n_psi % 1000), 3, "0"),
+            ),
+        ).otherwise(_istr(n_psi)),
+        F.when(_K() % 2 == 0, F.lit(" psi")).otherwise(F.lit(" PSI max")),
+    )
+    return (
+        t.customer.join(F.broadcast(t.nation), _K() % 25 == F.col("n_nationkey"))
+        .select(
+            _K().alias("doc_id"),
+            F.col("c_name"),
+            F.col("n_name"),
+            _coord_raw(_K() % 4, latd, latm, lats, latf, "N", "S").alias("lat_raw"),
+            _coord_raw((_K() + 1) % 4, lond, lonm, lons, lonf, "W", "W").alias("lon_raw"),
+            _api_raw().alias("api_raw"),
+            num_raw.alias("num_raw"),
+        )
+    )
+
+
+def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assemble a raw multi-line 'document' per well, mixing same-line and
+    next-line label styles like the reference's PDFs."""
+    s = _synth(spark, sf_dir)
+    job = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("Job Type: "), F.col("n_name"), _NL()),
+    ).otherwise(F.concat(F.lit("Job Type"), _NL(), F.col("n_name"), _NL()))
+    text = F.concat(
+        F.lit("Well Operator: "), F.col("c_name"), _NL(),
+        job,
+        F.lit("API No: "), F.col("api_raw"), _NL(),
+        F.lit("Latitude: "), F.col("lat_raw"), _NL(),
+        F.lit("Longitude: "), F.col("lon_raw"),
+    )
+    return s.select("doc_id", text.alias("raw_text"))
+
+
+_SYN_NATION_SQL = "(SELECT n_name FROM nation WHERE n_nationkey = k % 25)"
+
+
+# ------------------------------------------------------------ extract_fields
+
+_EXTRACT_ORACLE = _SYN_CTE + f"""
+SELECT doc_id,
+       c_name AS operator,
+       {_SYN_NATION_SQL} AS job_type,
+       {_API_RAW_SQL} AS api_txt
+FROM syn
+"""
+
+
+@register("extract_fields", oracle=_EXTRACT_ORACLE)
+def extract_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-regex extraction with the reference's same-line → next-line
+    fallback chain (pdf_extraction.py:96-124,162-189), pure regexp_extract."""
+    docs = _raw_docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        extract_field("Well Operator", F.col("raw_text")).alias("operator"),
+        extract_field("Job Type", F.col("raw_text")).alias("job_type"),
+        extract_inline("API No", F.col("raw_text")).alias("api_txt"),
+    )
+
+
+# -------------------------------------------------------- parse_coordinates
+
+_COORDS_ORACLE = _SYN_CTE + f"""
+SELECT doc_id, {_LAT_TRUTH_SQL} AS latitude, {_LON_TRUTH_SQL} AS longitude
+FROM syn
+"""
+
+
+@register("parse_coordinates", oracle=_COORDS_ORACLE)
+def parse_coordinates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DMS / decimal / hemisphere coordinate parsing
+    (pdf_extraction.py:127-151) as one codegen'd expression."""
+    s = _synth(spark, sf_dir)
+    return s.select(
+        "doc_id",
+        dms_to_decimal("lat_raw").alias("latitude"),
+        dms_to_decimal("lon_raw").alias("longitude"),
+    )
+
+
+# ------------------------------------------------------------- normalize_api
+
+_API_ORACLE = _SYN_CTE + f"SELECT doc_id, {_API_TRUTH_SQL} AS api FROM syn"
+
+
+@register("api_canonical", oracle=_API_ORACLE)
+def api_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API well-number canonicalization (pdf_extraction.py:277-285)."""
+    s = _synth(spark, sf_dir)
+    return s.select("doc_id", normalize_api("api_raw").alias("api"))
+
+
+# ----------------------------------------------------------------- clean_num
+
+_CLEANNUM_ORACLE = _SYN_CTE + "SELECT doc_id, CAST(n_psi AS DOUBLE) AS psi FROM syn"
+
+
+@register("numeric_sanitize", oracle=_CLEANNUM_ORACLE)
+def numeric_sanitize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """clean_num parity (pdf_extraction.py:85-93): '1,234 psi' → 1234.0."""
+    s = _synth(spark, sf_dir)
+    return s.select("doc_id", clean_num("num_raw").alias("psi"))
+
+
+# ----------------------------------------------------------------- norm_text
+
+_NORMTEXT_ORACLE = """
+SELECT c_custkey AS doc_id,
+       'He said "' || c_name || '" - twice.' AS cleaned
+FROM customer
+"""
+
+
+@register("text_normalize", oracle=_NORMTEXT_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode punctuation + whitespace normalization (_norm,
+    pdf_extraction.py:37-46)."""
+    t = load_tables(spark, sf_dir)
+    messy = F.concat(
+        F.lit("He said “"), F.col("c_name"), F.lit("”  —  twice·")
+    )
+    return t.customer.select(
+        _K().alias("doc_id"), norm_text(messy).alias("cleaned")
+    )
+
+
+# ------------------------------------------------------------ normalize_keys
+
+_NORMKEYS_ORACLE = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+"""
+
+
+def normalize_columns(df: DataFrame) -> DataFrame:
+    """Schema normalization (pdf_to_db.py:75-92): strip BOM/space, lower,
+    spaces→underscores, alias → canonical key. Metadata-only (no shuffle)."""
+    aliases = {"pdf": "pdf_name", "filename": "pdf_name", "file_name": "pdf_name"}
+    names = []
+    for c in df.columns:
+        nk = c.lstrip("﻿").strip().lower().replace(" ", "_")
+        names.append(aliases.get(nk, nk))
+    return df.toDF(*names)
+
+
+@register("normalize_keys", oracle=_NORMKEYS_ORACLE)
+def normalize_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    messy = t.customer.toDF(
+        "﻿C CustKey", " C Name ", "C NationKey", "C AcctBal", "C MktSegment"
+    )
+    return normalize_columns(messy)
+
+
+# ---------------------------------------------------------------- csv_repair
+
+_CSVREPAIR_ORACLE = """
+SELECT c_custkey,
+       CASE WHEN c_custkey % 5 = 0
+            THEN replace(c_name, 'Customer#', 'Customer' || chr(10) || '#')
+            ELSE c_name END AS name,
+       c_mktsegment AS segment
+FROM customer
+"""
+
+_RECORD_START = re.compile(r'^\d+,"')
+
+
+def _commas_outside_quotes(s: str) -> int:
+    cnt, inq = 0, False
+    for ch in s:
+        if ch == '"':
+            inq = not inq
+        elif ch == "," and not inq:
+            cnt += 1
+    return cnt
+
+
+def repair_csv_lines(lines: DataFrame, expected_commas: int, schema: str) -> DataFrame:
+    """Reassemble records that were split across physical lines
+    (pdf_to_db.py:24-73), quote-aware.
+
+    Sequential semantics are per *file*; files repair in parallel —
+    the same contract as Spark's own multiLine CSV reader. Arrow-batched
+    applyInPandas, one task per file shard.
+    """
+
+    def _repair(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("line_no")
+        out, buf = [], None
+        for line in pdf["text"]:
+            if buf is None:
+                if _RECORD_START.match(line):
+                    buf = line
+                else:
+                    continue
+            else:
+                buf += "\n" + line
+            if _commas_outside_quotes(buf) >= expected_commas:
+                out.append(buf)
+                buf = None
+        if buf is not None:
+            out.append(buf)
+        recs = []
+        for rec in out:
+            fields = next(_csv.reader(io.StringIO(rec)))
+            recs.append((int(fields[0]), fields[1], fields[2]))
+        return pd.DataFrame(recs, columns=["c_custkey", "name", "segment"])
+
+    return lines.groupBy("file_id").applyInPandas(_repair, schema=schema)
+
+
+@register("csv_repair")  # rows-only by structure; oracle below is exact
+def csv_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize a broken CSV (every 5th record's quoted name field contains
+    a newline → record spans 2 physical lines), then repair + parse."""
+    t = load_tables(spark, sf_dir)
+    name_nl = F.when(
+        _K() % 5 == 0,
+        F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("Customer\n#")),
+    ).otherwise(F.col("c_name"))
+    record = F.concat(
+        _istr(_K()), F.lit(',"'), name_nl, F.lit('",'), F.col("c_mktsegment")
+    )
+    lines = (
+        t.customer.select(_K().alias("k"), F.posexplode(F.split(record, "\n")))
+        .select(
+            (F.col("k") % 8).alias("file_id"),
+            (F.col("k") * 4 + F.col("pos")).alias("line_no"),
+            F.col("col").alias("text"),
+        )
+    )
+    return repair_csv_lines(
+        lines, expected_commas=2, schema="c_custkey long, name string, segment string"
+    )
+
+
+# set the exact oracle (separate from decorator for readability)
+from oil_wells_data_wrangling_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["csv_repair"].oracle = _CSVREPAIR_ORACLE
+
+
+# ------------------------------------------------------------ dirty + report
+
+def _dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lat_raw with injected failures: every 11th empty, every 7th garbage."""
+    s = _synth(spark, sf_dir)
+    k = F.col("doc_id")
+    return s.withColumn(
+        "lat_txt",
+        F.when(k % 11 == 0, F.lit(""))
+        .when(k % 7 == 0, F.lit("bad coord"))
+        .otherwise(F.col("lat_raw")),
+    )
+
+
+_VALIDATE_ORACLE = _SYN_CTE + """
+SELECT
+  CAST(COUNT(*) AS BIGINT) AS rows_total,
+  CAST(COUNT(CASE WHEN k % 11 = 0 THEN 1 END) AS BIGINT) AS lat_none,
+  CAST(COUNT(CASE WHEN k % 11 <> 0 AND k % 7 = 0 THEN 1 END) AS BIGINT) AS lat_bad,
+  CAST(COUNT(CASE WHEN k % 11 <> 0 AND k % 7 <> 0 THEN 1 END) AS BIGINT) AS lat_ok
+FROM syn
+"""
+
+
+@register("validate_report", oracle=_VALIDATE_ORACLE)
+def validate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality report (pdf_to_db.py:259-299): null / bad /
+    ok counts via conditional aggregation — one scan, one tiny result."""
+    d = _dirty(spark, sf_dir)
+    parsed = dms_to_decimal("lat_txt")
+    is_none = F.trim(F.col("lat_txt")) == ""
+    return d.agg(
+        F.count(F.lit(1)).alias("rows_total"),
+        F.count(F.when(is_none, 1)).alias("lat_none"),
+        F.count(F.when(~is_none & parsed.isNull(), 1)).alias("lat_bad"),
+        F.count(F.when(parsed.isNotNull(), 1)).alias("lat_ok"),
+    )
+
+
+_BADROWS_ORACLE = _SYN_CTE + """
+SELECT doc_id, 'bad coord' AS lat_txt FROM syn
+WHERE k % 11 <> 0 AND k % 7 = 0
+"""
+
+
+@register("bad_rows", oracle=_BADROWS_ORACLE)
+def bad_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-row export (pdf_to_db.py:284-298): non-empty raw that fails the
+    typed parse. Filter pushes into the scan."""
+    d = _dirty(spark, sf_dir)
+    parsed = dms_to_decimal("lat_txt")
+    return d.filter((F.trim(F.col("lat_txt")) != "") & parsed.isNull()).select(
+        "doc_id", "lat_txt"
+    )
+
+
+# -------------------------------------------------------------- upsert_latest
+
+_UPSERT_ORACLE = """
+SELECT user_id, event_type, event_id,
+       make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id, event_type
+    ORDER BY make_timestamp(epoch_ns(ts) // 1000) DESC, event_id DESC
+  ) AS rn FROM events
+) WHERE rn = 1
+"""
+
+
+@register("upsert_latest", oracle=_UPSERT_ORACLE)
+def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-write-wins upsert semantics (pdf_to_db.py:202-244's
+    ON DUPLICATE KEY UPDATE) as a keyed window: one shuffle on the key,
+    deterministic tie-break. This is how a 100 TB merge avoids any
+    driver-side state."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        t.events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "ts", "value")
+    )
+
+
+# ------------------------------------------------------- enrichment (web join)
+
+_ENRICH_ORACLE = f"""
+WITH stats AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt,
+         {sql_dsum('o_totalprice')} AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, c_name,
+       CASE WHEN cnt IS NULL THEN NULL ELSE 'ACTIVE' END AS well_status,
+       CASE WHEN cnt IS NULL OR cnt < 5 THEN NULL
+            ELSE CAST(cnt AS VARCHAR) END AS oil_badge,
+       CASE WHEN cnt IS NULL OR cnt < 8 THEN NULL
+            ELSE CAST(cnt * 2 AS VARCHAR) END AS gas_badge
+FROM customer LEFT JOIN stats ON c_custkey = o_custkey
+"""
+
+
+def _web_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scraped-attributes analog (web_scraping.py builds web_table with
+    'N/A' sentinels for missing values)."""
+    t = load_tables(spark, sf_dir)
+    stats = t.orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("o_totalprice").alias("spend")
+    )
+    cnt = F.col("cnt")
+    return (
+        t.customer.select("c_custkey", "c_name")
+        .join(stats, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.when(cnt.isNull(), "N/A").otherwise(F.lit("ACTIVE")).alias("well_status"),
+            F.when(cnt.isNull() | (cnt < 5), "N/A")
+            .otherwise(cnt.cast("string"))
+            .alias("oil_badge"),
+            F.when(cnt.isNull() | (cnt < 8), "N/A")
+            .otherwise((cnt * 2).cast("string"))
+            .alias("gas_badge"),
+        )
+    )
+
+
+@register("enrich_join", oracle=_ENRICH_ORACLE)
+def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrichment left-join + N/A→NULL (web_scraping.py:251,287-294).
+    The scraped side is per-key aggregates → far smaller than the fact
+    side → broadcast."""
+    web = _web_table(spark, sf_dir)
+    return web.select(
+        "c_custkey",
+        "c_name",
+        na_to_null("well_status").alias("well_status"),
+        na_to_null("oil_badge").alias("oil_badge"),
+        na_to_null("gas_badge").alias("gas_badge"),
+    )
+
+
+# ---------------------------------------------------------------- serve_wells
+
+_SERVE_ORACLE = _SYN_CTE + f"""
+, coords AS (
+  SELECT doc_id,
+         CASE WHEN k % 11 = 0 OR k % 7 = 0 THEN NULL
+              ELSE {_LAT_TRUTH_SQL} END AS latitude,
+         {_LON_TRUTH_SQL} AS longitude
+  FROM syn
+), stats AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT doc_id, latitude, longitude,
+       CASE WHEN cnt IS NULL THEN NULL ELSE 'ACTIVE' END AS well_status
+FROM coords
+LEFT JOIN stats ON doc_id = o_custkey
+WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+"""
+
+
+@register("serve_wells", oracle=_SERVE_ORACLE)
+def serve_wells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The app's serving query (app.py:21-28): enrich-joined wells with
+    non-null coordinates. The null filter prunes before the join."""
+    d = _dirty(spark, sf_dir)
+    coords = d.select(
+        "doc_id",
+        dms_to_decimal("lat_txt").alias("latitude"),
+        dms_to_decimal("lon_raw").alias("longitude"),
+    ).filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+    t = load_tables(spark, sf_dir)
+    stats = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        coords.join(F.broadcast(stats), F.col("doc_id") == F.col("o_custkey"), "left")
+        .select(
+            "doc_id",
+            "latitude",
+            "longitude",
+            F.when(F.col("cnt").isNull(), None)
+            .otherwise(F.lit("ACTIVE"))
+            .alias("well_status"),
+        )
+    )
+
+
+# -------------------------------------------------------------- well_pipeline
+
+_PIPELINE_ORACLE = _SYN_CTE + f"""
+, stats AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders GROUP BY o_custkey
+)
+SELECT doc_id,
+       c_name AS operator,
+       {_SYN_NATION_SQL} AS job_type,
+       {_API_TRUTH_SQL} AS api,
+       {_LAT_TRUTH_SQL} AS latitude,
+       {_LON_TRUTH_SQL} AS longitude,
+       CASE WHEN cnt IS NULL OR cnt < 5 THEN NULL
+            ELSE CAST(cnt AS VARCHAR) END AS oil_badge
+FROM syn LEFT JOIN stats ON doc_id = o_custkey
+WHERE {_LAT_TRUTH_SQL} IS NOT NULL AND {_LON_TRUTH_SQL} IS NOT NULL
+"""
+
+
+@register("well_pipeline", oracle=_PIPELINE_ORACLE, headline=True)
+def well_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end (all four reference scripts composed): raw doc
+    text → regex field extraction → coordinate/API/number normalization →
+    enrichment join → serving filter. One scan of the raw docs, one small
+    aggregate broadcast, zero Python in the row path."""
+    docs = _raw_docs(spark, sf_dir)
+    header = docs.select(
+        "doc_id",
+        extract_field("Well Operator", F.col("raw_text")).alias("operator"),
+        extract_field("Job Type", F.col("raw_text")).alias("job_type"),
+        normalize_api(extract_inline("API No", F.col("raw_text"))).alias("api"),
+        dms_to_decimal(extract_inline("Latitude", F.col("raw_text"))).alias("latitude"),
+        dms_to_decimal(extract_inline("Longitude", F.col("raw_text"))).alias("longitude"),
+    )
+    t = load_tables(spark, sf_dir)
+    stats = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
+    cnt = F.col("cnt")
+    return (
+        header.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .join(F.broadcast(stats), F.col("doc_id") == F.col("o_custkey"), "left")
+        .select(
+            "doc_id",
+            "operator",
+            "job_type",
+            "api",
+            "latitude",
+            "longitude",
+            F.when(cnt.isNull() | (cnt < 5), None)
+            .otherwise(cnt.cast("string"))
+            .alias("oil_badge"),
+        )
+    )
