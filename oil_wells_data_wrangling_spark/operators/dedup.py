@@ -1,1 +1,300 @@
-"""Placeholder — populated in a later milestone."""
+"""Deduplication operator family (SURVEY.md §2.C).
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard —
+the operators a 100 TB training-data pipeline runs before anything else.
+
+Scale design notes:
+- Exact dedup groups by md5(text) so only (hash, id) pairs shuffle; the
+  text column never leaves the scan stage.
+- MinHash signatures are computed with *array expressions* (transform /
+  array_min) inside the scan — no explode, no shuffle, no UDF. Only the
+  (doc_id, band_id, band_hash) triples shuffle for the bucket self-join,
+  which bounds candidate pairs the way LSH is supposed to.
+- All hashing is md5-derived (h = first 8 hex digits as int), portable
+  across engines, so even the probabilistic operators have EXACT DuckDB
+  oracles: same hashes → same signatures → same buckets → same pairs.
+
+Test-data synthesis: the driver's documents table has no duplicates, so
+queries append synthetic dup/near-dup rows (doc_id + 1_000_000, text or
+text + a tail) before deduplicating; oracles mirror the same UNION ALL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+# Portable 31-bit token hash: first 8 hex digits of md5 mod a Mersenne prime.
+_P = 2_147_483_647
+_H32_SPARK = "cast(conv(substr(md5({s}), 1, 8), 16, 10) as bigint) % 2147483647"
+_H32_DUCK = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % 2147483647"
+
+_K_PERM = 32  # minhash permutations
+_BANDS = 8  # LSH bands (x4 rows each)
+
+
+def _perm(i: int) -> tuple[int, int]:
+    return 2 * i + 1, 7 * i + 3
+
+
+# ----------------------------------------------------------------- helpers
+
+def _docs_with_dups(
+    spark: SparkSession, sf_dir: str, every: int, tail: str
+) -> DataFrame:
+    """documents ∪ synthetic duplicates (same text + optional tail)."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % every == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(tail)).alias("text"),
+    )
+    return base.unionAll(dups)
+
+
+def _docs2_sql(every: int, tail: str) -> str:
+    return f"""
+docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{tail}' AS text
+  FROM documents WHERE doc_id % {every} = 0
+)"""
+
+
+# -------------------------------------------------------------- dedup_exact
+
+_EXACT_ORACLE = f"""
+WITH {_docs2_sql(4, '')}
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM docs2 GROUP BY md5(text)
+"""
+
+
+@register("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keep-first: group by content hash, not content —
+    at 100 TB only 16-byte hashes shuffle, never the documents."""
+    docs = _docs_with_dups(spark, sf_dir, every=4, tail="")
+    return (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_id", "n_copies")
+    )
+
+
+# ------------------------------------------------------------ minhash + LSH
+
+_NEAR_TAIL = " near dup tail marker"
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
+    """Word 3-gram shingles → portable 31-bit hash array, all in one
+    codegen'd projection."""
+    words = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2), "
+        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
+        "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
+    )
+    harr = F.expr(
+        "transform(shingles, s -> " + _H32_SPARK.format(s="s") + ")"
+    )
+    return (
+        docs.filter(F.size(words) >= 3)
+        .withColumn("shingles", shingles)
+        .withColumn("harr", harr)
+    )
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """32-permutation MinHash signature as an array column (no explode)."""
+    shingled = _shingled(docs)
+    sigs = [
+        F.expr(
+            f"array_min(transform(harr, h -> ({a} * h + {b}) % {_P}))"
+        ).alias(f"s{i}")
+        for i, (a, b) in ((i, _perm(i)) for i in range(_K_PERM))
+    ]
+    return shingled.select("doc_id", F.array(*sigs).alias("sig"))
+
+
+def lsh_band_buckets(sig_df: DataFrame) -> DataFrame:
+    """Band the signature (8 bands × 4 rows) → (doc_id, band_id, band_hash)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.md5(
+                    F.expr(
+                        f"array_join(transform(slice(sig, {4 * j + 1}, 4), "
+                        "x -> cast(x as string)), ',')"
+                    )
+                ).alias("bh"),
+            )
+            for j in range(_BANDS)
+        ]
+    )
+    return sig_df.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")
+    )
+
+
+def _minhash_oracle() -> str:
+    h = _H32_DUCK.format(s="s")
+    mins = ", ".join(
+        f"list_min(list_transform(harr, h -> ({a} * h + {b}) % {_P}))"
+        for a, b in (_perm(i) for i in range(_K_PERM))
+    )
+    return f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+  FROM tok WHERE len(words) >= 3
+),
+hh AS (
+  SELECT doc_id, list_transform(shingles, s -> {h}) AS harr FROM sh
+),
+sig AS (
+  SELECT doc_id, [{mins}] AS sig FROM hh
+),
+bands AS (
+  SELECT doc_id, r.range AS band_id,
+         md5(array_to_string(sig[r.range * 4 + 1 : r.range * 4 + 4], ',')) AS bh
+  FROM sig, range(0, {_BANDS}) r
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+
+
+@register("dedup_minhash", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    shingle → 31-bit md5 hash → 32 minhash perms → 8 bands → bucket
+    self-join. Deterministic md5-based hashing makes this probabilistic
+    operator exactly reproducible (the DuckDB oracle computes identical
+    signatures)."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    buckets = lsh_band_buckets(minhash_signature(docs))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ------------------------------------------------------------ ngram_jaccard
+
+_JACCARD_ORACLE = f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         list_distinct(string_split(a.text, ' ')) AS wa,
+         list_distinct(string_split(b.text, ' ')) AS wb
+  FROM docs2 a JOIN docs2 b ON b.doc_id = a.doc_id + 1000000
+)
+SELECT doc_a, doc_b,
+       CAST(len(list_intersect(wa, wb)) AS DOUBLE)
+         / (len(wa) + len(wb) - len(list_intersect(wa, wb))) AS jaccard
+FROM pairs
+"""
+
+
+@register("ngram_jaccard", oracle=_JACCARD_ORACLE)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard for candidate pairs, computed with array
+    intrinsics on the pair row — no token explosion, no extra shuffle.
+    (In production the pair list comes from dedup_minhash's buckets.)"""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.array_distinct(F.split("text", " ")).alias("wa"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.array_distinct(F.split("text", " ")).alias("wb"),
+    )
+    inter = F.size(F.array_intersect("wa", "wb"))
+    union = F.size("wa") + F.size("wb") - inter
+    return (
+        a.join(b, F.col("doc_b") == F.col("doc_a") + 1_000_000)
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------- dedup_simhash
+
+_SIM_BITS = 32
+
+
+def _simhash_terms_spark() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN 2 * size(filter(harr, h -> ((h >> {j}) & 1) = 1)) - size(harr) > 0 "
+        f"THEN {1 << j}L ELSE 0L END)"
+        for j in range(_SIM_BITS)
+    )
+    return terms
+
+
+def _simhash_terms_duck() -> str:
+    return " + ".join(
+        f"(CASE WHEN 2 * len(list_filter(harr, h -> ((h >> {j}) & 1) = 1)) - len(harr) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    )
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), s -> {_H32_DUCK.format(s='s')}) AS harr
+  FROM docs2
+)
+SELECT doc_id,
+       CAST({_simhash_terms_duck()} AS BIGINT) AS simhash,
+       CAST(({_simhash_terms_duck()}) // 16777216 AS BIGINT) AS bucket
+FROM tok
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document (word-frequency weighted ±1 votes per
+    bit), plus a high-8-bit bucket for hamming-neighborhood blocking.
+    Pure bit arithmetic over the hash array — single scan, no shuffle."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    harr = F.expr(
+        "transform(split(text, ' '), s -> " + _H32_SPARK.format(s="s") + ")"
+    )
+    sim = F.expr(_simhash_terms_spark())
+    return (
+        docs.withColumn("harr", harr)
+        .select(
+            "doc_id",
+            sim.alias("simhash"),
+            (sim / F.lit(16_777_216)).cast("bigint").alias("bucket"),
+        )
+    )

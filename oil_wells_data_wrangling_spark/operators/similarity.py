@@ -1,1 +1,202 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity-search operator family (SURVEY.md §2.C).
+
+Embedding-space operators over ``embeddings`` (vec_id, embedding
+array<float>, label): brute-force cosine top-k (the correctness
+baseline), label-blocked near-duplicate pairs, and random-hyperplane
+LSH bucketing (the scale path that bounds the candidate set).
+
+Determinism: cosines are computed with sequential double-precision
+array folds (zip_with + aggregate) — identical left-to-right order in
+Spark and in the DuckDB oracle's list_transform/list_sum — and rounded
+to 6 decimals in outputs so the driver's value-hash compare is stable.
+(DuckDB's built-in list_cosine_similarity runs in float precision and
+is NOT used.)
+
+Scale: brute-force paths are explicitly bounded (fixed query set /
+label blocking); the LSH variant is the 100 TB design — each vector
+maps to a bucket via 8 fixed hyperplanes, so the self-join degenerates
+to bucket-local comparisons.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+_DIM = 64
+
+
+def _dot_spark(a: str, b: str) -> Column:
+    """Sequential double-precision dot product of two float-array columns."""
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+        "0D, (acc, v) -> acc + v)"
+    )
+
+
+def _dot_duck(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_DIM + 1}), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def cosine(a: str, b: str) -> Column:
+    return _dot_spark(a, b) / (
+        F.sqrt(_dot_spark(a, a)) * F.sqrt(_dot_spark(b, b))
+    )
+
+
+def _cos_duck(a: str, b: str) -> str:
+    return (
+        f"{_dot_duck(a, b)} / (sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)}))"
+    )
+
+
+# ------------------------------------------------------------------ ann_topk
+
+_TOPK_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         ROUND({_cos_duck('qe', 'e.embedding')}, 6) AS cos_r
+  FROM q, embeddings e WHERE e.vec_id <> query_id
+)
+SELECT query_id, neighbor_id, CAST(rk AS INTEGER) AS rank, cos_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+  ) AS rk FROM c
+) WHERE rk <= 5
+"""
+
+
+@register("ann_topk", oracle=_TOPK_ORACLE, headline=True)
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a fixed query set (vec_id < 8).
+
+    The query side is broadcast, so the corpus streams through one scan
+    and only (query, k) survivors shuffle for the ranking window. Rank
+    on the *rounded* cosine + id so ordering is engine-independent."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine("qe", "ne"), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cos_r")
+    )
+
+
+# -------------------------------------------------------------- embed_neardup
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) AS cos_r
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) >= 0.3
+"""
+
+
+@register("embed_neardup", oracle=_NEARDUP_ORACLE)
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label so the
+    self-join is bucket-local (the pattern that survives 100 TB: block →
+    compare within block only)."""
+    t = load_tables(spark, sf_dir)
+    a = t.embeddings.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("embedding").alias("ea"),
+    )
+    b = t.embeddings.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos_r = F.round(cosine("ea", "eb"), 6)
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos_r.alias("cos_r"))
+        .filter(F.col("cos_r") >= 0.3)
+    )
+
+
+# ------------------------------------------------------------------- ann_lsh
+
+_N_PLANES = 8
+
+
+def _planes() -> list[list[float]]:
+    """Fixed pseudo-random hyperplanes derived from md5 — reproducible
+    everywhere, no RNG state."""
+    out = []
+    for j in range(_N_PLANES):
+        row = []
+        for d in range(_DIM):
+            h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
+            row.append((h % 1000 - 500) / 500.0)
+        out.append(row)
+    return out
+
+
+def _lsh_oracle() -> str:
+    planes = _planes()
+    bits = []
+    for j, row in enumerate(planes):
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        bits.append(
+            f"(CASE WHEN {_dot_duck('embedding', arr)} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    bucket = " + ".join(bits)
+    return f"""
+SELECT CAST({bucket} AS BIGINT) AS bucket, CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM embeddings GROUP BY 1
+"""
+
+
+@register("ann_lsh", oracle=_lsh_oracle())
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: 8 fixed planes → 8 sign bits →
+    256 buckets. At scale, ANN search joins only within a bucket (or its
+    hamming-1 neighborhood) instead of the full corpus."""
+    planes = _planes()
+    emb = load_tables(spark, sf_dir).embeddings
+    cols = []
+    for j, row in enumerate(planes):
+        arr_sql = "array(" + ", ".join(f"cast({repr(v)} as double)" for v in row) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(embedding, {arr_sql}, "
+            "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+        cols.append(f"(CASE WHEN {dot_sql} > 0 THEN {1 << j}L ELSE 0L END)")
+    bucket_expr = F.expr(" + ".join(cols))
+    return (
+        emb.select(bucket_expr.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
