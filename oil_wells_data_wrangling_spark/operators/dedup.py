@@ -92,35 +92,49 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NEAR_TAIL = " near dup tail marker"
 
 
-def _shingled(docs: DataFrame) -> DataFrame:
-    """Word 3-gram shingles → portable 31-bit hash array, all in one
-    codegen'd projection."""
-    words = F.split(F.col("text"), " ")
-    shingles = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2), "
-        "i -> concat_ws(' ', element_at(split(text, ' '), i), "
-        "element_at(split(text, ' '), i + 1), element_at(split(text, ' '), i + 2)))"
-    )
+# O(n) shingle construction: three slices of one split, zipped — NOT
+# element_at(split(text), i) inside a lambda, which Catalyst inlines into
+# an O(n²) re-split per element after project collapsing.
+_SHINGLES_EXPR = (
+    "zip_with("
+    "  slice(split(text, ' '), 1, size(split(text, ' ')) - 2),"
+    "  zip_with("
+    "    slice(split(text, ' '), 2, size(split(text, ' ')) - 2),"
+    "    slice(split(text, ' '), 3, size(split(text, ' ')) - 2),"
+    "    (b, c) -> concat(b, ' ', c)),"
+    "  (a, bc) -> concat(a, ' ', bc))"
+)
+
+
+def hashed_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, harr): word 3-gram shingles → portable 31-bit hash array.
+
+    Cached: every signature permutation references harr, and Catalyst's
+    project collapsing would otherwise inline (and recompute) the md5
+    array once *per permutation* — a 32× blowup measured at sf0.1. The
+    cache is the materialized pipeline stage a production run would
+    persist anyway.
+    """
     harr = F.expr(
-        "transform(shingles, s -> " + _H32_SPARK.format(s="s") + ")"
+        "transform(" + _SHINGLES_EXPR + ", s -> " + _H32_SPARK.format(s="s") + ")"
     )
     return (
-        docs.filter(F.size(words) >= 3)
-        .withColumn("shingles", shingles)
-        .withColumn("harr", harr)
+        docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id", harr.alias("harr"))
+        .cache()
     )
 
 
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature as an array column (no explode)."""
-    shingled = _shingled(docs)
+    hh = hashed_shingles(docs)
     sigs = [
         F.expr(
             f"array_min(transform(harr, h -> ({a} * h + {b}) % {_P}))"
         ).alias(f"s{i}")
         for i, (a, b) in ((i, _perm(i)) for i in range(_K_PERM))
     ]
-    return shingled.select("doc_id", F.array(*sigs).alias("sig"))
+    return hh.select("doc_id", F.array(*sigs).alias("sig"))
 
 
 def lsh_band_buckets(sig_df: DataFrame) -> DataFrame:
@@ -289,12 +303,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     harr = F.expr(
         "transform(split(text, ' '), s -> " + _H32_SPARK.format(s="s") + ")"
     )
+    # Cache barrier: the 32 per-bit vote expressions each reference harr;
+    # without materialization Catalyst inlines the md5 array 64 times.
+    hh = docs.select("doc_id", harr.alias("harr")).cache()
     sim = F.expr(_simhash_terms_spark())
-    return (
-        docs.withColumn("harr", harr)
-        .select(
-            "doc_id",
-            sim.alias("simhash"),
-            (sim / F.lit(16_777_216)).cast("bigint").alias("bucket"),
-        )
+    return hh.select(
+        "doc_id",
+        sim.alias("simhash"),
+        (sim / F.lit(16_777_216)).cast("bigint").alias("bucket"),
     )

@@ -1,1 +1,157 @@
-"""Placeholder — populated in a later milestone."""
+"""Event/stream operator family, batch twins (SURVEY.md §2.D).
+
+Windowed aggregation, gap sessionization, idempotent dedup, and
+stream-static enrichment over ``events``. Each has a Structured
+Streaming twin in ``streaming/events.py`` built on the same column
+logic; the batch form is what the DuckDB oracle checks.
+
+Timestamps: events.ts is nanos in storage, normalized to microsecond
+timestamps by the source reader; oracles mirror with
+``make_timestamp(epoch_ns(ts) // 1000)`` so both engines compare at
+exactly microsecond precision.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oil_wells_data_wrangling_spark.functions.exact import dsum, sql_dsum
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+_TS_US = "make_timestamp(epoch_ns(ts) // 1000)"
+
+
+# ----------------------------------------------------------- window aggregate
+
+_WINDOW_AGG_ORACLE = f"""
+SELECT date_trunc('hour', {_TS_US}) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 6)} AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_window_agg", oracle=_WINDOW_AGG_ORACLE, headline=True)
+def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window per event type. Batch twin of the streaming
+    watermark+window aggregate; epoch-aligned windows equal date_trunc."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------- sessionize
+
+_SESSIONIZE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, epoch_us({_TS_US}) AS us FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w > 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize", oracle=_SESSIONIZE_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity closes a session) as
+    lag + prefix-sum windows — one shuffle on user_id, no state store in
+    batch. Streaming twin uses applyInPandasWithState."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = us - F.lag(us).over(w)
+    marked = t.events.withColumn(
+        "is_new",
+        F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("is_new").over(wsum))
+    return marked.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# -------------------------------------------------------------- events_dedup
+
+_DEDUP_ORACLE = f"""
+WITH e2 AS (
+  SELECT event_id, {_TS_US} AS ts, user_id, event_type, value FROM events
+  UNION ALL
+  SELECT event_id, {_TS_US} AS ts, user_id, event_type, value FROM events
+  WHERE event_id % 5 = 0
+)
+SELECT event_id, MIN(ts) AS ts, CAST(MIN(user_id) AS BIGINT) AS user_id,
+       MIN(event_type) AS event_type, MIN(value) AS value,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM e2 GROUP BY event_id
+"""
+
+
+@register("events_dedup", oracle=_DEDUP_ORACLE)
+def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Idempotent event dedup by id (at-least-once delivery collapses to
+    exactly-once). Batch twin of dropDuplicatesWithinWatermark."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select("event_id", "ts", "user_id", "event_type", "value")
+    dups = e.filter(F.col("event_id") % 5 == 0)
+    return (
+        e.unionAll(dups)
+        .groupBy("event_id")
+        .agg(
+            F.min("ts").alias("ts"),
+            F.min("user_id").alias("user_id"),
+            F.min("event_type").alias("event_type"),
+            F.min("value").alias("value"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# -------------------------------------------------------------- events_enrich
+
+_ENRICH_ORACLE = """
+SELECT event_id, user_id, c_mktsegment
+FROM events LEFT JOIN customer ON user_id = c_custkey
+"""
+
+
+@register("events_enrich", oracle=_ENRICH_ORACLE)
+def events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: fact stream joins a broadcast dimension.
+    In streaming form the static side is re-broadcast per micro-batch."""
+    t = load_tables(spark, sf_dir)
+    dim = t.customer.select("c_custkey", "c_mktsegment")
+    return t.events.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left"
+    ).select("event_id", "user_id", "c_mktsegment")

@@ -188,7 +188,10 @@ def _raw_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("Latitude: "), F.col("lat_raw"), _NL(),
         F.lit("Longitude: "), F.col("lon_raw"),
     )
-    return s.select("doc_id", text.alias("raw_text"))
+    # Cache barrier: downstream field extractions each reference raw_text;
+    # project collapsing would otherwise inline this whole synthesis into
+    # every regexp (6× recompute + a >64KB janino method at sf0.1).
+    return s.select("doc_id", text.alias("raw_text")).cache()
 
 
 _SYN_NATION_SQL = "(SELECT n_name FROM nation WHERE n_nationkey = k % 25)"

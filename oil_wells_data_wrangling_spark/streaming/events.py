@@ -1,0 +1,187 @@
+"""Structured Streaming twins of the event operators (SURVEY.md §2.D).
+
+Each twin applies the SAME column logic as the batch operator in
+``operators/eventops.py`` on a ``readStream`` source, with watermarks
+bounding state. The batch operator is the correctness oracle: a
+Trigger.AvailableNow run over a static directory must produce the batch
+result (asserted in tests/test_streaming.py).
+
+State-bounding choices for 100 TB streams:
+- window agg: 2h watermark on 1h tumbling windows → ≤3 open windows
+  per key in the store at any time.
+- dedup: dropDuplicatesWithinWatermark keys only live inside the
+  watermark horizon.
+- sessionize: applyInPandasWithState with event-time timeout — the
+  canonical custom-stateful-operator pattern; state per user is O(1)
+  (open session bounds only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from oil_wells_data_wrangling_spark.functions.exact import dsum
+
+# Raw storage schema: ts is int64 nanos (see sources/readers.py).
+_EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream over an events parquet directory, ts normalized
+    to microsecond timestamps like the batch reader."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def stream_window_agg(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_window_agg: watermark + tumbling window."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def stream_dedup(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_dedup: exactly-once collapse of
+    at-least-once delivery, state bounded by the watermark."""
+    return events.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def stream_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Stream-static join; the static dimension broadcasts per micro-batch."""
+    dim = customer.select("c_custkey", "c_mktsegment")
+    return events.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left"
+    ).select("event_id", "user_id", "c_mktsegment")
+
+
+_SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_GAP_US = 1_800_000_000  # 30 minutes
+
+
+def _session_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Custom stateful sessionizer: emits a session row whenever a >30min
+    gap (or event-time timeout) closes it. State = open session bounds."""
+    (user_id,) = key
+    if state.hasTimedOut:
+        start_us, last_us, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        ts_us.extend(int(v.value // 1000) for v in pd.to_datetime(pdf["ts"]))
+    ts_us.sort()
+
+    out = []
+    if state.exists:
+        start_us, last_us, n = state.get
+    else:
+        start_us, last_us, n = None, None, 0
+
+    for us in ts_us:
+        if start_us is None:
+            start_us, last_us, n = us, us, 1
+        elif us - last_us > _GAP_US:
+            out.append((start_us, last_us, n))
+            start_us, last_us, n = us, us, 1
+        else:
+            last_us, n = us, n + 1
+
+    state.update((start_us, last_us, n))
+    state.setTimeoutTimestamp(last_us // 1000 + _GAP_US // 1000)
+    if out:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in out],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in out],
+                "n_events": [n for _, _, n in out],
+            }
+        )
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_sessionize via applyInPandasWithState:
+    per-user open-session state, event-time timeout closes idle sessions."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,78 @@
+"""Streaming twins must reproduce their batch operators.
+
+Each test runs the streaming query with Trigger.AvailableNow over the
+static events directory into a memory sink, then compares against the
+batch operator (the oracle-checked one)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.operators.eventops import (
+    events_sessionize,
+    events_window_agg,
+)
+from oil_wells_data_wrangling_spark.streaming.events import (
+    read_event_stream,
+    stream_dedup,
+    stream_sessionize,
+    stream_window_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "events.parquet")
+    return str(d)
+
+
+def _run_available_now(sdf, name: str, spark, mode: str = "append"):
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _canon(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_stream_window_agg_matches_batch(spark, sf_dir, events_dir):
+    stream = stream_window_agg(read_event_stream(spark, events_dir))
+    got = _run_available_now(stream, "win_agg", spark, mode="complete")
+    want = events_window_agg(spark, sf_dir)
+    assert _canon(got) == _canon(want)
+
+
+def test_stream_dedup_unique_ids(spark, events_dir):
+    got = _run_available_now(
+        stream_dedup(read_event_stream(spark, events_dir)), "dedup", spark
+    )
+    n = got.count()
+    assert n == got.select("event_id").distinct().count()
+    assert n > 0
+
+
+def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir, events_dir):
+    """AvailableNow never fires the final event-time timeout, so the stream
+    emits only sessions *closed by a later event*; every one of those must
+    exist in the batch sessionization with identical bounds and counts."""
+    got = _run_available_now(
+        stream_sessionize(read_event_stream(spark, events_dir)), "sess", spark
+    )
+    batch = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    got_set = set(_canon(got))
+    batch_set = set(_canon(batch))
+    assert got_set, "no closed sessions emitted"
+    assert got_set <= batch_set, sorted(got_set - batch_set)[:5]
