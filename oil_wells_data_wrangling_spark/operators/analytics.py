@@ -329,6 +329,46 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ salted_agg_join
+
+_SALTED_ORACLE = f"""
+SELECT s_name,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_name
+"""
+
+
+@register("salted_agg_join", oracle=_SALTED_ORACLE)
+def salted_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant aggregation: supplier cardinality is tiny relative
+    to lineitem (hot keys), so a naive groupBy(l_suppkey) concentrates
+    partitions. Salt the key 16 ways, pre-aggregate, then collapse —
+    two shuffles but each uniform; identical result (exact decimal sums
+    are associative). Oracle is the *unsalted* join+group, proving the
+    rewrite is semantics-preserving."""
+    t = load_tables(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    salted = (
+        t.lineitem.withColumn("salt", F.pmod(F.col("l_orderkey"), F.lit(16)))
+        .groupBy("l_suppkey", "salt")
+        .agg(
+            F.sum(disc.cast("decimal(30,6)")).alias("rev_part"),
+            F.count(F.lit(1)).alias("cnt_part"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum("rev_part").cast("double").alias("revenue"),
+            F.sum("cnt_part").alias("n_items"),
+        )
+    )
+    return salted.join(
+        F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("s_name", "revenue", "n_items")
+
+
 # ---------------------------------------------------------------- percentiles
 
 _PERCENTILES_ORACLE = """

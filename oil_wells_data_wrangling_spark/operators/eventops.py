@@ -138,6 +138,46 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------------ asof_join
+
+_ASOF_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, event_type, value FROM events
+),
+m AS (
+  SELECT *, CASE WHEN event_type = 'click' THEN value END AS cv FROM e
+)
+SELECT event_id, user_id, event_type,
+       last_value(cv IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS last_click_value
+FROM m
+"""
+
+
+@register("asof_join", oracle=_ASOF_ORACLE)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): attach to every
+    event the value of the most recent click at-or-before it by the same
+    user. Expressed as a merged stream + ignore-nulls running last —
+    ONE shuffle on the key, no range join explosion; the same plan holds
+    for a fact-to-dimension as-of at 100 TB (union, tag, window)."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cv = F.when(F.col("event_type") == "click", F.col("value"))
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(cv, ignorenulls=True).over(w).alias("last_click_value"),
+    )
+
+
 # -------------------------------------------------------------- events_enrich
 
 _ENRICH_ORACLE = """

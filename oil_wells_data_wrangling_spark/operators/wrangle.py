@@ -548,6 +548,33 @@ def enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- na_to_null
+
+_NA_ORACLE = """
+SELECT c_custkey AS doc_id,
+       CASE WHEN c_custkey % 5 IN (0, 1, 2, 3) THEN NULL
+            ELSE 'OK-' || CAST(c_custkey AS VARCHAR) END AS well_status
+FROM customer
+"""
+
+
+@register("sentinel_to_null", oracle=_NA_ORACLE)
+def sentinel_to_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scraper's missing-value sentinels ('N/A', 'NA', 'null', '')
+    normalized to real NULLs (web_scraping.py:251) — pure nullif chain."""
+    t = load_tables(spark, sf_dir)
+    raw = (
+        F.when(_K() % 5 == 0, F.lit("N/A"))
+        .when(_K() % 5 == 1, F.lit("NA"))
+        .when(_K() % 5 == 2, F.lit("null"))
+        .when(_K() % 5 == 3, F.lit(""))
+        .otherwise(F.concat(F.lit("OK-"), _istr(_K())))
+    )
+    return t.customer.select(
+        _K().alias("doc_id"), na_to_null(raw).alias("well_status")
+    )
+
+
 # ---------------------------------------------------------------- serve_wells
 
 _SERVE_ORACLE = _SYN_CTE + f"""
