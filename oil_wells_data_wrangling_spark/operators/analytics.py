@@ -329,6 +329,30 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- sql_serving
+
+_SQL_SERVING = """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 0
+GROUP BY n_name
+"""
+
+
+@register("sql_serving", oracle=_SQL_SERVING)
+def sql_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's raw-SQL surface (the reference serves ad-hoc SQL from
+    MySQL; app.py:21-28): register the tables as views, run the SAME ANSI
+    SQL text the oracle runs. Catalyst gives the identical optimized plan
+    as the DataFrame form."""
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables as _lt
+
+    _lt(spark, sf_dir).register_temp_views()
+    return spark.sql(_SQL_SERVING)
+
+
 # ------------------------------------------------------------ salted_agg_join
 
 _SALTED_ORACLE = f"""

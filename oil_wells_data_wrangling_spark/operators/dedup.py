@@ -396,3 +396,49 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         sim.alias("simhash"),
         (sim / F.lit(16_777_216)).cast("bigint").alias("bucket"),
     )
+
+
+# -------------------------------------------------------------- simhash_pairs
+
+_SIMPAIRS_ORACLE = f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+tok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '), s -> {_H32_DUCK.format(s='s')}) AS harr
+  FROM docs2
+),
+sh AS (
+  SELECT doc_id, CAST({_simhash_terms_duck()} AS BIGINT) AS simhash FROM tok
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sh a JOIN sh b
+  ON a.simhash // 16777216 = b.simhash // 16777216 AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+"""
+
+
+@register("simhash_pairs", oracle=_SIMPAIRS_ORACLE)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup matching: candidates share the high-8-bit bucket
+    (blocking), confirmed by hamming distance ≤ 6 on the full 32-bit
+    hash. The self-join is bucket-local — the quadratic blowup a direct
+    hamming join would cost never materializes."""
+    sims = dedup_simhash(spark, sf_dir).select("doc_id", "simhash", "bucket")
+    a, b = sims.alias("a"), sims.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("int")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 6)
+    )

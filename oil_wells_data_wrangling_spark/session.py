@@ -50,5 +50,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Synthesized-text expressions are wide; avoid megabyte WARN dumps.
+        .config("spark.sql.debug.maxToStringFields", "10000")
+        .config("spark.sql.maxPlanStringLength", "10000")
     )
     return builder.getOrCreate()
