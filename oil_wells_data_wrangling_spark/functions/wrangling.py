@@ -88,6 +88,10 @@ def dms_to_decimal(col: Column | str) -> Column:
         + dms_min.try_cast("double") / F.lit(60.0)
         + dms_sec.try_cast("double") / F.lit(3600.0)
     )
+    # Range guard (stricter than the reference, which accepts 99' 99"):
+    # minutes/seconds must be < 60 for the DMS form to be meaningful.
+    dms_valid = (dms_min.try_cast("double") < 60) & (dms_sec.try_cast("double") < 60)
+    dms_val = F.when(dms_valid, dms_val)
     dms_signed = F.when(dms_hemi.isin("S", "W"), -F.abs(dms_val)).otherwise(dms_val)
 
     # plain decimal form

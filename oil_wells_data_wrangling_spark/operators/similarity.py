@@ -146,6 +146,33 @@ def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- vector_normalize
+
+_VNORM_ORACLE = f"""
+SELECT vec_id,
+       ROUND(sqrt({_dot_duck('embedding', 'embedding')}), 6) AS l2_norm,
+       ROUND(embedding[1] / sqrt({_dot_duck('embedding', 'embedding')}), 6)
+         AS unit_first
+FROM embeddings
+"""
+
+
+@register("vector_normalize", oracle=_VNORM_ORACLE)
+def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 vector normalization — the prep step that turns cosine ANN into
+    dot-product ANN (normalize once, compare cheaply ever after). Emits
+    the norm and the first unit-vector component as checkable scalars."""
+    t = load_tables(spark, sf_dir)
+    norm = F.sqrt(_dot_spark("embedding", "embedding"))
+    return t.embeddings.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias(
+            "unit_first"
+        ),
+    )
+
+
 # ------------------------------------------------------------------- ann_lsh
 
 _N_PLANES = 8

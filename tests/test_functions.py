@@ -1,0 +1,85 @@
+"""Edge-case unit tests for the scalar wrangling functions, with inputs
+lifted from the reference's real CSVs (hemisphere suffixes, comma
+thousands, unicode punctuation, malformed API numbers)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.functions.wrangling import (
+    clean_num,
+    dms_to_decimal,
+    na_to_null,
+    norm_text,
+    normalize_api,
+)
+
+
+def _one(spark, col, value):
+    return spark.createDataFrame([(value,)], ["s"]).select(col.alias("v")).first()["v"]
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("48° 12' 30\" N", 48 + 12 / 60 + 30 / 3600),
+        ("S 48° 12' 30\"", -(48 + 12 / 60 + 30 / 3600)),
+        ("103.73 W", -103.73),
+        ("W 103.73", -103.73),
+        ("-103.6026139", -103.6026139),
+        ("48.05735278", 48.05735278),
+        ("48", 48.0),
+        ("bad coord", None),
+        ("", None),
+        ("12° 99' 99\"", None),  # invalid minutes: falls through both forms
+    ],
+)
+def test_dms_to_decimal(spark, raw, expected):
+    got = _one(spark, dms_to_decimal(F.col("s")), raw)
+    if expected is None:
+        assert got is None
+    else:
+        assert got == pytest.approx(expected, abs=1e-12)
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("33-053-02102", "33-053-02102"),
+        ("3305302102", "33-053-02102"),
+        ("33 053 02102", "33-053-02102"),
+        ("330530210", None),  # 9 digits
+        ("not an api", None),
+        ("33-053-021029", None),  # 11 digits
+    ],
+)
+def test_normalize_api(spark, raw, expected):
+    assert _one(spark, normalize_api(F.col("s")), raw) == expected
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [
+        ("1,234.56 psi", 1234.56),
+        ("9679", 9679.0),
+        ("no digits", None),
+        ("1.2.3", None),
+        ("", None),
+    ],
+)
+def test_clean_num(spark, raw, expected):
+    assert _one(spark, clean_num(F.col("s")), raw) == expected
+
+
+def test_norm_text(spark):
+    got = _one(spark, norm_text(F.col("s")), "a“b”  —\tc·d’e")
+    assert got == 'a"b" - c.d\'e'
+
+
+@pytest.mark.parametrize(
+    "raw,expected",
+    [("N/A", None), ("NA", None), (" null ", None), ("", None), ("ok", "ok")],
+)
+def test_na_to_null(spark, raw, expected):
+    assert _one(spark, na_to_null(F.col("s")), raw) == expected

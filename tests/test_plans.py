@@ -1,0 +1,41 @@
+"""Plan-shape assertions (SURVEY.md §5): the optimizations the engine
+promises must actually appear in the physical plans."""
+
+from __future__ import annotations
+
+from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pricing_summary_pushdown(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must not read l_orderkey/l_partkey etc.
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "l_orderkey" not in scan and "l_comment" not in scan
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    for name in ("join_region_rollup", "events_enrich", "well_pipeline"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_topn_uses_take_ordered(spark, sf_dir):
+    assert "TakeOrderedAndProject" in _plan(spark, sf_dir, "join_revenue_topn")
+
+
+def test_pricing_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final around one shuffle
+    assert plan.count("Exchange") == 1
+
+
+def test_minhash_no_python_udf(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_minhash")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
