@@ -406,7 +406,12 @@ _REG["csv_repair"].oracle = _CSVREPAIR_ORACLE
 # ------------------------------------------------------------ dirty + report
 
 def _dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lat_raw with injected failures: every 11th empty, every 7th garbage."""
+    """lat_raw with injected failures: every 11th empty, every 7th garbage.
+
+    Cached: dms_to_decimal expands into ~12 regexp extractions over its
+    input; inlining the synthesis CASE into each blows the 64KB codegen
+    method limit (and re-evaluates the synthesis per extraction).
+    """
     s = _synth(spark, sf_dir)
     k = F.col("doc_id")
     return s.withColumn(
@@ -414,7 +419,7 @@ def _dirty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 11 == 0, F.lit(""))
         .when(k % 7 == 0, F.lit("bad coord"))
         .otherwise(F.col("lat_raw")),
-    )
+    ).cache()
 
 
 _VALIDATE_ORACLE = _SYN_CTE + """
@@ -600,11 +605,14 @@ def serve_wells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The app's serving query (app.py:21-28): enrich-joined wells with
     non-null coordinates. The null filter prunes before the join."""
     d = _dirty(spark, sf_dir)
+    # Cache before the null filter: Catalyst pushes the filter below the
+    # projection by substituting the parse expression, doubling generated
+    # code past the 64KB method limit.
     coords = d.select(
         "doc_id",
         dms_to_decimal("lat_txt").alias("latitude"),
         dms_to_decimal("lon_raw").alias("longitude"),
-    ).filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+    ).cache().filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
     t = load_tables(spark, sf_dir)
     stats = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
     return (
@@ -646,14 +654,28 @@ def well_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrichment join → serving filter. One scan of the raw docs, one small
     aggregate broadcast, zero Python in the row path."""
     docs = _raw_docs(spark, sf_dir)
-    header = docs.select(
+    # Stage 1: regex extraction (raw strings). Cached so the coordinate
+    # parser's ~12 regexp expansions don't inline the extraction regexes
+    # (64KB codegen limit) and each extraction runs once per row.
+    extracted = docs.select(
         "doc_id",
         extract_field("Well Operator", F.col("raw_text")).alias("operator"),
         extract_field("Job Type", F.col("raw_text")).alias("job_type"),
-        normalize_api(extract_inline("API No", F.col("raw_text"))).alias("api"),
-        dms_to_decimal(extract_inline("Latitude", F.col("raw_text"))).alias("latitude"),
-        dms_to_decimal(extract_inline("Longitude", F.col("raw_text"))).alias("longitude"),
-    )
+        extract_inline("API No", F.col("raw_text")).alias("api_str"),
+        extract_inline("Latitude", F.col("raw_text")).alias("lat_str"),
+        extract_inline("Longitude", F.col("raw_text")).alias("lon_str"),
+    ).cache()
+    # Stage 2: typed normalization on the small extracted strings.
+    # Cached so the serve filter below doesn't substitute (and double)
+    # the parse expressions past the 64KB codegen method limit.
+    header = extracted.select(
+        "doc_id",
+        "operator",
+        "job_type",
+        normalize_api("api_str").alias("api"),
+        dms_to_decimal("lat_str").alias("latitude"),
+        dms_to_decimal("lon_str").alias("longitude"),
+    ).cache()
     t = load_tables(spark, sf_dir)
     stats = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
     cnt = F.col("cnt")
