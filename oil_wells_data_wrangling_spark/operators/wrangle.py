@@ -628,6 +628,126 @@ def serve_wells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------- extract_stim
+
+_STIM_HDR = (
+    r"Date Stimulated\s+Stimulated Formation\s+Top \(Ft\)\s+Bottom \(Ft\)\s+"
+    r"Stimulation Stages\s+Volume\s+Volume Units"
+)
+
+
+def _stim_truth_cols(prefix: str = "") -> str:
+    """Oracle ground-truth expressions for the synthesized stim table."""
+    return f"""
+  CASE WHEN k % 9 = 0 THEN NULL
+       ELSE CAST(k % 12 + 1 AS VARCHAR) || '/' || CAST(k % 28 + 1 AS VARCHAR)
+            || '/' || CAST(2015 + k % 8 AS VARCHAR) END AS {prefix}date_simulated,
+  CASE WHEN k % 9 = 0 THEN NULL
+       ELSE 'SHALE-' || CAST(k % 5 AS VARCHAR) END AS {prefix}formation,
+  CASE WHEN k % 9 = 0 THEN NULL
+       ELSE CAST(9000 + k % 900 AS DOUBLE) END AS {prefix}top_ft,
+  CASE WHEN k % 9 = 0 THEN NULL
+       ELSE CAST(9150 + k % 900 AS DOUBLE) END AS {prefix}bottom_ft,
+  CASE WHEN k % 9 = 0 THEN NULL
+       ELSE CAST(k % 50 + 1 AS BIGINT) END AS {prefix}stages,
+  CASE WHEN k % 9 = 0 THEN NULL
+       ELSE CAST((k * 29) % 90000 + 100 AS DOUBLE) END AS {prefix}volume,
+  CASE WHEN k % 9 = 0 THEN NULL
+       WHEN k % 2 = 0 THEN 'Barrels' ELSE 'Gallons' END AS {prefix}volume_units
+"""
+
+
+_STIM_ORACLE = _SYN_CTE + f"SELECT doc_id, {_stim_truth_cols()} FROM syn"
+
+
+def _stim_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the stimulation page: a whitespace-aligned table row
+    under the reference's exact column-header line (every 9th doc has no
+    stim block, like the reference's empty W11745 rows)."""
+    t = load_tables(spark, sf_dir)
+    k = _K()
+    date_s = F.concat(
+        _istr(k % 12 + 1), F.lit("/"), _istr(k % 28 + 1), F.lit("/"), _istr(2015 + k % 8)
+    )
+    vol = (k * 29) % 90000 + 100
+    vol_fmt = F.when(
+        vol >= 1000,
+        F.concat(
+            _istr(F.floor(vol / F.lit(1000)).cast("long")),
+            F.lit(","),
+            F.lpad(_istr(vol % 1000), 3, "0"),
+        ),
+    ).otherwise(_istr(vol))
+    row = F.concat_ws(
+        "  ",
+        date_s,
+        F.concat(F.lit("SHALE-"), _istr(k % 5)),
+        _istr(9000 + k % 900),
+        _istr(9150 + k % 900),
+        _istr(k % 50 + 1),
+        vol_fmt,
+        F.when(k % 2 == 0, F.lit("Barrels")).otherwise(F.lit("Gallons")),
+    )
+    hdr = (
+        "Date Stimulated  Stimulated Formation  Top (Ft)  Bottom (Ft)  "
+        "Stimulation Stages  Volume  Volume Units"
+    )
+    text = F.when(k % 9 == 0, F.lit("Details\nno stimulation reported")).otherwise(
+        F.concat(F.lit(hdr + "\n"), row, F.lit("\nDetails\nstandard job"))
+    )
+    return t.customer.select(k.alias("doc_id"), text.alias("stim_text")).cache()
+
+
+@register("extract_stim", oracle=_STIM_ORACLE)
+def extract_stim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stimulation-table extraction (pdf_extraction.py:343-382): locate
+    the column-header line, take the next data row, split on 2+ spaces,
+    type each column. The reference's second output table, as one scan."""
+    docs = _stim_docs(spark, sf_dir)
+    row = F.nullif(
+        F.regexp_extract("stim_text", _STIM_HDR + r"\s*\n\s*([^\n]+)", 1), F.lit("")
+    )
+    cols = F.split(row, r" {2,}")
+    parsed = docs.select(
+        "doc_id",
+        F.element_at(cols, 1).alias("date_simulated"),
+        F.element_at(cols, 2).alias("formation"),
+        clean_num(F.element_at(cols, 3)).alias("top_ft"),
+        clean_num(F.element_at(cols, 4)).alias("bottom_ft"),
+        clean_num(F.element_at(cols, 5)).cast("bigint").alias("stages"),
+        clean_num(F.element_at(cols, 6)).alias("volume"),
+        F.element_at(cols, 7).alias("volume_units"),
+    ).cache()
+    return parsed
+
+
+# ------------------------------------------------------------ serve_wells_full
+
+_SERVE_FULL_ORACLE = _SYN_CTE + f"""
+SELECT doc_id, c_name AS operator,
+       {_LAT_TRUTH_SQL} AS latitude,
+       {_LON_TRUTH_SQL} AS longitude,
+       {_stim_truth_cols()}
+FROM syn
+"""
+
+
+@register("serve_wells_full", oracle=_SERVE_FULL_ORACLE)
+def serve_wells_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The app's full serving query (app.py:21-28): well_info LEFT JOIN
+    well_stimulation on the document key — header coordinates + operator
+    plus every stimulation column, one co-partitioned join."""
+    s = _synth(spark, sf_dir)
+    header = s.select(
+        "doc_id",
+        F.col("c_name").alias("operator"),
+        dms_to_decimal("lat_raw").alias("latitude"),
+        dms_to_decimal("lon_raw").alias("longitude"),
+    )
+    stim = extract_stim(spark, sf_dir)
+    return header.join(stim, "doc_id", "left")
+
+
 # -------------------------------------------------------------- well_pipeline
 
 _PIPELINE_ORACLE = _SYN_CTE + f"""

@@ -1,0 +1,67 @@
+"""Property-based round-trips: the parsers must recover ground truth for
+ANY validly-formatted input, not just the synthesized corpus."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.functions.wrangling import (
+    dms_to_decimal,
+    normalize_api,
+)
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+@st.composite
+def dms_case(draw):
+    deg = draw(st.integers(0, 179))
+    mn = draw(st.integers(0, 59))
+    sec = draw(st.integers(0, 59))
+    hemi = draw(st.sampled_from(["N", "S", "E", "W"]))
+    prefix = draw(st.booleans())
+    raw = (
+        f"{hemi} {deg}° {mn}' {sec}\"" if prefix else f"{deg}° {mn}' {sec}\" {hemi}"
+    )
+    val = deg + mn / 60 + sec / 3600
+    return raw, -val if hemi in ("S", "W") else val
+
+
+@settings(max_examples=30, deadline=None)
+@given(case=dms_case())
+def test_dms_roundtrip(spark_prop, case):
+    raw, expected = case
+    got = (
+        spark_prop.createDataFrame([(raw,)], ["s"])
+        .select(dms_to_decimal(F.col("s")).alias("v"))
+        .first()["v"]
+    )
+    assert got == pytest.approx(expected, abs=1e-12), raw
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    a=st.integers(10, 99),
+    b=st.integers(0, 999),
+    c=st.integers(0, 99999),
+    sep=st.sampled_from(["", "-", " "]),
+)
+def test_api_roundtrip(spark_prop, a, b, c, sep):
+    raw = sep.join([f"{a:02d}", f"{b:03d}", f"{c:05d}"])
+    got = (
+        spark_prop.createDataFrame([(raw,)], ["s"])
+        .select(normalize_api(F.col("s")).alias("v"))
+        .first()["v"]
+    )
+    assert got == f"{a:02d}-{b:03d}-{c:05d}", raw
+
+
+@pytest.fixture(scope="module")
+def spark_prop():
+    # hypothesis forbids function-scoped fixtures interacting with its
+    # examples; reuse one session for the whole module.
+    from oil_wells_data_wrangling_spark.session import get_spark
+
+    return get_spark(app_name="props", master="local[2]", shuffle_partitions=4)
