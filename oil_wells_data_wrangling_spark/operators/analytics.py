@@ -329,6 +329,38 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- promo_revenue
+
+_PROMO_ORACLE = f"""
+SELECT
+  CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+  ({sql_dsum("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
+   * 100.0 / {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)}) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+"""
+
+
+@register("promo_revenue", oracle=_PROMO_ORACLE)
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo revenue share per ship year: conditional
+    aggregation over a broadcast part join, LIKE-prefix predicate
+    evaluated in the scan stage."""
+    t = load_tables(spark, sf_dir)
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.join(
+            F.broadcast(t.part.select("p_partkey", "p_type")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            (dsum(promo, 6) * F.lit(100.0) / dsum(disc, 6)).alias("promo_pct")
+        )
+    )
+
+
 # ---------------------------------------------------------------- sql_serving
 
 _SQL_SERVING = """

@@ -1,0 +1,76 @@
+"""Composed training-data corpus pipeline (SURVEY.md §2.C capstone).
+
+The end-to-end shape of a pretraining data build: raw corpus → quality
+filter → exact dedup (keep canonical) → per-language corpus statistics.
+Each stage is an operator proven elsewhere (quality_score, dedup_exact,
+token_count); this query wires them into one plan so Catalyst fuses the
+filters into the scan and the whole pipeline costs two shuffles (dedup
+group + final stats group) regardless of corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+_CORPUS_ORACLE = """
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 4 = 0
+),
+quality AS (
+  SELECT * FROM corpus
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_distinct(string_split(text, ' ')))
+        / len(string_split(text, ' ')) >= 0.4
+),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, MIN(lang) AS lang,
+         COUNT(*) AS n_copies
+  FROM quality GROUP BY md5(text)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed
+FROM deduped GROUP BY lang
+"""
+
+
+@register("corpus_pipeline", oracle=_CORPUS_ORACLE, headline=True)
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality filter → exact dedup → per-language stats, one plan.
+
+    Dedup note: grouping carries (min doc_id, min text, min lang) — at
+    100 TB you would group on (md5, length) carrying only ids and rejoin
+    text by id; semantics identical, shown here in the direct form the
+    oracle can mirror."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text", "lang")
+    corpus = base.unionAll(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+    )
+    words = F.split("text", " ")
+    quality = corpus.filter(
+        (F.size(words) >= 20)
+        & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
+    )
+    deduped = quality.groupBy(F.md5("text")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("text").alias("text"),
+        F.min("lang").alias("lang"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum(F.col("n_copies") - 1).alias("dups_removed"),
+    )

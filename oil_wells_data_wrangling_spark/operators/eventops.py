@@ -138,6 +138,69 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------------- json_props
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       CAST(COUNT(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+                       THEN 1 END) AS BIGINT) AS n_high
+FROM events GROUP BY event_type
+"""
+
+
+@register("json_props", oracle=_JSON_ORACLE)
+def json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON payload extraction (events.props) — typed
+    access without a pre-declared schema, aggregated per event type.
+    get_json_object evaluates inside the scan; no UDF, no extra pass."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return t.events.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"),
+        F.count(F.when(k >= 50, 1)).alias("n_high"),
+    )
+
+
+# -------------------------------------------------------------- events_rolling
+
+_ROLLING_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, epoch_us({_TS_US}) AS us, value
+  FROM events
+)
+SELECT user_id, event_id, ts,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER w AS DOUBLE) AS sum_last_hour
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY us
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("events_rolling", oracle=_ROLLING_ORACLE)
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour per-user activity (range frame over event time) —
+    the trailing-window feature a fraud/abuse pipeline computes. One
+    shuffle on user_id; the range frame is evaluated with a moving
+    pointer, not a per-row rescan."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double").alias("sum_last_hour"),
+    )
+
+
 # ------------------------------------------------------------------ asof_join
 
 _ASOF_ORACLE = f"""

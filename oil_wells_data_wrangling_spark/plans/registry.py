@@ -51,6 +51,7 @@ def _load_all() -> None:
     import oil_wells_data_wrangling_spark.operators.textstats  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.multimodal  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.eventops  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.corpus  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:
