@@ -173,6 +173,52 @@ def vector_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- ivf_assign
+
+_IVF_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, centroid_id,
+         ROUND({_cos_duck('e.embedding', 'ce')}, 6) AS cos_r
+  FROM embeddings e, cent
+)
+SELECT vec_id, centroid_id, cos_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id
+  ) AS rk FROM scored
+) WHERE rk = 1
+"""
+
+
+@register("ivf_assign", oracle=_IVF_ORACLE)
+def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (here a fixed deterministic centroid set; in production the
+    k-means output). This is the inverted-file ANN scale path — queries
+    probe only the top centroid buckets instead of the corpus. Centroids
+    broadcast; one window shuffle on vec_id."""
+    t = load_tables(spark, sf_dir)
+    cent = t.embeddings.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    scored = t.embeddings.select("vec_id", "embedding").crossJoin(
+        F.broadcast(cent)
+    ).select(
+        "vec_id",
+        "centroid_id",
+        F.round(cosine("embedding", "ce"), 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_r").desc(), F.col("centroid_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "centroid_id", "cos_r")
+    )
+
+
 # ------------------------------------------------------------------- ann_lsh
 
 _N_PLANES = 8
