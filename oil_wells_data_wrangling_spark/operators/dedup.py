@@ -293,6 +293,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        labels.unpersist()  # bound cache growth across iterations
         labels = new_labels
         if changed == 0:
             break

@@ -62,6 +62,19 @@ def test_stream_dedup_unique_ids(spark, events_dir):
     assert n > 0
 
 
+def test_stream_enrich_matches_batch(spark, sf_dir, events_dir):
+    from oil_wells_data_wrangling_spark.operators.eventops import events_enrich
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+    from oil_wells_data_wrangling_spark.streaming.events import stream_enrich
+
+    cust = load_tables(spark, sf_dir).customer
+    got = _run_available_now(
+        stream_enrich(read_event_stream(spark, events_dir), cust), "enrich", spark
+    )
+    want = events_enrich(spark, sf_dir)
+    assert _canon(got) == _canon(want)
+
+
 def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir, events_dir):
     """AvailableNow never fires the final event-time timeout, so the stream
     emits only sessions *closed by a later event*; every one of those must
