@@ -235,6 +235,18 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_percentiles")  # rows-only: t-digest estimates are engine-specific
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles — the 100 TB path for `percentiles`:
+    bounded-memory partial sketches merge instead of a global sort."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_orderpriority").agg(
+        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)").alias(
+            "pcts"
+        )
+    )
+
+
 @register("approx_distinct")  # rows-only: HLL estimates are engine-specific
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path: no shuffle of the
