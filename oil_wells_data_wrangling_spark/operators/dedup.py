@@ -21,7 +21,7 @@ text + a tail) before deduplicating; oracles mirror the same UNION ALL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oil_wells_data_wrangling_spark.plans.registry import register

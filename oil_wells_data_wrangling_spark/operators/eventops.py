@@ -56,6 +56,48 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------- sliding window agg
+
+_SLIDING_ORACLE = f"""
+WITH e AS (
+  SELECT {_TS_US} AS ts, event_type, value FROM events
+),
+expanded AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS window_start, event_type, value FROM e
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes', event_type, value FROM e
+)
+SELECT window_start, event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 6)} AS total_value
+FROM expanded GROUP BY 1, 2
+"""
+
+
+@register("events_sliding_agg", oracle=_SLIDING_ORACLE)
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window with 30-minute slide: every event lands in
+    exactly two overlapping windows. Spark's window() expands rows
+    map-side, so the cost is one aggregation shuffle on 2× rows — no
+    self-join. The oracle mirrors the expansion with a two-bucket union."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 # --------------------------------------------------------------- sessionize
 
 _SESSIONIZE_ORACLE = f"""
