@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from oil_wells_data_wrangling_spark.functions.exact import dsum, dmean, sql_dsum, sql_dmean
+from oil_wells_data_wrangling_spark.functions.exact import dsum, sql_dsum
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
@@ -31,9 +31,9 @@ SELECT
   {sql_dsum('l_extendedprice')} AS sum_base_price,
   {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS sum_disc_price,
   {sql_dsum('l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)', 6)} AS sum_charge,
-  {sql_dmean('l_quantity')} AS avg_qty,
-  {sql_dmean('l_extendedprice')} AS avg_price,
-  {sql_dmean('l_discount')} AS avg_disc,
+  ({sql_dsum('l_quantity')} / COUNT(*)) AS avg_qty,
+  ({sql_dsum('l_extendedprice')} / COUNT(*)) AS avg_price,
+  ({sql_dsum('l_discount', 6)} / COUNT(*)) AS avg_disc,
   CAST(COUNT(*) AS BIGINT) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -43,10 +43,15 @@ GROUP BY l_returnflag, l_linestatus
 
 @register("agg_pricing_summary", oracle=_PRICING_ORACLE, headline=True)
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1-style pricing summary: one shuffle, map-side partials."""
+    """TPC-H Q1-style pricing summary: one shuffle, map-side partials.
+
+    Averages derive from the already-computed exact sums in a
+    post-aggregation projection (no extra decimal aggregates — BigDecimal
+    partials are the dominant cost of this query)."""
     t = load_tables(spark, sf_dir)
     disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    cnt = F.col("count_order")
     return (
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -55,10 +60,20 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("l_extendedprice").alias("sum_base_price"),
             dsum(disc_price, 6).alias("sum_disc_price"),
             dsum(charge, 6).alias("sum_charge"),
-            dmean("l_quantity").alias("avg_qty"),
-            dmean("l_extendedprice").alias("avg_price"),
-            dmean("l_discount").alias("avg_disc"),
+            dsum("l_discount", 6).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            "sum_disc_price",
+            "sum_charge",
+            (F.col("sum_qty") / cnt).alias("avg_qty"),
+            (F.col("sum_base_price") / cnt).alias("avg_price"),
+            (F.col("sum_disc") / cnt).alias("avg_disc"),
+            "count_order",
         )
     )
 
