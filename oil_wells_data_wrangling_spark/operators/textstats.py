@@ -123,6 +123,59 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- fingerprint_diff
+
+_FPDIFF_ORACLE = """
+WITH snap_a AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 17 <> 0
+),
+snap_b AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0 THEN md5(text || ' v2') ELSE md5(text) END AS fp
+  FROM documents
+)
+SELECT
+  CASE WHEN a.doc_id IS NULL THEN 'added'
+       WHEN b.doc_id IS NULL THEN 'removed'
+       WHEN a.fp <> b.fp THEN 'changed'
+       ELSE 'unchanged' END AS status,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+GROUP BY 1
+"""
+
+
+@register("fingerprint_diff", oracle=_FPDIFF_ORACLE)
+def fingerprint_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dataset diff by content fingerprint: full outer
+    join on doc identity, classify added/removed/changed/unchanged —
+    the audit step between two crawls/exports. One co-partitioned join;
+    only (id, 16-byte hash) pairs move."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    snap_a = base.filter(F.col("doc_id") % 17 != 0).select(
+        F.col("doc_id").alias("a_id"), F.md5("text").alias("a_fp")
+    )
+    snap_b = base.select(
+        F.col("doc_id").alias("b_id"),
+        F.when(
+            F.col("doc_id") % 10 == 0, F.md5(F.concat(F.col("text"), F.lit(" v2")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("b_fp"),
+    )
+    joined = snap_a.join(snap_b, F.col("a_id") == F.col("b_id"), "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_fp") != F.col("b_fp"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------- fingerprint
 
 _FP_ORACLE = """
