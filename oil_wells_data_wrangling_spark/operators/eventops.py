@@ -144,6 +144,116 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- events_funnel
+
+_FUNNEL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_TS_US} AS ts,
+         CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+              WHEN 'purchase' THEN 3 ELSE 0 END AS step
+  FROM events
+),
+u AS (
+  SELECT user_id, list(step ORDER BY ts, event_id) AS steps FROM e GROUP BY user_id
+),
+f AS (
+  SELECT user_id,
+         list_reduce([0] || steps, (acc, x) ->
+           CASE WHEN acc = 0 AND x = 1 THEN 1
+                WHEN acc = 1 AND x = 2 THEN 2
+                WHEN acc = 2 AND x = 3 THEN 3
+                ELSE acc END) AS stage
+  FROM u
+)
+SELECT CAST(stage AS INTEGER) AS funnel_stage,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f GROUP BY 1
+"""
+
+
+@register("events_funnel", oracle=_FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: how far each user progresses through the ordered
+    view → click → purchase sequence. Events collect into a per-user
+    time-ordered array (deterministic struct sort), then a single array
+    fold walks the state machine — no N-way self-join, one shuffle."""
+    t = load_tables(spark, sf_dir)
+    step = (
+        F.when(F.col("event_type") == "view", 1)
+        .when(F.col("event_type") == "click", 2)
+        .when(F.col("event_type") == "purchase", 3)
+        .otherwise(0)
+    )
+    per_user = (
+        t.events.select("user_id", "ts", "event_id", step.alias("step"))
+        .groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "step"))
+            ).alias("ordered")
+        )
+        .select(
+            "user_id",
+            F.expr(
+                "aggregate(transform(ordered, o -> o.step), 0, (acc, x) -> "
+                "CASE WHEN acc = 0 AND x = 1 THEN 1 "
+                "WHEN acc = 1 AND x = 2 THEN 2 "
+                "WHEN acc = 2 AND x = 3 THEN 3 ELSE acc END)"
+            ).alias("stage"),
+        )
+    )
+    return per_user.groupBy(F.col("stage").cast("int").alias("funnel_stage")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
+# ------------------------------------------------------------ events_retention
+
+_RETENTION_ORACLE = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, epoch_us({_TS_US}) // 86400000000 AS day FROM events
+),
+act AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_active FROM d GROUP BY day
+),
+ret AS (
+  SELECT a.day, CAST(COUNT(*) AS BIGINT) AS n_retained
+  FROM d a JOIN d b ON a.user_id = b.user_id AND b.day = a.day + 1
+  GROUP BY a.day
+)
+SELECT act.day, n_active, COALESCE(n_retained, 0) AS n_retained
+FROM act LEFT JOIN ret ON act.day = ret.day
+"""
+
+
+@register("events_retention", oracle=_RETENTION_ORACLE)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention cohorts: users active on day d who return on
+    d+1. Distinct (user, day) pairs self-join shifted by one day — both
+    sides share the same partitioning, so AQE plans a single exchange."""
+    t = load_tables(spark, sf_dir)
+    d = t.events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day"),
+    ).distinct()
+    act = d.groupBy("day").agg(F.count(F.lit(1)).alias("n_active"))
+    a, b = d.alias("a"), d.alias("b")
+    ret = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.day") == F.col("a.day") + 1),
+        )
+        .groupBy(F.col("a.day").alias("rday"))
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return act.join(ret, F.col("day") == F.col("rday"), "left").select(
+        "day",
+        "n_active",
+        F.coalesce("n_retained", F.lit(0)).alias("n_retained"),
+    )
+
+
 # -------------------------------------------------------------- events_dedup
 
 _DEDUP_ORACLE = f"""

@@ -252,6 +252,89 @@ FROM embeddings GROUP BY 1
 """
 
 
+def _bucket_expr_spark() -> str:
+    cols = []
+    for j, row in enumerate(_planes()):
+        arr_sql = "array(" + ", ".join(f"cast({repr(v)} as double)" for v in row) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(embedding, {arr_sql}, "
+            "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+        cols.append(f"(CASE WHEN {dot_sql} > 0 THEN {1 << j}L ELSE 0L END)")
+    return " + ".join(cols)
+
+
+def _bucket_expr_duck() -> str:
+    bits = []
+    for j, row in enumerate(_planes()):
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        bits.append(
+            f"(CASE WHEN {_dot_duck('embedding', arr)} > 0 THEN {1 << j} ELSE 0 END)"
+        )
+    return " + ".join(bits)
+
+
+def _ann_pipeline_oracle() -> str:
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, embedding, CAST({_bucket_expr_duck()} AS BIGINT) AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
+         ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) AS cos_r
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, bucket, neighbor_id, cos_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY vec_id ORDER BY cos_r DESC, neighbor_id
+  ) AS rk FROM scored
+) WHERE rk = 1
+"""
+
+
+@register("ann_pipeline", oracle=_ann_pipeline_oracle())
+def ann_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed LSH-accelerated nearest neighbor: hyperplane-bucket every
+    vector, then search only inside the bucket (≈1/256 of the corpus per
+    probe) for the best cosine match. The self-join is bucket-local —
+    this is the shape that replaces ann_topk's brute force at scale.
+    Vectors in singleton buckets have no neighbor and drop out, exactly
+    the recall/efficiency trade LSH makes."""
+    emb = load_tables(spark, sf_dir).embeddings
+    bucketed = emb.select(
+        "vec_id", "embedding", F.expr(_bucket_expr_spark()).alias("bucket")
+    ).cache()  # bucket referenced by both join sides; avoid 2× plane dots
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_id"),
+        F.col("bucket").alias("bucket"),
+        F.col("embedding").alias("ea"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("bucket").alias("b_bucket"),
+        F.col("embedding").alias("eb"),
+    )
+    scored = a.join(
+        b,
+        (F.col("bucket") == F.col("b_bucket"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        "vec_id",
+        "bucket",
+        "neighbor_id",
+        F.round(cosine("ea", "eb"), 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_r").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "bucket", "neighbor_id", "cos_r")
+    )
+
+
 @register("ann_lsh", oracle=_lsh_oracle())
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucketing: 8 fixed planes → 8 sign bits →
