@@ -13,6 +13,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from oil_wells_data_wrangling_spark.operators.dedup import (
+    minhash_pairs,
+    minhash_pairs_ctes,
+)
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
@@ -40,6 +44,85 @@ SELECT lang,
        CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed
 FROM deduped GROUP BY lang
 """
+
+
+_CORPUS_FULL_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' near dup tail marker', lang
+  FROM documents WHERE doc_id % 10 = 0
+),
+quality AS (
+  SELECT * FROM corpus
+  WHERE len(string_split(text, ' ')) >= 20
+    AND len(list_distinct(string_split(text, ' ')))
+        / len(string_split(text, ' ')) >= 0.4
+),
+deduped AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text, MIN(lang) AS lang
+  FROM quality GROUP BY md5(text)
+),
+{minhash_pairs_ctes('deduped')},
+final AS (
+  SELECT * FROM deduped
+  WHERE doc_id NOT IN (SELECT doc_b FROM mh_pairs)
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+FROM final GROUP BY lang
+"""
+
+
+@register("corpus_pipeline_full", oracle=_CORPUS_FULL_ORACLE, headline=True)
+def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete pretraining-data build: quality filter → exact dedup
+    → MinHash near-dup removal (drop the higher-id side of every
+    candidate pair) → per-language corpus stats. Every stage is the
+    oracle-proven operator; composed, the whole build is three shuffles
+    (exact-dedup group, band-bucket join, final stats) and the documents
+    themselves shuffle only once."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text", "lang")
+    corpus = base.unionAll(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
+        )
+    ).unionAll(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" near dup tail marker")).alias("text"),
+            "lang",
+        )
+    )
+    words = F.split("text", " ")
+    quality = corpus.filter(
+        (F.size(words) >= 20)
+        & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
+    )
+    deduped = (
+        quality.groupBy(F.md5("text"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min("text").alias("text"),
+            F.min("lang").alias("lang"),
+        )
+        .drop("md5(text)")
+        .cache()  # consumed twice: near-dup pairing and the final filter
+    )
+    losers = minhash_pairs(deduped.select("doc_id", "text")).select(
+        F.col("doc_b").alias("loser_id")
+    )
+    final = deduped.join(
+        losers, F.col("doc_id") == F.col("loser_id"), "left_anti"
+    )
+    return final.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
 
 
 @register("corpus_pipeline", oracle=_CORPUS_ORACLE, headline=True)

@@ -162,16 +162,18 @@ def lsh_band_buckets(sig_df: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def minhash_pairs_ctes(source: str) -> str:
+    """DuckDB CTE chain computing MinHash band pairs over ``source``
+    (a CTE/table exposing doc_id, text). Appends CTEs tok/sh/hh/sig/
+    bands/mh_pairs — reference `mh_pairs(doc_a, doc_b)` afterwards."""
     h = _H32_DUCK.format(s="s")
     mins = ", ".join(
         f"list_min(list_transform(harr, h -> ({a} * h + {b}) % {_P}))"
         for a, b in (_perm(i) for i in range(_K_PERM))
     )
     return f"""
-WITH {_docs2_sql(10, _NEAR_TAIL)},
 tok AS (
-  SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+  SELECT doc_id, string_split(text, ' ') AS words FROM {source}
 ),
 sh AS (
   SELECT doc_id,
@@ -189,22 +191,24 @@ bands AS (
   SELECT doc_id, r.range AS band_id,
          md5(array_to_string(sig[r.range * 4 + 1 : r.range * 4 + 4], ',')) AS bh
   FROM sig, range(0, {_BANDS}) r
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+)"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+{minhash_pairs_ctes('docs2')}
+SELECT doc_a, doc_b FROM mh_pairs
 """
 
 
-@register("dedup_minhash", oracle=_minhash_oracle(), headline=True)
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs.
-
-    shingle → 31-bit md5 hash → 32 minhash perms → 8 bands → bucket
-    self-join. Deterministic md5-based hashing makes this probabilistic
-    operator exactly reproducible (the DuckDB oracle computes identical
-    signatures)."""
-    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+def minhash_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) near-dup candidate pairs for any (doc_id, text) df."""
     buckets = lsh_band_buckets(minhash_signature(docs))
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
@@ -217,6 +221,18 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+@register("dedup_minhash", oracle=_minhash_oracle(), headline=True)
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    shingle → 31-bit md5 hash → 32 minhash perms → 8 bands → bucket
+    self-join. Deterministic md5-based hashing makes this probabilistic
+    operator exactly reproducible (the DuckDB oracle computes identical
+    signatures)."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    return minhash_pairs(docs)
 
 
 # ------------------------------------------------------------- dedup_clusters
