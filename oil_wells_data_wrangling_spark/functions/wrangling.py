@@ -131,6 +131,19 @@ def extract_field(label_pattern: str, col: Column | str) -> Column:
     )
 
 
+def extract_block(label_pattern: str, col: Column | str, max_lines: int = 5) -> Column:
+    """Multi-line block after a label line, stopping at the first blank
+    line or ``max_lines`` (pdf_extraction.py:195-208 first_block_after).
+    Lines join with real newlines. Empty → NULL."""
+    pat = (
+        label_pattern
+        + r"\s*\n((?:[^\n]+\n){0,"
+        + str(max_lines - 1)
+        + r"}[^\n]+)"
+    )
+    return F.nullif(F.trim(F.regexp_extract(_c(col), pat, 1)), F.lit(""))
+
+
 def na_to_null(col: Column | str) -> Column:
     """Map the scraper's ``N/A`` / empty sentinels to NULL."""
     return F.when(F.trim(_c(col)).isin("N/A", "NA", "null", "none", ""), None).otherwise(

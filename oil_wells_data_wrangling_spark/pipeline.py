@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from oil_wells_data_wrangling_spark.functions.wrangling import (
     clean_num,
     dms_to_decimal,
+    extract_block,
     extract_field,
     extract_inline,
     na_to_null,
@@ -88,7 +89,7 @@ def extract_well_tables(
         clean_num(
             extract_field(r"Maximum\s*Treatment\s*Rate\s*\(BBLS/?Min\)", txt)
         ).alias("max_treatment_rate_bbls_min"),
-        extract_field(r"\bDetails\b", txt).alias("details"),
+        extract_block(r"\bDetails\b", txt, max_lines=5).alias("details"),
     )
     return header, stim
 

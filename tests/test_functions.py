@@ -83,3 +83,18 @@ def test_norm_text(spark):
 )
 def test_na_to_null(spark, raw, expected):
     assert _one(spark, na_to_null(F.col("s")), raw) == expected
+
+
+def test_extract_block_multiline(spark):
+    from oil_wells_data_wrangling_spark.functions.wrangling import extract_block
+
+    txt = "Details\nline one\nline two\n\nAFTER BLANK\nmore"
+    got = _one(spark, extract_block(r"\bDetails\b", F.col("s")), txt)
+    assert got == "line one\nline two"  # stops at the blank line
+    capped = _one(
+        spark,
+        extract_block(r"\bDetails\b", F.col("s"), max_lines=1),
+        "Details\na\nb\nc",
+    )
+    assert capped == "a"
+    assert _one(spark, extract_block(r"\bDetails\b", F.col("s")), "no label") is None
