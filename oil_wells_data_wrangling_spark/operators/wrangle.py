@@ -495,6 +495,122 @@ def upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------------------------- extract_repeated
+
+_REPEATED_ORACLE = _SYN_CTE + """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(
+         'Stage Pressure: ' || CAST(8000 + k % 2000 AS VARCHAR) || chr(10) ||
+         'Notes: ok' || chr(10) ||
+         'Stage Pressure: ' || CAST(9000 + (3 * k) % 2000 AS VARCHAR) || chr(10) ||
+         CASE WHEN k % 2 = 0
+              THEN 'Stage Pressure: ' || CAST(7000 + (7 * k) % 2000 AS VARCHAR)
+              ELSE 'End of report' END,
+         'Stage Pressure: ([0-9]+)', 1)) AS BIGINT) AS n_readings,
+       CAST(list_max(list_transform(regexp_extract_all(
+         'Stage Pressure: ' || CAST(8000 + k % 2000 AS VARCHAR) || chr(10) ||
+         'Notes: ok' || chr(10) ||
+         'Stage Pressure: ' || CAST(9000 + (3 * k) % 2000 AS VARCHAR) || chr(10) ||
+         CASE WHEN k % 2 = 0
+              THEN 'Stage Pressure: ' || CAST(7000 + (7 * k) % 2000 AS VARCHAR)
+              ELSE 'End of report' END,
+         'Stage Pressure: ([0-9]+)', 1), x -> CAST(x AS BIGINT))) AS BIGINT)
+         AS max_pressure
+FROM syn
+"""
+
+
+@register("extract_repeated", oracle=_REPEATED_ORACLE)
+def extract_repeated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL occurrences of a repeated label (the reference's finditer loop,
+    pdf_extraction.py:162-189, e.g. per-stage pressure readings):
+    regexp_extract_all → typed array → count / max, single scan."""
+    t = load_tables(spark, sf_dir)
+    k = _K()
+    text = F.concat(
+        F.lit("Stage Pressure: "), _istr(8000 + k % 2000), _NL(),
+        F.lit("Notes: ok"), _NL(),
+        F.lit("Stage Pressure: "), _istr(9000 + (3 * k) % 2000), _NL(),
+        F.when(
+            k % 2 == 0,
+            F.concat(F.lit("Stage Pressure: "), _istr(7000 + (7 * k) % 2000)),
+        ).otherwise(F.lit("End of report")),
+    )
+    readings = F.expr(
+        "transform(regexp_extract_all(txt, 'Stage Pressure: ([0-9]+)', 1), "
+        "x -> cast(x as bigint))"
+    )
+    return (
+        t.customer.select(k.alias("doc_id"), text.alias("txt"))
+        .select(
+            "doc_id",
+            F.size(readings).cast("bigint").alias("n_readings"),
+            F.array_max(readings).alias("max_pressure"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- fuzzy_match
+
+_FUZZY_ORACLE = """
+WITH messy AS (
+  SELECT c_custkey + 1000000 AS messy_id,
+         CASE c_custkey % 3
+           WHEN 0 THEN lower(c_name)
+           WHEN 1 THEN replace(c_name, 'Customer#', 'Cust#')
+           ELSE c_name || ' LLC' END AS messy_name,
+         c_custkey % 100 AS blk
+  FROM customer
+),
+canon AS (
+  SELECT c_custkey, c_name, c_custkey % 100 AS blk FROM customer
+),
+scored AS (
+  SELECT messy_id, c_custkey, levenshtein(messy_name, c_name) AS dist
+  FROM messy JOIN canon USING (blk)
+)
+SELECT messy_id, c_custkey AS matched_custkey, CAST(dist AS INTEGER) AS dist
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY messy_id ORDER BY dist, c_custkey
+  ) AS rk FROM scored
+) WHERE rk = 1
+"""
+
+
+@register("fuzzy_match_names", oracle=_FUZZY_ORACLE)
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: the reference joins scraped rows to
+    extracted rows on raw (well_name, api) equality (web_scraping.py:
+    287-294), which silently drops every formatting variant. Here messy
+    name variants match their canonical record by minimum edit distance
+    within a blocking key — the blocked join bounds comparisons, the
+    window picks a deterministic best match."""
+    t = load_tables(spark, sf_dir)
+    messy = t.customer.select(
+        (_K() + 1_000_000).alias("messy_id"),
+        F.when(_K() % 3 == 0, F.lower("c_name"))
+        .when(_K() % 3 == 1, F.replace(F.col("c_name"), F.lit("Customer#"), F.lit("Cust#")))
+        .otherwise(F.concat(F.col("c_name"), F.lit(" LLC")))
+        .alias("messy_name"),
+        (_K() % 100).alias("blk"),
+    )
+    canon = t.customer.select(
+        F.col("c_custkey"), F.col("c_name"), (_K() % 100).alias("cblk")
+    )
+    scored = messy.join(canon, F.col("blk") == F.col("cblk")).select(
+        "messy_id",
+        "c_custkey",
+        F.levenshtein("messy_name", "c_name").alias("dist"),
+    )
+    w = Window.partitionBy("messy_id").orderBy("dist", "c_custkey")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("messy_id", F.col("c_custkey").alias("matched_custkey"), F.col("dist").cast("int").alias("dist"))
+    )
+
+
 # ------------------------------------------------------- enrichment (web join)
 
 _ENRICH_ORACLE = f"""
