@@ -68,6 +68,76 @@ def decode_features(df: DataFrame) -> DataFrame:
     )
 
 
+_FRAME_ORACLE = """
+WITH v AS (
+  SELECT doc_id, n_chars % 7 + 2 AS n_frames, text FROM documents
+),
+frames AS (
+  SELECT doc_id, n_frames,
+         list_transform(range(0, n_frames), i -> md5(text || '_' || CAST(i AS VARCHAR)))
+           AS frame_hashes
+  FROM v
+),
+sampled AS (
+  SELECT doc_id, n_frames,
+         list_filter(list_transform(range(0, n_frames),
+                     i -> CASE WHEN i % 2 = 0 THEN frame_hashes[i + 1] END),
+                     x -> x IS NOT NULL) AS kept
+  FROM frames
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(len(kept) AS INTEGER) AS n_sampled,
+       md5(array_to_string(kept, '')) AS sample_fp
+FROM sampled
+"""
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each document synthesizes an n-frame
+    binary payload (16 bytes per frame, md5 chain), the Arrow-batched
+    stub 'decodes' it frame-by-frame, keeps every 2nd frame, and emits a
+    fingerprint of the sample. The batching/stride plumbing is exactly
+    what a real ffmpeg-backed sampler needs; only the decode is fake —
+    and the md5-chain synthesis makes even this UDF path exactly
+    checkable against SQL."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir)
+    media = t.documents.select(
+        "doc_id",
+        F.col("text"),
+        (F.col("n_chars") % 7 + 2).cast("int").alias("n_frames"),
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            frames = [
+                [
+                    hashlib.md5(f"{text}_{i}".encode()).hexdigest()
+                    for i in range(n)
+                ]
+                for text, n in zip(pdf["text"], pdf["n_frames"])
+            ]
+            kept = [fs[::2] for fs in frames]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_frames": pdf["n_frames"].astype("int32"),
+                    "n_sampled": pd.Series([len(k) for k in kept], dtype="int32"),
+                    "sample_fp": [
+                        hashlib.md5("".join(k).encode()).hexdigest() for k in kept
+                    ],
+                }
+            )
+
+    return media.mapInPandas(
+        _batches,
+        schema="doc_id long, n_frames int, n_sampled int, sample_fp string",
+    )
+
+
 _MM_ORACLE = """
 SELECT doc_id,
        CAST(16 AS INTEGER) AS n_bytes,
