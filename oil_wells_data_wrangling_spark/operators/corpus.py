@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.operators.dedup import (
     minhash_pairs,
@@ -44,6 +45,134 @@ SELECT lang,
        CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed
 FROM deduped GROUP BY lang
 """
+
+
+# ----------------------------------------------------------------- text_chunks
+
+_CHUNK, _STEP = 50, 40  # 50-word windows, 10-word overlap
+
+_CHUNKS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+)
+SELECT doc_id,
+       CAST((s - 1) // {_STEP} AS INTEGER) AS chunk_id,
+       array_to_string(list_slice(words, s, s + {_CHUNK - 1}), ' ') AS chunk_text,
+       CAST(len(list_slice(words, s, s + {_CHUNK - 1})) AS INTEGER) AS n_tokens
+FROM tok, UNNEST(range(1, len(words) + 1, {_STEP})) AS u(s)
+"""
+
+
+@register("text_chunks", oracle=_CHUNKS_ORACLE)
+def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking: documents → training samples of ≤50
+    words with 10-word overlap. Window starts come from a stepped
+    sequence + slice (array ops inside the scan), then one explode —
+    no joins, no UDF; the op that fans 100 TB of documents into
+    context-window-sized rows."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.split("text", " ").alias("words"))
+    chunks = F.expr(
+        f"transform(sequence(1, size(words), {_STEP}), "
+        f"s -> struct(cast((s - 1) div {_STEP} as int) as chunk_id, "
+        f"array_join(slice(words, s, {_CHUNK}), ' ') as chunk_text, "
+        f"cast(size(slice(words, s, {_CHUNK})) as int) as n_tokens))"
+    )
+    return tok.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_id", "c.chunk_text", "c.n_tokens"
+    )
+
+
+# -------------------------------------------------------------- pack_sequences
+
+_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tokens,
+         CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // {_BUDGET} AS BIGINT) AS bin_id
+  FROM tok
+)
+SELECT bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY bin_id
+"""
+
+
+@register("pack_sequences", oracle=_PACK_ORACLE)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-based sequence packing: stream documents in id order and
+    open a new 512-token bin whenever the running offset crosses a
+    budget boundary (bins may overflow by one document — the streaming
+    packer's trade). One prefix-sum window, no iteration."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = tok.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_BUDGET)),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+
+
+# -------------------------------------------------------------- sample_corpus
+
+_SAMPLE_ORACLE = """
+WITH scored AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+         CAST('0x' || substr(md5('s42_' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           % 100 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE bucket < CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM kept GROUP BY lang
+"""
+
+
+@register("sample_corpus", oracle=_SAMPLE_ORACLE)
+def sample_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling: per-language keep rates applied
+    via a salted content-id hash (md5 → bucket 0-99), so the sample is
+    reproducible across runs/engines and needs no RNG state — the
+    data-mixing step of a pretraining recipe."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.expr("cast(conv(substr(md5(concat('s42_', cast(doc_id as string))), 1, 8), 16, 10) as bigint)")
+        % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50)
+        .when(F.col("lang") == "zh", 30)
+        .otherwise(10)
+    )
+    kept = t.documents.select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        bucket.alias("bucket"),
+        rate.alias("rate"),
+    ).filter(F.col("bucket") < F.col("rate"))
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
 
 
 _CORPUS_FULL_ORACLE = f"""
