@@ -356,6 +356,55 @@ def rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- grouping_sets
+
+_GSETS_SQL = """
+SELECT r_name, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(30,2))) AS DOUBLE) AS total_balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+"""
+
+
+@register("grouping_sets", oracle=_GSETS_SQL)
+def grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint per-region and per-segment totals
+    plus grand total in ONE pass) — the generalization of rollup/cube;
+    same SQL text runs on both engines."""
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables as _lt
+
+    _lt(spark, sf_dir).register_temp_views()
+    return spark.sql(_GSETS_SQL)
+
+
+# ------------------------------------------------------------ window_lag_delta
+
+_LAG_DELTA_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       CAST(o_totalprice AS DOUBLE) - lag(CAST(o_totalprice AS DOUBLE)) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS spend_delta
+FROM orders
+"""
+
+
+@register("window_lag_delta", oracle=_LAG_DELTA_ORACLE)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-order spend delta per customer (lag) — the
+    trend-feature window; first order per customer yields NULL."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    price = F.col("o_totalprice").cast("double")
+    return t.orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (price - F.lag(price).over(w)).alias("spend_delta"),
+    )
+
+
 # -------------------------------------------------------------- promo_revenue
 
 _PROMO_ORACLE = f"""

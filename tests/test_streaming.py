@@ -75,6 +75,52 @@ def test_stream_enrich_matches_batch(spark, sf_dir, events_dir):
     assert _canon(got) == _canon(want)
 
 
+def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
+    """Two time-ordered micro-batches: batch 2 advances the watermark far
+    past batch-1 activity, so idle sessions close via EVENT-TIME TIMEOUT
+    (not by a successor event). Every emitted session must still agree
+    with batch sessionization."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_us", F.expr("ts div 1000"))
+    )
+    mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+    src = tmp_path / "src"
+    e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part0")
+    )
+    e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    got = _run_available_now(stream_sessionize(stream), "sess_timeout", spark)
+    batch = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    got_set, batch_set = set(_canon(got)), set(_canon(batch))
+    assert got_set, "no sessions emitted"
+    assert got_set <= batch_set, sorted(got_set - batch_set)[:5]
+    # the watermark jump must have closed strictly more sessions than the
+    # single-batch run (which can only close sessions via successor events)
+    single = _run_available_now(
+        stream_sessionize(
+            spark.readStream.schema(
+                spark.read.parquet(str(src / "part0")).schema
+            )
+            .parquet(str(src / "part*"))
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ),
+        "sess_single",
+        spark,
+    )
+    assert got.count() >= single.count()
+
+
 def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir, events_dir):
     """AvailableNow never fires the final event-time timeout, so the stream
     emits only sessions *closed by a later event*; every one of those must
