@@ -419,6 +419,67 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------- minhash_jaccard_est
+
+def _jaccard_est_oracle() -> str:
+    return f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+{minhash_pairs_ctes('docs2')},
+shset AS (
+  SELECT doc_id, list_distinct(shingles) AS ds FROM sh
+),
+paired AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sa.sig AS siga, sb.sig AS sigb,
+         da.ds AS dsa, db.ds AS dsb
+  FROM docs2 a
+  JOIN docs2 b ON b.doc_id = a.doc_id + 1000000
+  JOIN sig sa ON sa.doc_id = a.doc_id
+  JOIN sig sb ON sb.doc_id = b.doc_id
+  JOIN shset da ON da.doc_id = a.doc_id
+  JOIN shset db ON db.doc_id = b.doc_id
+)
+SELECT doc_a, doc_b,
+       len(list_filter(range(1, {_K_PERM} + 1), i -> siga[i] = sigb[i]))
+         / {_K_PERM} AS jaccard_est,
+       CAST(len(list_intersect(dsa, dsb)) AS DOUBLE)
+         / (len(dsa) + len(dsb) - len(list_intersect(dsa, dsb))) AS jaccard_exact
+FROM paired
+"""
+
+
+@register("minhash_jaccard_est", oracle=_jaccard_est_oracle())
+def minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch accuracy, observable: the MinHash signature-agreement
+    estimate of Jaccard similarity next to the exact shingle-set value
+    for each planted near-dup pair. At 100 TB the estimate costs a
+    32-long comparison per pair instead of touching documents at all."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    sig = minhash_signature(docs)
+    shingles = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        "doc_id", F.expr(f"array_distinct({_SHINGLES_EXPR})").alias("ds")
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("siga")).join(
+        shingles.select(F.col("doc_id").alias("sa_id"), F.col("ds").alias("dsa")),
+        F.col("doc_a") == F.col("sa_id"),
+    )
+    b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sigb")).join(
+        shingles.select(F.col("doc_id").alias("sb_id"), F.col("ds").alias("dsb")),
+        F.col("doc_b") == F.col("sb_id"),
+    )
+    paired = a.join(b, F.col("doc_b") == F.col("doc_a") + 1_000_000)
+    est = F.expr(
+        f"size(filter(sequence(1, {_K_PERM}), i -> element_at(siga, i) = element_at(sigb, i)))"
+    ) / F.lit(_K_PERM)
+    inter = F.size(F.array_intersect("dsa", "dsb"))
+    exact = inter.cast("double") / (F.size("dsa") + F.size("dsb") - inter)
+    return paired.select(
+        "doc_a",
+        "doc_b",
+        est.alias("jaccard_est"),
+        exact.alias("jaccard_exact"),
+    )
+
+
 # -------------------------------------------------------------- simhash_pairs
 
 _SIMPAIRS_ORACLE = f"""

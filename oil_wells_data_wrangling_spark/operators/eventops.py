@@ -353,6 +353,45 @@ def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- events_anomaly
+
+_ANOMALY_ORACLE = f"""
+WITH stats AS (
+  SELECT event_type,
+         {sql_dsum('value', 6)} / COUNT(*) AS mean_v,
+         {sql_dsum('value * value', 6)} / COUNT(*) AS ex2,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_id, e.event_type,
+       ROUND((value - mean_v) / sqrt(ex2 - mean_v * mean_v), 4) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE abs(ROUND((value - mean_v) / sqrt(ex2 - mean_v * mean_v), 4)) >= 2.0
+"""
+
+
+@register("events_anomaly", oracle=_ANOMALY_ORACLE)
+def events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type z-score outliers (|z| ≥ 2): population moments from exact
+    decimal sums (order-independent), tiny stats table broadcast back
+    onto the stream — the alerting scan of an observability pipeline."""
+    t = load_tables(spark, sf_dir)
+    stats = t.events.groupBy(F.col("event_type").alias("s_type")).agg(
+        (dsum("value", 6) / F.count(F.lit(1))).alias("mean_v"),
+        (dsum(F.col("value") * F.col("value"), 6) / F.count(F.lit(1))).alias("ex2"),
+    )
+    z = F.round(
+        (F.col("value") - F.col("mean_v"))
+        / F.sqrt(F.col("ex2") - F.col("mean_v") * F.col("mean_v")),
+        4,
+    )
+    return (
+        t.events.join(F.broadcast(stats), F.col("event_type") == F.col("s_type"))
+        .select("event_id", "event_type", z.alias("z"))
+        .filter(F.abs(F.col("z")) >= 2.0)
+    )
+
+
 # ------------------------------------------------------------------ asof_join
 
 _ASOF_ORACLE = f"""
