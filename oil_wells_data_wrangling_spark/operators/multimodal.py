@@ -68,6 +68,60 @@ def decode_features(df: DataFrame) -> DataFrame:
     )
 
 
+_RESIZE_ORACLE = """
+WITH img AS (
+  SELECT doc_id,
+         CAST(16 + n_chars % 640 AS INTEGER) AS w,
+         CAST(16 + (n_chars * 3) % 480 AS INTEGER) AS h
+  FROM documents
+)
+SELECT doc_id, w, h,
+       CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS INTEGER) AS new_w,
+       CAST(CASE WHEN h >= w THEN 224 ELSE (h * 224) // w END AS INTEGER) AS new_h
+FROM img
+"""
+
+
+@register("mm_resize", oracle=_RESIZE_ORACLE)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize plumbing: fit each (w, h) into a 224×224 box
+    preserving aspect ratio with integer arithmetic (deterministic —
+    no float scale factor). The Arrow-batched stub computes target dims
+    exactly where a PIL/opencv resample would run; payload bytes pass
+    through untouched."""
+    t = load_tables(spark, sf_dir)
+    media = t.documents.select(
+        "doc_id",
+        F.unhex(F.md5("text")).alias("payload"),
+        (F.lit(16) + F.col("n_chars") % 640).cast("int").alias("w"),
+        (F.lit(16) + (F.col("n_chars") * 3) % 480).cast("int").alias("h"),
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w, h = pdf["w"], pdf["h"]
+            new_w = [
+                224 if wi >= hi else (wi * 224) // hi for wi, hi in zip(w, h)
+            ]
+            new_h = [
+                224 if hi >= wi else (hi * 224) // wi for wi, hi in zip(w, h)
+            ]
+            # a real implementation resamples pdf["payload"] here
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "w": w,
+                    "h": h,
+                    "new_w": pd.Series(new_w, dtype="int32"),
+                    "new_h": pd.Series(new_h, dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(
+        _batches, schema="doc_id long, w int, h int, new_w int, new_h int"
+    )
+
+
 _FRAME_ORACLE = """
 WITH v AS (
   SELECT doc_id, n_chars % 7 + 2 AS n_frames, text FROM documents
