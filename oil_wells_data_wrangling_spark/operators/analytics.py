@@ -250,26 +250,84 @@ def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles")  # rows-only: t-digest estimates are engine-specific
+_APPROX_PCT_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.5), 2) AS p50_exact,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.95), 2) AS p95_exact,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.99), 2) AS p99_exact,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register("approx_percentiles", oracle=_APPROX_PCT_ORACLE)
 def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based percentiles — the 100 TB path for `percentiles`:
-    bounded-memory partial sketches merge instead of a global sort."""
+    bounded-memory partial sketches merge instead of a global sort.
+
+    The sketch estimates are engine-specific, so the self-checking
+    contract is: exact percentiles (shared with the oracle) plus
+    booleans asserting the t-digest estimate lands within 5% relative
+    error of exact — the oracle emits literal TRUEs.
+    """
     t = load_tables(spark, sf_dir)
-    return t.orders.groupBy("o_orderpriority").agg(
-        F.expr("approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)").alias(
-            "pcts"
-        )
+    agg = t.orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.95, 0.99), 10000)"
+        ).alias("ap"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").alias("ep"),
     )
+    cols = [F.col("o_orderpriority")]
+    for i, p in enumerate(("p50", "p95", "p99")):
+        cols.append(F.round(F.col("ep")[i], 2).alias(f"{p}_exact"))
+    for i, p in enumerate(("p50", "p95", "p99")):
+        cols.append(
+            (F.abs(F.col("ap")[i] - F.col("ep")[i]) / F.col("ep")[i] <= F.lit(0.05))
+            .alias(f"{p}_ok")
+        )
+    return agg.select(*cols)
 
 
-@register("approx_distinct")  # rows-only: HLL estimates are engine-specific
+_APPROX_DISTINCT_ORACLE = """
+SELECT
+  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+  CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+  TRUE AS parts_within_5pct,
+  TRUE AS orders_within_5pct
+FROM lineitem
+"""
+
+
+@register("approx_distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimate — the 100 TB path: no shuffle of the
-    distinct values themselves, constant-size sketch per partition."""
+    distinct values themselves, constant-size sketch per partition.
+
+    HLL estimates are engine-specific, so the contract is exact counts
+    plus booleans asserting the rsd=0.01 sketch lands within 5% of exact
+    — the oracle emits the exact counts and literal TRUEs.
+    """
     t = load_tables(spark, sf_dir)
-    return t.lineitem.agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("n_parts_approx"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("n_orders_approx"),
+    agg = t.lineitem.agg(
+        F.count_distinct("l_partkey").alias("n_parts_exact"),
+        F.count_distinct("l_orderkey").alias("n_orders_exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("ap_parts"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("ap_orders"),
+    )
+    return agg.select(
+        F.col("n_parts_exact"),
+        F.col("n_orders_exact"),
+        (
+            F.abs(F.col("ap_parts") - F.col("n_parts_exact"))
+            / F.col("n_parts_exact")
+            <= F.lit(0.05)
+        ).alias("parts_within_5pct"),
+        (
+            F.abs(F.col("ap_orders") - F.col("n_orders_exact"))
+            / F.col("n_orders_exact")
+            <= F.lit(0.05)
+        ).alias("orders_within_5pct"),
     )
 
 
