@@ -132,16 +132,33 @@ def extract_field(label_pattern: str, col: Column | str) -> Column:
 
 
 def extract_block(label_pattern: str, col: Column | str, max_lines: int = 5) -> Column:
-    """Multi-line block after a label line, stopping at the first blank
-    line or ``max_lines`` (pdf_extraction.py:195-208 first_block_after).
-    Lines join with real newlines. Empty → NULL."""
+    """Multi-line block after a label (pdf_extraction.py:194-208
+    first_block_after): optional same-line remainder counts as the first
+    line, leading blank lines after the label are skipped (the
+    reference's greedy ``\\s*`` consumes them), and the block stops at
+    the first blank/whitespace-only line, separator line of 3+ dashes or
+    underscores, or ``max_lines``. Each line is stripped; lines join
+    with real newlines. Empty → NULL."""
+    line = r"[^\n]*[^ \t\n][^\n]*"  # at least one non-space char
+    not_dashes_nl = r"(?![ \t]*[-_]{3,}[ \t]*\n)"
+    not_dashes_end = r"(?![ \t]*[-_]{3,}[ \t]*(?:\n|$))"
     pat = (
         label_pattern
-        + r"\s*\n((?:[^\n]+\n){0,"
+        + r"[:#]?\s*((?:"
+        + not_dashes_nl
+        + line
+        + r"\n){0,"
         + str(max_lines - 1)
-        + r"}[^\n]+)"
+        + r"}"
+        + not_dashes_end
+        + line
+        + r")"
     )
-    return F.nullif(F.trim(F.regexp_extract(_c(col), pat, 1)), F.lit(""))
+    raw = F.regexp_extract(_c(col), pat, 1)
+    stripped = F.regexp_replace(
+        F.regexp_replace(raw, r"[ \t]+\n", "\n"), r"\n[ \t]+", "\n"
+    )
+    return F.nullif(F.trim(stripped), F.lit(""))
 
 
 def na_to_null(col: Column | str) -> Column:

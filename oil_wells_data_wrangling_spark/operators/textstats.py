@@ -14,7 +14,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from oil_wells_data_wrangling_spark.functions.wrangling import norm_text
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
@@ -190,11 +189,17 @@ FROM documents
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (md5 of whitespace-collapsed
     lowercase text) + shingle count — the join key for cross-snapshot
-    document identity."""
+    document identity.
+
+    Plain whitespace-collapse only (no unicode-punctuation translate):
+    the normalization must be byte-identical to the oracle's, and a
+    fingerprint key wants the cheapest canonical form that survives
+    re-wrapping — punctuation variants are near-dup territory
+    (dedup_minhash), not identity."""
     t = load_tables(spark, sf_dir)
     return t.documents.select(
         "doc_id",
-        F.md5(F.lower(norm_text("text"))).alias("fp"),
+        F.md5(F.lower(F.trim(F.regexp_replace("text", "[ \\t]+", " ")))).alias("fp"),
         F.greatest(F.size(F.split("text", " ")) - 2, F.lit(0))
         .cast("bigint")
         .alias("n_shingles"),

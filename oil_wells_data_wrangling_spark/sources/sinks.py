@@ -45,8 +45,15 @@ def upsert_parquet(
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
     latest.write.mode("overwrite").parquet(staging)
     if os.path.exists(path):
-        shutil.rmtree(path)
-    os.replace(staging, path)
+        # Rename the live table aside before installing staging so a
+        # crash can lose at most the single rename window, never the
+        # table; deleting the old copy last keeps readers safe.
+        old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+        os.replace(path, old)
+        os.replace(staging, path)
+        shutil.rmtree(old)
+    else:
+        os.replace(staging, path)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

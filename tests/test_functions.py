@@ -98,3 +98,24 @@ def test_extract_block_multiline(spark):
     )
     assert capped == "a"
     assert _one(spark, extract_block(r"\bDetails\b", F.col("s")), "no label") is None
+
+
+def test_extract_block_reference_parity(spark):
+    """Mirrors the reference's first_block_after edge cases exactly
+    (pdf_extraction.py:194-208, behavior verified empirically)."""
+    from oil_wells_data_wrangling_spark.functions.wrangling import extract_block
+
+    fn = extract_block(r"\bDetails\b", F.col("s"))
+    # greedy \s* skips blank lines between label and content
+    assert _one(spark, fn, "Details:\n\nSome text\nmore") == "Some text\nmore"
+    # same-line remainder counts as the first block line
+    assert _one(spark, fn, "Details: foo\nbar\n\nafter") == "foo\nbar"
+    # whitespace-only line ends the block like a blank line
+    assert _one(spark, fn, "Details\nline1\n   \nline3") == "line1"
+    # a separator line of dashes/underscores ends the block
+    assert _one(spark, fn, "Details\nline1\n----\nline3") == "line1"
+    assert _one(spark, fn, "Details\nline1\n____\nline3") == "line1"
+    # a line merely containing dashes is NOT a separator
+    assert _one(spark, fn, "Details\nline1\n--x-\nline3") == "line1\n--x-\nline3"
+    # per-line strip, like the reference's ln.strip()
+    assert _one(spark, fn, "Details\n  padded  \nnext") == "padded\nnext"
