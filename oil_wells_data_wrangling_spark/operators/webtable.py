@@ -1,0 +1,102 @@
+"""Scrape-connector parse operator (SURVEY.md §2.A connector edge).
+
+Exercises sources/html_table.py — the pure DOM-read half of the
+reference's scraper (web_scraping.py:80-128) — as an oracle-checked
+query: deterministic detail-page HTML is generated per supplier row
+(nested tags, doubled whitespace, a missing field, and both badge
+orderings), parsed back with the Spark-side regex chain, and the
+DuckDB oracle replays the identical generation + RE2-compatible parse.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.html_table import parse_well_pages
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+_HTML_TABLE_ORACLE = r"""
+WITH pages AS (
+  SELECT s_suppkey,
+    '<table><tr><th>Well Status</th><td><b>'
+    || CASE CAST(s_suppkey % 3 AS INT) WHEN 0 THEN 'Active'
+            WHEN 1 THEN 'Plugged' ELSE 'Drilling' END
+    || '</b></td></tr><tr><th>Well Type</th><td>Oil  Well</td></tr>'
+    || CASE WHEN s_suppkey % 5 <> 0
+            THEN '<tr><th>Closest City</th><td>City '
+                 || CAST(s_suppkey AS VARCHAR) || '</td></tr>'
+            ELSE '' END
+    || '</table><p class="block_stat"><span class="dropcap">'
+    || CAST(s_suppkey * 37 % 1000 AS VARCHAR)
+    || '</span> Barrels of Oil Produced</p>'
+    || '<p class="block_stat">MCF of Gas Produced <span class="dropcap">'
+    || CAST(s_suppkey * 53 % 1000 AS VARCHAR) || '</span></p>' AS html
+  FROM supplier
+),
+raw AS (
+  SELECT s_suppkey,
+    trim(regexp_replace(regexp_replace(
+      regexp_extract(html,
+        '(?s)<th[^>]*>\s*Well Status\s*</th>\s*<td[^>]*>(.*?)</td>', 1),
+      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS ws,
+    trim(regexp_replace(regexp_replace(
+      regexp_extract(html,
+        '(?s)<th[^>]*>\s*Well Type\s*</th>\s*<td[^>]*>(.*?)</td>', 1),
+      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS wt,
+    trim(regexp_replace(regexp_replace(
+      regexp_extract(html,
+        '(?s)<th[^>]*>\s*Closest City\s*</th>\s*<td[^>]*>(.*?)</td>', 1),
+      '<[^>]+>', ' ', 'g'), '\s+', ' ', 'g')) AS cc,
+    trim(regexp_extract(html,
+      '<p[^>]*block_stat[^>]*>\s*<span[^>]*dropcap[^>]*>([^<]*)</span>[^<]*Barrels of Oil Produced',
+      1)) AS oil,
+    trim(regexp_extract(html,
+      '<p[^>]*block_stat[^>]*>[^<]*MCF of Gas Produced[^<]*<span[^>]*dropcap[^>]*>([^<]*)</span>',
+      1)) AS gas
+  FROM pages
+)
+SELECT s_suppkey,
+  CASE WHEN ws = '' THEN 'N/A' ELSE ws END AS well_status,
+  CASE WHEN wt = '' THEN 'N/A' ELSE wt END AS well_type,
+  CASE WHEN cc = '' THEN 'N/A' ELSE cc END AS closest_city,
+  CASE WHEN oil = '' THEN 'N/A' ELSE oil END AS oil_badge,
+  CASE WHEN gas = '' THEN 'N/A' ELSE gas END AS gas_badge
+FROM raw
+"""
+
+
+@register("html_table", oracle=_HTML_TABLE_ORACLE)
+def html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generate detail-page HTML per supplier row and parse it back with
+    the scrape connector's th/td + badge extraction. Single scan, all
+    JVM-side regex — the shape a stored-crawl parse has at scale."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("s_suppkey")
+    status = (
+        F.when(k % 3 == 0, "Active")
+        .when(k % 3 == 1, "Plugged")
+        .otherwise("Drilling")
+    )
+    html = F.concat(
+        F.lit('<table><tr><th>Well Status</th><td><b>'),
+        status,
+        F.lit("</b></td></tr><tr><th>Well Type</th><td>Oil  Well</td></tr>"),
+        F.when(
+            k % 5 != 0,
+            F.concat(
+                F.lit("<tr><th>Closest City</th><td>City "),
+                k.cast("string"),
+                F.lit("</td></tr>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit('</table><p class="block_stat"><span class="dropcap">'),
+        (k * 37 % 1000).cast("string"),
+        F.lit("</span> Barrels of Oil Produced</p>"),
+        F.lit('<p class="block_stat">MCF of Gas Produced <span class="dropcap">'),
+        (k * 53 % 1000).cast("string"),
+        F.lit("</span></p>"),
+    )
+    pages = t.supplier.select("s_suppkey", html.alias("html"))
+    return parse_well_pages(pages)

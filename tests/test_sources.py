@@ -52,6 +52,149 @@ def test_document_folder_source(spark, tmp_path):
     assert got["c.bin"] == ""  # undecodable → empty, like the reference
 
 
+def _fake_ocr(payload: bytes) -> str:
+    """Deterministic OCR stand-in: recognizable text derived from bytes."""
+    return f"OCR[{len(payload)}]" if payload else ""
+
+
+def test_ocr_fallback_routing():
+    """Empty-text-layer payloads route through the OCR branch, mirroring
+    extract_pages_text (pdf_extraction.py:71-79)."""
+    from oil_wells_data_wrangling_spark.sources.pdf_source import _extract_text
+
+    # decodable text layer wins; OCR not consulted
+    assert _extract_text(b"plain text", ocr=_fake_ocr) == "plain text"
+    # undecodable payload (empty text layer) falls back to OCR
+    assert _extract_text(b"\xff\xfe\x00\x01", ocr=_fake_ocr) == "OCR[4]"
+    # whitespace-only text layer also counts as empty
+    assert _extract_text(b"  \n\t ", ocr=_fake_ocr) == "OCR[5]"
+    # prefer_ocr swaps the order
+    assert _extract_text(b"plain text", prefer_ocr=True, ocr=_fake_ocr) == "OCR[10]"
+    # prefer_ocr with empty OCR output falls back to the text layer
+    assert _extract_text(b"", prefer_ocr=True, ocr=_fake_ocr) == ""
+    assert _extract_text(b"plain", prefer_ocr=True, ocr=lambda _: "") == "plain"
+    # no OCR available → undecodable stays empty, like the reference
+    assert _extract_text(b"\xff\xfe\x00\x01") == ""
+
+
+def test_ocr_fallback_distributed(spark, tmp_path):
+    """The injected OCR callable serializes into the mapInPandas closure
+    and runs on executors."""
+    (tmp_path / "scan.bin").write_bytes(b"\xff\xfe\x00\x01\x02")
+    (tmp_path / "text.txt").write_text("has a text layer")
+
+    # defined inline: cloudpickle serializes nested functions by value,
+    # so the executor worker doesn't need to import this test module
+    def fake_ocr(payload: bytes) -> str:
+        return f"OCR[{len(payload)}]" if payload else ""
+
+    df = read_document_folder(spark, str(tmp_path), ocr=fake_ocr)
+    got = {r["doc_name"]: r["raw_text"] for r in df.collect()}
+    assert got["scan.bin"] == "OCR[5]"
+    assert got["text.txt"] == "has a text layer"
+
+
+def test_parse_well_pages_fixture(spark):
+    """Stored-HTML parse matches the reference's DOM reads
+    (web_scraping.py:80-128): th/td label lookup, block_stat badges in
+    either span/label order, inner_text tag-strip, N/A on missing."""
+    from oil_wells_data_wrangling_spark.sources.html_table import parse_well_pages
+
+    full = (
+        "<html><body><table>"
+        "<tr><th> Well Status </th><td><b>Active</b></td></tr>"
+        "<tr><th>Well Type</th><td>Oil \n Well</td></tr>"
+        "<tr><th>Closest City</th><td>Williston</td></tr>"
+        "</table>"
+        '<p class="block_stat"><span class="dropcap">1,234</span>'
+        " Barrels of Oil Produced</p>"
+        '<p class="block_stat">MCF of Gas Produced '
+        '<span class="dropcap">567</span></p>'
+        "</body></html>"
+    )
+    sparse = "<html><body><p>No details found</p></body></html>"
+    df = spark.createDataFrame(
+        [("W1", "33-001", full), ("W2", "33-002", sparse)],
+        "well_name string, api string, html string",
+    )
+    got = {r["well_name"]: r.asDict() for r in parse_well_pages(df).collect()}
+    assert got["W1"]["well_status"] == "Active"
+    assert got["W1"]["well_type"] == "Oil Well"
+    assert got["W1"]["closest_city"] == "Williston"
+    assert got["W1"]["oil_badge"] == "1,234"
+    assert got["W1"]["gas_badge"] == "567"
+    assert got["W2"] == {
+        "well_name": "W2",
+        "api": "33-002",
+        "well_status": "N/A",
+        "well_type": "N/A",
+        "closest_city": "N/A",
+        "oil_badge": "N/A",
+        "gas_badge": "N/A",
+    }
+
+
+def test_jdbc_merge_sql_dialects():
+    from oil_wells_data_wrangling_spark.sources.sinks import jdbc_merge_sql
+
+    cols, keys = ["k", "v", "ver"], ["k"]
+    mysql = jdbc_merge_sql("tgt", "stg", cols, keys, dialect="mysql")
+    assert mysql == (
+        "INSERT INTO tgt (`k`, `v`, `ver`) SELECT `k`, `v`, `ver` FROM stg "
+        "ON DUPLICATE KEY UPDATE `v`=VALUES(`v`), `ver`=VALUES(`ver`)"
+    )
+    ansi = jdbc_merge_sql("tgt", "stg", cols, keys, dialect="ansi")
+    assert ansi.startswith("MERGE INTO tgt t USING stg s ON t.k = s.k")
+    assert "WHEN MATCHED THEN UPDATE SET v = s.v, ver = s.ver" in ansi
+    assert "WHEN NOT MATCHED THEN INSERT (k, v, ver) VALUES (s.k, s.v, s.ver)" in ansi
+    with pytest.raises(ValueError):
+        jdbc_merge_sql("tgt", "stg", cols, keys, dialect="oracle9i")
+
+
+def test_write_jdbc_upsert_live_merge(spark):
+    """End-to-end upsert against a real SQL engine (DuckDB standing in
+    for the JDBC target): batch deduped per key by version, staged, and
+    merged server-side — incoming wins key collisions, like the
+    reference's ON DUPLICATE KEY UPDATE (pdf_to_db.py:202-244)."""
+    import duckdb
+
+    from oil_wells_data_wrangling_spark.sources.sinks import write_jdbc_upsert
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wells (k BIGINT PRIMARY KEY, v TEXT, ver BIGINT)")
+    con.execute("INSERT INTO wells VALUES (1, 'old', 0), (9, 'keep', 0)")
+
+    def stage_writer(sdf, staging_table):
+        pdf = sdf.toPandas()  # test-side shim; the real writer is JDBC-parallel
+        con.register("_stage_pdf", pdf)
+        con.execute(f"CREATE TABLE {staging_table} AS SELECT * FROM _stage_pdf")
+        con.unregister("_stage_pdf")
+
+    batch = spark.createDataFrame(
+        # two versions of k=1 in one batch: ver=20 must win the dedupe
+        [(1, "mid", 10), (1, "new", 20), (2, "ins", 5)],
+        "k long, v string, ver long",
+    )
+    merge = write_jdbc_upsert(
+        batch,
+        url="jdbc:duckdb:memory",
+        table="wells",
+        keys=["k"],
+        version_col="ver",
+        dialect="postgres",
+        stage_writer=stage_writer,
+        sql_executor=con.execute,
+    )
+    assert "ON CONFLICT (k) DO UPDATE" in merge
+    got = {r[0]: (r[1], r[2]) for r in con.execute("SELECT * FROM wells").fetchall()}
+    assert got == {1: ("new", 20), 2: ("ins", 5), 9: ("keep", 0)}
+    # staging table was dropped
+    stale = con.execute(
+        "SELECT count(*) FROM information_schema.tables WHERE table_name LIKE 'wells_staging%'"
+    ).fetchone()[0]
+    assert stale == 0
+
+
 def test_upsert_parquet_last_write_wins(spark, tmp_path):
     path = str(tmp_path / "tbl")
     v1 = spark.createDataFrame(
