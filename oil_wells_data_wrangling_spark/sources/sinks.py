@@ -76,6 +76,58 @@ def upsert_parquet(
         os.replace(staging, path)
 
 
+def upsert_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    keys: list[str],
+    version_col: str,
+    partition_col: str,
+) -> list:
+    """Partition-scoped MERGE — the 100 TB shape of ``upsert_parquet``:
+    only the partitions present in the incoming batch are read, merged,
+    and rewritten; every other partition's files are never touched.
+
+    Mechanics: partition-prune the existing table to the touched
+    partition values, keep-latest within that union, then write with
+    Spark's dynamic partition overwrite (only partitions present in the
+    output frame are replaced — a FileSystem-API commit, no local-FS
+    directory swap, so it carries to HDFS/S3 committers).
+
+    Requires a row's partition value to be stable across versions of
+    the same key (the usual partitioned-upsert contract — otherwise the
+    old copy survives in its old partition). Returns the touched
+    partition values.
+    """
+    spark = df.sparkSession
+    touched = [r[0] for r in df.select(partition_col).distinct().collect()]
+    incoming = df.withColumn("__gen", F.lit(1))
+    if os.path.exists(path):
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(partition_col).isin(touched))  # partition pruning
+            .withColumn("__gen", F.lit(0))
+        )
+        merged = existing.unionByName(incoming)
+    else:
+        merged = incoming
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(version_col).desc(), F.col("__gen").desc()
+    )
+    latest = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__gen")
+    )
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    return touched
+
+
 def jdbc_merge_sql(
     table: str,
     staging: str,

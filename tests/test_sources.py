@@ -134,6 +134,53 @@ def test_parse_well_pages_fixture(spark):
     }
 
 
+def test_upsert_parquet_partitioned_touches_only_batch_partitions(spark, tmp_path):
+    """Untouched partitions' files are byte-identical after an upsert;
+    touched partitions merge keep-latest; new partitions append."""
+    import hashlib
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "a", 10, "p1"), (2, "b", 10, "p2"), (3, "c", 10, "p3")],
+        "k long, v string, ver long, pt string",
+    )
+    upsert_parquet_partitioned(v1, path, keys=["k"], version_col="ver", partition_col="pt")
+
+    def snapshot(part):
+        d = os.path.join(path, f"pt={part}")
+        return {
+            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
+            for f in sorted(os.listdir(d))
+            if not f.startswith((".", "_"))
+        }
+
+    p3_before = snapshot("p3")
+    assert p3_before  # the partition has data files
+
+    batch = spark.createDataFrame(
+        # update k=1 (newer), stale update for k=2 (older ver loses),
+        # and a brand-new partition p4
+        [(1, "A", 20, "p1"), (2, "stale", 5, "p2"), (4, "d", 1, "p4")],
+        "k long, v string, ver long, pt string",
+    )
+    touched = upsert_parquet_partitioned(
+        batch, path, keys=["k"], version_col="ver", partition_col="pt"
+    )
+    assert sorted(touched) == ["p1", "p2", "p4"]
+    assert snapshot("p3") == p3_before  # byte-identical, never rewritten
+    got = {r["k"]: (r["v"], r["ver"], r["pt"]) for r in read_table(spark, path).collect()}
+    assert got == {
+        1: ("A", 20, "p1"),
+        2: ("b", 10, "p2"),
+        3: ("c", 10, "p3"),
+        4: ("d", 1, "p4"),
+    }
+
+
 def test_jdbc_merge_sql_dialects():
     from oil_wells_data_wrangling_spark.sources.sinks import jdbc_merge_sql
 
