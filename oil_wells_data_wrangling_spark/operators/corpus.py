@@ -286,3 +286,47 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.sum(F.col("n_copies") - 1).alias("dups_removed"),
     )
+
+
+# ----------------------------------------------------------------- shard_stats
+
+_SHARD_ORACLE = """
+SELECT
+  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 64
+    AS shard,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+  CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+  CAST(max(doc_id) AS BIGINT) AS max_doc_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("shard_stats", oracle=_SHARD_ORACLE)
+def shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment audit: documents hash-route to 64
+    output shards (the write layout for a training run — each shard one
+    file sequence), and the per-shard doc/char/token totals prove the
+    routing is balanced. The portable md5 hash makes the assignment
+    reproducible across engines AND across runs — re-running the
+    pipeline never moves a doc between shards. One partial-agg shuffle
+    of 64 groups; at 100 TB this is `.repartition(N, shard).write`."""
+    t = load_tables(spark, sf_dir)
+    shard = (
+        F.expr(
+            "cast(conv(substr(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint)"
+        )
+        % 64
+    )
+    return (
+        t.documents.groupBy(shard.alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )

@@ -1,0 +1,234 @@
+"""Privacy & eval-hygiene operators (SURVEY.md §2.C).
+
+Two steps every large-scale training-data pipeline runs that the
+dedup/quality families don't cover:
+
+- ``pii_redact``: scrub emails / phone numbers / SSNs before anything
+  else sees the text. Single scan, JVM-side regexp chains (RE2-safe
+  patterns so the DuckDB oracle replays them verbatim).
+- ``decontaminate``: flag training documents sharing any word 8-gram
+  with a held-out eval set — test-set decontamination. Eval shingles
+  are a broadcast-sized set; training shingles hash to 31-bit ints
+  inside the scan, so only (doc_id, hash) pairs explode, never text.
+
+The synthetic documents table contains neither PII nor eval overlap,
+so both operators inject deterministic instances first (the
+``_docs_with_dups`` pattern from dedup.py:45-65) and the oracles
+mirror the same injection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+# RE2-compatible (no lookaround) so Spark (Java regex) and DuckDB (RE2)
+# match identically.
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RX = r"\b\d{3}-\d{3}-\d{4}\b"
+_SSN_RX = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+# ------------------------------------------------------------------ pii_redact
+
+_PII_ORACLE = rf"""
+WITH pii_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@example.com or call 701-555-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                || ' ssn 123-45-'
+                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{_EMAIL_RX}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{_PHONE_RX}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text, '{_SSN_RX}')) AS BIGINT) AS n_ssns,
+  md5(regexp_replace(regexp_replace(regexp_replace(text,
+      '{_EMAIL_RX}', '[EMAIL]', 'g'),
+      '{_PHONE_RX}', '[PHONE]', 'g'),
+      '{_SSN_RX}', '[SSN]', 'g')) AS redacted_fp
+FROM pii_docs
+"""
+
+
+@register("pii_redact", oracle=_PII_ORACLE)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count and scrub PII in one scan. The 3-2-4 SSN and 3-3-4 phone
+    patterns are disjoint under \\b anchoring, so counts are independent
+    and redaction order (email, phone, SSN) is purely cosmetic."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    pii_tail = F.concat(
+        F.lit(" contact user"),
+        k.cast("string"),
+        F.lit("@example.com or call 701-555-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+        F.lit(" ssn 123-45-"),
+        F.lpad((k % 10000).cast("string"), 4, "0"),
+    )
+    docs = t.documents.select(
+        "doc_id",
+        F.when(k % 7 == 0, F.concat(F.col("text"), pii_tail))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    txt = F.col("text")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(txt, _EMAIL_RX, "[EMAIL]"), _PHONE_RX, "[PHONE]"
+        ),
+        _SSN_RX,
+        "[SSN]",
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(txt, F.lit(_EMAIL_RX)).cast("bigint").alias("n_emails"),
+        F.regexp_count(txt, F.lit(_PHONE_RX)).cast("bigint").alias("n_phones"),
+        F.regexp_count(txt, F.lit(_SSN_RX)).cast("bigint").alias("n_ssns"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+# --------------------------------------------------------------- decontaminate
+
+# Portable 31-bit hash (dedup.py:30-33).
+_P = 2_147_483_647
+_H32_SPARK = "cast(conv(substr(md5({s}), 1, 8), 16, 10) as bigint) % 2147483647"
+_H32_DUCK = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % 2147483647"
+
+_NGRAM = 8
+
+_DECON_ORACLE = f"""
+WITH evals AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+evals_rn AS (
+  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn FROM evals
+),
+kc AS (SELECT count(*) AS k FROM evals),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+),
+train2 AS (
+  SELECT t.doc_id,
+         t.text || ' ' ||
+         array_to_string((string_split(e.text, ' '))[1:{_NGRAM}], ' ') AS text
+  FROM train t CROSS JOIN kc
+  JOIN evals_rn e ON e.rn = 1 + t.doc_id % kc.k
+  WHERE t.doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, text FROM train WHERE doc_id % 13 <> 0
+),
+tw AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM train2
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+),
+tsh AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(w) - {_NGRAM - 1}),
+    i -> {_H32_DUCK.format(s=f"array_to_string(w[i:i+{_NGRAM - 1}], ' ')")}
+  )) AS h
+  FROM tw
+),
+ew AS (
+  SELECT string_split(text, ' ') AS w FROM evals
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+),
+esh AS (
+  SELECT DISTINCT unnest(list_transform(
+    generate_series(1, len(w) - {_NGRAM - 1}),
+    i -> {_H32_DUCK.format(s=f"array_to_string(w[i:i+{_NGRAM - 1}], ' ')")}
+  )) AS h
+  FROM ew
+),
+ov AS (
+  SELECT doc_id, count(DISTINCT tsh.h) AS n_overlap
+  FROM tsh JOIN esh ON tsh.h = esh.h
+  GROUP BY doc_id
+)
+SELECT t2.doc_id,
+       CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+       COALESCE(ov.n_overlap, 0) > 0 AS contaminated
+FROM train2 t2 LEFT JOIN ov ON t2.doc_id = ov.doc_id
+"""
+
+
+@register("decontaminate", oracle=_DECON_ORACLE)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing any word
+    8-gram with the eval split (doc_id % 11). Deterministic injection
+    plants real contamination (doc_id % 13 training docs get an eval
+    doc's leading 8 words appended) so the flag has positives to find.
+
+    Scale shape: eval shingle hashes are a broadcast set; the training
+    side explodes (doc_id, 31-bit hash) pairs only — text never leaves
+    the scan stage — and the word-array stage is cached against
+    Catalyst's project-collapse recompute (dedup.py:109-125)."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    evals = base.filter(F.col("doc_id") % 11 == 0)
+    train = base.filter(F.col("doc_id") % 11 != 0)
+
+    evals_rn = evals.withColumn(
+        "rn", F.row_number().over(Window.orderBy("doc_id"))
+    )
+    kc = evals.agg(F.count(F.lit(1)).alias("k"))
+    injected = (
+        train.filter(F.col("doc_id") % 13 == 0)
+        .crossJoin(F.broadcast(kc))
+        .withColumn("rn", 1 + F.col("doc_id") % F.col("k"))
+        .join(
+            F.broadcast(
+                evals_rn.select(
+                    "rn",
+                    F.array_join(
+                        F.slice(F.split("text", " "), 1, _NGRAM), " "
+                    ).alias("snippet"),
+                )
+            ),
+            "rn",
+        )
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" "), F.col("snippet")).alias("text"),
+        )
+    )
+    train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)
+
+    shingle_hashes = F.expr(
+        f"transform(sequence(1, size(w) - {_NGRAM - 1}), "
+        f"i -> {_H32_SPARK.format(s=f'''array_join(slice(w, i, {_NGRAM}), ' ')''')})"
+    )
+
+    def _hashes(docs: DataFrame) -> DataFrame:
+        words = (
+            docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= _NGRAM)
+            .cache()  # barrier: don't let Catalyst re-split per shingle
+        )
+        return words.select("doc_id", F.explode(shingle_hashes).alias("h"))
+
+    eval_set = _hashes(evals).select("h").distinct()
+    overlap = (
+        _hashes(train2)
+        .join(F.broadcast(eval_set), "h")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("h").alias("n_overlap"))
+    )
+    return (
+        train2.select("doc_id")
+        .join(overlap, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

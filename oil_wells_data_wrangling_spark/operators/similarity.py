@@ -356,3 +356,76 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
+
+
+# ------------------------------------------------------------- vector_quantize
+
+# Shared sub-expressions (kept as strings so Spark and DuckDB evaluate
+# the literal same arithmetic: ((x - mn) * 254) / (mx - mn), rounded).
+_MN_S = "cast(array_min(embedding) as double)"
+_MX_S = "cast(array_max(embedding) as double)"
+_MN_D = "CAST(list_min(embedding) AS DOUBLE)"
+_MX_D = "CAST(list_max(embedding) AS DOUBLE)"
+
+_Q_S = (
+    f"transform(embedding, x -> cast(round((cast(x as double) - {_MN_S}) * 254"
+    f" / ({_MX_S} - {_MN_S})) as bigint) - 127)"
+)
+_Q_D = (
+    f"list_transform(embedding, x -> CAST(round((CAST(x AS DOUBLE) - {_MN_D}) * 254"
+    f" / ({_MX_D} - {_MN_D})) AS BIGINT) - 127)"
+)
+_ERR_S = (
+    f"transform(embedding, x -> abs(cast(x as double) - ({_MN_S}"
+    f" + round((cast(x as double) - {_MN_S}) * 254 / ({_MX_S} - {_MN_S}))"
+    f" * ({_MX_S} - {_MN_S}) / 254)))"
+)
+_ERR_D = (
+    f"list_transform(embedding, x -> abs(CAST(x AS DOUBLE) - ({_MN_D}"
+    f" + round((CAST(x AS DOUBLE) - {_MN_D}) * 254 / ({_MX_D} - {_MN_D}))"
+    f" * ({_MX_D} - {_MN_D}) / 254)))"
+)
+
+_VQUANT_ORACLE = f"""
+SELECT vec_id,
+  ROUND({_MN_D}, 6) AS v_min,
+  ROUND({_MX_D}, 6) AS v_max,
+  CASE WHEN list_min(embedding) = list_max(embedding) THEN 0
+       ELSE CAST(({_Q_D})[1] AS BIGINT) END AS q_first,
+  CASE WHEN list_min(embedding) = list_max(embedding) THEN 0
+       ELSE CAST(list_sum({_Q_D}) AS BIGINT) END AS q_sum,
+  CASE WHEN list_min(embedding) = list_max(embedding) THEN 0.0
+       ELSE ROUND(list_sum({_ERR_D}) / {_DIM}, 6) END AS recon_err
+FROM embeddings
+"""
+
+
+@register("vector_quantize", oracle=_VQUANT_ORACLE)
+def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization — the 4× memory shrink that
+    makes billion-vector ANN indexes fit: q = round((x-min)·254/range)
+    - 127 per dimension, dequantization error reported as the mean
+    absolute residual. All array intrinsics in one scan; the checkable
+    scalars are the first code, the code-sum, and the rounded error."""
+    t = load_tables(spark, sf_dir)
+    degenerate = F.expr("array_min(embedding) = array_max(embedding)")
+    return t.embeddings.select(
+        "vec_id",
+        F.round(F.expr(_MN_S), 6).alias("v_min"),
+        F.round(F.expr(_MX_S), 6).alias("v_max"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.expr(f"element_at({_Q_S}, 1)"))
+        .cast("bigint")
+        .alias("q_first"),
+        F.when(degenerate, F.lit(0))
+        .otherwise(F.expr(f"aggregate({_Q_S}, 0L, (acc, v) -> acc + v)"))
+        .cast("bigint")
+        .alias("q_sum"),
+        F.when(degenerate, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.expr(f"aggregate({_ERR_S}, 0D, (acc, v) -> acc + v)") / _DIM, 6
+            )
+        )
+        .alias("recon_err"),
+    )

@@ -97,6 +97,78 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------- repetition_filter
+
+_REPETITION_ORACLE = """
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM w
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM w WHERE len(w) >= 2
+),
+bgc AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+),
+bs AS (
+  SELECT doc_id, max(c) AS mx, sum(c) AS tot FROM bgc GROUP BY doc_id
+)
+SELECT s.doc_id,
+  CAST(s.n_words AS BIGINT) AS n_words,
+  ROUND(1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words, 6) AS dup_word_frac,
+  ROUND(COALESCE(CAST(bs.mx AS DOUBLE) / bs.tot, 0.0), 6) AS top_bigram_frac,
+  (1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words) <= 0.5
+    AND COALESCE(CAST(bs.mx AS DOUBLE) / bs.tot, 0.0) <= 0.04 AS keep
+FROM s LEFT JOIN bs ON s.doc_id = bs.doc_id
+"""
+
+
+@register("repetition_filter", oracle=_REPETITION_ORACLE)
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: duplicate-word fraction (in-row
+    array intrinsics) and most-frequent-bigram fraction (the one metric
+    needing a per-(doc, bigram) count — a single shuffle keyed on the
+    doc, so it co-partitions and scales linearly). keep = passes both."""
+    t = load_tables(spark, sf_dir)
+    words_df = t.documents.select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    stats = words_df.select(
+        "doc_id",
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("n_distinct"),
+    )
+    bigrams = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+        " (a, b) -> concat(a, ' ', b))"
+    )
+    bstat = (
+        words_df.filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"), F.sum("c").alias("tot"))
+    )
+    dup_frac = 1.0 - stats.n_distinct.cast("double") / stats.n_words
+    top_frac = F.coalesce(F.col("mx").cast("double") / F.col("tot"), F.lit(0.0))
+    return (
+        stats.join(bstat, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.round(dup_frac, 6).alias("dup_word_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((dup_frac <= 0.5) & (top_frac <= 0.04)).alias("keep"),
+        )
+    )
+
+
 # ---------------------------------------------------------------- token_count
 
 _TOKENS_ORACLE = """

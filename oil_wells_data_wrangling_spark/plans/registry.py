@@ -59,6 +59,7 @@ def _load_all() -> None:
     import oil_wells_data_wrangling_spark.operators.textstats  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.webtable  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.analytics  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.privacy  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.wrangle  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.dedup  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.similarity  # noqa: F401
