@@ -161,7 +161,7 @@ FROM train2 t2 LEFT JOIN ov ON t2.doc_id = ov.doc_id
 """
 
 
-@register("decontaminate", oracle=_DECON_ORACLE)
+@register("decontaminate", oracle=_DECON_ORACLE, headline=True)
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: flag training docs sharing any word
     8-gram with the eval split (doc_id % 11). Deterministic injection
@@ -223,8 +223,10 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("h").alias("n_overlap"))
     )
+    # train2's ids == train's ids (injection only appends text), so the
+    # output spine can skip rebuilding the union+injection join.
     return (
-        train2.select("doc_id")
+        train.select("doc_id")
         .join(overlap, "doc_id", "left")
         .select(
             "doc_id",
