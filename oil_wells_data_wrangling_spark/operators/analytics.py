@@ -581,3 +581,85 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(o_totalprice, 0.95)"), 2).alias("p95"),
         F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
     )
+
+
+# ------------------------------------------------------------ bucket_quantiles
+
+_BQ_BUCKETS = 1024
+_BQ_LO, _BQ_HI = 0.0, 600000.0  # o_totalprice domain (fixed, not data-scanned)
+
+_BUCKET_QUANTILES_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderpriority,
+         CAST(least({_BQ_BUCKETS - 1}, greatest(0,
+           CAST(floor((o_totalprice - {_BQ_LO}) / ({_BQ_HI} - {_BQ_LO})
+                      * {_BQ_BUCKETS}) AS BIGINT))) AS BIGINT) AS bucket,
+         count(*) AS c
+  FROM orders
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT o_orderpriority, bucket, c,
+         SUM(c) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+                      ROWS UNBOUNDED PRECEDING) AS cumc,
+         SUM(c) OVER (PARTITION BY o_orderpriority) AS n
+  FROM h
+)
+SELECT o_orderpriority,
+  CAST(MAX(n) AS BIGINT) AS n,
+  {_BQ_LO} + (MIN(CASE WHEN cumc >= ceil(0.5 * n) THEN bucket END) + 1)
+    * ({_BQ_HI} - {_BQ_LO}) / {_BQ_BUCKETS} AS p50_est,
+  {_BQ_LO} + (MIN(CASE WHEN cumc >= ceil(0.95 * n) THEN bucket END) + 1)
+    * ({_BQ_HI} - {_BQ_LO}) / {_BQ_BUCKETS} AS p95_est,
+  {_BQ_LO} + (MIN(CASE WHEN cumc >= ceil(0.99 * n) THEN bucket END) + 1)
+    * ({_BQ_HI} - {_BQ_LO}) / {_BQ_BUCKETS} AS p99_est
+FROM cum
+GROUP BY o_orderpriority
+"""
+
+
+@register("bucket_quantiles", oracle=_BUCKET_QUANTILES_ORACLE)
+def bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-bucket histogram quantiles — the sketch whose
+    merge is just integer addition, so partial aggregates combine
+    map-side and shuffle 1024 counters per group no matter how many
+    rows feed them (the t-digest alternative when the value domain is
+    known). Deterministic bucket arithmetic gives it an EXACT oracle,
+    unlike approx_percentile's engine-specific t-digest."""
+    t = load_tables(spark, sf_dir)
+    span = _BQ_HI - _BQ_LO
+    bucket = F.least(
+        F.lit(_BQ_BUCKETS - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("o_totalprice") - _BQ_LO) / span * _BQ_BUCKETS),
+        ),
+    ).cast("bigint")
+    h = t.orders.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w_cum = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("o_orderpriority")
+    cum = h.select(
+        "o_orderpriority",
+        "bucket",
+        F.sum("c").over(w_cum).alias("cumc"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def est(p: float, name: str):
+        hit = F.min(
+            F.when(F.col("cumc") >= F.ceil(F.lit(p) * F.col("n")), F.col("bucket"))
+        )
+        return (F.lit(_BQ_LO) + (hit + 1) * span / _BQ_BUCKETS).alias(name)
+
+    return cum.groupBy("o_orderpriority").agg(
+        F.max("n").cast("bigint").alias("n"),
+        est(0.5, "p50_est"),
+        est(0.95, "p95_est"),
+        est(0.99, "p99_est"),
+    )

@@ -276,3 +276,65 @@ def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_shingles"),
     )
+
+
+# ------------------------------------------------------------------ url_stats
+
+_URL_RX = r"https?://[A-Za-z0-9.-]+[A-Za-z0-9./_-]*"
+
+_URL_ORACLE = f"""
+WITH url_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                || '.example.com/page' || CAST(doc_id AS VARCHAR)
+                || ' and http://ref' || CAST(doc_id % 7 AS VARCHAR) || '.org/x'
+         ELSE text END AS text
+  FROM documents
+),
+u AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '{_URL_RX}')) AS url
+  FROM url_docs
+)
+SELECT regexp_extract(url, '://([A-Za-z0-9.-]+)', 1) AS domain,
+       CAST(count(*) AS BIGINT) AS n_urls,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u
+GROUP BY 1
+"""
+
+
+@register("url_stats", oracle=_URL_ORACLE)
+def url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL extraction stats — the crawl-side provenance audit
+    (and the input to domain-level filtering/sampling policies). The
+    synthetic corpus has no URLs, so doc_id % 5 docs get two injected
+    deterministically; extraction explodes (doc_id, url) pairs and
+    aggregates by domain — one scan, one 27-domain shuffle."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    url_tail = F.concat(
+        F.lit(" see https://site"),
+        (k % 20).cast("string"),
+        F.lit(".example.com/page"),
+        k.cast("string"),
+        F.lit(" and http://ref"),
+        (k % 7).cast("string"),
+        F.lit(".org/x"),
+    )
+    docs = t.documents.select(
+        "doc_id",
+        F.when(k % 5 == 0, F.concat(F.col("text"), url_tail))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(F.expr(f"regexp_extract_all(text, '{_URL_RX}', 0)")).alias("url"),
+    )
+    return urls.groupBy(
+        F.regexp_extract("url", "://([A-Za-z0-9.-]+)", 1).alias("domain")
+    ).agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
