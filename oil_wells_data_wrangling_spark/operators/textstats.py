@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
@@ -337,4 +338,47 @@ def url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.count_distinct("doc_id").alias("n_docs"),
+    )
+
+
+# ----------------------------------------------------------------- vocab_topk
+
+_VOCAB_ORACLE = """
+WITH w AS (
+  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT word, count(*) AS cnt FROM w GROUP BY word
+)
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(row_number() OVER (ORDER BY cnt DESC, word) AS INTEGER) AS rank
+FROM c
+ORDER BY rank
+LIMIT 100
+"""
+
+
+@register("vocab_topk", oracle=_VOCAB_ORACLE)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters — the vocabulary/tokenizer-training step.
+    Word counts combine map-side (the explode never shuffles raw text,
+    only (word, partial-count) pairs), then a single narrow top-k.
+    For unbounded key domains swap the exact count for a space-saving /
+    count-min sketch; the synthetic corpus' closed vocabulary makes the
+    exact form the right one here."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    return (
+        counts.select(
+            "word",
+            "cnt",
+            F.row_number().over(w).cast("int").alias("rank"),
+        )
+        .filter(F.col("rank") <= 100)
+        .orderBy("rank")
     )

@@ -39,3 +39,30 @@ def test_pricing_partial_aggregation(spark, sf_dir):
 def test_minhash_no_python_udf(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash")
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval-shingle set and the scalar count must broadcast; the
+    training side must never be the build side of a broadcast."""
+    plan = _plan(spark, sf_dir, "decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_shard_stats_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shard_stats")
+    assert plan.count("HashAggregate") >= 2  # map-side partials
+    assert plan.count("Exchange") == 1
+
+
+def test_bucket_quantiles_partial_agg(spark, sf_dir):
+    """The histogram build must combine map-side: partial + final
+    HashAggregate around the one shuffle feeding the window."""
+    plan = _plan(spark, sf_dir, "bucket_quantiles")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pii_redact")
+    assert "Exchange" not in plan  # pure per-row projection
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
