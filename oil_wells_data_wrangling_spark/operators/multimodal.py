@@ -214,3 +214,81 @@ def mm_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(9).cast("int").alias("height"),
     )
     return decode_features(media)
+
+
+_AUDIO_ORACLE = """
+WITH a AS (
+  SELECT doc_id, text,
+         CAST(8000 + (n_chars % 3) * 4000 AS INTEGER) AS sample_rate,
+         CAST(500 + (n_chars * 7) % 30000 AS BIGINT) AS dur_ms
+  FROM documents
+),
+c AS (
+  SELECT doc_id, sample_rate, dur_ms,
+         CAST((dur_ms + 4999) // 5000 AS INTEGER) AS n_chunks,
+         list_transform(range(0, CAST((dur_ms + 4999) // 5000 AS INTEGER)),
+                        i -> md5(text || '@' || CAST(i AS VARCHAR))) AS chunks
+  FROM a
+)
+SELECT doc_id, sample_rate, dur_ms, n_chunks,
+       md5(array_to_string(chunks, '')) AS chunk_fp,
+       CAST(list_sum(list_transform(chunks,
+            h -> CAST('0x' || substr(h, 1, 2) AS BIGINT))) AS BIGINT)
+         AS level_sum
+FROM c
+"""
+
+
+@register("mm_audio_chunks", oracle=_AUDIO_ORACLE)
+def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing: each document synthesizes a clip
+    (sample rate + duration from n_chars), the Arrow-batched stub
+    'decodes' it into fixed 5-second chunks — the windowing a real
+    soundfile/librosa loader would feed an audio encoder — and emits
+    chunk count, a chunk-sequence fingerprint, and a pseudo level sum
+    (first hash byte per chunk standing in for RMS). md5-chain synthesis
+    keeps this UDF path exactly oracle-checkable, like mm_frame_sample."""
+    import hashlib
+
+    t = load_tables(spark, sf_dir)
+    media = t.documents.select(
+        "doc_id",
+        "text",
+        (8000 + (F.col("n_chars") % 3) * 4000).cast("int").alias("sample_rate"),
+        (500 + (F.col("n_chars") * 7) % 30000).cast("bigint").alias("dur_ms"),
+    )
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n_chunks = ((pdf["dur_ms"] + 4999) // 5000).astype("int32")
+            hashes = [
+                [
+                    hashlib.md5(f"{text}@{i}".encode()).hexdigest()
+                    for i in range(n)
+                ]
+                for text, n in zip(pdf["text"], n_chunks)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pdf["sample_rate"].astype("int32"),
+                    "dur_ms": pdf["dur_ms"],
+                    "n_chunks": n_chunks,
+                    "chunk_fp": [
+                        hashlib.md5("".join(hs).encode()).hexdigest()
+                        for hs in hashes
+                    ],
+                    "level_sum": pd.Series(
+                        [sum(int(h[:2], 16) for h in hs) for hs in hashes],
+                        dtype="int64",
+                    ),
+                }
+            )
+
+    return media.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, sample_rate int, dur_ms long, n_chunks int,"
+            " chunk_fp string, level_sum long"
+        ),
+    )
