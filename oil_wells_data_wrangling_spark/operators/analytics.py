@@ -663,3 +663,71 @@ def bucket_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(0.95, "p95_est"),
         est(0.99, "p99_est"),
     )
+
+
+# ------------------------------------------------------------------ range_join
+
+_RANGE_JOIN_ORACLE = f"""
+WITH periods AS (
+  SELECT i AS period_id,
+         TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (i * 30) DAY AS p_start,
+         TIMESTAMP '1996-01-01 00:00:00' + INTERVAL (i * 30 + 45) DAY AS p_end
+  FROM range(24) t(i)
+)
+SELECT CAST(period_id AS INTEGER) AS period_id,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       {sql_dsum('o_totalprice')} AS revenue
+FROM periods JOIN orders
+  ON o_orderdate >= p_start AND o_orderdate < p_end
+GROUP BY period_id
+"""
+
+
+@register("range_join", oracle=_RANGE_JOIN_ORACLE)
+def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: orders against overlapping 45-day promo
+    periods. Spark has no native range-join operator, and the naive plan
+    is a BroadcastNestedLoopJoin that scans every interval per row. The
+    scale shape used here: bucketize time into 30-day buckets, explode
+    each interval to the buckets it covers (≤2 here), and equi-join on
+    the bucket — a hash join whose probe cost is O(1) per row no matter
+    how many intervals exist — then re-check the exact bounds. The
+    same trick handles point-in-interval joins with millions of
+    intervals (IP-range lookup, sensor maintenance windows)."""
+    t = load_tables(spark, sf_dir)
+    origin = "timestamp'1996-01-01 00:00:00'"
+    periods = (
+        spark.range(24)
+        .select(
+            F.col("id").cast("int").alias("period_id"),
+            F.expr(
+                f"{origin} + make_interval(0, 0, 0, cast(id * 30 as int))"
+            ).alias("p_start"),
+            F.expr(
+                f"{origin} + make_interval(0, 0, 0, cast(id * 30 + 45 as int))"
+            ).alias("p_end"),
+        )
+        # a 45-day interval on a 30-day grid covers exactly 2 buckets
+        .select(
+            "*",
+            F.explode(
+                F.array(F.col("period_id"), F.col("period_id") + 1)
+            ).alias("bucket"),
+        )
+    )
+    orders = t.orders.withColumn(
+        "bucket",
+        F.floor(
+            F.datediff(F.col("o_orderdate"), F.lit("1996-01-01").cast("date")) / 30
+        ).cast("int"),
+    )
+    joined = orders.join(
+        F.broadcast(periods),
+        (orders.bucket == periods.bucket)
+        & (F.col("o_orderdate") >= F.col("p_start"))
+        & (F.col("o_orderdate") < F.col("p_end")),
+    )
+    return joined.groupBy("period_id").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

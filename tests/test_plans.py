@@ -62,6 +62,14 @@ def test_bucket_quantiles_partial_agg(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Bucketization must turn the interval join into a hash join; a
+    BroadcastNestedLoopJoin would scan every interval per row."""
+    plan = _plan(spark, sf_dir, "range_join")
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
 def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pii_redact")
     assert "Exchange" not in plan  # pure per-row projection
