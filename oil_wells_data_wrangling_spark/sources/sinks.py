@@ -240,5 +240,38 @@ def write_jdbc_upsert(
     return merge
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction — the table-maintenance step that keeps a
+    continuously-upserted lake table scannable (thousands of tiny files
+    destroy scan throughput: per-file open cost, tiny row groups, no
+    effective column-chunk compression).
+
+    Sizes the output by the table's actual on-disk bytes (ceil of
+    bytes / target), coalesces — not repartition: no shuffle, existing
+    partitions concatenate — and swaps via the same rename-aside
+    staging as upsert_parquet. Returns the output file count."""
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
+    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    old = f"{path}.old-{uuid.uuid4().hex[:8]}"
+    os.replace(path, old)
+    os.replace(staging, path)
+    shutil.rmtree(old)
+    return n_files
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)

@@ -181,6 +181,24 @@ def test_upsert_parquet_partitioned_touches_only_batch_partitions(spark, tmp_pat
     }
 
 
+def test_compact_parquet_shrinks_file_count(spark, tmp_path):
+    from oil_wells_data_wrangling_spark.sources.sinks import compact_parquet
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(10_000).selectExpr("id AS k", "id * 2 AS v")
+    df.repartition(32).write.parquet(path)  # 32 small files
+
+    def parquet_files():
+        return [f for f in os.listdir(path) if f.endswith(".parquet")]
+
+    assert len(parquet_files()) == 32
+    before = {(r["k"], r["v"]) for r in read_table(spark, path).collect()}
+    n = compact_parquet(spark, path, target_file_bytes=10**9)
+    assert n == 1 and len(parquet_files()) == 1
+    after = {(r["k"], r["v"]) for r in read_table(spark, path).collect()}
+    assert after == before  # lossless
+
+
 def test_jdbc_merge_sql_dialects():
     from oil_wells_data_wrangling_spark.sources.sinks import jdbc_merge_sql
 
