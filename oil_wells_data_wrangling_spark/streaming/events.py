@@ -90,6 +90,47 @@ def stream_dedup(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_attribution(events: DataFrame) -> DataFrame:
+    """Stream-stream interval self-join: attribute each purchase to the
+    same user's clicks in the preceding 30 minutes — the canonical
+    attribution join. Both sides carry watermarks and the join has an
+    event-time range constraint, so Spark can expire join state: a
+    click is held at most watermark + 30 minutes, never forever."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "value",
+    )
+
+
 def stream_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
     """Stream-static join; the static dimension broadcasts per micro-batch."""
     dim = customer.select("c_custkey", "c_mktsegment")

@@ -17,6 +17,7 @@ from oil_wells_data_wrangling_spark.operators.eventops import (
 )
 from oil_wells_data_wrangling_spark.streaming.events import (
     read_event_stream,
+    stream_attribution,
     stream_dedup,
     stream_sessionize,
     stream_window_agg,
@@ -135,3 +136,44 @@ def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir, events_dir
     batch_set = set(_canon(batch))
     assert got_set, "no closed sessions emitted"
     assert got_set <= batch_set, sorted(got_set - batch_set)[:5]
+
+
+def test_stream_attribution_matches_batch(spark, sf_dir, events_dir):
+    """The stream-stream interval join (click -> purchase within 30 min)
+    must reproduce the equivalent batch self-join."""
+    from pyspark.sql import functions as F
+
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    got = _run_available_now(
+        stream_attribution(read_event_stream(spark, events_dir)), "attrib", spark
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value"),
+    )
+    want = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND purchase_ts > click_ts "
+            "AND purchase_ts <= click_ts + interval 30 minutes"
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "value",
+    )
+    assert _canon(got) == _canon(want)
+    assert want.count() > 0  # the join actually attributes something
