@@ -144,6 +144,52 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SESSION_NATIVE_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_id, {_TS_US} AS ts, epoch_us({_TS_US}) AS us FROM events
+),
+marked AS (
+  SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+                   OR us - lag(us) OVER w >= 1800000000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+  ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+@register("events_sessionize_native", oracle=_SESSION_NATIVE_ORACLE)
+def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via Spark's native ``session_window`` — the
+    declarative form of events_sessionize: Catalyst plans the session
+    merge itself (one shuffle, no lag/prefix-sum scaffolding), and the
+    same expression works under readStream with a watermark. Boundary
+    semantics differ from the window-function form: an event exactly at
+    the 30-min gap starts a NEW session (window end is exclusive), so
+    the oracle uses >= where events_sessionize uses >."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )
+
+
 # -------------------------------------------------------------- events_funnel
 
 _FUNNEL_ORACLE = f"""
