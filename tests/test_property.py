@@ -65,3 +65,35 @@ def spark_prop():
     from oil_wells_data_wrangling_spark.session import get_spark
 
     return get_spark(app_name="props", master="local[2]", shuffle_partitions=4)
+
+
+def test_vector_quantize_error_bound(spark_prop):
+    """int8 scalar quantization guarantees mean |residual| <= half a
+    quantization step ((max-min)/254/2) for every vector."""
+    import os
+
+    from oil_wells_data_wrangling_spark.operators.similarity import vector_quantize
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = vector_quantize(spark_prop, sf).collect()
+    assert rows
+    for r in rows:
+        step = (r["v_max"] - r["v_min"]) / 254
+        assert r["recon_err"] <= step / 2 + 1e-6, r["vec_id"]
+        assert -127 <= r["q_first"] <= 127
+
+
+def test_decontaminate_flags_every_injected_doc(spark_prop):
+    """Every doc the operator itself contaminates (doc_id % 13, eval
+    snippet appended) must come back flagged — no false negatives on
+    known contamination."""
+    import os
+
+    from oil_wells_data_wrangling_spark.operators.privacy import decontaminate
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = {r["doc_id"]: r["contaminated"] for r in decontaminate(spark_prop, sf).collect()}
+    injected = [d for d in rows if d % 13 == 0 and d % 11 != 0]
+    assert injected
+    missed = [d for d in injected if not rows[d]]
+    assert not missed, f"injected but unflagged: {missed[:5]}"
