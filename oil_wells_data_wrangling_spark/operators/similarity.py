@@ -429,3 +429,104 @@ def vector_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("recon_err"),
     )
+
+
+# ------------------------------------------------------------------- ann_pq
+
+# Product quantization: split the 64-dim vector into 8 subvectors of 8
+# dims; each subvector snaps to the nearest of 16 codebook entries (the
+# first 16 vectors' corresponding slices — a deterministic stand-in for
+# k-means centroids, like ivf_assign's centroid set). Distances are
+# sequential double folds rounded to 6, ties break on centroid id.
+_PQ_M = 8       # subvectors
+_PQ_DSUB = 8    # dims per subvector
+_PQ_K = 16      # codebook entries per subspace
+
+
+def _sub_dot_spark(a: str, b: str, off: int) -> str:
+    """Σ (a[off+i] - b[off+i])² over one subvector, as a Spark expr."""
+    return (
+        f"aggregate(zip_with(slice({a}, {off + 1}, {_PQ_DSUB}),"
+        f" slice({b}, {off + 1}, {_PQ_DSUB}),"
+        " (x, y) -> (cast(x as double) - cast(y as double))"
+        " * (cast(x as double) - cast(y as double))), 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _sub_dot_duck(a: str, b: str, off: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_DSUB + 1}),"
+        f" i -> (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE))"
+        f" * (CAST({a}[{off} + i] AS DOUBLE) - CAST({b}[{off} + i] AS DOUBLE))))"
+    )
+
+
+def _pq_oracle() -> str:
+    # same argmin-with-tiebreak as the Spark side: MIN over a (dist, cid)
+    # struct compares lexicographically, ties resolve to the lowest cid
+    dist_cols = ",\n         ".join(
+        f"ROUND({_sub_dot_duck('e.embedding', 'c.ce', m * _PQ_DSUB)}, 6) AS d_{m}"
+        for m in range(_PQ_M)
+    )
+    code_cols = ",\n  ".join(
+        f"(MIN(struct_pack(d := d_{m}, c := cid))).c AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    codes = " + ".join(f"code_{m}" for m in range(_PQ_M))
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id < {_PQ_K}
+),
+d AS (
+  SELECT e.vec_id, c.cid,
+         {dist_cols}
+  FROM embeddings e CROSS JOIN cb c
+),
+coded AS (
+  SELECT vec_id,
+  {code_cols}
+  FROM d GROUP BY vec_id
+)
+SELECT vec_id, CAST(code_0 AS BIGINT) AS code_first,
+       CAST({codes} AS BIGINT) AS code_sum
+FROM coded
+"""
+
+
+@register("ann_pq", oracle=_pq_oracle())
+def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode — with ivf_assign this is IVFPQ, the
+    billion-vector ANN layout: 64 dims compress to 8 one-byte codes
+    (64× smaller than float32), and distance tables over the codebooks
+    make scans cheap. The codebook (16 entries × 8 subspaces) broadcasts;
+    encoding is a per-row argmin over 16 candidates — no shuffle until
+    the final checkable projection."""
+    t = load_tables(spark, sf_dir)
+    cb = F.broadcast(
+        t.embeddings.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    e = t.embeddings.select("vec_id", "embedding").crossJoin(cb)
+    dists = e.select(
+        "vec_id",
+        "cid",
+        *[
+            F.round(
+                F.expr(_sub_dot_spark("embedding", "ce", m * _PQ_DSUB)), 6
+            ).alias(f"d_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    codes = dists.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(f"d_{m}", "cid")).getField("cid").alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ]
+    )
+    code_sum = sum([F.col(f"code_{m}") for m in range(_PQ_M)], F.lit(0))
+    return codes.select(
+        "vec_id",
+        F.col("code_0").cast("bigint").alias("code_first"),
+        code_sum.cast("bigint").alias("code_sum"),
+    )
