@@ -330,3 +330,62 @@ def shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc_id"),
         )
     )
+
+
+# ------------------------------------------------------------ train_val_split
+
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, n_chars,
+         CAST('0x' || substr(md5('split_v1_' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % 100 AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN bucket < 96 THEN 'train'
+              WHEN bucket < 98 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+"""
+
+
+@register("train_val_split", oracle=_SPLIT_ORACLE)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 96/2/2 train/val/test split via a salted content-id
+    hash — no RNG state, so the split is identical across runs, engines,
+    and cluster sizes, and a re-crawled doc always lands in the same
+    split (no train/test leakage from re-runs). The audit emits
+    per-split doc/token/char totals; the same bucket expression is the
+    `WHERE` a training job uses to read its split."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(concat('split_v1_', cast(doc_id as string))),"
+            " 1, 8), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 96, "train").when(bucket < 98, "val").otherwise("test")
+    )
+    return (
+        t.documents.select(
+            split.alias("split"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
