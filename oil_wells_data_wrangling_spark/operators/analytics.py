@@ -731,3 +731,78 @@ def range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# ------------------------------------------------------------------- winsorize
+
+_WINSORIZE_ORACLE = f"""
+WITH ranked AS (
+  SELECT o_orderpriority, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+),
+bounds AS (
+  SELECT o_orderpriority,
+         MIN(CASE WHEN rn = greatest(1, n * 5 // 100) THEN o_totalprice END) AS lo,
+         MIN(CASE WHEN rn = least(n, (n * 95 + 99) // 100) THEN o_totalprice END) AS hi
+  FROM ranked GROUP BY o_orderpriority
+)
+SELECT r.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(b.lo) AS lo, MIN(b.hi) AS hi,
+       CAST(COUNT(*) FILTER (r.o_totalprice < b.lo) AS BIGINT) AS n_clipped_low,
+       CAST(COUNT(*) FILTER (r.o_totalprice > b.hi) AS BIGINT) AS n_clipped_high,
+       {sql_dsum('least(greatest(r.o_totalprice, b.lo), b.hi)')} AS sum_winsorized
+FROM ranked r JOIN bounds b ON r.o_orderpriority = b.o_orderpriority
+GROUP BY r.o_orderpriority
+"""
+
+
+@register("winsorize", oracle=_WINSORIZE_ORACLE)
+def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier clipping at the discrete 5th/95th order
+    statistics. Integer ranks (n*5 div 100) instead of interpolated
+    percentiles on purpose: the bounds are exact data values, so the
+    clip comparisons and the winsorized sum are bit-identical across
+    engines and partitionings — interpolation would put FP noise right
+    on the comparison boundary. One window shuffle + a broadcast-sized
+    bounds join."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wn = Window.partitionBy("o_orderpriority")
+    ranked = t.orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    # integer division: floor for k_lo, ceil for k_hi
+    k_lo = F.greatest(F.lit(1).cast("bigint"), F.expr("n * 5 div 100"))
+    k_hi = F.least(F.col("n").cast("bigint"), F.expr("(n * 95 + 99) div 100"))
+    bounds = (
+        ranked.filter((F.col("rn") == k_lo) | (F.col("rn") == k_hi))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min(F.when(F.col("rn") == k_lo, F.col("o_totalprice"))).alias("lo"),
+            F.min(F.when(F.col("rn") == k_hi, F.col("o_totalprice"))).alias("hi"),
+        )
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        ranked.join(F.broadcast(bounds), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+            F.sum((F.col("o_totalprice") < F.col("lo")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_low"),
+            F.sum((F.col("o_totalprice") > F.col("hi")).cast("long"))
+            .cast("bigint")
+            .alias("n_clipped_high"),
+            dsum(clipped).alias("sum_winsorized"),
+        )
+    )

@@ -389,3 +389,82 @@ def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ----------------------------------------------------------------- chunk_dedup
+
+_CHUNK_DEDUP_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+),
+chunks AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_STEP} AS INTEGER) AS chunk_id,
+         array_to_string(list_slice(words, s, s + {_CHUNK - 1}), ' ') AS chunk_text
+  FROM tok, UNNEST(range(1, len(words) + 1, {_STEP})) AS u(s)
+),
+canon AS (
+  SELECT (MIN(struct_pack(d := doc_id, c := chunk_id))).d AS keep_doc,
+         COUNT(*) AS n_copies
+  FROM chunks GROUP BY md5(chunk_text)
+),
+kept AS (
+  SELECT keep_doc AS doc_id, COUNT(*) AS n_canonical,
+         SUM(n_copies - 1) AS dups_absorbed
+  FROM canon GROUP BY keep_doc
+),
+totals AS (
+  SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_chunks AS BIGINT) AS n_chunks,
+       CAST(COALESCE(k.n_canonical, 0) AS BIGINT) AS n_canonical,
+       CAST(COALESCE(k.dups_absorbed, 0) AS BIGINT) AS dups_absorbed
+FROM totals t LEFT JOIN kept k ON t.doc_id = k.doc_id
+"""
+
+
+@register("chunk_dedup", oracle=_CHUNK_DEDUP_ORACLE)
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (paragraph-level) dedup — the C4-style pass that
+    removes boilerplate repeated ACROSS documents, which whole-document
+    dedup can't see. Chunks dedupe by content hash with a (doc_id,
+    chunk_id) struct-min picking the canonical copy; per-doc accounting
+    reports how many chunks each doc keeps vs absorbs. Only (16-byte
+    hash, ids) shuffle — chunk text stays in the scan stage."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    docs2 = base.unionAll(
+        base.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    tok = docs2.select("doc_id", F.split("text", " ").alias("words"))
+    chunk_arr = F.expr(
+        f"transform(sequence(1, size(words), {_STEP}), "
+        f"s -> struct(cast((s - 1) div {_STEP} as int) as chunk_id, "
+        f"array_join(slice(words, s, {_CHUNK}), ' ') as chunk_text))"
+    )
+    chunks = tok.select("doc_id", F.explode(chunk_arr).alias("c")).select(
+        "doc_id", "c.chunk_id", F.md5("c.chunk_text").alias("h")
+    )
+    canon = chunks.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_id")).getField("doc_id").alias("keep_doc"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    kept = canon.groupBy(F.col("keep_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_canonical"),
+        F.sum(F.col("n_copies") - 1).alias("dups_absorbed"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_chunks").cast("bigint").alias("n_chunks"),
+        F.coalesce("n_canonical", F.lit(0)).cast("bigint").alias("n_canonical"),
+        F.coalesce("dups_absorbed", F.lit(0)).cast("bigint").alias("dups_absorbed"),
+    )

@@ -495,3 +495,85 @@ def events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.events.join(
         F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left"
     ).select("event_id", "user_id", "c_mktsegment")
+
+
+# ----------------------------------------------------------------- anomaly_mad
+
+_MAD_ORACLE = """
+WITH r1 AS (
+  SELECT event_type, event_id, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM events
+),
+med AS (
+  SELECT event_type, value AS med FROM r1 WHERE rn = (n + 1) // 2
+),
+d AS (
+  SELECT r.event_type, r.event_id, r.value, m.med,
+         abs(r.value - m.med) AS dev
+  FROM r1 r JOIN med m ON r.event_type = m.event_type
+),
+r2 AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn2,
+         COUNT(*) OVER (PARTITION BY event_type) AS n2
+  FROM d
+),
+mad AS (
+  SELECT event_type, dev AS mad FROM r2 WHERE rn2 = (n2 + 1) // 2
+)
+SELECT d.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(d.med) AS med,
+       MIN(mad.mad) AS mad,
+       CAST(COUNT(*) FILTER (d.dev > 3 * mad.mad) AS BIGINT) AS n_anomalies
+FROM d JOIN mad ON d.event_type = mad.event_type
+GROUP BY d.event_type
+"""
+
+
+@register("anomaly_mad", oracle=_MAD_ORACLE)
+def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection: median absolute deviation instead of
+    the z-score's mean/stddev (events_anomaly), so a burst of outliers
+    can't drag its own threshold. Discrete lower medians — exact data
+    values via integer ranks, no interpolation — keep every comparison
+    bit-identical across engines. Two window shuffles on event_type +
+    two broadcast-sized scalar joins."""
+    t = load_tables(spark, sf_dir)
+    w1 = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r1 = t.events.select(
+        "event_type",
+        "event_id",
+        "value",
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r1.filter(F.col("rn") == F.expr("(n + 1) div 2")).select(
+        "event_type", F.col("value").alias("med")
+    )
+    d = r1.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med"))
+    )
+    w2 = Window.partitionBy("event_type").orderBy("dev", "event_id")
+    r2 = d.select(
+        "*",
+        F.row_number().over(w2).alias("rn2"),
+        F.count(F.lit(1)).over(wn).alias("n2"),
+    )
+    mad = r2.filter(F.col("rn2") == F.expr("(n2 + 1) div 2")).select(
+        "event_type", F.col("dev").alias("mad")
+    )
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum((F.col("dev") > 3 * F.col("mad")).cast("long"))
+            .cast("bigint")
+            .alias("n_anomalies"),
+        )
+    )

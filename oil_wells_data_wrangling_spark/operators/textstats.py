@@ -382,3 +382,79 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 100)
         .orderBy("rank")
     )
+
+
+# -------------------------------------------------------------- url_canonical
+
+_URL_CANON_ORACLE = r"""
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.Site' || CAST(doc_id % 9 AS VARCHAR)
+         || '.COM/Path' || CAST(doc_id AS VARCHAR)
+         || '/?utm_source=x&utm_campaign=y&id=' || CAST(doc_id AS VARCHAR)
+         || '#sec' AS url
+  FROM documents WHERE doc_id % 4 = 0
+),
+steps AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*', '') AS no_frag,
+         regexp_extract(regexp_replace(url, '#.*', ''),
+                        '^[A-Za-z]+://[^/?]+', 0) AS head
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(head) ||
+      regexp_replace(regexp_replace(regexp_replace(
+        substr(no_frag, length(head) + 1),
+        'utm_[a-z]+=[^&]*&?', '', 'g'), '\?&', '?'), '[?&]$', ''),
+      '/$', '') AS url_canonical
+  FROM steps
+)
+SELECT doc_id, url_canonical,
+       regexp_extract(url_canonical, '://([^/?]+)', 1) AS domain
+FROM canon
+"""
+
+
+@register("url_canonical", oracle=_URL_CANON_ORACLE)
+def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl URL canonicalization — the key-normalization step before
+    URL-level dedup: strip fragment, lowercase scheme+authority (path
+    stays case-sensitive per RFC 3986), drop utm_* tracking params,
+    tidy ?/& leftovers, strip a trailing slash. Pure regexp chains
+    (RE2-safe) over a deterministically synthesized messy URL."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Site"),
+        (k % 9).cast("string"),
+        F.lit(".COM/Path"),
+        k.cast("string"),
+        F.lit("/?utm_source=x&utm_campaign=y&id="),
+        k.cast("string"),
+        F.lit("#sec"),
+    )
+    raw = t.documents.filter(k % 4 == 0).select("doc_id", url.alias("url"))
+    no_frag = F.regexp_replace("url", "#.*", "")
+    steps = raw.select(
+        "doc_id",
+        no_frag.alias("no_frag"),
+        F.regexp_extract(no_frag, "^[A-Za-z]+://[^/?]+", 0).alias("head"),
+    )
+    rest = F.expr("substr(no_frag, length(head) + 1)")
+    tidy = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(rest, "utm_[a-z]+=[^&]*&?", ""), r"\?&", "?"
+        ),
+        "[?&]$",
+        "",
+    )
+    canonical = F.regexp_replace(F.concat(F.lower("head"), tidy), "/$", "")
+    canon = steps.select("doc_id", canonical.alias("url_canonical"))
+    return canon.select(
+        "doc_id",
+        "url_canonical",
+        F.regexp_extract("url_canonical", "://([^/?]+)", 1).alias("domain"),
+    )
