@@ -530,3 +530,141 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code_0").cast("bigint").alias("code_first"),
         code_sum.cast("bigint").alias("code_sum"),
     )
+
+
+# ------------------------------------------------------------- ann_recall_eval
+
+def _recall_oracle() -> str:
+    return f"""
+WITH emb AS (
+  SELECT vec_id, embedding, CAST({_bucket_expr_duck()} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe, bucket AS qbucket
+  FROM emb WHERE vec_id < 8
+),
+probes AS (
+  SELECT query_id, qe,
+         unnest([qbucket] || list_transform(range(0, {_N_PLANES}),
+                                            j -> xor(qbucket, 1 << j))) AS pbucket
+  FROM q
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY ROUND({_cos_duck('q.qe', 'e.embedding')}, 6) DESC,
+                      e.vec_id) AS rk
+    FROM q, emb e WHERE e.vec_id <> q.query_id
+  ) WHERE rk <= 5
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.query_id
+             ORDER BY ROUND({_cos_duck('p.qe', 'e.embedding')}, 6) DESC,
+                      e.vec_id) AS rk
+    FROM probes p JOIN emb e ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
+  ) WHERE rk <= 5
+)
+SELECT g.query_id,
+       CAST(COUNT(*) AS BIGINT) AS n_gt,
+       CAST(COALESCE(MIN(c.n_lsh), 0) AS BIGINT) AS n_lsh,
+       CAST(COUNT(c2.neighbor_id) AS BIGINT) AS n_overlap,
+       CAST(COUNT(c2.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+FROM gt g
+LEFT JOIN (SELECT query_id, COUNT(*) AS n_lsh FROM cand GROUP BY query_id) c
+  ON g.query_id = c.query_id
+LEFT JOIN cand c2
+  ON g.query_id = c2.query_id AND g.neighbor_id = c2.neighbor_id
+GROUP BY g.query_id
+"""
+
+
+@register("ann_recall_eval", oracle=_recall_oracle())
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the multi-probe LSH index against brute-force ground
+    truth — the evaluation loop every approximate index needs before
+    anyone trusts it at 100 TB. Multi-probe: each query probes its own
+    bucket plus the 8 hamming-distance-1 buckets, with the probe list
+    exploded on the broadcast query side so the candidate lookup stays
+    a hash join. Ground truth and candidates rank identically (rounded
+    cosine + id tie-break); recall = |gt ∩ lsh| / |gt| per query."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id", "embedding", F.expr(_bucket_expr_spark()).alias("bucket")
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    probe_arr = F.array(
+        F.col("qbucket"),
+        *[
+            F.expr(f"qbucket ^ {1 << j}").cast("long")
+            for j in range(_N_PLANES)
+        ],
+    )
+    probes = q.select(
+        "query_id", "qe", F.explode(probe_arr).alias("pbucket")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("bucket").alias("nbucket"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+
+    def top5(joined: DataFrame) -> DataFrame:
+        return (
+            joined.select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine("qe", "ne"), 6).alias("cos_r"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+
+    gt = top5(
+        corpus.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    )
+    cand = top5(
+        corpus.join(
+            F.broadcast(probes),
+            (F.col("nbucket") == F.col("pbucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+    )
+    n_lsh = cand.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        gt.alias("g")
+        .join(F.broadcast(n_lsh), "query_id", "left")
+        .join(
+            cand.alias("c"),
+            (F.col("g.query_id") == F.col("c.query_id"))
+            & (F.col("g.neighbor_id") == F.col("c.neighbor_id")),
+            "left",
+        )
+        .groupBy("g.query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_gt"),
+            F.coalesce(F.min("n_lsh"), F.lit(0)).cast("bigint").alias("n_lsh"),
+            F.count("c.neighbor_id").alias("n_overlap"),
+            (
+                F.count("c.neighbor_id").cast("double") / F.count(F.lit(1))
+            ).alias("recall"),
+        )
+        .select(
+            F.col("query_id"),
+            F.col("n_gt").cast("bigint").alias("n_gt"),
+            "n_lsh",
+            F.col("n_overlap").cast("bigint").alias("n_overlap"),
+            "recall",
+        )
+    )
