@@ -234,3 +234,44 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.col("n_overlap"), F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+# ---------------------------------------------------------------- pseudonymize
+
+_PSEUDO_ORACLE = """
+WITH s AS (
+  SELECT user_id,
+         substr(md5('pepper_v1:' || CAST(user_id AS VARCHAR)), 1, 16)
+           AS surrogate
+  FROM events
+)
+SELECT surrogate,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_raw_ids
+FROM s GROUP BY surrogate
+"""
+
+
+@register("pseudonymize", oracle=_PSEUDO_ORACLE)
+def pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed pseudonymization: user ids map to salted-hash surrogates
+    (the pepper would live in a secret store; rotating it unlinks all
+    history at once — the GDPR-style kill switch raw hashing lacks).
+    Join keys survive: the audit proves each surrogate covers exactly
+    one raw id (n_raw_ids = 1 everywhere means joins on the surrogate
+    behave identically to joins on the raw key), while the surrogate
+    itself reveals nothing without the pepper."""
+    t = load_tables(spark, sf_dir)
+    surrogate = F.substring(
+        F.md5(F.concat(F.lit("pepper_v1:"), F.col("user_id").cast("string"))),
+        1,
+        16,
+    )
+    return (
+        t.events.select(surrogate.alias("surrogate"), "user_id")
+        .groupBy("surrogate")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_raw_ids"),
+        )
+    )
