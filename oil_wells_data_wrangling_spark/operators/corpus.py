@@ -210,10 +210,14 @@ FROM final GROUP BY lang
 def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete pretraining-data build: quality filter → exact dedup
     → MinHash near-dup removal (drop the higher-id side of every
-    candidate pair) → per-language corpus stats. Every stage is the
-    oracle-proven operator; composed, the whole build is three shuffles
-    (exact-dedup group, band-bucket join, final stats) and the documents
-    themselves shuffle only once."""
+    candidate pair) → per-language corpus stats.
+
+    Scale shape: the dedup exchange carries only scalars — (md5, doc_id,
+    lang, n_tokens); text is rejoined *by winner id* for the MinHash
+    stage only (the shape dedup_exact prescribes), so the one exchange
+    that does move text is a plain id-partitioned join, never an
+    aggregation holding documents in its hash-map state. The final stats
+    aggregate scalars."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text", "lang")
     corpus = base.unionAll(
@@ -232,25 +236,35 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(words) >= 20)
         & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
     )
-    deduped = (
-        quality.groupBy(F.md5("text"))
+    winners = (
+        quality.select(
+            F.md5("text").alias("h"),
+            "doc_id",
+            "lang",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .groupBy("h")
         .agg(
             F.min("doc_id").alias("doc_id"),
-            F.min("text").alias("text"),
             F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
         )
-        .drop("md5(text)")
-        .cache()  # consumed twice: near-dup pairing and the final filter
+        .cache()  # consumed twice: text rejoin and the final anti-join
     )
-    losers = minhash_pairs(deduped.select("doc_id", "text")).select(
+    # Rejoin text by winner id (corpus ids are unique, so the pre-filter
+    # frame works and skips recomputing the quality predicate on this side).
+    winner_text = winners.select("doc_id").join(
+        corpus.select("doc_id", "text"), "doc_id"
+    )
+    losers = minhash_pairs(winner_text).select(
         F.col("doc_b").alias("loser_id")
     )
-    final = deduped.join(
+    final = winners.join(
         losers, F.col("doc_id") == F.col("loser_id"), "left_anti"
     )
     return final.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
 
 
@@ -258,10 +272,11 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """quality filter → exact dedup → per-language stats, one plan.
 
-    Dedup note: grouping carries (min doc_id, min text, min lang) — at
-    100 TB you would group on (md5, length) carrying only ids and rejoin
-    text by id; semantics identical, shown here in the direct form the
-    oracle can mirror."""
+    Scale shape: everything the downstream stats need (lang, token count,
+    char count) is projected to scalars *inside the scan stage*, so the
+    dedup exchange carries only (md5, lang, n_tokens, n_chars) — the text
+    column never leaves the scan. Rows in an md5 group are identical, so
+    min() over the per-row scalars equals the winner row's values."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text", "lang")
     corpus = base.unionAll(
@@ -274,16 +289,22 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(words) >= 20)
         & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
     )
-    deduped = quality.groupBy(F.md5("text")).agg(
-        F.min("doc_id").alias("doc_id"),
-        F.min("text").alias("text"),
+    scalars = quality.select(
+        F.md5("text").alias("h"),
+        "lang",
+        F.size(F.split("text", " ")).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    deduped = scalars.groupBy("h").agg(
         F.min("lang").alias("lang"),
+        F.min("n_tokens").alias("n_tokens"),
+        F.min("n_chars").alias("n_chars"),
         F.count(F.lit(1)).alias("n_copies"),
     )
     return deduped.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
-        (F.sum(F.length("text")).cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
         F.sum(F.col("n_copies") - 1).alias("dups_removed"),
     )
 
