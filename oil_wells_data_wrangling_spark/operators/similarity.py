@@ -111,41 +111,6 @@ def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# -------------------------------------------------------------- embed_neardup
-
-_NEARDUP_ORACLE = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) AS cos_r
-FROM embeddings a JOIN embeddings b
-  ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) >= 0.3
-"""
-
-
-@register("embed_neardup", oracle=_NEARDUP_ORACLE)
-def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label so the
-    self-join is bucket-local (the pattern that survives 100 TB: block →
-    compare within block only)."""
-    t = load_tables(spark, sf_dir)
-    a = t.embeddings.select(
-        F.col("vec_id").alias("vec_a"),
-        F.col("label").alias("la"),
-        F.col("embedding").alias("ea"),
-    )
-    b = t.embeddings.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("lb"),
-        F.col("embedding").alias("eb"),
-    )
-    cos_r = F.round(cosine("ea", "eb"), 6)
-    return (
-        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
-        .select("vec_a", "vec_b", cos_r.alias("cos_r"))
-        .filter(F.col("cos_r") >= 0.3)
-    )
-
-
 # ---------------------------------------------------------- vector_normalize
 
 _VNORM_ORACLE = f"""
@@ -355,6 +320,67 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select(bucket_expr.alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
+# -------------------------------------------------------------- embed_neardup
+
+
+def _neardup_oracle() -> str:
+    return f"""
+WITH bucketed AS (
+  SELECT vec_id, label, embedding,
+         CAST({_bucket_expr_duck()} AS BIGINT) AS bucket
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) AS cos_r
+FROM bucketed a JOIN bucketed b
+  ON a.label = b.label AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE ROUND({_cos_duck('a.embedding', 'b.embedding')}, 6) >= 0.3
+"""
+
+
+@register("embed_neardup", oracle=_neardup_oracle())
+def embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked on
+    (label, LSH sign-bucket) with an in-bucket exact cosine re-check.
+
+    Label alone is too coarse a block (10 distinct labels → each block
+    is O(n²/10), all-pairs over millions of vectors at 100×). Adding the
+    8-hyperplane sign bucket splits every label into ≤256 sub-blocks, so
+    the self-join compares ~1/256 of each label block — the standard
+    LSH near-dup recall/efficiency trade (high-cosine pairs land in the
+    same bucket with high probability)."""
+    t = load_tables(spark, sf_dir)
+    bucketed = t.embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_bucket_expr_spark()).alias("bucket"),
+    ).cache()  # bucket referenced by both join sides; avoid 2× plane dots
+    a = bucketed.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("label").alias("la"),
+        F.col("bucket").alias("ba"),
+        F.col("embedding").alias("ea"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("lb"),
+        F.col("bucket").alias("bb"),
+        F.col("embedding").alias("eb"),
+    )
+    cos_r = F.round(cosine("ea", "eb"), 6)
+    return (
+        a.join(
+            b,
+            (F.col("la") == F.col("lb"))
+            & (F.col("ba") == F.col("bb"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cos_r.alias("cos_r"))
+        .filter(F.col("cos_r") >= 0.3)
     )
 
 
