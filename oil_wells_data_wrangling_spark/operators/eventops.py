@@ -220,9 +220,17 @@ FROM f GROUP BY 1
 @register("events_funnel", oracle=_FUNNEL_ORACLE)
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis: how far each user progresses through the ordered
-    view → click → purchase sequence. Events collect into a per-user
-    time-ordered array (deterministic struct sort), then a single array
-    fold walks the state machine — no N-way self-join, one shuffle."""
+    view → click → purchase sequence.
+
+    Bounded per-user state: a monotone funnel only needs first-reach
+    keys, so three chained conditional mins over one user-partitioned
+    window compute k1 = first view, k2 = first click after k1, k3 =
+    first purchase after k2 (key = (ts, event_id) struct, the same tie
+    order the oracle sorts by). No collect_list — per-user state is
+    three structs, and the window buffer spills instead of holding one
+    hot user's whole history in a single array value. One exchange: the
+    chained windows and the per-user agg share the user_id partitioning.
+    """
     t = load_tables(spark, sf_dir)
     step = (
         F.when(F.col("event_type") == "view", 1)
@@ -230,24 +238,32 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "purchase", 3)
         .otherwise(0)
     )
-    per_user = (
-        t.events.select("user_id", "ts", "event_id", step.alias("step"))
-        .groupBy("user_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("ts", "event_id", "step"))
-            ).alias("ordered")
-        )
-        .select(
-            "user_id",
-            F.expr(
-                "aggregate(transform(ordered, o -> o.step), 0, (acc, x) -> "
-                "CASE WHEN acc = 0 AND x = 1 THEN 1 "
-                "WHEN acc = 1 AND x = 2 THEN 2 "
-                "WHEN acc = 2 AND x = 3 THEN 3 ELSE acc END)"
-            ).alias("stage"),
-        )
+    e = t.events.select(
+        "user_id", step.alias("step"), F.struct("ts", "event_id").alias("k")
     )
+    w = Window.partitionBy("user_id")
+    e = e.withColumn(
+        "k1", F.min(F.when(F.col("step") == 1, F.col("k"))).over(w)
+    )
+    e = e.withColumn(
+        "k2",
+        F.min(
+            F.when((F.col("step") == 2) & (F.col("k") > F.col("k1")), F.col("k"))
+        ).over(w),
+    )
+    e = e.withColumn(
+        "k3",
+        F.min(
+            F.when((F.col("step") == 3) & (F.col("k") > F.col("k2")), F.col("k"))
+        ).over(w),
+    )
+    stage = (
+        F.when(F.col("k3").isNotNull(), 3)
+        .when(F.col("k2").isNotNull(), 2)
+        .when(F.col("k1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    per_user = e.groupBy("user_id").agg(F.max(stage).alias("stage"))
     return per_user.groupBy(F.col("stage").cast("int").alias("funnel_stage")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
