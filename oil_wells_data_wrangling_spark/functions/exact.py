@@ -19,9 +19,13 @@ column; decimals box). Validity window: n · max|x| · 10^s must stay below
 
 Rounding parity: Spark's round() (BigDecimal HALF_UP) and DuckDB's
 round() (half away from zero) agree for every sign, so ``round(x·10^s)``
-is the same integer on both engines. NaN/Inf inputs are out of contract
-(the decimal path mapped them to NULL; the scaled path would turn them
-into 0 — sanitize first with numeric_sanitize / sentinel_to_null).
+is the same integer on both engines. NaN/Inf/out-of-window inputs are
+nulled by a range guard before scaling (Spark's cast(round(NaN) as
+bigint) would otherwise yield 0 and ±Inf would clamp to ±2^63 — both
+silently wrong, and DuckDB's CAST would error instead); the guard makes
+both engines skip the addend identically. The guard bounds each
+*addend*, not the running sum — for row counts × magnitudes near the
+2^63 window use ``dsum_decimal``.
 """
 
 from __future__ import annotations
@@ -30,11 +34,24 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+def _finite_in_window(c: Column, m: int) -> Column:
+    """NULL out addends the scaled-int64 path can't represent: NaN, ±Inf
+    and |x|·10^s ≥ 2^62. One between-style comparison — stays a
+    primitive-double branch under whole-stage codegen (NaN compares
+    false on both engines; DuckDB orders NaN above Inf, also false)."""
+    lim = float(2**62 // m)
+    return F.when((c >= -lim) & (c <= lim), c)
+
+
 def dsum(col: Column | str, scale: int = 2) -> Column:
-    """Order-independent sum of a double column via scaled int64."""
+    """Order-independent sum of a double column via scaled int64.
+
+    Non-finite / out-of-window addends are skipped (see
+    :func:`_finite_in_window`); for values legitimately outside the
+    int64 window use :func:`dsum_decimal`."""
     c = F.col(col) if isinstance(col, str) else col
     m = 10**scale
-    return F.sum(F.round(c * m).cast("bigint")) / float(m)
+    return F.sum(F.round(_finite_in_window(c, m) * m).cast("bigint")) / float(m)
 
 
 def dmean(col: Column | str, scale: int = 6) -> Column:
@@ -50,10 +67,13 @@ def dsum_decimal(col: Column | str, scale: int = 2) -> Column:
 
 
 def sql_dsum(expr: str, scale: int = 2) -> str:
-    """DuckDB-side mirror of :func:`dsum` for oracle strings."""
+    """DuckDB-side mirror of :func:`dsum` for oracle strings (including
+    the addend guard, so both engines skip identical rows)."""
     m = 10**scale
+    lim = float(2**62 // m)
+    guarded = f"(CASE WHEN ({expr}) BETWEEN -{lim} AND {lim} THEN ({expr}) END)"
     return (
-        f"(CAST(SUM(CAST(round(({expr}) * {m}) AS BIGINT)) AS BIGINT) / {float(m)})"
+        f"(CAST(SUM(CAST(round({guarded} * {m}) AS BIGINT)) AS BIGINT) / {float(m)})"
     )
 
 

@@ -278,6 +278,20 @@ def connected_components(
         .distinct()
         .cache()
     )
+
+    def _free_checkpoint(df: DataFrame) -> None:
+        """Eagerly drop a superseded localCheckpoint's block storage.
+
+        Dataset.unpersist only clears CacheManager entries; a local
+        checkpoint's RDD blocks otherwise wait for Python GC +
+        ContextCleaner, so storage accumulates across rounds on large
+        graphs. The checkpointed RDD is reachable through the LogicalRDD
+        plan node — unpersist it directly; if the internal accessor ever
+        moves, fall back to the GC path (correctness is unaffected)."""
+        try:
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass
     # localCheckpoint (not cache) each round: the halving self-join
     # references the round's frame twice, so without lineage truncation
     # the logical plan doubles per round and Catalyst analysis goes
@@ -326,6 +340,11 @@ def connected_components(
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
+        # new_labels is materialized and the convergence check is done:
+        # this round's intermediate (cand) and the previous round's
+        # labels are dead — free their checkpoint blocks now.
+        _free_checkpoint(cand)
+        _free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break

@@ -170,8 +170,11 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: eval shingle hashes are a broadcast set; the training
     side explodes (doc_id, 31-bit hash) pairs only — text never leaves
-    the scan stage — and the word-array stage is cached against
-    Catalyst's project-collapse recompute (dedup.py:109-125)."""
+    the scan stage. The 8-gram array is built from 8 shifted slices of
+    one split (each slice references the word array exactly once), so
+    Catalyst's project collapsing inlines split(text) a constant 8
+    times per row — never once per shingle — and no cache barrier (or
+    its leaked storage) is needed."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
     evals = base.filter(F.col("doc_id") % 11 == 0)
@@ -203,16 +206,24 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)
 
+    # n-gram strings via n shifted slices zipped together: O(n) references
+    # to w per ROW (inlined by project collapsing into n re-splits), not
+    # one slice(w, i, n) per SHINGLE, which collapsing turns into a
+    # re-split per element — the O(n²) trap dedup.py:95-106 documents.
+    n_sh = f"(size(w) - {_NGRAM - 1})"
+    gram = f"slice(w, 1, {n_sh})"
+    for k in range(2, _NGRAM + 1):
+        gram = (
+            f"zip_with({gram}, slice(w, {k}, {n_sh}), "
+            f"(g{k}, t{k}) -> concat(g{k}, ' ', t{k}))"
+        )
     shingle_hashes = F.expr(
-        f"transform(sequence(1, size(w) - {_NGRAM - 1}), "
-        f"i -> {_H32_SPARK.format(s=f'''array_join(slice(w, i, {_NGRAM}), ' ')''')})"
+        f"transform({gram}, s -> {_H32_SPARK.format(s='s')})"
     )
 
     def _hashes(docs: DataFrame) -> DataFrame:
-        words = (
-            docs.select("doc_id", F.split("text", " ").alias("w"))
-            .filter(F.size("w") >= _NGRAM)
-            .cache()  # barrier: don't let Catalyst re-split per shingle
+        words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
+            F.size("w") >= _NGRAM
         )
         return words.select("doc_id", F.explode(shingle_hashes).alias("h"))
 

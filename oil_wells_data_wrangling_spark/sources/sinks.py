@@ -102,9 +102,20 @@ def upsert_parquet_partitioned(
     touched = [r[0] for r in df.select(partition_col).distinct().collect()]
     incoming = df.withColumn("__gen", F.lit(1))
     if os.path.exists(path):
+        # NULL-safe pruning: isin() is three-valued, so a NULL partition
+        # value in the batch would never match — the existing default
+        # partition wouldn't be read into the merge, yet dynamic
+        # overwrite would still replace its directory with only the
+        # incoming rows, silently dropping history.
+        non_null = [v for v in touched if v is not None]
+        prune = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) != len(touched):
+            prune = prune | F.col(partition_col).isNull()
         existing = (
             spark.read.parquet(path)
-            .filter(F.col(partition_col).isin(touched))  # partition pruning
+            .filter(prune)  # partition pruning
             .withColumn("__gen", F.lit(0))
         )
         merged = existing.unionByName(incoming)

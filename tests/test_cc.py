@@ -16,10 +16,22 @@ def test_deep_chain_converges_in_log_rounds(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(199)], "src long, dst long"
     )
+    before = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
     labels, rounds = connected_components(edges)
     got = {r["node"]: r["lbl"] for r in labels.collect()}
     assert got == {i: 0 for i in range(200)}
     assert rounds <= 14, f"expected O(log diameter) rounds, used {rounds}"
+
+    # Storage hygiene: superseded per-round checkpoints must be freed as
+    # the loop advances, not accumulate one (cand, labels) pair per
+    # round until GC. Relative to the session's pre-existing storage,
+    # only the returned labels frame (plus at most a stray in-flight
+    # block) may remain persisted.
+    after = len(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    assert after - before <= 2, (
+        f"{after - before} new persisted RDDs after {rounds} rounds — "
+        "superseded checkpoints are leaking"
+    )
 
 
 def test_multiple_components_and_min_labels(spark):

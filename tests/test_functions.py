@@ -119,3 +119,22 @@ def test_extract_block_reference_parity(spark):
     assert _one(spark, fn, "Details\nline1\n--x-\nline3") == "line1\n--x-\nline3"
     # per-line strip, like the reference's ln.strip()
     assert _one(spark, fn, "Details\n  padded  \nnext") == "padded\nnext"
+
+
+def test_dsum_skips_non_finite_and_out_of_window(spark, duck):
+    from oil_wells_data_wrangling_spark.functions.exact import dsum, sql_dsum
+
+    vals = [1.5, float("nan"), float("inf"), float("-inf"), 2.25, None, 1e18]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got = df.agg(dsum("x").alias("s")).first()["s"]
+    assert got == 3.75  # NaN/Inf/1e18 skipped, not folded to 0 or clamped
+
+    duck.execute("CREATE OR REPLACE TABLE dsum_probe(x DOUBLE)")
+    duck.executemany(
+        "INSERT INTO dsum_probe VALUES (?)",
+        [("nan",), ("inf",), ("-inf",)] + [(v,) for v in (1.5, 2.25, None, 1e18)],
+    )
+    oracle = duck.execute(
+        f"SELECT {sql_dsum('x')} AS s FROM dsum_probe"
+    ).fetchone()[0]
+    assert oracle == got

@@ -181,6 +181,36 @@ def test_upsert_parquet_partitioned_touches_only_batch_partitions(spark, tmp_pat
     }
 
 
+def test_upsert_parquet_partitioned_null_partition_merges(spark, tmp_path):
+    """A NULL partition value in the batch must merge with the existing
+    default partition, not silently replace it: isin() pruning is
+    three-valued, so pt IS NULL rows would never match and dynamic
+    overwrite would drop the partition's history."""
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        upsert_parquet_partitioned,
+    )
+
+    path = str(tmp_path / "tbl")
+    v1 = spark.createDataFrame(
+        [(1, "keepme", 10, None), (2, "b", 10, "p2")],
+        "k long, v string, ver long, pt string",
+    )
+    upsert_parquet_partitioned(v1, path, keys=["k"], version_col="ver", partition_col="pt")
+    batch = spark.createDataFrame(
+        [(9, "new-null-row", 1, None)],
+        "k long, v string, ver long, pt string",
+    )
+    upsert_parquet_partitioned(
+        batch, path, keys=["k"], version_col="ver", partition_col="pt"
+    )
+    got = {r["k"]: (r["v"], r["pt"]) for r in read_table(spark, path).collect()}
+    assert got == {
+        1: ("keepme", None),  # pre-existing default-partition row survives
+        2: ("b", "p2"),
+        9: ("new-null-row", None),
+    }
+
+
 def test_compact_parquet_shrinks_file_count(spark, tmp_path):
     from oil_wells_data_wrangling_spark.sources.sinks import compact_parquet
 
