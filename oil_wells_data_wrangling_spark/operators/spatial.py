@@ -1,0 +1,140 @@
+"""Spatial operators (SURVEY.md §2 round-3 addition).
+
+The reference serves wells onto a Leaflet map (app.py:15-38,
+static/map.html): the map view is implicitly a lat/lon bounding-box
+query over well coordinates. Re-expressed Spark-first: a grid-cell key
+(1° × 1° floor cells) turns a bbox query into a cell-range scan plus an
+exact re-check — the same bucketize-then-verify trick range_join uses.
+At scale the table is partitioned (or z-ordered) by the cell key, so
+the cell-range predicate prunes partitions and only boundary cells pay
+the exact comparison; here the cell predicate is a Catalyst range
+filter evaluated in the scan stage.
+
+The driver's tables carry no coordinates, so wells get deterministic
+synthetic positions derived from md5 of the supplier key — portable
+arithmetic (integer hash → two-decimal degrees) that DuckDB mirrors
+bit-for-bit, keeping both queries hash-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+# Portable hash → coordinate synth. x/100 is the same double in both
+# engines (one division of the same integer), so floor() and the bbox
+# comparisons agree bit-for-bit.
+# 100D/90D: double literals — Spark would otherwise type `100.0` in an
+# expr string as DECIMAL and the whole coordinate as Decimal output.
+_LAT_S = (
+    "cast(conv(substr(md5(concat('lat_', cast(s_suppkey as string))), 1, 8),"
+    " 16, 10) as bigint) % 18000 / 100D - 90D"
+)
+_LON_S = (
+    "cast(conv(substr(md5(concat('lon_', cast(s_suppkey as string))), 1, 8),"
+    " 16, 10) as bigint) % 36000 / 100D - 180D"
+)
+_LAT_D = (
+    "CAST('0x' || substr(md5('lat_' || CAST(s_suppkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 18000 / 100.0 - 90.0"
+)
+_LON_D = (
+    "CAST('0x' || substr(md5('lon_' || CAST(s_suppkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 36000 / 100.0 - 180.0"
+)
+
+
+def with_coordinates(supplier: DataFrame) -> DataFrame:
+    """(s_suppkey, lat, lon, cell_lat, cell_lon): synthetic but
+    deterministic well positions + their 1°-grid cell key."""
+    return supplier.select(
+        "s_suppkey",
+        F.expr(_LAT_S).alias("lat"),
+        F.expr(_LON_S).alias("lon"),
+    ).select(
+        "s_suppkey",
+        "lat",
+        "lon",
+        F.floor("lat").cast("bigint").alias("cell_lat"),
+        F.floor("lon").cast("bigint").alias("cell_lon"),
+    )
+
+
+_GEO_BUCKET_ORACLE = f"""
+WITH pos AS (
+  SELECT s_suppkey, {_LAT_D} AS lat, {_LON_D} AS lon FROM supplier
+)
+SELECT CAST(floor(lat / 10) AS BIGINT) AS band_lat,
+       CAST(floor(lon / 10) AS BIGINT) AS band_lon,
+       CAST(COUNT(*) AS BIGINT) AS n_wells,
+       CAST(MIN(s_suppkey) AS BIGINT) AS sample_well
+FROM pos GROUP BY 1, 2
+"""
+
+
+@register("geo_bucket", oracle=_GEO_BUCKET_ORACLE)
+def geo_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell density rollup — the map's clustered-marker view
+    (static/map.html renders one marker per well; at fleet scale the
+    map tiles aggregate per cell). 10° bands keep the output bounded
+    (648 cells max) at any data scale; one partial-agg shuffle."""
+    t = load_tables(spark, sf_dir)
+    pos = with_coordinates(t.supplier)
+    return pos.groupBy(
+        F.floor(F.col("lat") / 10).cast("bigint").alias("band_lat"),
+        F.floor(F.col("lon") / 10).cast("bigint").alias("band_lon"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_wells"),
+        F.min("s_suppkey").alias("sample_well"),
+    )
+
+
+_BBOX = (-45.0, 45.0, -90.0, 90.0)  # lat_min, lat_max, lon_min, lon_max
+
+_BBOX_ORACLE = f"""
+WITH pos AS (
+  SELECT s_suppkey, {_LAT_D} AS lat, {_LON_D} AS lon FROM supplier
+),
+cells AS (
+  SELECT s_suppkey, lat, lon,
+         CAST(floor(lat) AS BIGINT) AS cell_lat,
+         CAST(floor(lon) AS BIGINT) AS cell_lon
+  FROM pos
+)
+SELECT s_suppkey, ROUND(lat, 2) AS lat, ROUND(lon, 2) AS lon
+FROM cells
+WHERE cell_lat BETWEEN floor({_BBOX[0]}) AND floor({_BBOX[1]})
+  AND cell_lon BETWEEN floor({_BBOX[2]}) AND floor({_BBOX[3]})
+  AND lat BETWEEN {_BBOX[0]} AND {_BBOX[1]}
+  AND lon BETWEEN {_BBOX[2]} AND {_BBOX[3]}
+"""
+
+
+@register("spatial_bbox", oracle=_BBOX_ORACLE)
+def spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box query — the map viewport fetch (app.py:21-28 serves
+    rows the Leaflet view then pans/zooms over). Cell-range prefilter on
+    the 1° grid key, exact lat/lon re-check inside boundary cells. With
+    cell-partitioned storage the first predicate is partition pruning;
+    both predicates evaluate in the scan stage (no shuffle at all)."""
+    t = load_tables(spark, sf_dir)
+    lat_min, lat_max, lon_min, lon_max = _BBOX
+    pos = with_coordinates(t.supplier)
+    return (
+        pos.filter(
+            F.col("cell_lat").between(int(lat_min // 1), int(lat_max // 1))
+            & F.col("cell_lon").between(int(lon_min // 1), int(lon_max // 1))
+        )
+        .filter(
+            F.col("lat").between(lat_min, lat_max)
+            & F.col("lon").between(lon_min, lon_max)
+        )
+        .select(
+            "s_suppkey",
+            F.round("lat", 2).alias("lat"),
+            F.round("lon", 2).alias("lon"),
+        )
+    )
