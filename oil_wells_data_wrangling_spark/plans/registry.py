@@ -43,16 +43,7 @@ def register(
 
 
 def _load_all() -> None:
-    """Import every operator module so registrations run.
-
-    Order matters: the driver's CORRECTNESS gate checks the first 50
-    registered queries in insertion order. Round 1 covered analytics,
-    wrangle, dedup, and similarity; this round the previously unchecked
-    modules (eventops, corpus, multimodal, textstats) register first,
-    followed by analytics (whose two round-1 error rows are fixed) —
-    everything rotated out of the window stays verified by the identical
-    local oracle comparison in tests/test_oracle_parity.py.
-    """
+    """Import every operator module so registrations run."""
     import oil_wells_data_wrangling_spark.operators.eventops  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.corpus  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.multimodal  # noqa: F401
@@ -63,18 +54,97 @@ def _load_all() -> None:
     import oil_wells_data_wrangling_spark.operators.wrangle  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.dedup  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.similarity  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.spatial  # noqa: F401
+
+
+# The driver's CORRECTNESS gate checks the FIRST 50 queries in the
+# order ``queries()`` yields them, so this list — not module import
+# order — decides who gets a fresh driver-verified row this round.
+# Round-3 window: (1) the 9 operators that have never had a driver row,
+# (2) operators added this round, (3) operators whose implementation
+# changed this round, then (4) the operators whose last green row is
+# round 1 (stalest first). Everything past 50 keeps its round-1/2 green
+# row and stays covered by the identical local comparison in
+# tests/test_oracle_parity.py. A name listed here but not registered
+# fails loudly (KeyError) rather than silently shrinking the window.
+_WINDOW_PRIORITY = [
+    # -- never driver-checked (VERDICT r2 top item)
+    "range_join",
+    "winsorize",
+    "bucket_quantiles",
+    "pii_redact",
+    "decontaminate",
+    "pseudonymize",
+    "vector_quantize",
+    "ann_pq",
+    "ann_recall_eval",
+    # -- new in round 3
+    "geo_bucket",
+    "spatial_bbox",
+    # -- implementation changed in round 3
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "embed_neardup",
+    "events_funnel",
+    "agg_pricing_summary",
+    "events_rolling",
+    "events_anomaly",
+    # -- last green row is round 1: analytics
+    "semi_anti_join",
+    "pivot_status",
+    "rollup_cube",
+    "grouping_sets",
+    "window_lag_delta",
+    "promo_revenue",
+    "sql_serving",
+    "salted_agg_join",
+    "percentiles",
+    # -- last green row is round 1: wrangle
+    "extract_fields",
+    "parse_coordinates",
+    "api_canonical",
+    "numeric_sanitize",
+    "text_normalize",
+    "normalize_keys",
+    "csv_repair",
+    "validate_report",
+    "bad_rows",
+    "upsert_latest",
+    "extract_repeated",
+    "fuzzy_match_names",
+    "enrich_join",
+    "sentinel_to_null",
+    "serve_wells",
+    "extract_stim",
+    "serve_wells_full",
+    "well_pipeline",
+    # -- last green row is round 1: similarity
+    "ann_topk",
+    "vector_normalize",
+    "ivf_assign",
+    "ann_pipeline",
+    "ann_lsh",
+]
+
+
+def _ordered() -> dict[str, Query]:
+    _load_all()
+    out = {name: REGISTRY[name] for name in _WINDOW_PRIORITY}
+    for name, q in REGISTRY.items():
+        if name not in out:
+            out[name] = q
+    return out
 
 
 def all_queries() -> dict[str, QueryFn]:
-    _load_all()
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: q.fn for name, q in _ordered().items()}
 
 
 def all_oracle_sql() -> dict[str, str]:
-    _load_all()
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: q.oracle for name, q in _ordered().items() if q.oracle is not None
+    }
 
 
 def headline_queries() -> dict[str, QueryFn]:
-    _load_all()
-    return {name: q.fn for name, q in REGISTRY.items() if q.headline}
+    return {name: q.fn for name, q in _ordered().items() if q.headline}

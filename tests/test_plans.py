@@ -74,3 +74,39 @@ def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pii_redact")
     assert "Exchange" not in plan  # pure per-row projection
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_driver_window_covers_required_queries():
+    """The driver's CORRECTNESS gate reads the first 50 queries() yield.
+    The round-3 window must contain every never-driver-checked operator
+    (VERDICT r2 top item), every round-3 addition, and every operator
+    whose implementation changed this round."""
+    from oil_wells_data_wrangling_spark.plans.registry import all_queries
+
+    window = list(all_queries())[:50]
+    required = {
+        # never driver-checked before round 3
+        "range_join", "winsorize", "bucket_quantiles", "pii_redact",
+        "decontaminate", "pseudonymize", "vector_quantize", "ann_pq",
+        "ann_recall_eval",
+        # new in round 3
+        "geo_bucket", "spatial_bbox",
+        # changed in round 3
+        "corpus_pipeline", "corpus_pipeline_full", "embed_neardup",
+        "events_funnel",
+    }
+    missing = required - set(window)
+    assert not missing, f"driver window misses: {sorted(missing)}"
+
+
+def test_window_priority_names_all_registered():
+    from oil_wells_data_wrangling_spark.plans.registry import (
+        _WINDOW_PRIORITY,
+        all_queries,
+    )
+
+    qs = all_queries()
+    assert len(_WINDOW_PRIORITY) == 50
+    assert len(set(_WINDOW_PRIORITY)) == 50
+    unknown = [n for n in _WINDOW_PRIORITY if n not in qs]
+    assert not unknown, f"priority list names unregistered queries: {unknown}"
