@@ -31,11 +31,13 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Two passes, report the min: pass 1 pays codegen/JIT and fills the
-    # pipeline-stage caches; pass 2 is the steady-state a long-running
-    # cluster job actually sees.
+    # Three passes, report the min: pass 1 pays codegen/JIT and fills
+    # the pipeline-stage caches; later passes are the steady-state a
+    # long-running cluster job actually sees (min-of-3 per the round-2
+    # verdict, to cut scheduler-noise drift out of round-over-round
+    # comparisons).
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name, fn in headline_queries().items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

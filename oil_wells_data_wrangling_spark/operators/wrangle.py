@@ -366,6 +366,9 @@ def repair_csv_lines(lines: DataFrame, expected_commas: int, schema: str) -> Dat
         recs = []
         for rec in out:
             fields = next(_csv.reader(io.StringIO(rec)))
+            # a truncated tail record (EOF inside an open quote) still
+            # flushes — pad short rows instead of crashing the task
+            fields = (fields + [None] * 3)[:3]
             recs.append((int(fields[0]), fields[1], fields[2]))
         return pd.DataFrame(recs, columns=["c_custkey", "name", "segment"])
 

@@ -284,5 +284,26 @@ def compact_parquet(
     return n_files
 
 
+def export_json(
+    df: DataFrame,
+    path: str,
+    partition_col: str | None = None,
+    max_records_per_file: int = 100_000,
+) -> None:
+    """Serving-layer export: the reference's HTTP endpoint materializes
+    ``df.toJSON()`` rows per request (app.py:15-38); the lake-scale
+    equivalent is a partitioned JSON-lines export a web tier (or CDN)
+    serves statically. Partitioning by the query key (e.g. the spatial
+    grid cell) makes a viewport fetch a partition-directory read;
+    ``maxRecordsPerFile`` bounds individual response payloads. Distinct
+    from the upsert sinks: overwrite-only, schema-on-read friendly."""
+    w = df.write.mode("overwrite").option(
+        "maxRecordsPerFile", max_records_per_file
+    )
+    if partition_col is not None:
+        w = w.partitionBy(partition_col)
+    w.json(path)
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)

@@ -307,3 +307,24 @@ def test_upsert_parquet_last_write_wins(spark, tmp_path):
     upsert_parquet(v3, path, keys=["k"], version_col="ver")
     got = {r["k"]: r["v"] for r in read_table(spark, path).collect()}
     assert got[1] == "A2"
+
+
+def test_export_json_partitioned_serving_layout(spark, sf_dir, tmp_path):
+    """The map-serving export: wells partitioned by grid cell, each
+    viewport fetch = one partition directory of JSON lines."""
+    from oil_wells_data_wrangling_spark.operators.spatial import with_coordinates
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+    from oil_wells_data_wrangling_spark.sources.sinks import export_json
+
+    pos = with_coordinates(load_tables(spark, sf_dir).supplier).withColumn(
+        "band", (F.col("cell_lat") / 30).cast("int")
+    )
+    path = str(tmp_path / "wells_json")
+    export_json(pos.drop("cell_lat", "cell_lon"), path, partition_col="band")
+
+    # partition directories exist and round-trip through schema-on-read
+    bands = [d for d in os.listdir(path) if d.startswith("band=")]
+    assert bands, "no partition directories written"
+    back = spark.read.json(path)
+    assert back.count() == pos.count()
+    assert set(back.columns) == {"s_suppkey", "lat", "lon", "band"}
