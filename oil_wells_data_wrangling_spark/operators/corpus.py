@@ -489,3 +489,49 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_canonical", F.lit(0)).cast("bigint").alias("n_canonical"),
         F.coalesce("dups_absorbed", F.lit(0)).cast("bigint").alias("dups_absorbed"),
     )
+
+
+# ---------------------------------------------------------------- quality_topk
+
+_TOPK_K = 5
+
+_QTOPK_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         len(list_distinct(string_split(text, ' ')))
+           / len(string_split(text, ' ')) AS score
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)
+           AS rk
+  FROM scored
+)
+SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id, ROUND(score, 6) AS score_r
+FROM ranked WHERE rk <= {_TOPK_K}
+"""
+
+
+@register("quality_topk", oracle=_QTOPK_ORACLE)
+def quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus curation: the k highest-quality documents per
+    language stratum (score = vocabulary-diversity ratio, deterministic
+    doc_id tie-break).
+
+    Scale shape: rank-limit pushdown — Catalyst's WindowGroupLimit
+    rewrites the row_number()+filter(rank<=k) pair into a per-partition
+    partial top-k BEFORE the shuffle, so only k rows per (stratum,
+    input-partition) ride the exchange, not the corpus. The score is a
+    division of the same two ints on both engines, so ordering is
+    bit-identical cross-engine."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    score = F.size(F.array_distinct(words)) / F.size(words)
+    scored = t.documents.select("doc_id", "lang", score.alias("score"))
+    w = Window.partitionBy("lang").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOPK_K)
+        .select("lang", "rank", "doc_id", F.round("score", 6).alias("score_r"))
+    )

@@ -458,3 +458,48 @@ def url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url_canonical",
         F.regexp_extract("url_canonical", "://([^/?]+)", 1).alias("domain"),
     )
+
+
+# ------------------------------------------------------------ length_histogram
+
+# Shared CASE ladder (integer comparisons only — no log2 doubles whose
+# boundary rounding could differ across engines).
+_LEN_BUCKET = """CASE WHEN {n} < 16 THEN 0 WHEN {n} < 32 THEN 1
+ WHEN {n} < 64 THEN 2 WHEN {n} < 128 THEN 3 WHEN {n} < 256 THEN 4
+ WHEN {n} < 512 THEN 5 WHEN {n} < 1024 THEN 6 ELSE 7 END"""
+
+_LENHIST_ORACLE = f"""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+)
+SELECT CAST({_LEN_BUCKET.format(n='n_tokens')} AS INTEGER) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+FROM t GROUP BY 1
+"""
+
+
+@register("length_histogram", oracle=_LENHIST_ORACLE)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two buckets — the packing
+    diagnostic of a pretraining pipeline (how much padding/truncation a
+    given context length costs). Integer CASE ladder, not log2 floats,
+    so bucket edges are exact on both engines; single scan, one bounded
+    partial-agg shuffle (8 buckets max regardless of corpus size)."""
+    t = load_tables(spark, sf_dir)
+    n = F.size(F.split("text", " "))
+    bucket = F.expr(
+        _LEN_BUCKET.format(n="size(split(text, ' '))")
+    ).cast("int")
+    return (
+        t.documents.select(bucket.alias("bucket"), n.alias("n_tokens"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").cast("bigint").alias("min_tokens"),
+            F.max("n_tokens").cast("bigint").alias("max_tokens"),
+        )
+    )

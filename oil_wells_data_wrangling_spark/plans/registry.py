@@ -81,6 +81,8 @@ _WINDOW_PRIORITY = [
     # -- new in round 3
     "geo_bucket",
     "spatial_bbox",
+    "quality_topk",
+    "length_histogram",
     # -- implementation changed in round 3
     "corpus_pipeline",
     "corpus_pipeline_full",
@@ -118,12 +120,11 @@ _WINDOW_PRIORITY = [
     "extract_stim",
     "serve_wells_full",
     "well_pipeline",
-    # -- last green row is round 1: similarity
+    # -- last green row is round 1: similarity (ivf_assign and ann_lsh
+    # stay on their r1 rows — displaced by the two round-3 additions)
     "ann_topk",
     "vector_normalize",
-    "ivf_assign",
     "ann_pipeline",
-    "ann_lsh",
 ]
 
 

@@ -90,7 +90,7 @@ def test_driver_window_covers_required_queries():
         "decontaminate", "pseudonymize", "vector_quantize", "ann_pq",
         "ann_recall_eval",
         # new in round 3
-        "geo_bucket", "spatial_bbox",
+        "geo_bucket", "spatial_bbox", "quality_topk", "length_histogram",
         # changed in round 3
         "corpus_pipeline", "corpus_pipeline_full", "embed_neardup",
         "events_funnel",
