@@ -535,3 +535,50 @@ def quality_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TOPK_K)
         .select("lang", "rank", "doc_id", F.round("score", 6).alias("score_r"))
     )
+
+
+# ------------------------------------------------------- pack_sequences_grouped
+
+_PACK_G_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+packed AS (
+  SELECT lang, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // {_BUDGET} AS BIGINT) AS bin_id
+  FROM tok
+)
+SELECT lang, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM packed GROUP BY lang, bin_id
+"""
+
+
+@register("pack_sequences_grouped", oracle=_PACK_G_ORACLE)
+def pack_sequences_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-local sequence packing: the 100 TB shape of pack_sequences.
+    A global doc_id order forces a single-partition window; packing
+    WITHIN a group (language here; source shard in production) keeps the
+    prefix-sum window partition-parallel — each group packs its own
+    512-token bins independently, and the per-group agg reuses the same
+    lang partitioning (one exchange total)."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = tok.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_BUDGET)),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -83,6 +83,7 @@ _WINDOW_PRIORITY = [
     "spatial_bbox",
     "quality_topk",
     "length_histogram",
+    "pack_sequences_grouped",
     # -- implementation changed in round 3
     "corpus_pipeline",
     "corpus_pipeline_full",
@@ -120,11 +121,10 @@ _WINDOW_PRIORITY = [
     "extract_stim",
     "serve_wells_full",
     "well_pipeline",
-    # -- last green row is round 1: similarity (ivf_assign and ann_lsh
-    # stay on their r1 rows — displaced by the two round-3 additions)
+    # -- last green row is round 1: similarity (ivf_assign, ann_lsh and
+    # ann_pipeline stay on their r1 rows — displaced by r3 additions)
     "ann_topk",
     "vector_normalize",
-    "ann_pipeline",
 ]
 
 
