@@ -806,3 +806,52 @@ def winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(clipped).alias("sum_winsorized"),
         )
     )
+
+
+# ------------------------------------------------------------------ skew_report
+
+_SKEW_ORACLE = """
+WITH c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+),
+t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS total FROM c),
+r AS (
+  SELECT o_custkey, n_orders,
+         row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS rk
+  FROM c
+)
+SELECT CAST(rk AS INTEGER) AS rank, o_custkey, n_orders,
+       ROUND(CAST(n_orders AS DOUBLE) * 100.0 / total, 6) AS pct
+FROM r, t WHERE rk <= 10
+"""
+
+
+@register("skew_report", oracle=_SKEW_ORACLE)
+def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis — what you run BEFORE picking a salting
+    factor (salted_agg_join) or trusting AQE's skew-join split: the
+    top heavy hitters of a join key and their share of the table.
+
+    Scale shape: the per-key count is one partial-agg shuffle; the
+    global top-10 ranks the already-aggregated key counts and
+    WindowGroupLimit cuts each partition to its local top-10 before the
+    single-partition final sort, so the unbounded key space never
+    funnels through one task. The total is a broadcast scalar."""
+    t = load_tables(spark, sf_dir)
+    counts = t.orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").alias("total"))
+    w = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("n_orders") * 100.0 / F.col("total"), 6).alias("pct"),
+        )
+    )

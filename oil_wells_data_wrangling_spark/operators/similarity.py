@@ -694,3 +694,78 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "recall",
         )
     )
+
+
+# ------------------------------------------------------------------ kmeans_step
+
+def _kmeans_oracle() -> str:
+    from oil_wells_data_wrangling_spark.functions.exact import sql_dsum
+
+    return f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings WHERE vec_id < 16
+),
+scored AS (
+  SELECT e.vec_id, e.embedding, centroid_id,
+         ROUND({_cos_duck('e.embedding', 'ce')}, 6) AS cos_r
+  FROM embeddings e, cent
+),
+assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY vec_id ORDER BY cos_r DESC, centroid_id) AS rk
+    FROM scored) WHERE rk = 1
+)
+SELECT centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND({sql_dsum('CAST(embedding[1] AS DOUBLE)', 6)} / COUNT(*), 6)
+         AS dim1_mean
+FROM assigned GROUP BY centroid_id
+"""
+
+
+@register("kmeans_step", oracle=_kmeans_oracle())
+def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of distributed k-means — the training step
+    behind the IVF index (ivf_assign consumes its output in production).
+    Assignment is the broadcast-centroid argmax from ivf_assign; the
+    update is a partial-agg mean per centroid. Iterating = re-running
+    with the new centroids; each step is one broadcast + one shuffle,
+    the canonical scalable shape (centroids always broadcast-sized).
+
+    Determinism: the updated mean routes through the scaled-int64 sum
+    (functions/exact.py), so re-clustering is bit-reproducible across
+    partitionings — emitted here as the first-dimension mean the oracle
+    recomputes exactly."""
+    from oil_wells_data_wrangling_spark.functions.exact import dsum
+
+    t = load_tables(spark, sf_dir)
+    cent = t.embeddings.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    scored = (
+        t.embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(cosine("embedding", "ce"), 6).alias("cos_r"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_r").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            dsum(F.element_at("embedding", 1).cast("double"), 6)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("dim1_mean"),
+    )

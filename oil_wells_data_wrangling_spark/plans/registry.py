@@ -84,6 +84,8 @@ _WINDOW_PRIORITY = [
     "quality_topk",
     "length_histogram",
     "pack_sequences_grouped",
+    "kmeans_step",
+    "skew_report",
     # -- implementation changed in round 3
     "corpus_pipeline",
     "corpus_pipeline_full",
@@ -121,10 +123,8 @@ _WINDOW_PRIORITY = [
     "extract_stim",
     "serve_wells_full",
     "well_pipeline",
-    # -- last green row is round 1: similarity (ivf_assign, ann_lsh and
-    # ann_pipeline stay on their r1 rows — displaced by r3 additions)
-    "ann_topk",
-    "vector_normalize",
+    # (the similarity family keeps its r1-green rows — displaced from
+    # the window by this round's additions)
 ]
 
 
