@@ -97,3 +97,51 @@ def test_decontaminate_flags_every_injected_doc(spark_prop):
     assert injected
     missed = [d for d in injected if not rows[d]]
     assert not missed, f"injected but unflagged: {missed[:5]}"
+
+
+@st.composite
+def dms_corner(draw):
+    """Hemisphere/overflow corners: fractional seconds, decimal-only
+    forms with dense whitespace, invalid minute/second overflow (must
+    yield NULL under the strict range guard), double hemispheres."""
+    kind = draw(st.sampled_from(["frac_sec", "decimal", "overflow", "junk"]))
+    if kind == "frac_sec":
+        deg = draw(st.integers(0, 89))
+        mn = draw(st.integers(0, 59))
+        sec10 = draw(st.integers(0, 599))
+        hemi = draw(st.sampled_from(["N", "S"]))
+        raw = f"{deg}° {mn}' {sec10 / 10}\" {hemi}"
+        val = deg + mn / 60 + sec10 / 10 / 3600
+        return raw, (-val if hemi == "S" else val)
+    if kind == "decimal":
+        milli = draw(st.integers(0, 179_999))
+        hemi = draw(st.sampled_from(["E", "W", ""]))
+        prefix = draw(st.booleans())
+        body = f"{milli / 1000}"
+        raw = f"{hemi} {body}" if prefix and hemi else f"{body} {hemi}".strip()
+        val = milli / 1000
+        return raw, (-val if hemi == "W" else val)
+    if kind == "overflow":
+        # minutes or seconds >= 60: strict guard rejects (reference
+        # would happily compute 99'99" — documented deviation)
+        deg = draw(st.integers(0, 89))
+        mn, sec = draw(
+            st.sampled_from([(99, 99), (60, 0), (0, 60), (75, 30)])
+        )
+        return f"{deg}° {mn}' {sec}\" N", None
+    return draw(st.sampled_from(["", "north by northwest", "° ' \""])), None
+
+
+@settings(max_examples=40, deadline=None)
+@given(case=dms_corner())
+def test_dms_corner_cases(spark_prop, case):
+    raw, expected = case
+    got = (
+        spark_prop.createDataFrame([(raw,)], ["s"])
+        .select(dms_to_decimal(F.col("s")).alias("v"))
+        .first()["v"]
+    )
+    if expected is None:
+        assert got is None, (raw, got)
+    else:
+        assert got == pytest.approx(expected, abs=1e-9), raw
