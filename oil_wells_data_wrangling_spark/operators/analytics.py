@@ -834,10 +834,11 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     top heavy hitters of a join key and their share of the table.
 
     Scale shape: the per-key count is one partial-agg shuffle; the
-    global top-10 ranks the already-aggregated key counts and
-    WindowGroupLimit cuts each partition to its local top-10 before the
-    single-partition final sort, so the unbounded key space never
-    funnels through one task. The total is a broadcast scalar."""
+    global top-10 over the aggregated key counts plans as
+    TakeOrderedAndProject — each partition keeps its local top-10 and
+    only those merge — so the unbounded key space never funnels through
+    one sorted task (plan-pinned in tests/test_plan_shapes.py). The
+    total is a broadcast scalar."""
     t = load_tables(spark, sf_dir)
     counts = t.orders.groupBy("o_custkey").agg(
         F.count(F.lit(1)).alias("n_orders")

@@ -1,0 +1,69 @@
+"""Physical-plan shape regressions: pin the scale claims the operators
+make in their docstrings, so a refactor that silently reintroduces a
+scale-killer (text riding a dedup exchange, an unbounded funnel buffer,
+a full-sort top-k) fails a test — not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import re
+
+from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+
+_load_all()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _md5_exchange_children(plan: str) -> list[str]:
+    """The direct-child line of every exchange keyed on the md5 hash
+    alias (h#N) — that child's bracketed output is what shuffles."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if re.search(r"Exchange hashpartitioning\(h#", line):
+            if i + 1 < len(lines):
+                out.append(lines[i + 1])
+    return out
+
+
+def test_corpus_dedup_exchanges_carry_no_text(spark, sf_dir):
+    for name in ("corpus_pipeline", "corpus_pipeline_full"):
+        children = _md5_exchange_children(_plan(spark, sf_dir, name))
+        assert children, f"{name}: expected an md5-keyed dedup exchange"
+        for child in children:
+            assert "text#" not in child, (
+                f"{name}: document text rides the dedup exchange: {child}"
+            )
+
+
+def test_spatial_bbox_plan_has_zero_exchanges(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "spatial_bbox")
+    assert "Exchange" not in plan, "bbox query must be a pure scan+filter"
+
+
+def test_events_funnel_plan_has_no_collect_list(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_funnel").lower()
+    assert "collect_list" not in plan, "funnel state must stay bounded"
+
+
+def test_rank_limit_pushdown_in_topk_plans(spark, sf_dir):
+    # grouped top-k → WindowGroupLimit (partial per-partition top-k);
+    # global top-k → TakeOrderedAndProject (distributed partial limit).
+    # Either way the full input must NOT funnel through one sorted task.
+    plan = _plan(spark, sf_dir, "quality_topk")
+    assert "WindowGroupLimit" in plan, "quality_topk: rank<=k not pushed down"
+    plan = _plan(spark, sf_dir, "skew_report")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        "skew_report: global top-10 not a partial limit"
+    )
+
+
+def test_broadcast_not_shuffle_for_dimension_joins(spark, sf_dir):
+    # the star-join rollup must broadcast every dimension: no
+    # SortMergeJoin against nation/region/customer at any SF
+    plan = _plan(spark, sf_dir, "join_region_rollup")
+    assert "BroadcastHashJoin" in plan
