@@ -856,3 +856,56 @@ def skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") * 100.0 / F.col("total"), 6).alias("pct"),
         )
     )
+
+
+# ------------------------------------------------------------ integrity_report
+
+_INTEGRITY_ORACLE = """
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM customer c
+                       WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_custkey IS NULL) AS null_custkeys
+"""
+
+
+@register("integrity_report", oracle=_INTEGRITY_ORACLE)
+def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit — the ingestion gate a lake pipeline
+    runs before promoting a batch: row counts, orphan foreign keys
+    (anti-joins), NULL key rates, one row out.
+
+    Scale shape: each orphan check is a left-anti join on the foreign
+    key — Catalyst broadcasts the small parent here and AQE switches to
+    a shuffled anti join when the parent outgrows the threshold; counts
+    are partial-agg scalars, so the audit's output is one row no matter
+    the table size."""
+    t = load_tables(spark, sf_dir)
+    orders, lineitem, customer = t.orders, t.lineitem, t.customer
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_lineitems = lineitem.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    orphan_o = (
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphan_orders"))
+    )
+    orphan_l = (
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ).agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    null_ck = orders.filter(F.col("o_custkey").isNull()).agg(
+        F.count(F.lit(1)).alias("null_custkeys")
+    )
+    return (
+        n_orders.crossJoin(n_lineitems)
+        .crossJoin(orphan_o)
+        .crossJoin(orphan_l)
+        .crossJoin(null_ck)
+    )

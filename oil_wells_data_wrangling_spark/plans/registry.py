@@ -86,6 +86,7 @@ _WINDOW_PRIORITY = [
     "pack_sequences_grouped",
     "kmeans_step",
     "skew_report",
+    "integrity_report",
     # -- implementation changed in round 3
     "corpus_pipeline",
     "corpus_pipeline_full",
@@ -103,7 +104,6 @@ _WINDOW_PRIORITY = [
     "promo_revenue",
     "sql_serving",
     "salted_agg_join",
-    "percentiles",
     # -- last green row is round 1: wrangle
     "extract_fields",
     "parse_coordinates",
