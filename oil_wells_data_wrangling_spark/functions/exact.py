@@ -55,9 +55,14 @@ def dsum(col: Column | str, scale: int = 2) -> Column:
 
 
 def dmean(col: Column | str, scale: int = 6) -> Column:
-    """Order-independent mean: scaled-int64 sum / count."""
+    """Order-independent mean: scaled-int64 sum / count.
+
+    The denominator counts the same guarded addends the numerator sums
+    — a NaN/Inf/out-of-window row is skipped by BOTH, so the mean is
+    the mean of the values actually summed, not a biased ratio."""
     c = F.col(col) if isinstance(col, str) else col
-    return dsum(c, scale) / F.count(c)
+    m = 10**scale
+    return dsum(c, scale) / F.count(_finite_in_window(c, m))
 
 
 def dsum_decimal(col: Column | str, scale: int = 2) -> Column:
@@ -78,5 +83,8 @@ def sql_dsum(expr: str, scale: int = 2) -> str:
 
 
 def sql_dmean(expr: str, scale: int = 6) -> str:
-    """DuckDB-side mirror of :func:`dmean`."""
-    return f"({sql_dsum(expr, scale)} / COUNT({expr}))"
+    """DuckDB-side mirror of :func:`dmean` (guarded denominator too)."""
+    m = 10**scale
+    lim = float(2**62 // m)
+    guarded = f"(CASE WHEN ({expr}) BETWEEN -{lim} AND {lim} THEN ({expr}) END)"
+    return f"({sql_dsum(expr, scale)} / COUNT({guarded}))"

@@ -249,7 +249,10 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("lang").alias("lang"),
             F.min("n_tokens").alias("n_tokens"),
         )
-        .cache()  # consumed twice: text rejoin and the final anti-join
+        # consumed twice (text rejoin + final anti-join) but NOT cached:
+        # AQE reuses the dedup shuffle stage across both consumers at
+        # runtime, and measured min-of-3 is faster without the cache
+        # (0.97s vs 1.32s at sf0.1) — and nothing leaks into storage.
     )
     # Rejoin text by winner id (corpus ids are unique, so the pre-filter
     # frame works and skips recomputing the quality predicate on this side).

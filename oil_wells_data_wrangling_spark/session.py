@@ -30,11 +30,12 @@ def get_spark(
     if shuffle_partitions is None:
         # Local default: half the cores (floor 8). At bench scale the
         # shuffles are small and AQE coalesces the read side anyway, so
-        # reduce-task scheduling overhead dominates — measured min-of-3
-        # headline totals at sf0.1/local[32]: 16 partitions 7.7s vs 32
-        # partitions 9.1s (8p 8.7s, 24p 9.4s). Scan parallelism comes
-        # from file splits, not this knob; a cluster submit config
-        # overrides it (~2-3x total cores there).
+        # reduce-task scheduling overhead dominates — a 16-vs-32
+        # partition sweep at sf0.1/local[32] measured ~0.9s off the
+        # headline total, with 8 and 24 both worse than 16 (see
+        # BASELINE.md for the standing per-query numbers). Scan
+        # parallelism comes from file splits, not this knob; a cluster
+        # submit config overrides it (~2-3x total cores there).
         shuffle_partitions = 16 if cpus == "*" else max(int(cpus) // 2, 8)
 
     builder = (

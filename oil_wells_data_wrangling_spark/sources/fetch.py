@@ -98,4 +98,8 @@ def fetch_pages(
             out["error"] = [r[2] for r in results]
             yield out
 
-    return urls.coalesce(max_concurrency).mapInPandas(run, schema)
+    # repartition, not coalesce: coalesce only ever REDUCES partition
+    # count, so a single-partition input would silently fetch with no
+    # parallelism at all. The shuffle is trivial next to network time
+    # and guarantees exactly max_concurrency sequential fetch lanes.
+    return urls.repartition(max_concurrency).mapInPandas(run, schema)

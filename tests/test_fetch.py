@@ -79,11 +79,12 @@ def test_fetch_concurrency_bound_and_pacing(spark):
     def fetcher(url):
         return "<html></html>"
 
+    # exactly max_concurrency lanes, even from a 1-partition input
+    # (coalesce would silently serialize it — regression guard)
     fetched = fetch_pages(
-        urls, fetcher, max_concurrency=2, min_interval_s=0.0
+        urls.coalesce(1), fetcher, max_concurrency=2, min_interval_s=0.0
     )
-    # at most max_concurrency partitions → that many in-flight fetchers
-    assert fetched.rdd.getNumPartitions() <= 2
+    assert fetched.rdd.getNumPartitions() == 2
     assert fetched.count() == 8
 
     # politeness: 4 sequential fetches in ONE partition with a 0.15s
