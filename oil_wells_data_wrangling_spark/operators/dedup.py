@@ -573,3 +573,95 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming") <= 6)
     )
+
+
+# ------------------------------------------------------- minhash_containment
+
+_FRAG_WORDS = 24
+
+
+def _containment_corpus_sql() -> str:
+    return f"""
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 3000000 AS doc_id,
+         array_to_string((string_split(text, ' '))[1:{_FRAG_WORDS}], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 4000000 AS doc_id,
+         text || ' ' ||
+         array_to_string((string_split(text, ' '))[1:{_FRAG_WORDS}], ' ') AS text
+  FROM documents WHERE doc_id % 7 = 0
+)"""
+
+
+def _containment_oracle() -> str:
+    return f"""
+WITH {_containment_corpus_sql()},
+{minhash_pairs_ctes('corpus')},
+hd AS (
+  SELECT doc_id, list_distinct(harr) AS hd FROM hh
+)
+SELECT p.doc_a, p.doc_b,
+       ROUND(CAST(len(list_intersect(a.hd, b.hd)) AS DOUBLE)
+             / len(b.hd), 6) AS cont_b_in_a,
+       ROUND(CAST(len(list_intersect(a.hd, b.hd)) AS DOUBLE)
+             / len(a.hd), 6) AS cont_a_in_b
+FROM mh_pairs p
+JOIN hd a ON a.doc_id = p.doc_a
+JOIN hd b ON b.doc_id = p.doc_b
+WHERE CAST(len(list_intersect(a.hd, b.hd)) AS DOUBLE)
+      / least(len(a.hd), len(b.hd)) >= 0.5
+"""
+
+
+@register("minhash_containment", oracle=_containment_oracle())
+def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection: is one document's shingle set
+    mostly INSIDE another's? Jaccard misses verbatim inclusion — a
+    24-word quote inside a 300-word doc has low Jaccard but containment
+    ≈ 1 — and inclusion (quotes, boilerplate, licence blocks) is what a
+    pretraining dedup pass actually needs to find.
+
+    Scale shape: candidate pairs come from the MinHash band buckets
+    (bounded by LSH, never all-pairs); the exact containment re-check
+    joins the 31-bit shingle-hash ARRAYS by doc id — the compressed
+    representation rides the join, never the text. Synthesis plants
+    real containment: doc_id % 7 docs contribute a leading fragment
+    (id+3M) and a container with that fragment appended (id+4M)."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    frag_text = F.array_join(
+        F.slice(F.split("text", " "), 1, _FRAG_WORDS), " "
+    )
+    sevens = base.filter(F.col("doc_id") % 7 == 0)
+    corpus = base.unionAll(
+        sevens.select(
+            (F.col("doc_id") + 3_000_000).alias("doc_id"),
+            frag_text.alias("text"),
+        )
+    ).unionAll(
+        sevens.select(
+            (F.col("doc_id") + 4_000_000).alias("doc_id"),
+            F.concat("text", F.lit(" "), frag_text).alias("text"),
+        )
+    )
+    pairs = minhash_pairs(corpus)
+    hd = hashed_shingles(corpus).select(
+        "doc_id", F.array_distinct("harr").alias("hd")
+    )
+    a = hd.select(F.col("doc_id").alias("doc_a"), F.col("hd").alias("ha"))
+    b = hd.select(F.col("doc_id").alias("doc_b"), F.col("hd").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb")).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(inter / F.least(F.size("ha"), F.size("hb")) >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / F.size("hb"), 6).alias("cont_b_in_a"),
+            F.round(inter / F.size("ha"), 6).alias("cont_a_in_b"),
+        )
+    )

@@ -87,6 +87,7 @@ _WINDOW_PRIORITY = [
     "kmeans_step",
     "skew_report",
     "integrity_report",
+    "minhash_containment",
     # -- implementation changed in round 3
     "corpus_pipeline",
     "corpus_pipeline_full",
@@ -102,7 +103,6 @@ _WINDOW_PRIORITY = [
     "grouping_sets",
     "window_lag_delta",
     "promo_revenue",
-    "sql_serving",
     "salted_agg_join",
     # -- last green row is round 1: wrangle
     "extract_fields",
