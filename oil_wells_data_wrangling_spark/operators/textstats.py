@@ -503,3 +503,85 @@ def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+# ------------------------------------------------------------------ domain_cap
+
+_CAP_K = 5
+
+_DOMAIN_CAP_ORACLE = f"""
+WITH url_docs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR)
+                || '.example.com/page' || CAST(doc_id AS VARCHAR)
+                || ' and http://ref' || CAST(doc_id % 7 AS VARCHAR) || '.org/x'
+         ELSE text END AS text
+  FROM documents
+),
+dom AS (
+  SELECT doc_id,
+         COALESCE(NULLIF(regexp_extract(regexp_extract(text, '{_URL_RX}'),
+                                        '://([A-Za-z0-9.-]+)', 1), ''),
+                  'nodomain') AS domain
+  FROM url_docs
+),
+ranked AS (
+  SELECT doc_id, domain,
+         row_number() OVER (
+           PARTITION BY domain
+           ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+  FROM dom
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE rk <= {_CAP_K}) AS BIGINT) AS n_kept
+FROM ranked GROUP BY domain
+"""
+
+
+@register("domain_cap", oracle=_DOMAIN_CAP_ORACLE)
+def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document capping — the crawl-balance step (C4/
+    RefinedWeb-style): keep at most k docs per source domain, chosen by
+    a deterministic salted-hash shuffle so the sample is reproducible
+    without RNG state. Emits per-domain totals and kept counts.
+
+    Scale shape: domain from the first URL in the scan stage; one
+    window shuffle on domain where WindowGroupLimit-eligible rank
+    filtering bounds the per-partition work; the audit agg reuses the
+    same partitioning."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    url_tail = F.concat(
+        F.lit(" see https://site"),
+        (k % 20).cast("string"),
+        F.lit(".example.com/page"),
+        k.cast("string"),
+        F.lit(" and http://ref"),
+        (k % 7).cast("string"),
+        F.lit(".org/x"),
+    )
+    url_docs = t.documents.select(
+        "doc_id",
+        F.when(k % 5 == 0, F.concat("text", url_tail)).otherwise(F.col("text")).alias("text"),
+    )
+    domain = F.coalesce(
+        F.nullif(
+            F.regexp_extract(
+                F.regexp_extract("text", _URL_RX, 0), "://([A-Za-z0-9.-]+)", 1
+            ),
+            F.lit(""),
+        ),
+        F.lit("nodomain"),
+    )
+    dom = url_docs.select("doc_id", domain.alias("domain"))
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.concat(F.lit("cap_"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"),
+    )
+    ranked = dom.withColumn("rk", F.row_number().over(w))
+    return ranked.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("rk") <= _CAP_K, 1)).alias("n_kept"),
+    )

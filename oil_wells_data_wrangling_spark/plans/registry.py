@@ -88,6 +88,7 @@ _WINDOW_PRIORITY = [
     "skew_report",
     "integrity_report",
     "minhash_containment",
+    "domain_cap",
     # -- implementation changed in round 3
     "corpus_pipeline",
     "corpus_pipeline_full",
@@ -102,7 +103,6 @@ _WINDOW_PRIORITY = [
     "rollup_cube",
     "grouping_sets",
     "window_lag_delta",
-    "promo_revenue",
     "salted_agg_join",
     # -- last green row is round 1: wrangle
     "extract_fields",

@@ -92,7 +92,7 @@ def test_driver_window_covers_required_queries():
         # new in round 3
         "geo_bucket", "spatial_bbox", "quality_topk", "length_histogram",
         "pack_sequences_grouped", "kmeans_step", "skew_report",
-        "integrity_report", "minhash_containment",
+        "integrity_report", "minhash_containment", "domain_cap",
         # changed in round 3
         "corpus_pipeline", "corpus_pipeline_full", "embed_neardup",
         "events_funnel",
