@@ -5,10 +5,13 @@ column pruning). ``Tables`` binds DataFrames lazily *per table* — no
 parquet footer is even opened until a query touches that table, so a plan
 over ``lineitem`` never pays for ``events``.
 
-``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's vectorized
-reader rejects; we read it as raw nanos (``spark.sql.legacy.parquet.nanosAsLong``)
-and normalize to a microsecond timestamp at the source so every downstream
-operator sees a plain ``timestamp`` column.
+``events.ts`` has shipped in two parquet encodings over time: TIMESTAMP(NANOS)
+(which Spark's vectorized reader rejects — read as raw nanos via
+``spark.sql.legacy.parquet.nanosAsLong``) and plain ``timestamp[us]`` (which
+Spark reads as TIMESTAMP_NTZ). ``normalize_event_ts`` folds both into a plain
+``timestamp`` column at the source so every downstream operator — batch and
+streaming — sees one type. The session timezone is UTC (session.py), so the
+NTZ→TIMESTAMP cast is value-preserving and DuckDB ``epoch_us`` oracles agree.
 """
 
 from __future__ import annotations
@@ -32,6 +35,25 @@ TABLE_NAMES = (
 )
 
 
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Fold every observed on-disk encoding of ``events.ts`` into a plain
+    session-tz ``timestamp`` column.
+
+    - ``bigint``: legacy nanos-since-epoch (TIMESTAMP(NANOS) files read
+      under ``nanosAsLong``); integral ``div`` keeps full precision —
+      double division would not past 2^53.
+    - ``timestamp_ntz``: current ``timestamp[us]`` files. The session tz
+      is UTC, so the cast re-labels the same instant (value-preserving).
+    - ``timestamp``: already normalized; pass through.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 class Tables:
     """Lazily-bound DataFrames for every table in the test schema."""
 
@@ -48,10 +70,8 @@ class Tables:
 
     def _load(self, name: str) -> DataFrame:
         df = self._spark.read.parquet(os.path.join(self._sf_dir, f"{name}.parquet"))
-        if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-            # nanos-since-epoch → microsecond timestamp; integral `div`
-            # keeps full precision (double division would not past 2^53).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if name == "events":
+            df = normalize_event_ts(df)
         return df
 
     def __getattr__(self, name: str) -> DataFrame:

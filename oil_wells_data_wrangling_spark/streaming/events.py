@@ -26,42 +26,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
-    DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
     TimestampType,
 )
 
 from oil_wells_data_wrangling_spark.functions.exact import dsum
-
-# Raw storage schema: ts is int64 nanos (see sources/readers.py).
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+from oil_wells_data_wrangling_spark.sources.readers import normalize_event_ts
 
 
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
-    """File-source stream over an events parquet directory, ts normalized
-    to microsecond timestamps like the batch reader."""
+    """File-source stream over an events parquet directory, ``ts``
+    normalized by the SAME ``normalize_event_ts`` as the batch reader.
+
+    File-source streams require an explicit schema; we take it from a
+    static footer read of the directory (one driver-side metadata read —
+    no data scan), so whatever encoding is on disk (legacy int64-nanos or
+    current ``timestamp[us]``/NTZ) flows into the shared normalizer
+    instead of a hard-coded raw schema."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
         pass
+    raw_schema = spark.read.parquet(source_dir).schema
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(source_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_event_ts(raw)
 
 
 def stream_window_agg(events: DataFrame) -> DataFrame:

@@ -328,3 +328,44 @@ def test_export_json_partitioned_serving_layout(spark, sf_dir, tmp_path):
     back = spark.read.json(path)
     assert back.count() == pos.count()
     assert set(back.columns) == {"s_suppkey", "lat", "lon", "band"}
+
+
+def test_events_ts_normalized_across_encodings(spark, tmp_path):
+    """Regression for the r4 data drift: events.ts has shipped as both
+    parquet TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and
+    timestamp[us] (read as TIMESTAMP_NTZ). Loading via Tables must yield a
+    plain ``timestamp`` column with identical instants either way, and
+    ``unix_micros(ts)`` — the expression that crashed r4 — must resolve."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    us = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    base = {
+        "event_id": pa.array([1, 2], pa.int64()),
+        "user_id": pa.array([10, 20], pa.int64()),
+    }
+    micros_dir = tmp_path / "micros"
+    nanos_dir = tmp_path / "nanos"
+    for d in (micros_dir, nanos_dir):
+        d.mkdir()
+    pq.write_table(
+        pa.table({**base, "ts": pa.array(us, pa.timestamp("us"))}),
+        micros_dir / "events.parquet",
+    )
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([v * 1000 for v in us], pa.timestamp("ns"))}),
+        nanos_dir / "events.parquet",
+        coerce_timestamps=None,
+        version="2.6",
+    )
+
+    for d in (micros_dir, nanos_dir):
+        ev = load_tables(spark, str(d)).events
+        assert dict(ev.dtypes)["ts"] == "timestamp", (d, ev.dtypes)
+        got = {
+            r["event_id"]: r["us"]
+            for r in ev.select("event_id", F.unix_micros("ts").alias("us")).collect()
+        }
+        assert got == {1: us[0], 2: us[1]}, d

@@ -81,10 +81,12 @@ def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
     past batch-1 activity, so idle sessions close via EVENT-TIME TIMEOUT
     (not by a successor event). Every emitted session must still agree
     with batch sessionization."""
-    e = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts_us", F.expr("ts div 1000"))
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        load_tables,
+        normalize_event_ts,
     )
+
+    e = load_tables(spark, sf_dir).events.withColumn("ts_us", F.unix_micros("ts"))
     mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
     src = tmp_path / "src"
     e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
@@ -93,11 +95,10 @@ def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
     e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
         str(src / "part1")
     )
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src / "part*"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     got = _run_available_now(stream_sessionize(stream), "sess_timeout", spark)
     batch = events_sessionize(spark, sf_dir).select(
@@ -110,11 +111,11 @@ def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
     # single-batch run (which can only close sessions via successor events)
     single = _run_available_now(
         stream_sessionize(
-            spark.readStream.schema(
-                spark.read.parquet(str(src / "part0")).schema
+            normalize_event_ts(
+                spark.readStream.schema(
+                    spark.read.parquet(str(src / "part0")).schema
+                ).parquet(str(src / "part*"))
             )
-            .parquet(str(src / "part*"))
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         ),
         "sess_single",
         spark,

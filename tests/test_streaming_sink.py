@@ -9,6 +9,7 @@ import shutil
 
 from pyspark.sql import functions as F
 
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
 from oil_wells_data_wrangling_spark.sources.sinks import read_table, upsert_parquet
 from oil_wells_data_wrangling_spark.streaming.events import read_event_stream
 
@@ -35,9 +36,8 @@ def test_stream_foreachbatch_upsert(spark, sf_dir, tmp_path):
 
     got = read_table(spark, table)
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .groupBy("user_id")
+        load_tables(spark, sf_dir)
+        .events.groupBy("user_id")
         .agg(F.max("ts").alias("ts"))
     )
     got_map = {r["user_id"]: r["ts"] for r in got.collect()}
