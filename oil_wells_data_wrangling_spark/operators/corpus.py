@@ -86,41 +86,64 @@ def text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------------------------------------------------- pack_sequences
 
 _BUDGET = 512
+_PACK_SHARD = 100  # contiguous doc_ids per packing shard
 
 _PACK_ORACLE = f"""
 WITH tok AS (
-  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+  SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
 ),
 packed AS (
-  SELECT doc_id, n_tokens,
-         CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+  SELECT shard, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
               // {_BUDGET} AS BIGINT) AS bin_id
   FROM tok
 )
-SELECT bin_id,
+SELECT CAST(shard AS BIGINT) AS shard, bin_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-FROM packed GROUP BY bin_id
+FROM packed GROUP BY shard, bin_id
 """
 
 
 @register("pack_sequences", oracle=_PACK_ORACLE)
-def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_sequences(
+    spark: SparkSession, sf_dir: str, global_order: bool = False
+) -> DataFrame:
     """Offset-based sequence packing: stream documents in id order and
     open a new 512-token bin whenever the running offset crosses a
     budget boundary (bins may overflow by one document — the streaming
-    packer's trade). One prefix-sum window, no iteration."""
+    packer's trade).
+
+    Scale shape: packing runs WITHIN contiguous doc_id shards
+    (``doc_id div 100``; a source shard in production), so the prefix-sum
+    window is partition-parallel and the per-(shard, bin) agg reuses the
+    same shard partitioning — id-adjacent docs still pack together, and
+    no full-corpus Exchange SinglePartition exists (pinned by the sweep
+    in tests/test_plan_shapes.py). ``global_order=True`` restores the
+    single global prefix sum — exact one-stream packing, but it funnels
+    every (doc_id, n_tokens) pair through one task; only for corpora
+    that fit a single executor."""
     t = load_tables(spark, sf_dir)
     tok = t.documents.select(
-        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+        "doc_id",
+        (F.lit(0).cast("bigint") if global_order else F.expr(f"doc_id div {_PACK_SHARD}")).alias(
+            "shard"
+        ),
+        F.size(F.split("text", " ")).alias("n_tokens"),
     )
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     packed = tok.withColumn(
         "bin_id",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(_BUDGET)),
     )
-    return packed.groupBy("bin_id").agg(
+    return packed.groupBy("shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
@@ -110,9 +109,6 @@ _DECON_ORACLE = f"""
 WITH evals AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
 ),
-evals_rn AS (
-  SELECT doc_id, text, row_number() OVER (ORDER BY doc_id) AS rn FROM evals
-),
 kc AS (SELECT count(*) AS k FROM evals),
 train AS (
   SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
@@ -122,7 +118,7 @@ train2 AS (
          t.text || ' ' ||
          array_to_string((string_split(e.text, ' '))[1:{_NGRAM}], ' ') AS text
   FROM train t CROSS JOIN kc
-  JOIN evals_rn e ON e.rn = 1 + t.doc_id % kc.k
+  JOIN evals e ON e.doc_id = 11 * (t.doc_id % kc.k)
   WHERE t.doc_id % 13 = 0
   UNION ALL
   SELECT doc_id, text FROM train WHERE doc_id % 13 <> 0
@@ -174,31 +170,29 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one split (each slice references the word array exactly once), so
     Catalyst's project collapsing inlines split(text) a constant 8
     times per row — never once per shingle — and no cache barrier (or
-    its leaked storage) is needed."""
+    its leaked storage) is needed. The injection scaffold picks each
+    train doc's snippet donor arithmetically (eval ids are the 11-strided
+    ``11*j`` by the split rule, so ``e.doc_id = 11 * (t.doc_id % k)`` is
+    a direct key join) — no row_number() over a global order, so the
+    whole plan is free of unbounded single-partition stages (pinned by
+    the sweep in tests/test_plan_shapes.py)."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
     evals = base.filter(F.col("doc_id") % 11 == 0)
     train = base.filter(F.col("doc_id") % 11 != 0)
 
-    evals_rn = evals.withColumn(
-        "rn", F.row_number().over(Window.orderBy("doc_id"))
-    )
     kc = evals.agg(F.count(F.lit(1)).alias("k"))
+    snippets = evals.select(
+        F.col("doc_id").alias("pick"),
+        F.array_join(F.slice(F.split("text", " "), 1, _NGRAM), " ").alias(
+            "snippet"
+        ),
+    )
     injected = (
         train.filter(F.col("doc_id") % 13 == 0)
         .crossJoin(F.broadcast(kc))
-        .withColumn("rn", 1 + F.col("doc_id") % F.col("k"))
-        .join(
-            F.broadcast(
-                evals_rn.select(
-                    "rn",
-                    F.array_join(
-                        F.slice(F.split("text", " "), 1, _NGRAM), " "
-                    ).alias("snippet"),
-                )
-            ),
-            "rn",
-        )
+        .withColumn("pick", 11 * (F.col("doc_id") % F.col("k")))
+        .join(F.broadcast(snippets), "pick")
         .select(
             "doc_id",
             F.concat(F.col("text"), F.lit(" "), F.col("snippet")).alias("text"),

@@ -67,3 +67,43 @@ def test_broadcast_not_shuffle_for_dimension_joins(spark, sf_dir):
     # SortMergeJoin against nation/region/customer at any SF
     plan = _plan(spark, sf_dir, "join_region_rollup")
     assert "BroadcastHashJoin" in plan
+
+
+def test_vocab_topk_global_topk_is_partial_limit(spark, sf_dir):
+    # global top-k by count must distribute: TakeOrderedAndProject keeps
+    # k rows per partition before the final ordering, never a full sort.
+    plan = _plan(spark, sf_dir, "vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def _iter_jvm_nodes(node):
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        yield n
+        cs = n.children()
+        for i in range(cs.size()):
+            stack.append(cs.apply(i))
+
+
+def test_no_unbounded_single_partition_window_in_any_query(spark, sf_dir):
+    """Sweep EVERY registered query: a Window with an empty partition
+    spec moves the whole input through one task — the classic 100 TB
+    choke. It is tolerated only when the physical plan proves the
+    window's input is already bounded to ~k rows (rank-limit pushdown:
+    WindowGroupLimit, or LimitPushDownThroughWindow's
+    TakeOrderedAndProject)."""
+    offenders = []
+    for name, q in REGISTRY.items():
+        df = q.fn(spark, sf_dir)
+        qe = df._jdf.queryExecution()
+        unpartitioned = any(
+            n.getClass().getSimpleName() == "Window" and n.partitionSpec().isEmpty()
+            for n in _iter_jvm_nodes(qe.optimizedPlan())
+        )
+        if not unpartitioned:
+            continue
+        phys = qe.executedPlan().toString()
+        if "WindowGroupLimit" not in phys and "TakeOrderedAndProject" not in phys:
+            offenders.append(name)
+    assert not offenders, f"unbounded single-partition windows in: {offenders}"
