@@ -774,3 +774,140 @@ def kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dim1_mean"),
     )
+
+
+# --------------------------------------------------------------- kmeans_iterate
+
+_KM_K = 8
+_KM_ITERS = 3
+_KM_SCALE = 1_000_000
+
+
+def _kmeans_iterate_oracle() -> str:
+    """Unrolled Lloyd iterations. Centroid coordinates are quantized to
+    1e-6 between iterations (floor to scaled int, then exact bigint sum /
+    count in double) so both engines walk bit-identical centroids."""
+    cos = _cos_duck("e.embedding", "c.cd")
+    ctes = [
+        f"""cent0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding,
+           x -> floor(CAST(x AS DOUBLE) * {_KM_SCALE}) / {_KM_SCALE}.0) AS cd,
+         CAST(1 AS BIGINT) AS n
+  FROM embeddings WHERE vec_id < {_KM_K}
+)"""
+    ]
+    for i in range(1, _KM_ITERS + 1):
+        ctes.append(
+            f"""a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({cos}, 6) DESC, c.centroid_id) AS rk
+    FROM embeddings e, cent{i - 1} c
+  ) WHERE rk = 1
+)"""
+        )
+        ctes.append(
+            f"""cent{i} AS (
+  SELECT centroid_id, list(dval ORDER BY pos) AS cd, MIN(cnt) AS n FROM (
+    SELECT centroid_id, pos,
+           CAST(SUM(sv) AS DOUBLE) / (COUNT(*) * {_KM_SCALE}.0) AS dval,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT a.centroid_id, u.pos,
+             CAST(floor(CAST(a.embedding[u.pos + 1] AS DOUBLE) * {_KM_SCALE})
+                  AS BIGINT) AS sv
+      FROM a{i} a, UNNEST(range(0, {_DIM})) AS u(pos)
+    ) GROUP BY centroid_id, pos
+  ) GROUP BY centroid_id
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT centroid_id, n AS n_members, ROUND(cd[1], 6) AS dim1_mean
+FROM cent{_KM_ITERS}
+"""
+
+
+@register("kmeans_iterate", oracle=_kmeans_iterate_oracle())
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration distributed k-means: 3 chained Lloyd steps
+    (kmeans_step is one of them), converging the IVF coarse quantizer.
+
+    Per iteration: broadcast the k centroids, argmax-assign via a
+    vec_id-partitioned rank window, re-estimate each centroid as the
+    exact per-dimension mean. Centroid coordinates are quantized to
+    1e-6 between iterations — floor to a scaled int64, exact bigint sum
+    and count, one double division — so the centroid walk is
+    bit-identical across engines AND across partitionings, which is
+    what makes an iterative floating-point algorithm oracle-checkable.
+
+    Scale shape: each iteration = one broadcast (k rows) + one
+    (centroid, dim)-keyed partial-agg shuffle; the per-iteration frame is
+    localCheckpoint-ed (eager) so the logical plan stays constant-size
+    over iterations instead of doubling (the connected-components
+    lifecycle, dedup.py) — no analysis blow-up however many iterations
+    run."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE})"
+            f" as double) / {_KM_SCALE}.0D)"
+        ).alias("cd"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_r").desc(), F.col("centroid_id")
+    )
+    for _ in range(_KM_ITERS):
+        assigned = (
+            emb.crossJoin(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "embedding",
+                "centroid_id",
+                F.round(cosine("embedding", "cd"), 6).alias("cos_r"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "centroid_id")
+        )
+        per_dim = (
+            assigned.select(
+                "centroid_id", F.posexplode("embedding").alias("pos", "x")
+            )
+            .select(
+                "centroid_id",
+                "pos",
+                F.floor(F.col("x").cast("double") * _KM_SCALE)
+                .cast("bigint")
+                .alias("sv"),
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(
+                (
+                    F.sum("sv").cast("double")
+                    / (F.count(F.lit(1)) * float(_KM_SCALE))
+                ).alias("dval"),
+                F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            )
+        )
+        cent = (
+            per_dim.groupBy("centroid_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, dval))), s -> s.dval)"
+                ).alias("cd"),
+                F.min("cnt").alias("n"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent.select(
+        "centroid_id",
+        F.col("n").alias("n_members"),
+        F.round(F.element_at("cd", 1), 6).alias("dim1_mean"),
+    )

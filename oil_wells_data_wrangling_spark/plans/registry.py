@@ -55,76 +55,83 @@ def _load_all() -> None:
     import oil_wells_data_wrangling_spark.operators.dedup  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.similarity  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.spatial  # noqa: F401
+    import oil_wells_data_wrangling_spark.streaming.neardup  # noqa: F401
 
 
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-3 window: (1) the 9 operators that have never had a driver row,
-# (2) operators added this round, (3) operators whose implementation
-# changed this round, then (4) the operators whose last green row is
-# round 1 (stalest first). Everything past 50 keeps its round-1/2 green
-# row and stays covered by the identical local comparison in
+# Round-5 window: (1) the three event queries broken by the r4
+# TIMESTAMP_NTZ data drift and fixed this round, (2) queries whose
+# implementation changed this round, (3) queries new this round, (4)
+# the 8 operators whose only driver row is round 1, then (5) the
+# stalest round-2 rows (event/streaming + dedup families first; six
+# plumbing-stable r2 rows — mm_meta, mm_frame_sample, html_table,
+# fingerprint_diff, events_enrich, json_props — rotate into the r6
+# window instead). Everything past 50 keeps its old green row and
+# stays covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked (VERDICT r2 top item)
-    "range_join",
-    "winsorize",
-    "bucket_quantiles",
-    "pii_redact",
-    "decontaminate",
-    "pseudonymize",
-    "vector_quantize",
-    "ann_pq",
-    "ann_recall_eval",
-    # -- new in round 3
-    "geo_bucket",
-    "spatial_bbox",
-    "quality_topk",
-    "length_histogram",
-    "pack_sequences_grouped",
-    "kmeans_step",
-    "skew_report",
-    "integrity_report",
-    "minhash_containment",
-    "domain_cap",
-    # -- implementation changed in round 3
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "embed_neardup",
-    "events_funnel",
-    "agg_pricing_summary",
+    # -- broken in r4 by the ts encoding drift; fixed this round
     "events_rolling",
-    "events_anomaly",
-    # -- last green row is round 1: analytics
-    "semi_anti_join",
-    "pivot_status",
-    "rollup_cube",
-    "grouping_sets",
-    "window_lag_delta",
-    "salted_agg_join",
-    # -- last green row is round 1: wrangle
-    "extract_fields",
-    "parse_coordinates",
-    "api_canonical",
-    "numeric_sanitize",
-    "text_normalize",
-    "normalize_keys",
-    "csv_repair",
-    "validate_report",
-    "bad_rows",
-    "upsert_latest",
-    "extract_repeated",
-    "fuzzy_match_names",
-    "enrich_join",
-    "sentinel_to_null",
-    "serve_wells",
-    "extract_stim",
-    "serve_wells_full",
-    "well_pipeline",
-    # (the similarity family keeps its r1-green rows — displaced from
-    # the window by this round's additions)
+    "events_sessionize",
+    "events_retention",
+    # -- implementation changed in round 5
+    "pack_sequences",
+    "decontaminate",
+    # -- new in round 5
+    "neardup_incremental",
+    "kmeans_iterate",
+    # -- only driver row is round 1 (three rounds stale)
+    "ann_lsh",
+    "ann_pipeline",
+    "ann_topk",
+    "ivf_assign",
+    "percentiles",
+    "promo_revenue",
+    "sql_serving",
+    "vector_normalize",
+    # -- last driver row is round 2: events / streaming twins
+    "events_window_agg",
+    "events_sliding_agg",
+    "events_sessionize_native",
+    "events_dedup",
+    "asof_join",
+    "anomaly_mad",
+    # -- last driver row is round 2: dedup family
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_clusters",
+    "dedup_simhash",
+    "simhash_pairs",
+    "ngram_jaccard",
+    "minhash_jaccard_est",
+    # -- last driver row is round 2: text / corpus
+    "lang_id",
+    "quality_score",
+    "token_count",
+    "fingerprint",
+    "repetition_filter",
+    "vocab_topk",
+    "url_stats",
+    "url_canonical",
+    "text_chunks",
+    "sample_corpus",
+    "shard_stats",
+    "train_val_split",
+    "chunk_dedup",
+    # -- last driver row is round 2: analytics
+    "join_revenue_topn",
+    "join_region_rollup",
+    "window_rank",
+    "window_running",
+    "distinct_count",
+    "approx_distinct",
+    "approx_percentiles",
+    # -- last driver row is round 2: multimodal (touched this round)
+    "mm_resize",
+    "mm_audio_chunks",
 ]
 
 

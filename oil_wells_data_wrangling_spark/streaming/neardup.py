@@ -16,13 +16,19 @@ parquet directory maintained via foreachBatch.
 from __future__ import annotations
 
 import os
+import tempfile
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from oil_wells_data_wrangling_spark.operators.dedup import (
+    _NEAR_TAIL,
+    _docs2_sql,
     lsh_band_buckets,
+    minhash_pairs_ctes,
     minhash_signature,
 )
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
 
 def neardup_foreach_batch(store_dir: str):
@@ -69,3 +75,57 @@ def neardup_foreach_batch(store_dir: str):
         new.unpersist()
 
     return _process
+
+
+# The incremental run must converge to the batch answer: after all
+# micro-batches, the match log equals batch MinHash pairs over the union
+# (arrival order only moves a pair between the in-batch and cross-batch
+# join — the union of both is order-insensitive).
+_INC_ORACLE = f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+{minhash_pairs_ctes('docs2')}
+SELECT doc_a, doc_b FROM mh_pairs
+"""
+
+
+@register("neardup_incremental", oracle=_INC_ORACLE)
+def neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (streaming) MinHash near-dup, driven end-to-end:
+    the corpus arrives as micro-batch 1 and near-dup copies of every
+    10th doc as micro-batch 2; each batch LSH-matches against the
+    accumulated bucket store via ``neardup_foreach_batch``. Returns the
+    final match log, which must equal batch ``dedup_minhash`` over the
+    same union — the exactly-incremental property the batch oracle
+    checks.
+
+    Scale shape: per batch the work is the batch's own bucket self-join
+    plus a (band_id, bh)-keyed join of |batch|×8 bucket rows against the
+    store — never all-pairs, and state is 16-byte hashes + ids, not
+    documents. The local parquet store stands in for a band-partitioned
+    state table."""
+    base = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="neardup_inc_")
+    src = os.path.join(work, "src")
+    base.coalesce(1).write.parquet(os.path.join(src, "batch0"))
+    dups.coalesce(1).write.parquet(os.path.join(src, "batch1"))
+    store = os.path.join(work, "store")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(os.path.join(src, "batch0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "batch*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(neardup_foreach_batch(store))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(os.path.join(store, "matches"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

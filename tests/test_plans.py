@@ -78,24 +78,23 @@ def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
 
 def test_driver_window_covers_required_queries():
     """The driver's CORRECTNESS gate reads the first 50 queries() yield.
-    The round-3 window must contain every never-driver-checked operator
-    (VERDICT r2 top item), every round-3 addition, and every operator
-    whose implementation changed this round."""
+    The round-5 window must contain the three event queries fixed this
+    round (broken by the r4 ts-encoding drift), every query whose
+    implementation changed this round, every round-5 addition, and the
+    8 operators whose only driver row is round 1."""
     from oil_wells_data_wrangling_spark.plans.registry import all_queries
 
     window = list(all_queries())[:50]
     required = {
-        # never driver-checked before round 3
-        "range_join", "winsorize", "bucket_quantiles", "pii_redact",
-        "decontaminate", "pseudonymize", "vector_quantize", "ann_pq",
-        "ann_recall_eval",
-        # new in round 3
-        "geo_bucket", "spatial_bbox", "quality_topk", "length_histogram",
-        "pack_sequences_grouped", "kmeans_step", "skew_report",
-        "integrity_report", "minhash_containment", "domain_cap",
-        # changed in round 3
-        "corpus_pipeline", "corpus_pipeline_full", "embed_neardup",
-        "events_funnel",
+        # fixed in round 5 (TIMESTAMP_NTZ ingestion)
+        "events_rolling", "events_sessionize", "events_retention",
+        # changed in round 5
+        "pack_sequences", "decontaminate",
+        # new in round 5
+        "neardup_incremental", "kmeans_iterate",
+        # only driver row is round 1
+        "ann_lsh", "ann_pipeline", "ann_topk", "ivf_assign",
+        "percentiles", "promo_revenue", "sql_serving", "vector_normalize",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"
