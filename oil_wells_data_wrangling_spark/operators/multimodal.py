@@ -1,20 +1,27 @@
 """Multimodal-column operator family (SURVEY.md §2.C).
 
 Treats media as opaque ``binary`` columns with typed metadata, processed
-by Arrow-batched ``mapInPandas`` — the Spark-side plumbing (schema,
-batching, partition-preserving pass) is real; the actual image decode is
-STUBBED (no imaging libs in this environment) behind ``_decode_stub``,
-which extracts deterministic pseudo-features so the pipeline is testable
-end-to-end.
+by Arrow-batched ``mapInPandas``. The Spark-side plumbing (schema,
+batching, partition-preserving pass) is real, and two REAL decode paths
+exist using only the standard library: ``decode_png`` (8-bit
+non-interlaced PNG — zlib IDAT inflate + scanline unfiltering) and
+``decode_wav`` (PCM WAV via the ``wave`` module). Payloads whose magic
+bytes match route through the real decoder; anything else falls back to
+``_decode_stub`` (deterministic pseudo-features), mirroring the
+reference's optional-dependency gating (pdf_extraction.py:21-32). A
+PIL/opencv decoder would slot in where ``decode_png`` sits, covering
+compressed formats; the import gate below is kept for that.
 
-The test query synthesizes a 16-byte payload per document (md5 digest
-bytes) plus width/height metadata; the DuckDB oracle recomputes the
-expected features (payload length, 4-byte magic, thumbnail size)
-directly from md5/text — so even the UDF path has an exact oracle.
+The ORACLE queries synthesize 16-byte md5 payloads (not valid PNG/WAV),
+so they exercise the stub path and stay exactly SQL-checkable; the real
+decoders are exercised distributed over genuine bytes in
+tests/test_multimodal_real.py.
 """
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,23 +31,153 @@ from pyspark.sql import functions as F
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
-try:  # real decoder would live here; not available in this container
+try:  # compressed-format decoders would live here if the lib is present
     import PIL.Image  # noqa: F401
 
     _HAS_PIL = True
 except Exception:
     _HAS_PIL = False
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def _decode_stub(payload: bytes) -> dict:
     """Deterministic fake 'decode': length + big-endian 4-byte magic.
 
-    With an imaging lib present this is where Image.open(BytesIO(payload))
-    would go; the surrounding batching/schema contract is unchanged.
+    Fallback for payloads no real decoder claims; the surrounding
+    batching/schema contract is identical to the real paths.
     """
     return {
         "n_bytes": len(payload),
         "magic": int.from_bytes(payload[:4], "big"),
+    }
+
+
+def decode_png(payload: bytes) -> dict | None:
+    """Pure-stdlib PNG decode: 8-bit grayscale/RGB/RGBA, non-interlaced.
+
+    Parses IHDR for dimensions, inflates the IDAT stream (zlib), and
+    reverses the per-scanline filters (None/Sub/Up/Average/Paeth) to
+    recover raw pixel bytes. Returns ``{width, height, channels,
+    pixels}`` or None when the payload is not a PNG this decoder
+    handles (caller falls back to the stub / a library decoder)."""
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    pos = 8
+    width = height = channels = None
+    idat = b""
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 6):
+                return None
+            channels = {0: 1, 2: 3, 6: 4}[colortype]
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        return None
+    raw = zlib.decompress(idat)
+    stride = width * channels
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _y in range(height):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pr) & 0xFF
+        out += line
+        prev = line
+    return {
+        "width": width,
+        "height": height,
+        "channels": channels,
+        "pixels": bytes(out),
+    }
+
+
+def nn_resize(
+    pixels: bytes, w: int, h: int, channels: int, new_w: int, new_h: int
+) -> bytes:
+    """Nearest-neighbor resample — integer source indexing (floor of
+    i*src/dst), bit-deterministic across machines."""
+    out = bytearray(new_w * new_h * channels)
+    for y in range(new_h):
+        sy = y * h // new_h
+        src_row = sy * w * channels
+        dst_row = y * new_w * channels
+        for x in range(new_w):
+            sx = x * w // new_w
+            s = src_row + sx * channels
+            d = dst_row + x * channels
+            out[d : d + channels] = pixels[s : s + channels]
+    return bytes(out)
+
+
+def decode_wav(payload: bytes) -> dict | None:
+    """Pure-stdlib PCM WAV decode via the ``wave`` module: sample rate,
+    16-bit mono/stereo samples (stereo averaged to mono with integer
+    arithmetic). Returns ``{sample_rate, n_frames, dur_ms, samples}``
+    or None for payloads that aren't PCM WAV."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    import array
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wv:
+            sr = wv.getframerate()
+            nch = wv.getnchannels()
+            sw = wv.getsampwidth()
+            n = wv.getnframes()
+            frames = wv.readframes(n)
+    except wave.Error:
+        return None
+    if sw != 2 or nch not in (1, 2):
+        return None
+    samples = array.array("h")
+    samples.frombytes(frames)
+    if nch == 2:
+        mono = array.array(
+            "h",
+            (
+                (samples[2 * i] + samples[2 * i + 1]) // 2
+                for i in range(len(samples) // 2)
+            ),
+        )
+        samples = mono
+    return {
+        "sample_rate": sr,
+        "n_frames": n,
+        "dur_ms": n * 1000 // sr,
+        "samples": samples,
     }
 
 
@@ -77,18 +214,79 @@ WITH img AS (
 )
 SELECT doc_id, w, h,
        CAST(CASE WHEN w >= h THEN 224 ELSE (w * 224) // h END AS INTEGER) AS new_w,
-       CAST(CASE WHEN h >= w THEN 224 ELSE (h * 224) // w END AS INTEGER) AS new_h
+       CAST(CASE WHEN h >= w THEN 224 ELSE (h * 224) // w END AS INTEGER) AS new_h,
+       CAST(NULL AS VARCHAR) AS thumb_fp
 FROM img
 """
 
 
+def resize_features(media: DataFrame) -> DataFrame:
+    """Fit each image into a 224×224 box preserving aspect ratio with
+    integer arithmetic (deterministic — no float scale factor), over
+    (doc_id, payload binary, w int, h int).
+
+    Payloads carrying a real PNG take the REAL path: header dimensions
+    override the metadata (w, h) and the pixels are nearest-neighbor
+    resampled to the target box (``decode_png`` + ``nn_resize``);
+    anything else keeps the metadata dims and passes bytes through
+    untouched (stub path — the oracle queries use it)."""
+
+    import hashlib
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["w"].astype("int64").copy()
+            h = pdf["h"].astype("int64").copy()
+            decoded = {}
+            for idx in pdf.index:
+                payload = bytes(pdf.at[idx, "payload"])
+                if payload.startswith(_PNG_MAGIC):
+                    img = decode_png(payload)
+                    if img is not None:
+                        decoded[idx] = img
+                        w.at[idx] = img["width"]
+                        h.at[idx] = img["height"]
+            new_w = pd.Series(
+                [224 if wi >= hi else (wi * 224) // hi for wi, hi in zip(w, h)],
+                index=pdf.index,
+            )
+            new_h = pd.Series(
+                [224 if hi >= wi else (hi * 224) // wi for wi, hi in zip(w, h)],
+                index=pdf.index,
+            )
+            thumb_fp = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            for idx, img in decoded.items():
+                thumb = nn_resize(
+                    img["pixels"],
+                    img["width"],
+                    img["height"],
+                    img["channels"],
+                    int(new_w.at[idx]),
+                    int(new_h.at[idx]),
+                )
+                thumb_fp.at[idx] = hashlib.md5(thumb).hexdigest()
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "w": w.astype("int32"),
+                    "h": h.astype("int32"),
+                    "new_w": new_w.astype("int32"),
+                    "new_h": new_h.astype("int32"),
+                    "thumb_fp": thumb_fp,
+                }
+            )
+
+    return media.mapInPandas(
+        _batches,
+        schema="doc_id long, w int, h int, new_w int, new_h int, thumb_fp string",
+    )
+
+
 @register("mm_resize", oracle=_RESIZE_ORACLE)
 def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image resize plumbing: fit each (w, h) into a 224×224 box
-    preserving aspect ratio with integer arithmetic (deterministic —
-    no float scale factor). The Arrow-batched stub computes target dims
-    exactly where a PIL/opencv resample would run; payload bytes pass
-    through untouched."""
+    """Image resize plumbing over synthesized (non-PNG) payloads — the
+    stub branch of ``resize_features``; the PNG branch is exercised on
+    real bytes in tests/test_multimodal_real.py."""
     t = load_tables(spark, sf_dir)
     media = t.documents.select(
         "doc_id",
@@ -96,30 +294,7 @@ def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(16) + F.col("n_chars") % 640).cast("int").alias("w"),
         (F.lit(16) + (F.col("n_chars") * 3) % 480).cast("int").alias("h"),
     )
-
-    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            w, h = pdf["w"], pdf["h"]
-            new_w = [
-                224 if wi >= hi else (wi * 224) // hi for wi, hi in zip(w, h)
-            ]
-            new_h = [
-                224 if hi >= wi else (hi * 224) // wi for wi, hi in zip(w, h)
-            ]
-            # a real implementation resamples pdf["payload"] here
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "w": w,
-                    "h": h,
-                    "new_w": pd.Series(new_w, dtype="int32"),
-                    "new_h": pd.Series(new_h, dtype="int32"),
-                }
-            )
-
-    return media.mapInPandas(
-        _batches, schema="doc_id long, w int, h int, new_w int, new_h int"
-    )
+    return resize_features(media)
 
 
 _FRAME_ORACLE = """
@@ -290,5 +465,61 @@ def mm_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema=(
             "doc_id long, sample_rate int, dur_ms long, n_chunks int,"
             " chunk_fp string, level_sum long"
+        ),
+    )
+
+
+def wav_chunk_features(df: DataFrame) -> DataFrame:
+    """REAL-decode twin of mm_audio_chunks over (doc_id, payload) with
+    PCM WAV bytes: ``decode_wav`` (stdlib ``wave``) recovers sample rate
+    and 16-bit samples, which are windowed into 5-second chunks; the
+    per-chunk level is the integer mean absolute amplitude, summed —
+    the exact windowing a soundfile/librosa loader would feed an audio
+    encoder, with integer arithmetic end to end so results are
+    bit-deterministic. Non-WAV payloads yield NULL features (the
+    optional-dependency contract the stub operators document)."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {
+                "doc_id": list(pdf["doc_id"]),
+                "sample_rate": [],
+                "dur_ms": [],
+                "n_chunks": [],
+                "level_sum": [],
+            }
+            for payload in pdf["payload"]:
+                a = decode_wav(bytes(payload))
+                if a is None:
+                    for k in ("sample_rate", "dur_ms", "n_chunks", "level_sum"):
+                        out[k].append(None)
+                    continue
+                sr, samples = a["sample_rate"], a["samples"]
+                chunk = 5 * sr
+                n_chunks = max(1, (len(samples) + chunk - 1) // chunk)
+                level_sum = 0
+                for ci in range(n_chunks):
+                    part = samples[ci * chunk : (ci + 1) * chunk]
+                    if len(part):
+                        level_sum += sum(abs(x) for x in part) // len(part)
+                out["sample_rate"].append(sr)
+                out["dur_ms"].append(a["dur_ms"])
+                out["n_chunks"].append(n_chunks)
+                out["level_sum"].append(level_sum)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "sample_rate": pd.Series(out["sample_rate"], dtype="Int32"),
+                    "dur_ms": pd.Series(out["dur_ms"], dtype="Int64"),
+                    "n_chunks": pd.Series(out["n_chunks"], dtype="Int32"),
+                    "level_sum": pd.Series(out["level_sum"], dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        _batches,
+        schema=(
+            "doc_id long, sample_rate int, dur_ms long, n_chunks int,"
+            " level_sum long"
         ),
     )

@@ -1,0 +1,176 @@
+"""REAL media bytes through the multimodal operators, distributed.
+
+The oracle queries exercise the stub branch (synthesized payloads);
+these tests build genuine PNG and PCM-WAV bytes with the stdlib
+(zlib/struct/wave), ship them through the Arrow-batched mapInPandas
+operators, and check the decoded features against locally computed
+ground truth — proving the real decode path, not just the plumbing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import struct
+import wave
+import zlib
+
+from oil_wells_data_wrangling_spark.operators.multimodal import (
+    decode_png,
+    decode_wav,
+    nn_resize,
+    resize_features,
+    wav_chunk_features,
+)
+
+
+# ----------------------------------------------------------- encoders (tests)
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data))
+    )
+
+
+def encode_png(width: int, height: int, pixels: bytes, channels: int = 3) -> bytes:
+    """Minimal PNG writer: 8-bit, one row filter per scanline cycling
+    through all five filter types so the decoder's unfiltering is
+    genuinely exercised."""
+    colortype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    stride = width * channels
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(pixels[y * stride : (y + 1) * stride])
+        f = y % 5
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = line[i - channels] if i >= channels else 0
+            b = prev[i]
+            c = prev[i - channels] if i >= channels else 0
+            if f == 0:
+                filt[i] = line[i]
+            elif f == 1:
+                filt[i] = (line[i] - a) & 0xFF
+            elif f == 2:
+                filt[i] = (line[i] - b) & 0xFF
+            elif f == 3:
+                filt[i] = (line[i] - (a + b) // 2) & 0xFF
+            else:
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                filt[i] = (line[i] - pr) & 0xFF
+        raw.append(f)
+        raw += filt
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(sample_rate: int, samples: list[int], channels: int = 1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(channels)
+        wv.setsampwidth(2)
+        wv.setframerate(sample_rate)
+        wv.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def _gradient(width: int, height: int, channels: int = 3) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + c * 29) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(channels)
+    )
+
+
+# ------------------------------------------------------------------ unit round-trip
+
+def test_png_roundtrip_all_filters():
+    px = _gradient(6, 10)
+    img = decode_png(encode_png(6, 10, px))
+    assert img is not None
+    assert (img["width"], img["height"], img["channels"]) == (6, 10, 3)
+    assert img["pixels"] == px
+
+
+def test_wav_roundtrip_mono_and_stereo():
+    mono = [((i * 37) % 2000) - 1000 for i in range(800)]
+    a = decode_wav(encode_wav(8000, mono))
+    assert a is not None
+    assert a["sample_rate"] == 8000 and a["n_frames"] == 800
+    assert list(a["samples"]) == mono
+    stereo = [v for i in range(400) for v in (i % 100, -(i % 100))]
+    b = decode_wav(encode_wav(8000, stereo, channels=2))
+    assert b is not None and b["n_frames"] == 400
+    # integer average of (v, -v) floors toward -inf for odd v
+    assert list(b["samples"]) == [
+        (i % 100 + -(i % 100)) // 2 for i in range(400)
+    ]
+
+
+# ----------------------------------------------------------- distributed real decode
+
+def test_resize_features_decodes_real_png_distributed(spark):
+    sizes = [(10, 4), (300, 50), (16, 224), (64, 64), (5, 301)]
+    rows = []
+    expect = {}
+    for doc_id, (w, h) in enumerate(sizes):
+        px = _gradient(w, h)
+        payload = encode_png(w, h, px)
+        # metadata dims are WRONG on purpose: the real header must win
+        rows.append((doc_id, bytearray(payload), 999, 111))
+        new_w = 224 if w >= h else (w * 224) // h
+        new_h = 224 if h >= w else (h * 224) // w
+        thumb = nn_resize(px, w, h, 3, new_w, new_h)
+        expect[doc_id] = (w, h, new_w, new_h, hashlib.md5(thumb).hexdigest())
+    # a non-PNG payload keeps metadata dims and a NULL fingerprint
+    rows.append((99, bytearray(b"not a png"), 40, 30))
+    expect[99] = (40, 30, 224, 168, None)
+
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, w int, h int"
+    ).repartition(4)
+    got = {
+        r["doc_id"]: (r["w"], r["h"], r["new_w"], r["new_h"], r["thumb_fp"])
+        for r in resize_features(media).collect()
+    }
+    assert got == expect
+
+
+def test_wav_chunk_features_decodes_real_wav_distributed(spark):
+    sr = 8000
+    rows = []
+    expect = {}
+    for doc_id, dur_s in enumerate([0.25, 1.0, 5.0, 12.5]):
+        n = int(sr * dur_s)
+        samples = [((i * 31 + doc_id * 7) % 4001) - 2000 for i in range(n)]
+        rows.append((doc_id, bytearray(encode_wav(sr, samples))))
+        chunk = 5 * sr
+        n_chunks = max(1, (n + chunk - 1) // chunk)
+        level_sum = 0
+        for ci in range(n_chunks):
+            part = samples[ci * chunk : (ci + 1) * chunk]
+            if part:
+                level_sum += sum(abs(x) for x in part) // len(part)
+        expect[doc_id] = (sr, n * 1000 // sr, n_chunks, level_sum)
+    rows.append((99, bytearray(b"RIFFxxxxJUNK")))  # RIFF but not WAVE
+    expect[99] = (None, None, None, None)
+
+    df = spark.createDataFrame(rows, "doc_id long, payload binary").repartition(3)
+    got = {
+        r["doc_id"]: (r["sample_rate"], r["dur_ms"], r["n_chunks"], r["level_sum"])
+        for r in wav_chunk_features(df).collect()
+    }
+    assert got == expect
