@@ -189,11 +189,11 @@ def ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_PLANES = 8
 
 
-def _planes() -> list[list[float]]:
+def _planes(n_planes: int = _N_PLANES) -> list[list[float]]:
     """Fixed pseudo-random hyperplanes derived from md5 — reproducible
     everywhere, no RNG state."""
     out = []
-    for j in range(_N_PLANES):
+    for j in range(n_planes):
         row = []
         for d in range(_DIM):
             h = int(hashlib.md5(f"{j}_{d}".encode()).hexdigest()[:8], 16)
@@ -217,9 +217,9 @@ FROM embeddings GROUP BY 1
 """
 
 
-def _bucket_expr_spark() -> str:
+def _bucket_expr_spark(n_planes: int = _N_PLANES) -> str:
     cols = []
-    for j, row in enumerate(_planes()):
+    for j, row in enumerate(_planes(n_planes)):
         arr_sql = "array(" + ", ".join(f"cast({repr(v)} as double)" for v in row) + ")"
         dot_sql = (
             f"aggregate(zip_with(embedding, {arr_sql}, "
