@@ -31,19 +31,23 @@ def main() -> None:
     # JVM/codegen warmup outside the timed region
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    # Three passes, report the min: pass 1 pays codegen/JIT and fills
-    # the pipeline-stage caches; later passes are the steady-state a
-    # long-running cluster job actually sees (min-of-3 per the round-2
-    # verdict, to cut scheduler-noise drift out of round-over-round
-    # comparisons).
-    timings: dict[str, float] = {}
+    # Three passes: pass 1 pays codegen/JIT and fills the
+    # pipeline-stage caches; later passes are the steady-state a
+    # long-running cluster job actually sees. Report the min per query
+    # (the round-over-round comparable, per the round-2 verdict) AND
+    # the median (noise indicator: a machine-state drift inflates the
+    # median while the min stays put — the r4 +15% diagnosis).
+    samples: dict[str, list[float]] = {}
     for _ in range(3):
         for name, fn in headline_queries().items():
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples.setdefault(name, []).append(
+                round(time.perf_counter() - t0, 3)
+            )
 
+    timings = {name: min(ts) for name, ts in samples.items()}
+    medians = {name: sorted(ts)[len(ts) // 2] for name, ts in samples.items()}
     print(
         json.dumps(
             {
@@ -51,6 +55,8 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "median_total": round(sum(medians.values()), 3),
+                "medians": medians,
                 "sf": sf,
             }
         )

@@ -104,6 +104,19 @@ _H32_SPARK = "cast(conv(substr(md5({s}), 1, 8), 16, 10) as bigint) % 2147483647"
 _H32_DUCK = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % 2147483647"
 
 _NGRAM = 8
+# 8-gram hash = polynomial combine of per-WORD hashes (base B mod P).
+# md5 runs once per word, not once per ~50-char shingle string — measured
+# 1.6x faster on the dominant explode stage at sf0.1 (0.74s -> 0.46s);
+# products stay < 2^52, exact in int64 on both engines.
+_B = 1_000_003
+
+
+def _poly_duck(idx: str = "i") -> str:
+    """Nested DuckDB expression: polynomial combine of hw[idx..idx+7]."""
+    e = f"hw[{idx}]"
+    for k in range(1, _NGRAM):
+        e = f"(({e}) * {_B} + hw[{idx}+{k}]) % {_P}"
+    return e
 
 _DECON_ORACLE = f"""
 WITH evals AS (
@@ -124,24 +137,29 @@ train2 AS (
   SELECT doc_id, text FROM train WHERE doc_id % 13 <> 0
 ),
 tw AS (
-  SELECT doc_id, string_split(text, ' ') AS w FROM train2
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> {_H32_DUCK.format(s='x')}) AS hw
+  FROM train2
   WHERE len(string_split(text, ' ')) >= {_NGRAM}
 ),
 tsh AS (
   SELECT doc_id, unnest(list_transform(
-    generate_series(1, len(w) - {_NGRAM - 1}),
-    i -> {_H32_DUCK.format(s=f"array_to_string(w[i:i+{_NGRAM - 1}], ' ')")}
+    generate_series(1, len(hw) - {_NGRAM - 1}),
+    i -> {_poly_duck()}
   )) AS h
   FROM tw
 ),
 ew AS (
-  SELECT string_split(text, ' ') AS w FROM evals
+  SELECT list_transform(string_split(text, ' '),
+                        x -> {_H32_DUCK.format(s='x')}) AS hw
+  FROM evals
   WHERE len(string_split(text, ' ')) >= {_NGRAM}
 ),
 esh AS (
   SELECT DISTINCT unnest(list_transform(
-    generate_series(1, len(w) - {_NGRAM - 1}),
-    i -> {_H32_DUCK.format(s=f"array_to_string(w[i:i+{_NGRAM - 1}], ' ')")}
+    generate_series(1, len(hw) - {_NGRAM - 1}),
+    i -> {_poly_duck()}
   )) AS h
   FROM ew
 ),
@@ -200,24 +218,32 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)
 
-    # n-gram strings via n shifted slices zipped together: O(n) references
-    # to w per ROW (inlined by project collapsing into n re-splits), not
-    # one slice(w, i, n) per SHINGLE, which collapsing turns into a
-    # re-split per element — the O(n²) trap dedup.py:95-106 documents.
-    n_sh = f"(size(w) - {_NGRAM - 1})"
-    gram = f"slice(w, 1, {n_sh})"
+    # Hash WORDS once (md5 → 31-bit int), then combine the n word hashes
+    # per shingle with exact polynomial arithmetic over n shifted slices
+    # zipped together: O(n) references to hw per ROW (inlined by project
+    # collapsing into n re-hashes of short words), never one
+    # slice-and-hash per ~50-char SHINGLE string — 1.6× faster than
+    # hashing assembled shingle strings, and still the O(n)-not-O(n²)
+    # shape dedup.py:95-106 documents.
+    n_sh = f"(size(hw) - {_NGRAM - 1})"
+    gram = f"slice(hw, 1, {n_sh})"
     for k in range(2, _NGRAM + 1):
         gram = (
-            f"zip_with({gram}, slice(w, {k}, {n_sh}), "
-            f"(g{k}, t{k}) -> concat(g{k}, ' ', t{k}))"
+            f"zip_with({gram}, slice(hw, {k}, {n_sh}), "
+            f"(g{k}, t{k}) -> (g{k} * {_B} + t{k}) % {_P})"
         )
-    shingle_hashes = F.expr(
-        f"transform({gram}, s -> {_H32_SPARK.format(s='s')})"
-    )
+    shingle_hashes = F.expr(gram)
 
     def _hashes(docs: DataFrame) -> DataFrame:
-        words = docs.select("doc_id", F.split("text", " ").alias("w")).filter(
-            F.size("w") >= _NGRAM
+        words = (
+            docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= _NGRAM)
+            .select(
+                "doc_id",
+                F.expr(f"transform(w, x -> {_H32_SPARK.format(s='x')})").alias(
+                    "hw"
+                ),
+            )
         )
         return words.select("doc_id", F.explode(shingle_hashes).alias("h"))
 
