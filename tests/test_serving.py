@@ -1,0 +1,59 @@
+"""End-to-end serving-tier test: Spark builds the partitioned JSON
+export, the stdlib HTTP server serves it, and a real GET returns the
+same rows the serving query computed (reference parity: app.py:15-38,
+but with the join precomputed instead of run per request)."""
+
+from __future__ import annotations
+
+import json
+import urllib.request
+
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.operators.spatial import with_coordinates
+from oil_wells_data_wrangling_spark.serving import serve_wells_http
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+from oil_wells_data_wrangling_spark.sources.sinks import export_json
+
+
+def _get(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        assert r.headers["Content-Type"] == "application/json"
+        return json.loads(r.read())
+
+
+def test_http_serving_over_partitioned_export(spark, sf_dir, tmp_path):
+    pos = with_coordinates(load_tables(spark, sf_dir).supplier).withColumn(
+        "band", (F.col("cell_lat") / 30).cast("int")
+    )
+    export = pos.drop("cell_lat", "cell_lon")
+    path = str(tmp_path / "wells_json")
+    export_json(export, path, partition_col="band")
+
+    want = {
+        (r["s_suppkey"], r["band"]): (r["lat"], r["lon"])
+        for r in export.collect()
+    }
+    bands = {b for (_, b) in want}
+
+    server = serve_wells_http(path)
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        # full fetch: every exported row, partition column re-attached
+        rows = _get(f"{base}/wells")
+        got = {(r["s_suppkey"], int(r["band"])): (r["lat"], r["lon"]) for r in rows}
+        assert got == want
+        # viewport fetch: exactly one partition directory
+        band = sorted(bands)[0]
+        rows = _get(f"{base}/wells?band={band}")
+        assert rows and all(int(r["band"]) == band for r in rows)
+        assert len(rows) == sum(1 for (_, b) in want if b == band)
+        # unknown path 404s
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+            raised = False
+        except urllib.error.HTTPError as e:
+            raised = e.code == 404
+        assert raised
+    finally:
+        server.shutdown()
