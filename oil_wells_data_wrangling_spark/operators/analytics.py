@@ -909,3 +909,63 @@ def integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(orphan_l)
         .crossJoin(null_ck)
     )
+
+
+# ------------------------------------------------------------------ cdc_apply
+
+_CDC_ORACLE = """
+WITH log AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status, u.v AS version,
+         CASE WHEN (o_orderkey + u.v) % 11 = 0 THEN 'D' ELSE 'U' END AS op
+  FROM orders, UNNEST(generate_series(1, o_orderkey % 3 + 1)) AS u(v)
+),
+latest AS (
+  SELECT key, status, version, op FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY key ORDER BY version DESC) AS rk
+    FROM log) WHERE rk = 1
+),
+live AS (
+  SELECT * FROM latest WHERE op <> 'D'
+)
+SELECT status,
+       CAST(COUNT(*) AS BIGINT) AS n_live,
+       CAST(SUM(version) AS BIGINT) AS version_sum
+FROM live GROUP BY status
+"""
+
+
+@register("cdc_apply", oracle=_CDC_ORACLE)
+def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture apply: collapse a versioned change log
+    (upserts + deletes per key) to the live snapshot — the MERGE a
+    lakehouse table format runs on every CDC sync, expressed as a
+    query. The log is synthesized deterministically from orders (1-3
+    versions per key, every 11th (key+version) a delete); latest
+    version wins per key, a terminal delete removes the key.
+
+    Scale shape: the winner pick is a key-partitioned rank window
+    (WindowGroupLimit-eligible: rank==1 → per-partition partial top-1
+    before the shuffle), then a partial-agg rollup — never a
+    whole-table sort or driver-side merge loop; the same plan applies
+    a billion-row change log."""
+    t = load_tables(spark, sf_dir)
+    log = t.orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("o_orderkey") % 3 + 1).cast("int"))
+        ).alias("version"),
+    ).withColumn(
+        "op",
+        F.when((F.col("key") + F.col("version")) % 11 == 0, "D").otherwise("U"),
+    )
+    w = Window.partitionBy("key").orderBy(F.col("version").desc())
+    live = (
+        log.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("op") != "D"))
+    )
+    return live.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_live"),
+        F.sum("version").cast("bigint").alias("version_sum"),
+    )

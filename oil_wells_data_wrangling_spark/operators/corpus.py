@@ -608,3 +608,46 @@ def pack_sequences_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------- stratified_sample
+
+_STRAT_K = 20
+
+_STRAT_ORACLE = f"""
+WITH ranked AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5('strat_v1_' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT lang, CAST(rk AS INTEGER) AS rank, doc_id
+FROM ranked WHERE rk <= {_STRAT_K}
+"""
+
+
+@register("stratified_sample", oracle=_STRAT_ORACLE)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (k docs per language): rank each
+    stratum by a salted content-id hash and keep the first k — a
+    deterministic reservoir. Unlike rate-based sample_corpus (keep
+    probability per row), this guarantees the per-stratum COUNT — the
+    contract an eval-set or annotation batch needs — while the hash
+    ordering stays uniform, reproducible across engines and runs, and
+    free of RNG state.
+
+    Scale shape: the rank window is stratum-partitioned and
+    WindowGroupLimit pushes rank<=k to a per-partition partial top-k
+    before the shuffle, so only k rows per (stratum, input partition)
+    ride the exchange."""
+    t = load_tables(spark, sf_dir)
+    salt = F.md5(F.concat(F.lit("strat_v1_"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(salt, "doc_id")
+    return (
+        t.documents.select("lang", "doc_id")
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _STRAT_K)
+        .select("lang", "rank", "doc_id")
+    )

@@ -593,3 +593,79 @@ def anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalies"),
         )
     )
+
+
+# ------------------------------------------------------------ events_gap_fill
+
+_GAP_FILL_ORACLE = f"""
+WITH e AS (
+  SELECT user_id,
+         CAST(floor(epoch_us({_TS_US}) / 3600000000) AS BIGINT) AS h,
+         value
+  FROM events
+),
+agg AS (
+  SELECT user_id, h,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         {sql_dsum('value', 6)} AS hour_value
+  FROM e GROUP BY 1, 2
+),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(h), max(h))) AS h
+  FROM e GROUP BY user_id
+),
+j AS (
+  SELECT s.user_id, s.h,
+         COALESCE(a.n_events, 0) AS n_events, a.hour_value
+  FROM spine s LEFT JOIN agg a ON s.user_id = a.user_id AND s.h = a.h
+)
+SELECT user_id, h AS hour_id, CAST(n_events AS BIGINT) AS n_events,
+       last_value(hour_value IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+FROM j
+"""
+
+
+@register("events_gap_fill", oracle=_GAP_FILL_ORACLE)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: resample each user's event stream to
+    an hourly grid between their first and last event, carrying the
+    last observed hourly value forward across gaps (n_events=0 rows) —
+    the resample + forward-fill every downstream feature/monitoring
+    job needs before joining time series.
+
+    Scale shape: the hourly pre-aggregation shuffles once on
+    (user, hour); the spine is a per-user sequence() explode (bounded
+    by the user's own time range, never a global calendar cross join);
+    the forward fill is a user-partitioned last(ignorenulls) window
+    reusing the same partitioning. Exact: hourly sums go through the
+    scaled-int64 dsum, so the carried value is bit-identical across
+    engines."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select(
+        "user_id",
+        F.floor(F.unix_micros("ts") / 3_600_000_000).cast("bigint").alias("h"),
+        "value",
+    )
+    agg = e.groupBy("user_id", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6).alias("hour_value"),
+    )
+    spine = (
+        e.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select("user_id", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    j = spine.join(agg, ["user_id", "h"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return j.select(
+        "user_id",
+        F.col("h").alias("hour_id"),
+        F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
+    )

@@ -585,3 +585,60 @@ def domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.count(F.when(F.col("rk") <= _CAP_K, 1)).alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------- ngram_counts
+
+_NGRAM_TOPK = 50
+
+_NGRAM_COUNTS_ORACLE = f"""
+WITH tok AS (
+  SELECT string_split(text, ' ') AS w FROM documents
+),
+grams AS (
+  SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1])) AS gram
+  FROM tok WHERE len(w) >= 2
+),
+c AS (
+  SELECT gram, CAST(COUNT(*) AS BIGINT) AS cnt FROM grams GROUP BY gram
+),
+r AS (
+  SELECT gram, cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, gram) AS INTEGER) AS rank
+  FROM c
+)
+SELECT gram, cnt, rank FROM r WHERE rank <= {_NGRAM_TOPK}
+"""
+
+
+@register("ngram_counts", oracle=_NGRAM_COUNTS_ORACLE)
+def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k word bigrams — the n-gram statistics a
+    BPE/WordPiece tokenizer-training pass and language-model data audits
+    start from (vocab_topk's unigram sibling).
+
+    Scale shape: bigrams come from two shifted slices zipped inside the
+    scan (no self-join, no per-gram regex); counts combine map-side so
+    only (gram, partial-count) pairs shuffle, and the global top-k is a
+    rank-limit pushdown (TakeOrderedAndProject / WindowGroupLimit —
+    pinned by the plan sweep), never a full sort."""
+    t = load_tables(spark, sf_dir)
+    grams = F.expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), "
+        "(g, t) -> concat(g, ' ', t))"
+    )
+    counts = (
+        t.documents.select(F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("cnt").desc(), F.col("gram"))
+    return (
+        counts.select(
+            "gram", "cnt", F.row_number().over(w).cast("int").alias("rank")
+        )
+        .filter(F.col("rank") <= _NGRAM_TOPK)
+    )

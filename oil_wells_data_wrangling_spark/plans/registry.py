@@ -83,6 +83,10 @@ _WINDOW_PRIORITY = [
     # -- new in round 5
     "neardup_incremental",
     "kmeans_iterate",
+    "ngram_counts",
+    "stratified_sample",
+    "events_gap_fill",
+    "cdc_apply",
     # -- only driver row is round 1 (three rounds stale)
     "ann_lsh",
     "ann_pipeline",
@@ -121,13 +125,12 @@ _WINDOW_PRIORITY = [
     "shard_stats",
     "train_val_split",
     "chunk_dedup",
-    # -- last driver row is round 2: analytics
+    # -- last driver row is round 2: analytics (window_rank,
+    # window_running, distinct_count, approx_distinct displaced to the
+    # r6 window by this round's four new operators — stable since r2,
+    # still locally parity-checked)
     "join_revenue_topn",
     "join_region_rollup",
-    "window_rank",
-    "window_running",
-    "distinct_count",
-    "approx_distinct",
     "approx_percentiles",
     # -- last driver row is round 2: multimodal (touched this round)
     "mm_resize",
