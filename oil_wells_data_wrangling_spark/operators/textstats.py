@@ -642,3 +642,73 @@ def ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= _NGRAM_TOPK)
     )
+
+
+# ----------------------------------------------------------------- tfidf_topk
+
+_TFIDF_K = 3
+_IDF_SCALE = 1_000_000
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+tf AS (
+  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2
+),
+df AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.word, tf.tf,
+         tf.tf * ((n.n * {_IDF_SCALE}) // df.df) AS score
+  FROM tf JOIN df ON tf.word = df.word CROSS JOIN n
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rank, word,
+       tf, CAST(score AS BIGINT) AS score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+  FROM scored
+) WHERE rk <= {_TFIDF_K}
+"""
+
+
+@register("tfidf_topk", oracle=_TFIDF_ORACLE)
+def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k distinguishing terms by TF-IDF — keyword
+    extraction / topic tagging over the corpus. The idf is the exact
+    integer ``(N * 1e6) div df`` (a monotone transform of N/df), so
+    scores are bigints and the ranking is bit-identical across engines —
+    no ln() whose last-ulp could differ between libm implementations.
+
+    Scale shape: tokenize → (doc, word) partial-agg shuffle; document
+    frequencies aggregate the tf frame again (word-keyed, partial-agg);
+    the df table is vocabulary-sized and broadcast here (closed test
+    vocabulary — at open-vocabulary scale swap for a word-partitioned
+    shuffle join); the final rank window is doc-partitioned with
+    WindowGroupLimit pushdown."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            (F.col("tf") * F.expr(f"(n * {_IDF_SCALE}) div df")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "word")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TFIDF_K)
+        .select("doc_id", "rank", "word", "tf", F.col("score").cast("bigint").alias("score"))
+    )

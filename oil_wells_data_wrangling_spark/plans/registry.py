@@ -87,6 +87,7 @@ _WINDOW_PRIORITY = [
     "stratified_sample",
     "events_gap_fill",
     "cdc_apply",
+    "tfidf_topk",
     # -- only driver row is round 1 (three rounds stale)
     "ann_lsh",
     "ann_pipeline",
@@ -126,12 +127,12 @@ _WINDOW_PRIORITY = [
     "train_val_split",
     "chunk_dedup",
     # -- last driver row is round 2: analytics (window_rank,
-    # window_running, distinct_count, approx_distinct displaced to the
-    # r6 window by this round's four new operators — stable since r2,
-    # still locally parity-checked)
+    # window_running, distinct_count, approx_distinct,
+    # approx_percentiles displaced to the r6 window by this round's
+    # five new operators — stable since r2, still locally
+    # parity-checked)
     "join_revenue_topn",
     "join_region_rollup",
-    "approx_percentiles",
     # -- last driver row is round 2: multimodal (touched this round)
     "mm_resize",
     "mm_audio_chunks",
