@@ -76,6 +76,17 @@ def test_vocab_topk_global_topk_is_partial_limit(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_round5_rank_windows_push_partial_limits(spark, sf_dir):
+    # the new grouped rank<=k operators must pre-limit per partition
+    # (WindowGroupLimit); the global bigram top-k must use the
+    # distributed partial limit.
+    for name in ("stratified_sample", "tfidf_topk", "cdc_apply"):
+        plan = _plan(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, f"{name}: rank<=k not pushed down"
+    plan = _plan(spark, sf_dir, "ngram_counts")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+
+
 def _iter_jvm_nodes(node):
     stack = [node]
     while stack:
