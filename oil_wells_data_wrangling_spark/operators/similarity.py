@@ -783,11 +783,24 @@ _KM_ITERS = 3
 _KM_SCALE = 1_000_000
 
 
-def _kmeans_iterate_oracle() -> str:
-    """Unrolled Lloyd iterations. Centroid coordinates are quantized to
-    1e-6 between iterations (floor to scaled int, then exact bigint sum /
-    count in double) so both engines walk bit-identical centroids."""
+def _km_ctes(extra_assign: bool = False) -> str:
+    """Unrolled Lloyd-iteration CTE chain (cent0..centN, a1..aN, and —
+    with ``extra_assign`` — a final assignment a{N+1} under centN).
+    Centroid coordinates are quantized to 1e-6 between iterations
+    (floor to scaled int, then exact bigint sum / count in double) so
+    both engines walk bit-identical centroids."""
     cos = _cos_duck("e.embedding", "c.cd")
+
+    def assign_cte(i: int) -> str:
+        return f"""a{i} AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ROUND({cos}, 6) DESC, c.centroid_id) AS rk
+    FROM embeddings e, cent{i - 1} c
+  ) WHERE rk = 1
+)"""
+
     ctes = [
         f"""cent0 AS (
   SELECT vec_id AS centroid_id,
@@ -798,16 +811,7 @@ def _kmeans_iterate_oracle() -> str:
 )"""
     ]
     for i in range(1, _KM_ITERS + 1):
-        ctes.append(
-            f"""a{i} AS (
-  SELECT vec_id, embedding, centroid_id FROM (
-    SELECT e.vec_id, e.embedding, c.centroid_id,
-           ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY ROUND({cos}, 6) DESC, c.centroid_id) AS rk
-    FROM embeddings e, cent{i - 1} c
-  ) WHERE rk = 1
-)"""
-        )
+        ctes.append(assign_cte(i))
         ctes.append(
             f"""cent{i} AS (
   SELECT centroid_id, list(dval ORDER BY pos) AS cd, MIN(cnt) AS n FROM (
@@ -823,9 +827,14 @@ def _kmeans_iterate_oracle() -> str:
   ) GROUP BY centroid_id
 )"""
         )
-    body = ",\n".join(ctes)
+    if extra_assign:
+        ctes.append(assign_cte(_KM_ITERS + 1))
+    return ",\n".join(ctes)
+
+
+def _kmeans_iterate_oracle() -> str:
     return f"""
-WITH {body}
+WITH {_km_ctes()}
 SELECT centroid_id, n AS n_members, ROUND(cd[1], 6) AS dim1_mean
 FROM cent{_KM_ITERS}
 """
@@ -850,9 +859,16 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
     over iterations instead of doubling (the connected-components
     lifecycle, dedup.py) — no analysis blow-up however many iterations
     run."""
-    t = load_tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
-    cent = emb.filter(F.col("vec_id") < _KM_K).select(
+    _emb, cent = _km_run(spark, sf_dir)
+    return cent.select(
+        "centroid_id",
+        F.col("n").alias("n_members"),
+        F.round(F.element_at("cd", 1), 6).alias("dim1_mean"),
+    )
+
+
+def _km_initial(emb: DataFrame) -> DataFrame:
+    return emb.filter(F.col("vec_id") < _KM_K).select(
         F.col("vec_id").alias("centroid_id"),
         F.expr(
             f"transform(embedding, x -> cast(floor(cast(x as double) * {_KM_SCALE})"
@@ -860,54 +876,100 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cd"),
         F.lit(1).cast("bigint").alias("n"),
     )
+
+
+def _km_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Broadcast-centroid argmax: (vec_id, embedding, centroid_id)."""
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cos_r").desc(), F.col("centroid_id")
     )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "embedding",
+            "centroid_id",
+            F.round(cosine("embedding", "cd"), 6).alias("cos_r"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Exact quantized centroid re-estimation from an assignment."""
+    per_dim = (
+        assigned.select("centroid_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "centroid_id",
+            "pos",
+            F.floor(F.col("x").cast("double") * _KM_SCALE).cast("bigint").alias("sv"),
+        )
+        .groupBy("centroid_id", "pos")
+        .agg(
+            (
+                F.sum("sv").cast("double") / (F.count(F.lit(1)) * float(_KM_SCALE))
+            ).alias("dval"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return per_dim.groupBy("centroid_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, dval))), s -> s.dval)"
+        ).alias("cd"),
+        F.min("cnt").alias("n"),
+    )
+
+
+def _km_run(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Run the Lloyd loop; returns (embeddings frame, final centroids)."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    cent = _km_initial(emb)
     for _ in range(_KM_ITERS):
-        assigned = (
-            emb.crossJoin(F.broadcast(cent))
-            .select(
-                "vec_id",
-                "embedding",
-                "centroid_id",
-                F.round(cosine("embedding", "cd"), 6).alias("cos_r"),
+        cent = _km_update(_km_assign(emb, cent)).localCheckpoint(eager=True)
+    return emb, cent
+
+
+_IVF_RECLUSTER_ORACLE = f"""
+WITH {_km_ctes(extra_assign=True)}
+SELECT a{_KM_ITERS + 1}.centroid_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(CASE WHEN a1.centroid_id <> a{_KM_ITERS + 1}.centroid_id
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+FROM a{_KM_ITERS + 1} JOIN a1 ON a{_KM_ITERS + 1}.vec_id = a1.vec_id
+GROUP BY 1
+"""
+
+
+@register("ivf_recluster", oracle=_IVF_RECLUSTER_ORACLE)
+def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance audit: after re-training the
+    coarse quantizer (kmeans_iterate's 3 Lloyd steps), how much of the
+    inverted index must actually be rewritten? Per final centroid:
+    member count and how many members arrived from a DIFFERENT initial
+    cell (n_moved) — the write amplification of an in-place re-cluster
+    vs a full index rebuild.
+
+    Scale shape: two broadcast-argmax assignment passes (initial and
+    final centroids — k rows broadcast each) joined on vec_id, then a
+    k-group partial-agg rollup; the Lloyd loop itself is the
+    localCheckpoint-ed kmeans_iterate machinery, shared helpers."""
+    emb, cent_final = _km_run(spark, sf_dir)
+    first = _km_assign(emb, _km_initial(emb)).select(
+        "vec_id", F.col("centroid_id").alias("c0")
+    )
+    final = _km_assign(emb, cent_final).select("vec_id", "centroid_id")
+    return (
+        final.join(first, "vec_id")
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum(
+                F.when(F.col("c0") != F.col("centroid_id"), 1).otherwise(0)
             )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select("vec_id", "embedding", "centroid_id")
+            .cast("bigint")
+            .alias("n_moved"),
         )
-        per_dim = (
-            assigned.select(
-                "centroid_id", F.posexplode("embedding").alias("pos", "x")
-            )
-            .select(
-                "centroid_id",
-                "pos",
-                F.floor(F.col("x").cast("double") * _KM_SCALE)
-                .cast("bigint")
-                .alias("sv"),
-            )
-            .groupBy("centroid_id", "pos")
-            .agg(
-                (
-                    F.sum("sv").cast("double")
-                    / (F.count(F.lit(1)) * float(_KM_SCALE))
-                ).alias("dval"),
-                F.count(F.lit(1)).cast("bigint").alias("cnt"),
-            )
-        )
-        cent = (
-            per_dim.groupBy("centroid_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(pos, dval))), s -> s.dval)"
-                ).alias("cd"),
-                F.min("cnt").alias("n"),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return cent.select(
-        "centroid_id",
-        F.col("n").alias("n_members"),
-        F.round(F.element_at("cd", 1), 6).alias("dim1_mean"),
     )

@@ -88,6 +88,7 @@ _WINDOW_PRIORITY = [
     "events_gap_fill",
     "cdc_apply",
     "tfidf_topk",
+    "ivf_recluster",
     # -- only driver row is round 1 (three rounds stale)
     "ann_lsh",
     "ann_pipeline",
@@ -128,11 +129,10 @@ _WINDOW_PRIORITY = [
     "chunk_dedup",
     # -- last driver row is round 2: analytics (window_rank,
     # window_running, distinct_count, approx_distinct,
-    # approx_percentiles displaced to the r6 window by this round's
-    # five new operators — stable since r2, still locally
-    # parity-checked)
+    # approx_percentiles, join_region_rollup displaced to the r6
+    # window by this round's new operators — stable since r2, still
+    # locally parity-checked)
     "join_revenue_topn",
-    "join_region_rollup",
     # -- last driver row is round 2: multimodal (touched this round)
     "mm_resize",
     "mm_audio_chunks",
