@@ -174,3 +174,50 @@ def test_wav_chunk_features_decodes_real_wav_distributed(spark):
         for r in wav_chunk_features(df).collect()
     }
     assert got == expect
+
+
+# ------------------------------------------------------ property round-trips
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@st.composite
+def png_case(draw):
+    w = draw(st.integers(1, 24))
+    h = draw(st.integers(1, 24))
+    channels = draw(st.sampled_from([1, 3, 4]))
+    pixels = bytes(
+        draw(
+            st.lists(
+                st.integers(0, 255),
+                min_size=w * h * channels,
+                max_size=w * h * channels,
+            )
+        )
+    )
+    return w, h, channels, pixels
+
+
+@settings(max_examples=40, deadline=None)
+@given(png_case())
+def test_png_roundtrip_property(case):
+    """decode(encode(img)) == img for ANY dims/channels/pixel content —
+    the unfiltering must be exact for every filter type the encoder
+    cycles through, including 1-pixel-wide edge cases."""
+    w, h, channels, pixels = case
+    img = decode_png(encode_png(w, h, pixels, channels=channels))
+    assert img is not None
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert img["pixels"] == pixels
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(8000, 48000),
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=500),
+)
+def test_wav_roundtrip_property(sr, samples):
+    a = decode_wav(encode_wav(sr, samples))
+    assert a is not None
+    assert a["sample_rate"] == sr
+    assert list(a["samples"]) == samples
