@@ -23,3 +23,44 @@ def test_date_partitioned_events_prune(spark, sf_dir, tmp_path):
     # pruned read returns exactly the batch-filtered rows
     want = t.events.filter(F.to_date("ts") == "2024-01-05").count()
     assert df.count() == want and want > 0
+
+
+def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
+    """DYNAMIC partition pruning: when the partitioned fact joins a
+    filtered dimension on the partition column, the runtime must inject
+    a dynamicpruning filter into the scan — only the dimension's
+    surviving days are read, without any literal day predicate in the
+    query. This is the mechanism that makes star-joins over a
+    date-partitioned 100 TB fact read days, not the table."""
+    t = load_tables(spark, sf_dir)
+    path = str(tmp_path / "events_by_day_dpp")
+    (
+        t.events.withColumn("day", F.to_date("ts"))
+        .write.partitionBy("day")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    fact = spark.read.parquet(path)
+    # dimension: days below a cutoff — a FILTER on the dim side only
+    # (DPP's benefit heuristic requires a selective dim filter; a limit
+    # does not qualify). No literal predicate ever touches the fact.
+    days = sorted(
+        r["day"]
+        for r in t.events.select(F.to_date("ts").alias("day")).distinct().collect()
+    )
+    cutoff = days[min(2, len(days) - 1)]
+    dim = (
+        t.events.select(F.to_date("ts").alias("day"))
+        .distinct()
+        .filter(F.col("day") <= F.lit(cutoff))
+    )
+    joined = fact.join(dim, "day")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), "no DPP filter injected"
+    want = (
+        t.events.withColumn("day", F.to_date("ts"))
+        .join(dim, "day")
+        .count()
+    )
+    got = joined.count()
+    assert got == want and got > 0
