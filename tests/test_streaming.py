@@ -178,3 +178,25 @@ def test_stream_attribution_matches_batch(spark, sf_dir, events_dir):
     )
     assert _canon(got) == _canon(want)
     assert want.count() > 0  # the join actually attributes something
+
+
+def test_stream_window_agg_rocksdb_state_store(spark, sf_dir, events_dir):
+    """The streaming twins must run unchanged on the RocksDB state
+    store — the provider a large-key-space production job uses (the
+    HDFS-backed in-memory default holds every key on-heap). Same
+    AvailableNow run, same batch equality, different state backend."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_window_agg(read_event_stream(spark, events_dir))
+        got = _run_available_now(stream, "win_agg_rocks", spark, mode="complete")
+        want = events_window_agg(spark, sf_dir)
+        assert _canon(got) == _canon(want)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
