@@ -138,3 +138,96 @@ def spatial_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("lon", 2).alias("lon"),
         )
     )
+
+
+# ----------------------------------------------------------------- zorder_stats
+
+# Quantized integer coordinates (the lat/lon hash BEFORE the /100-90
+# projection): qlat 0..17999 (15 bits), qlon 0..35999 (16 bits) — the
+# z-value interleaves their bits with pure integer arithmetic, exact in
+# both engines.
+_QLAT_S = (
+    "cast(conv(substr(md5(concat('lat_', cast(s_suppkey as string))), 1, 8),"
+    " 16, 10) as bigint) % 18000"
+)
+_QLON_S = (
+    "cast(conv(substr(md5(concat('lon_', cast(s_suppkey as string))), 1, 8),"
+    " 16, 10) as bigint) % 36000"
+)
+_QLAT_D = (
+    "CAST('0x' || substr(md5('lat_' || CAST(s_suppkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 18000"
+)
+_QLON_D = (
+    "CAST('0x' || substr(md5('lon_' || CAST(s_suppkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 36000"
+)
+
+
+def _morton_spark(qx: str, qy: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"shiftleft(shiftright({qx}, {b}) & 1, {2 * b})")
+        terms.append(f"shiftleft(shiftright({qy}, {b}) & 1, {2 * b + 1})")
+    return " + ".join(terms)
+
+
+def _morton_duck(qx: str, qy: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({qx} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({qy} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+_ZFILE_SHIFT = 26  # top z bits -> ~64 target files
+
+_ZORDER_ORACLE = f"""
+WITH q AS (
+  SELECT s_suppkey, {_QLAT_D} AS qlat, {_QLON_D} AS qlon FROM supplier
+),
+z AS (
+  SELECT s_suppkey, qlat, qlon,
+         ({_morton_duck('qlon', 'qlat')}) AS zval
+  FROM q
+)
+SELECT CAST(zval >> {_ZFILE_SHIFT} AS BIGINT) AS file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(qlat) - MIN(qlat) AS BIGINT) AS lat_span,
+       CAST(MAX(qlon) - MIN(qlon) AS BIGINT) AS lon_span
+FROM z GROUP BY 1
+"""
+
+
+@register("zorder_stats", oracle=_ZORDER_ORACLE)
+def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) write-clustering audit: interleave the
+    quantized lat/lon bits into a space-filling-curve key, assign rows
+    to target files by the key's top bits, and report each file's
+    bounding-box spans. Tight per-file spans are WHY z-ordered layouts
+    prune: a bbox query's min/max footer check skips files whose
+    spans miss the box (this op is the audit you run after
+    `df.repartitionByRange(N, zval).sortWithinPartitions(zval).write`).
+
+    Exactness: the Morton code is pure integer bit arithmetic on the
+    hash-derived quantized coordinates — no doubles anywhere — so both
+    engines produce identical file assignments and spans. One
+    partial-agg shuffle of ~64 groups."""
+    t = load_tables(spark, sf_dir)
+    z = t.supplier.select(
+        "s_suppkey",
+        F.expr(_QLAT_S).alias("qlat"),
+        F.expr(_QLON_S).alias("qlon"),
+    ).select(
+        "s_suppkey",
+        "qlat",
+        "qlon",
+        F.expr(_morton_spark("qlon", "qlat")).alias("zval"),
+    )
+    return z.groupBy(
+        F.expr(f"zval >> {_ZFILE_SHIFT}").cast("bigint").alias("file_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.max("qlat") - F.min("qlat")).cast("bigint").alias("lat_span"),
+        (F.max("qlon") - F.min("qlon")).cast("bigint").alias("lon_span"),
+    )

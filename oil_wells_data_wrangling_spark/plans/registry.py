@@ -89,6 +89,7 @@ _WINDOW_PRIORITY = [
     "cdc_apply",
     "tfidf_topk",
     "ivf_recluster",
+    "zorder_stats",
     # -- only driver row is round 1 (three rounds stale)
     "ann_lsh",
     "ann_pipeline",
@@ -129,10 +130,9 @@ _WINDOW_PRIORITY = [
     "chunk_dedup",
     # -- last driver row is round 2: analytics (window_rank,
     # window_running, distinct_count, approx_distinct,
-    # approx_percentiles, join_region_rollup displaced to the r6
-    # window by this round's new operators — stable since r2, still
-    # locally parity-checked)
-    "join_revenue_topn",
+    # approx_percentiles, join_region_rollup, join_revenue_topn
+    # displaced to the r6 window by this round's new operators —
+    # stable since r2, still locally parity-checked)
     # -- last driver row is round 2: multimodal (touched this round)
     "mm_resize",
     "mm_audio_chunks",

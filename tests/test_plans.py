@@ -93,7 +93,7 @@ def test_driver_window_covers_required_queries():
         # new in round 5
         "neardup_incremental", "kmeans_iterate", "ngram_counts",
         "stratified_sample", "events_gap_fill", "cdc_apply", "tfidf_topk",
-        "ivf_recluster",
+        "ivf_recluster", "zorder_stats",
         # only driver row is round 1
         "ann_lsh", "ann_pipeline", "ann_topk", "ivf_assign",
         "percentiles", "promo_revenue", "sql_serving", "vector_normalize",
