@@ -220,3 +220,73 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------- transformWithState twin
+
+class _RunningTotals:
+    """StatefulProcessor: per-user running event count + exact value sum.
+
+    Value state is (n, scaled-int64 sum) — the same scaled-int
+    determinism contract as functions/exact.dsum, so totals are
+    bit-identical to the batch aggregate regardless of micro-batch
+    boundaries. Emits the updated totals each time the key appears; the
+    latest emission (max n) is the final answer."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        schema = StructType(
+            [StructField("n", LongType()), StructField("sv", LongType())]
+        )
+        self._state = handle.getValueState("totals", schema)
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, sv = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            sv += int(round(pdf["value"].astype("float64") * 100).sum())
+        self._state.update((n, sv))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sv": [sv]}
+        )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stream_running_totals(events: DataFrame) -> DataFrame:
+    """Streaming per-user running totals via transformWithStateInPandas
+    (the Spark 4 arbitrary-state API: typed value state, timers, eviction
+    — the successor to applyInPandasWithState). Update-mode emission of
+    the running (count, scaled-int sum) per user; state is two int64s
+    per key regardless of event volume.
+
+    Runtime requirement: the operator's Python worker protocol needs
+    ``protobuf``; in environments without it (this container) the twin
+    is exercised only by its import-gated test — the same
+    optional-dependency contract as the OCR/PDF/PIL paths."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("sv", LongType()),
+        ]
+    )
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

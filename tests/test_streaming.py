@@ -200,3 +200,43 @@ def test_stream_window_agg_rocksdb_state_store(spark, sf_dir, events_dir):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_running_totals_transform_with_state(spark, sf_dir, events_dir):
+    """transformWithStateInPandas twin: after AvailableNow over the
+    static events, each user's LATEST emitted running total must equal
+    the batch aggregate — scaled-int sums make the comparison exact
+    across micro-batch boundaries. The operator's worker protocol
+    needs protobuf; absent (as in this container), the twin is
+    import-gated like the other optional-dependency paths."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas worker protocol needs protobuf",
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_running_totals,
+    )
+
+    got_df = _run_available_now(
+        stream_running_totals(read_event_stream(spark, events_dir)),
+        "running_totals",
+        spark,
+        mode="update",
+    )
+    latest = {}
+    for r in got_df.collect():
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            latest[r["user_id"]] = (r["n_events"], r["sv"])
+
+    batch = (
+        load_tables(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(round(value * 100) as bigint)")).alias("sv"),
+        )
+    )
+    want = {r["user_id"]: (r["n_events"], r["sv"]) for r in batch.collect()}
+    assert latest == want and len(want) > 0
