@@ -712,3 +712,103 @@ def tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_K)
         .select("doc_id", "rank", "word", "tf", F.col("score").cast("bigint").alias("score"))
     )
+
+
+# ------------------------------------------------------------------ bm25_topk
+
+_BM25_K = 10
+_BM25_IDF_SCALE = 10_000
+_BM25_QUERY = ("spark", "join", "vector", "stream")
+_BM25_QUERY_SQL = ", ".join(f"'{w}'" for w in _BM25_QUERY)
+
+_BM25_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE word IN ({_BM25_QUERY_SQL}) GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_words
+  FROM documents
+),
+scored AS (
+  SELECT tf.doc_id,
+         ((stats.n - dfreq.df + 1) * {_BM25_IDF_SCALE} // (dfreq.df + 1))
+           * tf.tf * 22
+           // (10 * tf.tf
+               + (3 * (stats.t_words + 3 * tf.dl * stats.n)) // stats.t_words)
+           AS part
+  FROM tf JOIN dfreq USING (word) CROSS JOIN stats
+),
+ds AS (
+  SELECT doc_id, CAST(SUM(part) AS BIGINT) AS score,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, CAST(rk AS INTEGER) AS rank, score, n_terms FROM (
+  SELECT *, row_number() OVER (ORDER BY score DESC, doc_id) AS rk FROM ds
+) WHERE rk <= {_BM25_K}
+"""
+
+
+@register("bm25_topk", oracle=_BM25_ORACLE)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents for a fixed query under a BM25-family scorer —
+    the corpus-ranking primitive behind retrieval-based data curation
+    (e.g. picking in-domain documents for a training mix).
+
+    Exact-integer BM25 (k1 = 1.2, b = 0.75): the idf is the monotone
+    integer transform ``((N - df + 1) * 1e4) div (df + 1)`` of the
+    classic ``(N - df + 0.5) / (df + 0.5)`` odds ratio (no ln, so
+    scores are bigints and the ranking is bit-identical across engines
+    — same design as tfidf_topk). The length normalisation is carried
+    exactly by clearing the k1 = 12/10, b = 3/4 denominators:
+    ``part = (idf * tf * 22) div (10*tf + (3*(T + 3*dl*N)) div T)``
+    where T = total corpus words, dl = document length, N = doc count.
+
+    Scale shape: the query-term filter lands before the (doc, word)
+    aggregation so only matching tokens shuffle; document frequencies
+    and the two corpus scalars are tiny and broadcast; the final global
+    top-k is a rank-limit window (WindowGroupLimit / partial limit —
+    pinned by the plan sweep), never a full sort."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("word"),
+    ).filter(F.col("word").isin(*_BM25_QUERY))
+    tf = tok.groupBy("doc_id", "dl", "word").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = t.documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t_words"),
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.expr(
+                f"((n - df + 1) * {_BM25_IDF_SCALE} div (df + 1)) * tf * 22"
+                " div (10 * tf + (3 * (t_words + 3 * dl * n)) div t_words)"
+            ).alias("part"),
+        )
+    )
+    ds = scored.groupBy("doc_id").agg(
+        F.sum("part").cast("bigint").alias("score"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        ds.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BM25_K)
+        .select("doc_id", "rank", "score", "n_terms")
+    )

@@ -61,81 +61,80 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-5 window: (1) the three event queries broken by the r4
-# TIMESTAMP_NTZ data drift and fixed this round, (2) queries whose
-# implementation changed this round, (3) queries new this round, (4)
-# the 8 operators whose only driver row is round 1, then (5) the
-# stalest round-2 rows (event/streaming + dedup families first; six
-# plumbing-stable r2 rows — mm_meta, mm_frame_sample, html_table,
-# fingerprint_diff, events_enrich, json_props — rotate into the r6
-# window instead). Everything past 50 keeps its old green row and
-# stays covered by the identical local comparison in
+# Round-6 window: (1) queries new this round, (2) queries whose
+# implementation changed this round (the multimodal decoders grew
+# malformed-payload fallbacks; neardup_incremental gained store
+# compaction; decontaminate gained the donor-contiguity guard), (3)
+# the 13 operators whose newest driver row is round 2 — the r5
+# verdict's top item; events_enrich/json_props matter most because
+# their r2 rows predate the events ts-encoding change, (4) round-4
+# rows, reference-derived wrangle family and corpus/similarity
+# headliners first. The 16 round-4 analytics/spatial/streaming rows
+# left out (pivot_status, rollup_cube, grouping_sets,
+# window_lag_delta, semi_anti_join, winsorize, range_join,
+# salted_agg_join, skew_report, integrity_report, geo_bucket,
+# spatial_bbox, events_anomaly, events_funnel, kmeans_step,
+# bucket_quantiles) are 2 rounds old at r6 and rotate into the r7
+# window. Everything past 50 keeps its old green row and stays
+# covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
-    # -- broken in r4 by the ts encoding drift; fixed this round
-    "events_rolling",
-    "events_sessionize",
-    "events_retention",
-    # -- implementation changed in round 5
-    "pack_sequences",
-    "decontaminate",
-    # -- new in round 5
+    # -- new in round 6
+    "bm25_topk",
+    # -- implementation changed in round 6
     "neardup_incremental",
-    "kmeans_iterate",
-    "ngram_counts",
-    "stratified_sample",
-    "events_gap_fill",
-    "cdc_apply",
-    "tfidf_topk",
-    "ivf_recluster",
-    "zorder_stats",
-    # -- only driver row is round 1 (three rounds stale)
-    "ann_lsh",
-    "ann_pipeline",
-    "ann_topk",
-    "ivf_assign",
-    "percentiles",
-    "promo_revenue",
-    "sql_serving",
-    "vector_normalize",
-    # -- last driver row is round 2: events / streaming twins
-    "events_window_agg",
-    "events_sliding_agg",
-    "events_sessionize_native",
-    "events_dedup",
-    "asof_join",
-    "anomaly_mad",
-    # -- last driver row is round 2: dedup family
-    "dedup_exact",
-    "dedup_minhash",
-    "dedup_clusters",
-    "dedup_simhash",
-    "simhash_pairs",
-    "ngram_jaccard",
-    "minhash_jaccard_est",
-    # -- last driver row is round 2: text / corpus
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "fingerprint",
-    "repetition_filter",
-    "vocab_topk",
-    "url_stats",
-    "url_canonical",
-    "text_chunks",
-    "sample_corpus",
-    "shard_stats",
-    "train_val_split",
-    "chunk_dedup",
-    # -- last driver row is round 2: analytics (window_rank,
-    # window_running, distinct_count, approx_distinct,
-    # approx_percentiles, join_region_rollup, join_revenue_topn
-    # displaced to the r6 window by this round's new operators —
-    # stable since r2, still locally parity-checked)
-    # -- last driver row is round 2: multimodal (touched this round)
+    "decontaminate",
     "mm_resize",
     "mm_audio_chunks",
+    "mm_frame_sample",
+    # -- last driver row is round 2 (the r5 verdict's rotation list)
+    "mm_meta",
+    "html_table",
+    "fingerprint_diff",
+    "events_enrich",
+    "json_props",
+    "window_rank",
+    "window_running",
+    "distinct_count",
+    "approx_distinct",
+    "approx_percentiles",
+    "join_region_rollup",
+    "join_revenue_topn",
+    # -- last driver row is round 4: reference-derived wrangle family
+    "extract_fields",
+    "extract_repeated",
+    "parse_coordinates",
+    "api_canonical",
+    "numeric_sanitize",
+    "text_normalize",
+    "normalize_keys",
+    "csv_repair",
+    "validate_report",
+    "bad_rows",
+    "upsert_latest",
+    "enrich_join",
+    "fuzzy_match_names",
+    "sentinel_to_null",
+    "extract_stim",
+    "serve_wells",
+    "serve_wells_full",
+    "well_pipeline",
+    # -- last driver row is round 4: corpus / privacy / similarity
+    "agg_pricing_summary",
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "pii_redact",
+    "pseudonymize",
+    "minhash_containment",
+    "embed_neardup",
+    "vector_quantize",
+    "ann_pq",
+    "ann_recall_eval",
+    "domain_cap",
+    "quality_topk",
+    "length_histogram",
+    "pack_sequences_grouped",
 ]
 
 

@@ -87,6 +87,17 @@ def test_round5_rank_windows_push_partial_limits(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
 
 
+def test_bm25_topk_rank_limit_and_broadcast(spark, sf_dir):
+    # round-6 BM25: global top-k must be a partial rank limit, the df
+    # table and corpus scalars broadcast, and no python eval anywhere.
+    plan = _plan(spark, sf_dir, "bm25_topk")
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan, (
+        "bm25_topk: rank<=k not pushed down"
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def _iter_jvm_nodes(node):
     stack = [node]
     while stack:

@@ -78,25 +78,25 @@ def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
 
 def test_driver_window_covers_required_queries():
     """The driver's CORRECTNESS gate reads the first 50 queries() yield.
-    The round-5 window must contain the three event queries fixed this
-    round (broken by the r4 ts-encoding drift), every query whose
-    implementation changed this round, every round-5 addition, and the
-    8 operators whose only driver row is round 1."""
+    The round-6 window must contain every round-6 addition, every query
+    whose implementation changed this round, and all 13 operators whose
+    newest driver row was round 2 (the r5 verdict's rotation order —
+    events_enrich/json_props especially, whose r2 rows predate the
+    events ts-encoding change)."""
     from oil_wells_data_wrangling_spark.plans.registry import all_queries
 
     window = list(all_queries())[:50]
     required = {
-        # fixed in round 5 (TIMESTAMP_NTZ ingestion)
-        "events_rolling", "events_sessionize", "events_retention",
-        # changed in round 5
-        "pack_sequences", "decontaminate",
-        # new in round 5
-        "neardup_incremental", "kmeans_iterate", "ngram_counts",
-        "stratified_sample", "events_gap_fill", "cdc_apply", "tfidf_topk",
-        "ivf_recluster", "zorder_stats",
-        # only driver row is round 1
-        "ann_lsh", "ann_pipeline", "ann_topk", "ivf_assign",
-        "percentiles", "promo_revenue", "sql_serving", "vector_normalize",
+        # new in round 6
+        "bm25_topk",
+        # changed in round 6
+        "neardup_incremental", "decontaminate",
+        "mm_resize", "mm_audio_chunks", "mm_frame_sample",
+        # last driver row was round 2
+        "mm_meta", "html_table", "fingerprint_diff", "events_enrich",
+        "json_props", "window_rank", "window_running", "distinct_count",
+        "approx_distinct", "approx_percentiles", "join_region_rollup",
+        "join_revenue_topn",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"

@@ -29,3 +29,14 @@ def test_every_survey_operator_is_registered():
 def test_every_query_is_documented():
     undocumented = set(REGISTRY) - _survey_ids()
     assert not undocumented, f"queries missing from SURVEY §2: {sorted(undocumented)}"
+
+
+def test_survey_stated_count_matches_registry():
+    # §2's prose count is the audit anchor; it must equal the registry
+    # (round-5 verdict item #6 — the count drifted once already).
+    text = open("SURVEY.md").read()
+    m = re.search(r"(\d+) operators as of round", text)
+    assert m, "SURVEY §2 must state the operator count"
+    assert int(m.group(1)) == len(REGISTRY), (
+        f"SURVEY says {m.group(1)} operators; registry has {len(REGISTRY)}"
+    )
