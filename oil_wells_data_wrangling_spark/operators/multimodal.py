@@ -63,6 +63,17 @@ def decode_png(payload: bytes) -> dict | None:
     handles (caller falls back to the stub / a library decoder)."""
     if not payload.startswith(_PNG_MAGIC):
         return None
+    try:
+        return _decode_png_body(payload)
+    except Exception:
+        # Corrupt/truncated payload past the magic check (zlib.error,
+        # short-read IndexError, bad chunk structs): degrade to the
+        # documented None contract so one malformed record can't kill
+        # a whole mapInPandas batch.
+        return None
+
+
+def _decode_png_body(payload: bytes) -> dict | None:
     pos = 8
     width = height = channels = None
     idat = b""
@@ -158,10 +169,16 @@ def decode_wav(payload: bytes) -> dict | None:
             sw = wv.getsampwidth()
             n = wv.getnframes()
             frames = wv.readframes(n)
-    except wave.Error:
+    except Exception:
+        # wave raises EOFError (not wave.Error) on truncated headers;
+        # catch everything so malformed audio degrades to None rather
+        # than failing the Spark task.
         return None
-    if sw != 2 or nch not in (1, 2):
+    if sr <= 0 or sw != 2 or nch not in (1, 2):
         return None
+    # a truncated data chunk can return a partial frame; drop the tail
+    # so the int16 view below can't raise on an odd byte count
+    frames = frames[: len(frames) - len(frames) % (2 * nch)]
     samples = array.array("h")
     samples.frombytes(frames)
     if nch == 2:

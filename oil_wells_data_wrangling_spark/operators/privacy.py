@@ -128,10 +128,12 @@ train AS (
 ),
 train2 AS (
   SELECT t.doc_id,
-         t.text || ' ' ||
-         array_to_string((string_split(e.text, ' '))[1:{_NGRAM}], ' ') AS text
+         CASE WHEN e.doc_id IS NULL THEN t.text
+              ELSE t.text || ' ' ||
+                   array_to_string((string_split(e.text, ' '))[1:{_NGRAM}], ' ')
+         END AS text
   FROM train t CROSS JOIN kc
-  JOIN evals e ON e.doc_id = 11 * (t.doc_id % kc.k)
+  LEFT JOIN evals e ON e.doc_id = 11 * (t.doc_id % kc.k)
   WHERE t.doc_id % 13 = 0
   UNION ALL
   SELECT doc_id, text FROM train WHERE doc_id % 13 <> 0
@@ -206,14 +208,24 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "snippet"
         ),
     )
+    # LEFT join + conditional concat: the donor pick assumes eval ids
+    # are the contiguous 11-strided {0, 11, ..., 11*(k-1)}; if ids ever
+    # start off 0 or carry gaps, the un-matched train docs keep their
+    # original text instead of silently vanishing from train2 (an inner
+    # join would drop them — and both engines would agree, so the
+    # oracle could never catch the data loss).
     injected = (
         train.filter(F.col("doc_id") % 13 == 0)
         .crossJoin(F.broadcast(kc))
         .withColumn("pick", 11 * (F.col("doc_id") % F.col("k")))
-        .join(F.broadcast(snippets), "pick")
+        .join(F.broadcast(snippets), "pick", "left")
         .select(
             "doc_id",
-            F.concat(F.col("text"), F.lit(" "), F.col("snippet")).alias("text"),
+            F.when(
+                F.col("snippet").isNull(), F.col("text")
+            ).otherwise(
+                F.concat(F.col("text"), F.lit(" "), F.col("snippet"))
+            ).alias("text"),
         )
     )
     train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)

@@ -255,6 +255,7 @@ def compact_parquet(
     spark: SparkSession,
     path: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    partition_col: str | None = None,
 ) -> int:
     """Small-file compaction — the table-maintenance step that keeps a
     continuously-upserted lake table scannable (thousands of tiny files
@@ -264,7 +265,12 @@ def compact_parquet(
     Sizes the output by the table's actual on-disk bytes (ceil of
     bytes / target), coalesces — not repartition: no shuffle, existing
     partitions concatenate — and swaps via the same rename-aside
-    staging as upsert_parquet. Returns the output file count."""
+    staging as upsert_parquet. Returns the output file count.
+
+    With ``partition_col`` the hive-partitioned directory layout is
+    preserved: rows shuffle to one task per partition value, so each
+    value compacts to a single file (the maintenance pass a
+    band-partitioned streaming state store needs)."""
     import math
 
     total = sum(
@@ -276,7 +282,15 @@ def compact_parquet(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
     staging = f"{path}.staging-{uuid.uuid4().hex[:8]}"
-    df.coalesce(n_files).write.mode("overwrite").parquet(staging)
+    if partition_col is not None:
+        (
+            df.repartition(F.col(partition_col))
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(staging)
+        )
+    else:
+        df.coalesce(n_files).write.mode("overwrite").parquet(staging)
     old = f"{path}.old-{uuid.uuid4().hex[:8]}"
     os.replace(path, old)
     os.replace(staging, path)

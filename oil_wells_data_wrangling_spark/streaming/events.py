@@ -242,12 +242,17 @@ class _RunningTotals:
         self._state = handle.getValueState("totals", schema)
 
     def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
         import pandas as pd
 
         n, sv = (self._state.get() or (0, 0)) if self._state.exists() else (0, 0)
         for pdf in rows:
             n += len(pdf)
-            sv += int(round(pdf["value"].astype("float64") * 100).sum())
+            # HALF_UP (away from zero), matching Spark's ROUND and the
+            # batch twin's dsum contract — pandas/numpy round() is
+            # half-to-even and would diverge on exact .5 values.
+            v = pdf["value"].astype("float64").to_numpy() * 100
+            sv += int(np.copysign(np.floor(np.abs(v) + 0.5), v).sum())
         self._state.update((n, sv))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sv": [sv]}

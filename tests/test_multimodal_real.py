@@ -221,3 +221,59 @@ def test_wav_roundtrip_property(sr, samples):
     assert a is not None
     assert a["sample_rate"] == sr
     assert list(a["samples"]) == samples
+
+
+# ------------------------------------------------- malformed-payload contract
+
+def test_decode_png_malformed_returns_none_not_raise():
+    """ADVICE r5 (medium): payloads passing the magic check but corrupt
+    past it must return None (the documented fallback contract), never
+    raise — a raise inside mapInPandas kills the whole batch."""
+    good = encode_png(6, 5, _gradient(6, 5))
+    cases = [
+        good[:20],                                   # truncated mid-IHDR
+        good[:60],                                   # truncated mid-IDAT
+        good[:33] + b"\x00\x00\x00\x08IDAT\x01\x02\x03\x04\x05\x06\x07\x08"
+        + b"\x00\x00\x00\x00",                       # garbage (non-zlib) IDAT
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 16,         # magic then junk
+    ]
+    # a valid header whose IDAT inflates short (height lies)
+    lying = encode_png(6, 5, _gradient(6, 5))
+    lying = lying.replace(struct.pack(">II", 6, 5), struct.pack(">II", 6, 500), 1)
+    cases.append(lying)
+    for i, payload in enumerate(cases):
+        assert decode_png(payload) is None, f"case {i} should degrade to None"
+
+
+def test_decode_wav_malformed_returns_none_not_raise():
+    good = encode_wav(8000, list(range(-50, 50)))
+    cases = [
+        good[:16],                # truncated header (wave raises EOFError)
+        good[:30],                # truncated fmt chunk
+        b"RIFF\x00\x00\x00\x00WAVE" + b"\x00" * 8,   # magic then junk
+    ]
+    for i, payload in enumerate(cases):
+        assert decode_wav(payload) is None, f"case {i} should degrade to None"
+    # a truncated DATA chunk (odd byte count) may legitimately decode
+    # to the readable prefix — it must just never raise
+    partial = decode_wav(good[:-11])
+    assert partial is None or partial["sample_rate"] == 8000
+
+
+def test_resize_features_tolerates_malformed_rows_distributed(spark):
+    """A batch mixing a good PNG with a corrupt one (magic intact) must
+    still succeed: the good row decodes (thumb_fp set, header dims win),
+    the bad row falls back to the stub path (metadata dims, no fp)."""
+    from pyspark.sql import Row
+
+    good = encode_png(8, 6, _gradient(8, 6))
+    bad = good[:40]  # passes the magic check, truncated IDAT
+    df = spark.createDataFrame(
+        [Row(doc_id=1, payload=bytearray(good), w=99, h=77),
+         Row(doc_id=2, payload=bytearray(bad), w=99, h=77)],
+        "doc_id bigint, payload binary, w int, h int",
+    ).repartition(2)
+    out = {r.doc_id: r for r in resize_features(df).collect()}
+    assert len(out) == 2
+    assert out[1].thumb_fp is not None and (out[1].w, out[1].h) == (8, 6)
+    assert out[2].thumb_fp is None and (out[2].w, out[2].h) == (99, 77)

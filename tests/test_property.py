@@ -145,3 +145,24 @@ def test_dms_corner_cases(spark_prop, case):
         assert got is None, (raw, got)
     else:
         assert got == pytest.approx(expected, abs=1e-9), raw
+
+
+def test_decontaminate_injection_loses_no_train_docs(spark_prop):
+    """ADVICE r5: the arithmetic donor pick assumes eval ids are the
+    contiguous 11-strided set; with the round-6 LEFT-join rewrite an
+    unmatched donor keeps the original text instead of dropping the
+    row. Every training doc must appear in the output exactly once."""
+    import os
+
+    from oil_wells_data_wrangling_spark.operators.privacy import decontaminate
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    out_ids = [r["doc_id"] for r in decontaminate(spark_prop, sf).collect()]
+    t = load_tables(spark_prop, sf)
+    train_ids = {
+        r["doc_id"]
+        for r in t.documents.filter("doc_id % 11 <> 0").select("doc_id").collect()
+    }
+    assert len(out_ids) == len(set(out_ids)), "duplicated train docs"
+    assert set(out_ids) == train_ids, "train docs lost or invented"

@@ -48,6 +48,15 @@ def test_http_serving_over_partitioned_export(spark, sf_dir, tmp_path):
         rows = _get(f"{base}/wells?band={band}")
         assert rows and all(int(r["band"]) == band for r in rows)
         assert len(rows) == sum(1 for (_, b) in want if b == band)
+        # filter on a NON-partition column: row-level fallback, same
+        # result as filtering client-side (ADVICE r5 — used to return
+        # the full dataset against a partitioned export)
+        some_key = sorted(want)[0][0]
+        rows = _get(f"{base}/wells?s_suppkey={some_key}")
+        assert rows and all(r["s_suppkey"] == some_key for r in rows)
+        assert len(rows) == sum(1 for (k, _) in want if k == some_key)
+        # filter key that matches nothing → empty list, not everything
+        assert _get(f"{base}/wells?no_such_col=zzz") == []
         # unknown path 404s
         try:
             urllib.request.urlopen(f"{base}/nope", timeout=30)
@@ -55,5 +64,32 @@ def test_http_serving_over_partitioned_export(spark, sf_dir, tmp_path):
         except urllib.error.HTTPError as e:
             raised = e.code == 404
         assert raised
+    finally:
+        server.shutdown()
+
+
+def test_http_serving_streams_chunked_multi_partition(spark, sf_dir, tmp_path):
+    """The unfiltered dump must arrive as a chunked stream (no
+    Content-Length — the handler never buffers the whole export) and
+    parse to the full row set across many partition directories and
+    multiple part files."""
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "lang", "source", "n_chars"
+    ).repartition(4)
+    path = str(tmp_path / "docs_json")
+    export_json(docs, path, partition_col="lang")
+
+    n_want = docs.count()
+    server = serve_wells_http(path)
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        with urllib.request.urlopen(f"{base}/wells", timeout=60) as r:
+            assert r.headers.get("Content-Length") is None
+            assert r.headers.get("Transfer-Encoding") == "chunked"
+            rows = json.loads(r.read())
+        assert len(rows) == n_want
+        assert {int(r["doc_id"]) for r in rows} == set(
+            d["doc_id"] for d in docs.select("doc_id").collect()
+        )
     finally:
         server.shutdown()
