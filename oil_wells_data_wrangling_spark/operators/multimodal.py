@@ -73,29 +73,32 @@ def decode_png(payload: bytes) -> dict | None:
         return None
 
 
-def _decode_png_body(payload: bytes) -> dict | None:
+def _iter_png_chunks(payload: bytes):
     pos = 8
-    width = height = channels = None
-    idat = b""
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
         data = payload[pos + 8 : pos + 8 + ln]
         pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            width, height, bitdepth, colortype, _comp, _filt, interlace = (
-                struct.unpack(">IIBBBBB", data)
-            )
-            if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 6):
-                return None
-            channels = {0: 1, 2: 3, 6: 4}[colortype]
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-    if width is None or not idat:
+        yield typ, data
+
+
+def _parse_ihdr(data: bytes) -> tuple[int, int, int] | None:
+    """(width, height, channels) for the profiles this decoder handles
+    (8-bit gray/RGB/RGBA, non-interlaced), else None."""
+    width, height, bitdepth, colortype, _comp, _filt, interlace = (
+        struct.unpack(">IIBBBBB", data)
+    )
+    if bitdepth != 8 or interlace != 0 or colortype not in (0, 2, 6):
         return None
-    raw = zlib.decompress(idat)
+    return width, height, {0: 1, 2: 3, 6: 4}[colortype]
+
+
+def _unfilter_scanlines(
+    raw: bytes, width: int, height: int, channels: int
+) -> bytes:
+    """Reverse the five PNG scanline filters over an inflated
+    image-data stream (shared by still-PNG and APNG frame decode)."""
     stride = width * channels
     out = bytearray()
     prev = bytearray(stride)
@@ -103,6 +106,8 @@ def _decode_png_body(payload: bytes) -> dict | None:
     for _y in range(height):
         f = raw[p]
         line = bytearray(raw[p + 1 : p + 1 + stride])
+        if len(line) < stride:
+            raise ValueError("short scanline")
         p += 1 + stride
         if f == 1:  # Sub
             for i in range(channels, stride):
@@ -125,12 +130,90 @@ def _decode_png_body(payload: bytes) -> dict | None:
                 line[i] = (line[i] + pr) & 0xFF
         out += line
         prev = line
+    return bytes(out)
+
+
+def _decode_png_body(payload: bytes) -> dict | None:
+    width = height = channels = None
+    idat = b""
+    for typ, data in _iter_png_chunks(payload):
+        if typ == b"IHDR":
+            hdr = _parse_ihdr(data)
+            if hdr is None:
+                return None
+            width, height, channels = hdr
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if width is None or not idat:
+        return None
     return {
         "width": width,
         "height": height,
         "channels": channels,
-        "pixels": bytes(out),
+        "pixels": _unfilter_scanlines(
+            zlib.decompress(idat), width, height, channels
+        ),
     }
+
+
+def decode_apng(payload: bytes) -> dict | None:
+    """Pure-stdlib animated-PNG (APNG) decode — the real-bytes path for
+    video-style frame sampling. Parses acTL/fcTL/fdAT chunks; each
+    frame must be full-frame (x/y offset 0, frame dims = image dims,
+    no inter-frame blending) so every frame is an independent image —
+    the profile a frame-sampling pipeline stores. Returns ``{width,
+    height, channels, frames: [pixel-bytes, ...]}`` or None for
+    payloads that aren't APNG / use features outside this profile
+    (caller falls back to the stub or a library decoder)."""
+    if not payload.startswith(_PNG_MAGIC):
+        return None
+    try:
+        width = height = channels = None
+        n_frames = None
+        # ordered per-frame compressed streams; fcTL starts a new frame
+        frames_z: list[bytes] = []
+        first_frame_has_fctl = False
+        for typ, data in _iter_png_chunks(payload):
+            if typ == b"IHDR":
+                hdr = _parse_ihdr(data)
+                if hdr is None:
+                    return None
+                width, height, channels = hdr
+            elif typ == b"acTL":
+                n_frames = struct.unpack(">I", data[:4])[0]
+            elif typ == b"fcTL":
+                fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
+                dispose, blend = data[24], data[25]
+                if (fw, fh, fx, fy) != (width, height, 0, 0) or blend != 0:
+                    return None  # sub-frame updates: out of profile
+                frames_z.append(b"")
+                first_frame_has_fctl = True
+            elif typ == b"IDAT":
+                if not first_frame_has_fctl:
+                    return None  # IDAT outside the animation: still PNG
+                frames_z[0] += data
+            elif typ == b"fdAT":
+                if not frames_z:
+                    return None
+                frames_z[-1] += data[4:]  # strip sequence number
+            elif typ == b"IEND":
+                break
+        if n_frames is None or not frames_z or len(frames_z) != n_frames:
+            return None
+        frames = [
+            _unfilter_scanlines(zlib.decompress(z), width, height, channels)
+            for z in frames_z
+        ]
+        return {
+            "width": width,
+            "height": height,
+            "channels": channels,
+            "frames": frames,
+        }
+    except Exception:
+        return None
 
 
 def nn_resize(
@@ -339,42 +422,52 @@ FROM sampled
 """
 
 
-@register("mm_frame_sample", oracle=_FRAME_ORACLE)
-def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video-style frame sampling: each document synthesizes an n-frame
-    binary payload (16 bytes per frame, md5 chain), the Arrow-batched
-    stub 'decodes' it frame-by-frame, keeps every 2nd frame, and emits a
-    fingerprint of the sample. The batching/stride plumbing is exactly
-    what a real ffmpeg-backed sampler needs; only the decode is fake —
-    and the md5-chain synthesis makes even this UDF path exactly
-    checkable against SQL."""
-    import hashlib
+def frame_sample_features(media: DataFrame) -> DataFrame:
+    """Stride-2 frame sampling over (doc_id, payload binary nullable,
+    text, n_frames).
 
-    t = load_tables(spark, sf_dir)
-    media = t.documents.select(
-        "doc_id",
-        F.col("text"),
-        (F.col("n_chars") % 7 + 2).cast("int").alias("n_frames"),
-    )
+    Rows whose payload is a real APNG take the REAL path: the container
+    is decoded (``decode_apng``), the frame count comes from the file's
+    own acTL — overriding the metadata ``n_frames`` — every 2nd frame's
+    raw pixels are kept, and ``sample_fp`` is the md5 of the
+    concatenated sampled pixel bytes. Anything else (NULL payload,
+    non-APNG bytes, out-of-profile animations) runs the md5-chain stub
+    over (text, n_frames) — the oracle queries use that branch, the
+    real branch is pinned by tests/test_multimodal_real.py."""
+    import hashlib
 
     def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            frames = [
-                [
-                    hashlib.md5(f"{text}_{i}".encode()).hexdigest()
-                    for i in range(n)
-                ]
-                for text, n in zip(pdf["text"], pdf["n_frames"])
-            ]
-            kept = [fs[::2] for fs in frames]
+            n_frames = pdf["n_frames"].astype("int32").copy()
+            n_sampled = []
+            fps = []
+            for idx in pdf.index:
+                payload = pdf.at[idx, "payload"]
+                vid = (
+                    decode_apng(bytes(payload)) if payload is not None else None
+                )
+                if vid is not None:
+                    kept_px = vid["frames"][::2]
+                    n_frames.at[idx] = len(vid["frames"])
+                    n_sampled.append(len(kept_px))
+                    fps.append(hashlib.md5(b"".join(kept_px)).hexdigest())
+                else:
+                    n = int(n_frames.at[idx])
+                    text = pdf.at[idx, "text"]
+                    kept = [
+                        hashlib.md5(f"{text}_{i}".encode()).hexdigest()
+                        for i in range(n)
+                    ][::2]
+                    n_sampled.append(len(kept))
+                    fps.append(hashlib.md5("".join(kept).encode()).hexdigest())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_frames": pdf["n_frames"].astype("int32"),
-                    "n_sampled": pd.Series([len(k) for k in kept], dtype="int32"),
-                    "sample_fp": [
-                        hashlib.md5("".join(k).encode()).hexdigest() for k in kept
-                    ],
+                    "n_frames": n_frames,
+                    "n_sampled": pd.Series(
+                        n_sampled, dtype="int32", index=pdf.index
+                    ),
+                    "sample_fp": pd.Series(fps, index=pdf.index),
                 }
             )
 
@@ -382,6 +475,24 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         _batches,
         schema="doc_id long, n_frames int, n_sampled int, sample_fp string",
     )
+
+
+@register("mm_frame_sample", oracle=_FRAME_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: each document synthesizes an n-frame
+    chain, the Arrow-batched sampler keeps every 2nd frame and emits a
+    fingerprint of the sample. This registered form feeds the stub
+    branch (md5-chain synthesis — exactly checkable against SQL); real
+    APNG bytes exercise the same ``frame_sample_features`` plumbing via
+    the decode branch in tests/test_multimodal_real.py."""
+    t = load_tables(spark, sf_dir)
+    media = t.documents.select(
+        "doc_id",
+        F.lit(None).cast("binary").alias("payload"),
+        F.col("text"),
+        (F.col("n_chars") % 7 + 2).cast("int").alias("n_frames"),
+    )
+    return frame_sample_features(media)
 
 
 _MM_ORACLE = """

@@ -277,3 +277,121 @@ def test_resize_features_tolerates_malformed_rows_distributed(spark):
     assert len(out) == 2
     assert out[1].thumb_fp is not None and (out[1].w, out[1].h) == (8, 6)
     assert out[2].thumb_fp is None and (out[2].w, out[2].h) == (99, 77)
+
+
+# --------------------------------------------------------------- APNG (video)
+
+def encode_apng(frames: list[bytes], width: int, height: int,
+                channels: int = 3) -> bytes:
+    """Minimal valid APNG writer: acTL + per-frame fcTL, first frame in
+    IDAT, subsequent frames in fdAT (zlib, filter-0 scanlines)."""
+    colortype = {1: 0, 3: 2, 4: 6}[channels]
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    stride = width * channels
+
+    def _scanlines(px: bytes) -> bytes:
+        raw = bytearray()
+        for y in range(height):
+            raw.append(0)  # filter None
+            raw += px[y * stride : (y + 1) * stride]
+        return zlib.compress(bytes(raw))
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    out += _chunk(b"IHDR", ihdr)
+    out += _chunk(b"acTL", struct.pack(">II", len(frames), 0))
+    seq = 0
+    for i, px in enumerate(frames):
+        fctl = struct.pack(
+            ">IIIIIHHBB", seq, width, height, 0, 0, 1, 10, 0, 0
+        )
+        out += _chunk(b"fcTL", fctl)
+        seq += 1
+        z = _scanlines(px)
+        if i == 0:
+            out += _chunk(b"IDAT", z)
+        else:
+            out += _chunk(b"fdAT", struct.pack(">I", seq) + z)
+            seq += 1
+    out += _chunk(b"IEND", b"")
+    return bytes(out)
+
+
+def test_apng_roundtrip():
+    from oil_wells_data_wrangling_spark.operators.multimodal import decode_apng
+
+    w, h = 6, 4
+    frames = [
+        bytes((x * 3 + y * 5 + f * 17) % 256 for _ in [0] for y in range(h)
+              for x in range(w) for _c in range(3))
+        for f in range(5)
+    ]
+    vid = decode_apng(encode_apng(frames, w, h))
+    assert vid is not None
+    assert (vid["width"], vid["height"], vid["channels"]) == (w, h, 3)
+    assert vid["frames"] == frames
+
+
+def test_apng_malformed_or_out_of_profile_returns_none():
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        decode_apng,
+        decode_png,
+    )
+
+    w, h = 4, 3
+    px = _gradient(w, h)
+    good = encode_apng([px, px], w, h)
+    # still PNG (no acTL) is not an animation
+    assert decode_apng(encode_png(w, h, px)) is None
+    # truncated mid-fdAT / junk after magic degrade to None
+    assert decode_apng(good[:50]) is None
+    assert decode_apng(b"\x89PNG\r\n\x1a\n" + b"\x00" * 12) is None
+    # sub-frame fcTL (offset != 0) is out of profile
+    bad = good.replace(
+        struct.pack(">IIIIIHHBB", 0, w, h, 0, 0, 1, 10, 0, 0),
+        struct.pack(">IIIIIHHBB", 0, w - 2, h, 2, 0, 1, 10, 0, 0),
+        1,
+    )
+    assert decode_apng(bad) is None
+    # an APNG is still a valid single-frame PNG to the still decoder
+    assert decode_png(good) is not None
+
+
+def test_frame_sample_decodes_real_apng_distributed(spark):
+    """Real video-container bytes through the distributed sampler: the
+    APNG rows report the container's own frame count and a pixel-level
+    sample fingerprint; a stub row in the same batch still takes the
+    md5-chain path."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        frame_sample_features,
+    )
+
+    w, h = 8, 5
+    mk = lambda f: bytes(
+        (x * 7 + y * 11 + f * 29) % 256
+        for y in range(h) for x in range(w) for _ in range(3)
+    )
+    vids = {1: [mk(i) for i in range(6)], 2: [mk(i + 50) for i in range(3)]}
+    rows = [
+        Row(doc_id=d, payload=bytearray(encode_apng(fs, w, h)),
+            text="unused", n_frames=99)
+        for d, fs in vids.items()
+    ]
+    rows.append(Row(doc_id=3, payload=None, text="stubby", n_frames=4))
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, payload binary, text string, n_frames int"
+    ).repartition(3)
+
+    got = {r.doc_id: r for r in frame_sample_features(df).collect()}
+    for d, fs in vids.items():
+        assert got[d].n_frames == len(fs)  # container count, not metadata
+        assert got[d].n_sampled == (len(fs) + 1) // 2
+        assert got[d].sample_fp == hashlib.md5(b"".join(fs[::2])).hexdigest()
+    stub_kept = [
+        hashlib.md5(f"stubby_{i}".encode()).hexdigest() for i in range(4)
+    ][::2]
+    assert got[3].n_frames == 4 and got[3].n_sampled == 2
+    assert got[3].sample_fp == hashlib.md5("".join(stub_kept).encode()).hexdigest()
