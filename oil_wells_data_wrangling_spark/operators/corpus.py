@@ -651,3 +651,51 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _STRAT_K)
         .select("lang", "rank", "doc_id")
     )
+
+
+# ---------------------------------------------------------------- mix_balance
+
+_MIX_SCALE = 1_000_000
+
+_MIX_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+m AS (SELECT MIN(n) AS mn FROM c),
+r AS (SELECT c.lang, (m.mn * {_MIX_SCALE}) // c.n AS rate FROM c CROSS JOIN m)
+SELECT d.lang, d.doc_id
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE CAST('0x' || substr(md5('mix_v1_' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+      AS BIGINT) % {_MIX_SCALE} < r.rate
+"""
+
+
+@register("mix_balance", oracle=_MIX_ORACLE)
+def mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample every language to the smallest language's share —
+    the training-mix balancing step (C4/DoReMi-style: cap the dominant
+    slice so no single stratum swamps the mixture; lang is the skewed
+    axis in this corpus — en is ~3× fr). Acceptance is a salted md5
+    threshold per row: deterministic, reproducible across engines and
+    runs, no RNG state, and rate-exact in expectation
+    (``rate = (min_count * 1e6) div count`` per language).
+
+    Scale shape: per-language counts are a tiny partial-agg broadcast
+    back onto the scan; the keep decision is a per-row hash compare in
+    the scan stage — no shuffle of the documents themselves at all."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    m = c.agg(F.min("n").alias("mn"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang", F.expr(f"(mn * {_MIX_SCALE}) div n").alias("rate")
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('mix_v1_', cast(doc_id as string))),"
+        f" 1, 8), 16, 10) as bigint) % {_MIX_SCALE}"
+    )
+    return (
+        t.documents.select("lang", "doc_id")
+        .join(F.broadcast(r), "lang")
+        .filter(h < F.col("rate"))
+        .select("lang", "doc_id")
+    )

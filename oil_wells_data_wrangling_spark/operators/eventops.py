@@ -669,3 +669,85 @@ def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
         F.last("hour_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+# ---------------------------------------------------------------- events_topk
+
+_TOPK_K = 3
+
+_EVENTS_TOPK_ORACLE = f"""
+WITH c AS (
+  SELECT date_trunc('hour', {_TS_US}) AS window_start, event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, CAST(rk AS INTEGER) AS rank, event_type, n_events
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY window_start ORDER BY n_events DESC, event_type) AS rk
+  FROM c
+) WHERE rk <= {_TOPK_K}
+"""
+
+
+@register("events_topk", oracle=_EVENTS_TOPK_ORACLE)
+def events_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k event types per tumbling hour — the 'trending now' rollup a
+    monitoring dashboard reads per window.
+
+    Scale shape: the count aggregates map-side per (window, type) —
+    cardinality is windows × types, not events; the per-window rank
+    window then carries only that bounded frame, with WindowGroupLimit
+    pushing rank<=k partial top-ks ahead of its shuffle (pinned)."""
+    t = load_tables(spark, sf_dir)
+    c = (
+        t.events.groupBy(
+            F.window("ts", "1 hour").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _TOPK_K)
+        .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
+# ----------------------------------------------------------------- scd2_apply
+
+_SCD2_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, event_type AS status, {_TS_US} AS ts, event_id FROM events
+)
+SELECT user_id, status, ts AS valid_from,
+       lead(ts) OVER w AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_current
+FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("scd2_apply", oracle=_SCD2_ORACLE)
+def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each user's
+    event stream becomes validity intervals — every status row carries
+    [valid_from, valid_to) from its own timestamp to the next change,
+    open-ended (is_current) on the last. The lakehouse dimension-table
+    pattern cdc_apply's latest-wins compaction is the type-1 half of.
+
+    Scale shape: one user-partitioned window (lead), no joins — the
+    shuffle is the single hash exchange on user_id; interval assembly
+    is a projection over the sorted run. Skew = one user's event count,
+    not corpus size."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )

@@ -812,3 +812,60 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BM25_K)
         .select("doc_id", "rank", "score", "n_terms")
     )
+
+
+# --------------------------------------------------------------- rarity_score
+
+_RARITY_SCALE = 10_000
+
+_RARITY_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+cnt AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+),
+tw AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+s AS (
+  SELECT tok.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS dl,
+         CAST(SUM((tw.t * {_RARITY_SCALE}) // cnt.cnt) AS BIGINT) AS sum_r
+  FROM tok JOIN cnt USING (word) CROSS JOIN tw
+  GROUP BY tok.doc_id
+)
+SELECT doc_id, dl, sum_r // dl AS rarity FROM s
+"""
+
+
+@register("rarity_score", oracle=_RARITY_ORACLE)
+def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean scaled inverse corpus frequency — the unigram
+    'surprisal' proxy a curation pipeline uses to separate boilerplate
+    (common-token mass, low score) from novel/rare-token documents
+    (high score); the linear-space sibling of a unigram-LM perplexity
+    filter, kept in exact bigint arithmetic (``(T*1e4) div cnt``, then
+    an integer mean) so both engines agree bit-for-bit with no libm.
+
+    Scale shape: one tokenize feeding both aggregates; the vocabulary
+    count table broadcasts back onto the token stream (closed test
+    vocabulary — word-partitioned shuffle join at open-vocab scale);
+    per-doc sum and length come out of ONE doc-keyed aggregation, so
+    the plan is two partial-agg shuffles end to end."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tw = tok.agg(F.count(F.lit(1)).alias("t"))
+    s = (
+        tok.join(F.broadcast(cnt), "word")
+        .crossJoin(F.broadcast(tw))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            F.sum(F.expr(f"(t * {_RARITY_SCALE}) div cnt"))
+            .cast("bigint")
+            .alias("sum_r"),
+        )
+    )
+    return s.select("doc_id", "dl", F.expr("sum_r div dl").alias("rarity"))

@@ -69,19 +69,23 @@ def _load_all() -> None:
 # verdict's top item; events_enrich/json_props matter most because
 # their r2 rows predate the events ts-encoding change, (4) round-4
 # rows, reference-derived wrangle family and corpus/similarity
-# headliners first. The 16 round-4 analytics/spatial/streaming rows
-# left out (pivot_status, rollup_cube, grouping_sets,
-# window_lag_delta, semi_anti_join, winsorize, range_join,
-# salted_agg_join, skew_report, integrity_report, geo_bucket,
-# spatial_bbox, events_anomaly, events_funnel, kmeans_step,
-# bucket_quantiles) are 2 rounds old at r6 and rotate into the r7
-# window. Everything past 50 keeps its old green row and stays
+# headliners first. The 20 round-4 rows left out (pivot_status,
+# rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
+# winsorize, range_join, salted_agg_join, skew_report,
+# integrity_report, geo_bucket, spatial_bbox, events_anomaly,
+# events_funnel, kmeans_step, bucket_quantiles, domain_cap,
+# quality_topk, length_histogram, pack_sequences_grouped) are 2
+# rounds old at r6 and rotate into the r7 window. Everything past 50 keeps its old green row and stays
 # covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 6
     "bm25_topk",
+    "events_topk",
+    "scd2_apply",
+    "rarity_score",
+    "mix_balance",
     # -- implementation changed in round 6
     "neardup_incremental",
     "decontaminate",
@@ -131,10 +135,6 @@ _WINDOW_PRIORITY = [
     "vector_quantize",
     "ann_pq",
     "ann_recall_eval",
-    "domain_cap",
-    "quality_topk",
-    "length_histogram",
-    "pack_sequences_grouped",
 ]
 
 

@@ -87,6 +87,24 @@ def test_round5_rank_windows_push_partial_limits(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
 
 
+def test_round6_new_operator_plan_shapes(spark, sf_dir):
+    # events_topk: the per-window rank<=k must pre-limit per partition
+    plan = _plan(spark, sf_dir, "events_topk")
+    assert "WindowGroupLimit" in plan, "events_topk: rank<=k not pushed down"
+    # rarity_score / mix_balance: tiny aggregates broadcast back onto
+    # the token/document stream — never a shuffled join — and the row
+    # path stays JVM-side
+    for name in ("rarity_score", "mix_balance"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, f"{name}: stats join not broadcast"
+        assert "SortMergeJoin" not in plan, f"{name}: shuffled join"
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # scd2_apply: one user-keyed window, no joins at all
+    plan = _plan(spark, sf_dir, "scd2_apply")
+    assert "Join" not in plan, "scd2_apply grew a join"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_bm25_topk_rank_limit_and_broadcast(spark, sf_dir):
     # round-6 BM25: global top-k must be a partial rank limit, the df
     # table and corpus scalars broadcast, and no python eval anywhere.

@@ -88,7 +88,8 @@ def test_driver_window_covers_required_queries():
     window = list(all_queries())[:50]
     required = {
         # new in round 6
-        "bm25_topk",
+        "bm25_topk", "events_topk", "scd2_apply", "rarity_score",
+        "mix_balance",
         # changed in round 6
         "neardup_incremental", "decontaminate",
         "mm_resize", "mm_audio_chunks", "mm_frame_sample",
