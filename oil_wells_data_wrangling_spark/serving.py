@@ -1,6 +1,8 @@
 """HTTP serving layer over the partitioned JSON export (reference parity:
-app.py:15-38 — Flask ``/wells`` returning the joined, lat/lon-filtered
-well rows as JSON for the Leaflet map).
+app.py:15-44 — Flask ``/wells`` returning the joined, lat/lon-filtered
+well rows as JSON, plus the ``/`` and ``/map`` static pages; the
+Leaflet front-end here is ``static/map.html``, an original page that
+renders the same ``fetch('/wells')`` → markers-with-popups view).
 
 Architecture differs from the reference on purpose: the reference runs
 its SQL join per request against MySQL; at lake scale the engine
@@ -89,8 +91,28 @@ class _WellsHandler(BaseHTTPRequestHandler):
         if data:
             self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
 
+    def _send_static(self, name: str) -> None:
+        path = os.path.join(os.path.dirname(__file__), "static", name)
+        try:
+            with open(path, "rb") as f:
+                body = f.read()
+        except OSError:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
     def do_GET(self) -> None:  # noqa: N802 (http.server API)
         url = urlsplit(self.path)
+        if url.path in ("/", "/index.html"):
+            self._send_static("index.html")
+            return
+        if url.path == "/map":
+            self._send_static("map.html")
+            return
         if url.path != "/wells":
             self.send_error(404)
             return

@@ -93,3 +93,22 @@ def test_http_serving_streams_chunked_multi_partition(spark, sf_dir, tmp_path):
         )
     finally:
         server.shutdown()
+
+
+def test_static_map_and_index_served(spark, sf_dir, tmp_path):
+    """Reference app.py:34-44 parity: / and /map serve the static
+    front-end; the map page wires fetch('/wells') into Leaflet."""
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "lang")
+    path = str(tmp_path / "j")
+    export_json(docs, path, partition_col=None)
+    server = serve_wells_http(path)
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        with urllib.request.urlopen(f"{base}/map", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            page = r.read().decode("utf-8")
+        assert "leaflet" in page and "fetch('/wells')" in page
+        with urllib.request.urlopen(f"{base}/", timeout=30) as r:
+            assert "/map" in r.read().decode("utf-8")
+    finally:
+        server.shutdown()
