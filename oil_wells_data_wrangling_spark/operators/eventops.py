@@ -751,3 +751,43 @@ def scd2_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+# ------------------------------------------------------ events_distinct_windowed
+
+_EDW_ORACLE = f"""
+SELECT date_trunc('hour', {_TS_US}) AS window_start,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS users_within_5pct
+FROM events GROUP BY 1
+"""
+
+
+@register("events_distinct_windowed", oracle=_EDW_ORACLE)
+def events_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per tumbling hour, exact + HyperLogLog++ sketch —
+    the windowed-cardinality rollup (DAU/WAU-style) a monitoring
+    pipeline runs continuously. Sketch estimates are engine-specific,
+    so the contract matches approx_distinct: the exact count is shared
+    with the oracle and a boolean asserts the rsd=0.01 sketch lands
+    within 5% of it (oracle emits literal TRUE).
+
+    Scale shape: the exact distinct expands to two partial aggregates
+    on (window, user); the HLL sketch adds only constant-size state per
+    partition and no extra shuffle of values — at 100 TB the sketch
+    column is the one a dashboard reads, with the exact count sampled
+    for audit."""
+    t = load_tables(spark, sf_dir)
+    agg = t.events.groupBy(F.window("ts", "1 hour").alias("w")).agg(
+        F.count_distinct("user_id").alias("n_users_exact"),
+        F.expr("approx_count_distinct(user_id, 0.01)").alias("n_users_hll"),
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        "n_users_exact",
+        (
+            F.abs(F.col("n_users_hll") - F.col("n_users_exact"))
+            / F.col("n_users_exact")
+            <= F.lit(0.05)
+        ).alias("users_within_5pct"),
+    )

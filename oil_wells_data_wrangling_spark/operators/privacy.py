@@ -318,3 +318,55 @@ def pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").alias("n_raw_ids"),
         )
     )
+
+
+# -------------------------------------------------------- contamination_report
+
+_CONTAM_SCALE = 1_000_000
+
+_CONTAM_REPORT_ORACLE = f"""
+WITH d AS (
+  {_DECON_ORACLE}
+)
+SELECT doc.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN d.contaminated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST((SUM(CASE WHEN d.contaminated THEN 1 ELSE 0 END)
+             * {_CONTAM_SCALE}) // COUNT(*) AS BIGINT) AS rate_ppm
+FROM d JOIN documents doc USING (doc_id)
+GROUP BY doc.lang
+"""
+
+
+@register("contamination_report", oracle=_CONTAM_REPORT_ORACLE)
+def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language contamination rollup over ``decontaminate``'s
+    output — the audit table a curation run publishes: how much of each
+    stratum shares an 8-gram with the eval split, as counts and an
+    exact ppm rate (integer arithmetic, no float division).
+
+    Scale shape: everything decontaminate's plan already is (broadcast
+    eval-shingle set, scalar-only exchanges), plus one lang lookup
+    joined on doc_id and a 5-row rollup — the report adds a single
+    partial-agg shuffle of (lang, flag) pairs."""
+    flags = decontaminate(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    return (
+        flags.join(t.documents.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("contaminated").cast("int"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_contaminated",
+            F.expr(f"(n_contaminated * {_CONTAM_SCALE}) div n_docs").alias(
+                "rate_ppm"
+            ),
+        )
+    )

@@ -74,8 +74,9 @@ def _load_all() -> None:
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
 # events_funnel, kmeans_step, bucket_quantiles, domain_cap,
-# quality_topk, length_histogram, pack_sequences_grouped) are 2
-# rounds old at r6 and rotate into the r7 window. Everything past 50 keeps its old green row and stays
+# quality_topk, length_histogram, pack_sequences_grouped, ann_pq,
+# ann_recall_eval) are 2 rounds old at r6 and rotate into the r7
+# window. Everything past 50 keeps its old green row and stays
 # covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
@@ -86,6 +87,8 @@ _WINDOW_PRIORITY = [
     "scd2_apply",
     "rarity_score",
     "mix_balance",
+    "events_distinct_windowed",
+    "contamination_report",
     # -- implementation changed in round 6
     "neardup_incremental",
     "decontaminate",
@@ -133,8 +136,6 @@ _WINDOW_PRIORITY = [
     "minhash_containment",
     "embed_neardup",
     "vector_quantize",
-    "ann_pq",
-    "ann_recall_eval",
 ]
 
 

@@ -295,3 +295,35 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def stream_events_window_counts(events: DataFrame) -> DataFrame:
+    """Streaming half of the events_topk twin: watermark + tumbling
+    (window, event_type) counts — the stateful part Structured
+    Streaming runs incrementally. Rank windows aren't supported on an
+    unterminated stream, so the per-window top-k finish is applied to
+    each complete-mode emission via ``rank_topk`` (identical expression
+    to the batch operator's rank stage)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n_events"
+        )
+    )
+
+
+def rank_topk(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Per-window rank<=k finish shared by the streaming twin's sink
+    side and equal to operators/eventops.py::events_topk's rank stage."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("n_events").desc(), "event_type"
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("window_start", "rank", "event_type", "n_events")
+    )

@@ -240,3 +240,18 @@ def test_stream_running_totals_transform_with_state(spark, sf_dir, events_dir):
     )
     want = {r["user_id"]: (r["n_events"], r["sv"]) for r in batch.collect()}
     assert latest == want and len(want) > 0
+
+
+def test_stream_events_topk_matches_batch(spark, sf_dir, events_dir):
+    """Streaming counts + per-emission rank finish == batch events_topk."""
+    from oil_wells_data_wrangling_spark.operators.eventops import events_topk
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        rank_topk,
+        stream_events_window_counts,
+    )
+
+    counts = stream_events_window_counts(read_event_stream(spark, events_dir))
+    emitted = _run_available_now(counts, "topk_counts", spark, mode="complete")
+    got = rank_topk(emitted)
+    want = events_topk(spark, sf_dir)
+    assert _canon(got) == _canon(want)
