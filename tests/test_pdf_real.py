@@ -165,3 +165,23 @@ def test_distributed_pdf_folder_extracts_reference_fields(spark, tmp_path):
         assert abs(r["lat"] - 48.11) < 1e-9
         assert abs(r["lon"] - (-103.2)) < 1e-9
         assert r["psi"] == 7850.0
+
+
+def test_image_only_pdf_routes_to_ocr_distributed(spark, tmp_path):
+    """A valid PDF whose content stream shows no text (image-only scan)
+    yields an empty text layer and must route through the OCR branch —
+    the reference's extract_pages_text fallback — inside the
+    distributed mapInPandas path."""
+    # a content stream with no BT/ET text: just a filled rectangle
+    blank = encode_pdf([[]])
+    assert decode_pdf_text(blank) in (None, "")
+    (tmp_path / "scan.pdf").write_bytes(blank)
+    (tmp_path / "text.pdf").write_bytes(encode_pdf([["Well Operator: OCRX"]]))
+
+    def fake_ocr(payload: bytes) -> str:
+        return f"OCR[{len(payload)}]" if payload[:5] == b"%PDF-" else ""
+
+    docs = read_document_folder(spark, str(tmp_path), glob="*.pdf", ocr=fake_ocr)
+    got = {r["doc_name"]: r["raw_text"] for r in docs.collect()}
+    assert got["scan.pdf"].startswith("OCR[")   # empty text layer → OCR
+    assert got["text.pdf"].startswith("Well Operator: OCRX")  # text layer wins
