@@ -791,3 +791,55 @@ def events_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05)
         ).alias("users_within_5pct"),
     )
+
+
+# ------------------------------------------------------------- hll_union_daily
+
+_HLL_UNION_ORACLE = f"""
+WITH e AS (SELECT CAST(date_trunc('day', {_TS_US}) AS DATE) AS day, user_id
+           FROM events)
+SELECT CAST(COUNT(DISTINCT day) AS BIGINT) AS n_days,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS union_within_5pct
+FROM e
+"""
+
+
+@register("hll_union_daily", oracle=_HLL_UNION_ORACLE)
+def hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-day distinct users via HyperLogLog sketch MERGE — the
+    100 TB pattern behind every 'weekly uniques' dashboard: store one
+    constant-size sketch per day, then UNION the sketches instead of
+    re-scanning a week of raw events. Sketch bytes are engine-specific,
+    so the contract is the approx_distinct one: the exact recount is
+    shared with the oracle and a boolean asserts the merged estimate
+    lands within 5% of it (oracle emits literal TRUE).
+
+    Scale shape: stage 1 is a day-keyed partial agg producing one
+    ~KB Datasketches HLL per day; stage 2 merges those few rows on the
+    driver side of a tiny final agg — raw (day, user) pairs shuffle
+    once for the audit recount, and at production scale the recount
+    term drops away leaving sketch-only state."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    exact = t.events.agg(
+        F.count_distinct("user_id").alias("n_users_exact")
+    )
+    merged = daily.agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_est"),
+    )
+    return (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            "n_days",
+            "n_users_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= F.lit(0.05)
+            ).alias("union_within_5pct"),
+        )
+    )

@@ -75,8 +75,8 @@ def _load_all() -> None:
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
 # events_funnel, kmeans_step, bucket_quantiles, domain_cap,
 # quality_topk, length_histogram, pack_sequences_grouped, ann_pq,
-# ann_recall_eval) are 2 rounds old at r6 and rotate into the r7
-# window. Everything past 50 keeps its old green row and stays
+# ann_recall_eval, vector_quantize) are 2 rounds old at r6 and
+# rotate into the r7 window. Everything past 50 keeps its old green row and stays
 # covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
@@ -89,6 +89,7 @@ _WINDOW_PRIORITY = [
     "mix_balance",
     "events_distinct_windowed",
     "contamination_report",
+    "hll_union_daily",
     # -- implementation changed in round 6
     "neardup_incremental",
     "decontaminate",
@@ -135,7 +136,6 @@ _WINDOW_PRIORITY = [
     "pseudonymize",
     "minhash_containment",
     "embed_neardup",
-    "vector_quantize",
 ]
 
 

@@ -185,3 +185,31 @@ def test_image_only_pdf_routes_to_ocr_distributed(spark, tmp_path):
     got = {r["doc_name"]: r["raw_text"] for r in docs.collect()}
     assert got["scan.pdf"].startswith("OCR[")   # empty text layer → OCR
     assert got["text.pdf"].startswith("Well Operator: OCRX")  # text layer wins
+
+
+# -------------------------------------------------------------- property fuzz
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_line = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
+                           blacklist_characters="\x7f"),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.lists(_line, min_size=1, max_size=5), min_size=1, max_size=3),
+       st.booleans())
+def test_pdf_text_roundtrip_property(pages, compress):
+    """decode(encode(pages)) must contain every non-empty line for ANY
+    latin-1 text content — parens, backslashes, octal-escape-shaped
+    runs included — compressed or not."""
+    text = decode_pdf_text(encode_pdf(pages, compress=compress))
+    flat = [ln for page in pages for ln in page if ln]
+    if not flat:
+        assert text is None or text.strip() == ""
+        return
+    assert text is not None
+    for ln in flat:
+        assert ln in text

@@ -90,6 +90,7 @@ def test_driver_window_covers_required_queries():
         # new in round 6
         "bm25_topk", "events_topk", "scd2_apply", "rarity_score",
         "mix_balance", "events_distinct_windowed", "contamination_report",
+        "hll_union_daily",
         # changed in round 6
         "neardup_incremental", "decontaminate",
         "mm_resize", "mm_audio_chunks", "mm_frame_sample",
