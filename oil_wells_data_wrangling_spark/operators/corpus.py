@@ -699,3 +699,73 @@ def mix_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(h < F.col("rate"))
         .select("lang", "doc_id")
     )
+
+
+# ----------------------------------------------------------------- group_split
+
+_GROUP_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         CAST('0x' || substr(md5('gsplit_v1_' || source), 1, 8)
+              AS BIGINT) % 100 AS bucket,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+s AS (
+  SELECT *,
+         CASE WHEN bucket < 90 THEN 'train'
+              WHEN bucket < 95 THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+)
+SELECT split,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY split
+"""
+
+
+@register("group_split", oracle=_GROUP_SPLIT_ORACLE)
+def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe grouped train/val/test split: the salted hash is
+    taken over the GROUP key (``source`` — a domain, a crawl host, a
+    data vendor), so every document of a group lands in the same split
+    by construction. This is the split a pretraining pipeline needs when
+    near-duplicates cluster within a group (same site, same template):
+    ``train_val_split``'s doc-level hash would scatter those near-dups
+    across train AND val and leak; hashing the group key cannot.
+
+    Scale shape: identical to the doc-level split — the bucket is a
+    scalar md5 expression computed in the scan, no RNG state, no join,
+    no shuffle before the one bounded audit aggregation; a training job
+    reads its split with the same expression as a pushed-down filter.
+    The distinct-source count adds a partial-agg expansion on (split,
+    source) — still bounded by group cardinality, not corpus size."""
+    t = load_tables(spark, sf_dir)
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(concat('gsplit_v1_', source)),"
+            " 1, 8), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        t.documents.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split("text", " ")).alias("n_tokens"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

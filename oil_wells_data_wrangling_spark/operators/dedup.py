@@ -665,3 +665,162 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter / F.size("ha"), 6).alias("cont_a_in_b"),
         )
     )
+
+
+# ----------------------------------------------------------------- dedup_cross
+
+_CROSS_ORACLE = """
+WITH ref AS (
+  SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 4 = 0
+),
+tr AS (
+  SELECT doc_id, source, md5(text) AS h FROM documents
+)
+SELECT tr.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN r.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN r.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed
+FROM tr LEFT JOIN ref r ON tr.h = r.h
+GROUP BY tr.source
+"""
+
+
+@register("dedup_cross", oracle=_CROSS_ORACLE)
+def dedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact deduplication: remove from the training corpus
+    every document whose exact text already exists in a reference corpus
+    (an earlier crawl epoch, a licensed set that must not be re-counted,
+    or a benchmark suite) — the doc-level complement of the n-gram-level
+    ``decontaminate``. The reference corpus here is the ``doc_id % 4``
+    slice of the documents table standing in for the external set; the
+    production form is identical with the second corpus read from its
+    own path.
+
+    Scale shape: both sides reduce to md5(text) scalars inside their
+    scans, so the join exchanges carry (16-byte hash, id, source) only —
+    the text column never shuffles. The reference side is
+    pre-``distinct``-ed (its own map-side partial), and the join is a
+    plain hash join AQE converts to broadcast when the reference corpus
+    fits and to a shuffle join when it does not; the removal decision is
+    the NULL-ness of the matched hash, so kept-rows output is a filter
+    on the same plan (the audit here aggregates per source instead to
+    keep the result bounded)."""
+    t = load_tables(spark, sf_dir)
+    ref = (
+        t.documents.filter(F.col("doc_id") % 4 == 0)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("matched", F.lit(1))
+    )
+    tr = t.documents.select("doc_id", "source", F.md5("text").alias("h"))
+    return (
+        tr.join(ref, "h", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("matched").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+            F.sum(F.when(F.col("matched").isNotNull(), 1).otherwise(0)).alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------- dup_ngram_fraction
+
+_DUPFRAC_N = 8
+
+_DUPFRAC_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         array_to_string(list_slice(string_split(text, ' '), 5, 40), ' ')
+           AS text
+  FROM documents WHERE doc_id % 5 = 0
+),
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         md5(array_to_string(
+           list_slice(words, s, s + {_DUPFRAC_N - 1}), ' ')) AS h
+  FROM tok, UNNEST(range(1, len(words) - {_DUPFRAC_N - 2})) AS u(s)
+  WHERE len(words) >= {_DUPFRAC_N}
+),
+df AS (
+  SELECT h, COUNT(*) AS d FROM sh GROUP BY h
+)
+SELECT sh.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       CAST((1000 * SUM(CASE WHEN df.d >= 2 THEN 1 ELSE 0 END)) // COUNT(*)
+         AS BIGINT) AS dup_permille
+FROM sh JOIN df ON sh.h = df.h
+GROUP BY sh.doc_id
+"""
+
+
+@register("dup_ngram_fraction", oracle=_DUPFRAC_ORACLE)
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction: the permille of a doc's
+    distinct word 8-grams that also occur in at least one OTHER document
+    — the corpus-internal memorization-risk metric from the training-data
+    dedup literature (the doc-level signal behind substring-level dedup),
+    where ``decontaminate`` measures train-vs-eval overlap this measures
+    train-vs-train. Synthetic overlap: every fifth doc contributes a
+    36-word excerpt clone (doc_id + 1e6) so the metric has mass to find.
+
+    Scale shape: shingles are built inside the scan (one ``transform``
+    over index positions, each an O(n)-total slice of the already-split
+    word array) and immediately reduced to md5 scalars + per-doc
+    ``distinct``, so the only exchanges carry (doc_id, 16-byte hash)
+    pairs. Global shingle frequency is one partial-agg shuffle on the
+    hash; the per-doc rollup joins the tiny (hash, count≥2) flag back on
+    the same key — text never leaves the scan. Since a distinct 8-gram
+    occurs once per doc, COUNT(*) per hash IS the distinct-doc count (no
+    count_distinct partials needed)."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    docs2 = base.unionAll(
+        base.filter(F.col("doc_id") % 5 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(
+                F.slice(F.split("text", " "), 5, 36), " "
+            ).alias("text"),
+        )
+    )
+    n = _DUPFRAC_N
+    sh = (
+        docs2.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {n - 1}),"
+                    f" i -> md5(array_join(slice(w, i, {n}), ' ')))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
+    return (
+        sh.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("d") >= 2, 1).otherwise(0)).alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            F.expr("(1000 * n_dup) div n_shingles").alias("dup_permille"),
+        )
+    )

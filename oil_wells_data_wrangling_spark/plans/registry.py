@@ -69,7 +69,8 @@ def _load_all() -> None:
 # verdict's top item; events_enrich/json_props matter most because
 # their r2 rows predate the events ts-encoding change, (4) round-4
 # rows, reference-derived wrangle family and corpus/similarity
-# headliners first. The 20 round-4 rows left out (pivot_status,
+# headliners first. The round-4 rows left out (pseudonymize,
+# minhash_containment, embed_neardup, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -82,6 +83,9 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 6
+    "dedup_cross",
+    "dup_ngram_fraction",
+    "group_split",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -133,9 +137,6 @@ _WINDOW_PRIORITY = [
     "corpus_pipeline",
     "corpus_pipeline_full",
     "pii_redact",
-    "pseudonymize",
-    "minhash_containment",
-    "embed_neardup",
 ]
 
 
