@@ -969,3 +969,165 @@ def cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_live"),
         F.sum("version").cast("bigint").alias("version_sum"),
     )
+
+
+# ------------------------------------------------------ correlated_avg_filter
+
+_SMALLQTY_ORACLE = f"""
+WITH pa AS (
+  SELECT l_partkey,
+         ({sql_dsum('l_quantity')}) / COUNT(*) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_small,
+       {sql_dsum('l_extendedprice')} AS sum_price,
+       ROUND(({sql_dsum('l_extendedprice')}) / 7.0, 2) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN pa ON pa.l_partkey = lineitem.l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < 0.2 * pa.avg_qty
+"""
+
+
+@register("correlated_avg_filter", oracle=_SMALLQTY_ORACLE)
+def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated-aggregate filter: revenue lost to
+    small orders — lineitems whose quantity is below 20% of the average
+    quantity FOR THAT PART. The correlated scalar subquery decorrelates
+    into a per-part aggregate joined back on the part key; Catalyst does
+    exactly this rewrite for the subquery form too, but writing the
+    decorrelated plan makes the shuffle structure explicit.
+
+    Scale shape: the per-part average is a partial-agg shuffle carrying
+    (partkey, scaled-sum, count) — map-side combine collapses the fan-in
+    before the exchange. The brand filter is pushed into the part scan
+    and that dimension side broadcasts; the avg side joins on the same
+    l_partkey hash partitioning. Averages derive from exact scaled-int64
+    sums (functions/exact.py) so the 0.2×avg threshold — and therefore
+    the row set — is bit-identical across engines; the final rollup is a
+    single scalar row."""
+    t = load_tables(spark, sf_dir)
+    pa = t.lineitem.groupBy("l_partkey").agg(
+        (dsum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    brand = t.part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    return (
+        t.lineitem.join(
+            F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+        )
+        .join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            dsum("l_extendedprice").alias("sum_price"),
+        )
+        .select(
+            "n_small",
+            "sum_price",
+            F.round(F.col("sum_price") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
+
+
+# ------------------------------------------------------- top_supplier_revenue
+
+_TOPSUPP_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS rev_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+  GROUP BY l_suppkey
+),
+m AS (SELECT MAX(rev_cents) AS best FROM rev)
+SELECT s_suppkey, s_name, rev_cents / 100.0 AS total_revenue
+FROM rev JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN m
+WHERE rev_cents = m.best
+"""
+
+
+@register("top_supplier_revenue", oracle=_TOPSUPP_ORACLE)
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style view-max query: the supplier(s) with the highest
+    revenue in a quarter — max-equality selection, not top-1, so ties
+    all surface (the spec's CREATE VIEW + MAX subquery shape).
+
+    Scale shape: revenue per supplier is one partial-agg shuffle over
+    the date-pruned lineitem scan (the predicate reaches the parquet
+    reader); the global max is a scalar broadcast back onto the bounded
+    per-supplier aggregate, and the name lookup is a broadcast dimension
+    join. Revenue accumulates as exact bigint cents so the max-equality
+    predicate cannot be split by FP addition order — the one failure
+    mode a double-summed Q15 has at scale."""
+    t = load_tables(spark, sf_dir)
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents).cast("bigint").alias("rev_cents"))
+    )
+    best = rev.agg(F.max("rev_cents").alias("best"))
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("rev_cents") == F.col("best"))
+        .join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------- late_shipment_priority
+
+_LATESHIP_ORACLE = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+@register("late_shipment_priority", oracle=_LATESHIP_ORACLE)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style EXISTS rollup: orders counted by priority when at
+    least one of their lineitems shipped more than 30 days after the
+    order date — the late-fulfilment SLA report.
+
+    Scale shape: the EXISTS is a LEFT SEMI join on the order key with
+    the lateness predicate as a join-side condition, so each order
+    contributes at most one row downstream no matter how many late
+    lineitems it has (no DISTINCT repair step, no row explosion). The
+    semi join shuffles (orderkey, shipdate) against (orderkey,
+    orderdate, priority) — both sides pruned to join columns in their
+    scans — and the rollup is a bounded partial agg on priority."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_shipdate")
+    late = t.orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )

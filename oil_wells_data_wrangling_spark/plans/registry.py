@@ -70,7 +70,8 @@ def _load_all() -> None:
 # their r2 rows predate the events ts-encoding change, (4) round-4
 # rows, reference-derived wrangle family and corpus/similarity
 # headliners first. The round-4 rows left out (pseudonymize,
-# minhash_containment, embed_neardup, pivot_status,
+# minhash_containment, embed_neardup, corpus_pipeline,
+# corpus_pipeline_full, pii_redact, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -86,6 +87,9 @@ _WINDOW_PRIORITY = [
     "dedup_cross",
     "dup_ngram_fraction",
     "group_split",
+    "correlated_avg_filter",
+    "top_supplier_revenue",
+    "late_shipment_priority",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -134,9 +138,6 @@ _WINDOW_PRIORITY = [
     "well_pipeline",
     # -- last driver row is round 4: corpus / privacy / similarity
     "agg_pricing_summary",
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "pii_redact",
 ]
 
 
