@@ -843,3 +843,79 @@ def hll_union_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_5pct"),
         )
     )
+
+
+# ---------------------------------------------------------- events_attribution
+
+_ATTRIB_ORACLE = f"""
+WITH c AS (
+  SELECT user_id, event_id AS click_id, {_TS_US} AS click_ts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, event_id AS purchase_id, {_TS_US} AS purchase_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, p.value
+  FROM c JOIN p ON c.user_id = p.user_id
+   AND p.purchase_ts > c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+),
+per_purchase AS (
+  SELECT user_id, purchase_id, value,
+         CAST(COUNT(*) AS BIGINT) AS n_clicks
+  FROM pairs GROUP BY 1, 2, 3
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(n_clicks) AS BIGINT) AS n_pairs,
+       {sql_dsum('value', 6)} AS attributed_value
+FROM per_purchase GROUP BY user_id
+"""
+
+
+@register("events_attribution", oracle=_ATTRIB_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase attribution: purchases preceded by a click from
+    the same user in the prior 30 minutes, rolled up per user — the
+    batch face of the stream-stream interval join
+    (streaming/events.py::stream_attribution, whose live twin carries
+    watermarks on BOTH sides so click state expires instead of
+    accumulating forever; test_streaming.py proves pair-level equality).
+
+    Scale shape: both sides prune to (user_id, ts[, value]) in the
+    scan and shuffle once on user_id; the range predicate is evaluated
+    inside the join, and the 30-minute bound caps pair fan-out per
+    click the same way the streaming state bound does. Attributed value
+    is deduplicated per purchase first (a purchase with 3 prior clicks
+    counts once), so the rollup is two partial aggs on the SAME
+    user-keyed partitioning — no second exchange."""
+    t = load_tables(spark, sf_dir)
+    clicks = t.events.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = t.events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "value",
+    )
+    pairs = clicks.join(
+        purchases,
+        ["user_id"],
+    ).filter(
+        (F.col("purchase_ts") > F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        )
+    )
+    per_purchase = pairs.groupBy("user_id", "purchase_id", "value").agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    return per_purchase.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum("n_clicks").cast("bigint").alias("n_pairs"),
+        dsum("value", 6).alias("attributed_value"),
+    )

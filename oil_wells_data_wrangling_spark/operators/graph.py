@@ -1,0 +1,161 @@
+"""Link-graph operators (SURVEY.md §2.C) — the domain-authority side of
+web-corpus curation.
+
+A pretraining crawl pipeline ranks domains by link authority (OPIC /
+PageRank over the host graph) to prioritize fetch order and to weight
+quality scores; the graph is huge (edges ~ pages) but the RANK state is
+small (nodes ~ hosts), so the scalable shape is: one heavy edge
+extraction + aggregation pass from the document corpus down to the
+host-level weighted edge list, then cheap iterations over the bounded
+node set. ``kmeans_iterate`` (similarity.py) established the repo's
+pattern for deterministic fixed-iteration algorithms; this module
+applies it to graph power iteration with pure bigint arithmetic so the
+DuckDB oracle matches bit-for-bit (no libm, no FP accumulation order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+# Rank fixed-point scale and damping (85/100) — integers only.
+_PR_SCALE = 1_000_000
+_PR_BASE = _PR_SCALE * 15 // 100  # (1 - d) * SCALE
+
+_PAGERANK_ORACLE = f"""
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+edges_raw AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN n
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id * 31 + 7) % n.n
+),
+edges AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+  FROM edges_raw GROUP BY src, dst
+),
+outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT DISTINCT source AS node FROM documents
+),
+r0 AS (
+  SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes
+),
+r1 AS (
+  SELECT nodes.node,
+         CAST({_PR_BASE} + COALESCE(SUM(
+           (r0.r * e.w * 85) // (o.out_w * 100)), 0) AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r0 ON r0.node = e.src
+  GROUP BY nodes.node
+),
+r2 AS (
+  SELECT nodes.node,
+         CAST({_PR_BASE} + COALESCE(SUM(
+           (r1.r * e.w * 85) // (o.out_w * 100)), 0) AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r1 ON r1.node = e.src
+  GROUP BY nodes.node
+),
+r3 AS (
+  SELECT nodes.node,
+         CAST({_PR_BASE} + COALESCE(SUM(
+           (r2.r * e.w * 85) // (o.out_w * 100)), 0) AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r2 ON r2.node = e.src
+  GROUP BY nodes.node
+)
+SELECT r3.node AS source, r3.r AS rank_fp,
+       COALESCE(deg.in_edges, 0) AS in_edges
+FROM r3
+LEFT JOIN (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_edges FROM edges GROUP BY dst
+) deg ON deg.dst = r3.node
+"""
+
+
+def _pr_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFrame:
+    """One damped power-iteration step over the bounded node set.
+
+    ``ew`` carries (src, dst, w, out_w); contributions floor-divide in
+    bigint exactly as the oracle's ``//`` so engines cannot drift."""
+    contrib = (
+        ew.join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(
+            F.col("dst").alias("node"),
+            F.expr(f"(r * w * 85) div (out_w * 100)").alias("c"),
+        )
+        .groupBy("node")
+        .agg(F.sum("c").alias("c"))
+    )
+    return nodes.join(contrib, "node", "left").select(
+        "node",
+        (F.lit(_PR_BASE) + F.coalesce(F.col("c"), F.lit(0)))
+        .cast("bigint")
+        .alias("r"),
+    )
+
+
+@register("domain_pagerank", oracle=_PAGERANK_ORACLE)
+def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank (3 power iterations, d=0.85) over the domain link
+    graph — the crawl-prioritization / quality-weighting authority score
+    of a web-corpus pipeline. The per-document outlink is synthesized
+    deterministically (doc ``i`` cites the domain of doc ``(31i+7) mod
+    N``) standing in for a real href extraction; the production form
+    replaces only the ``edges_raw`` stage with the link parser.
+
+    Scale shape: the ONE corpus-sized pass reduces documents to the
+    weighted domain-level edge list ((src, dst, w) — a partial-agg
+    shuffle on the edge key); out-weights and all three iterations then
+    run on the bounded node/edge tables, each a broadcast-joinable
+    aggregate whose exchanges carry (node, bigint) pairs only. Rank
+    arithmetic is fixed-point bigint with floor division — identical in
+    both engines, no FP accumulation order to drift. A real host graph
+    (~1e8 nodes) still fits the same plan: the iterations shuffle rank
+    state proportional to NODES, never to documents, and the damping
+    base re-injects mass for dangling/unlinked hosts via the left join
+    + coalesce."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "source")
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # Edge extraction: the heavy, corpus-sized stage.
+    targets = docs.crossJoin(F.broadcast(n)).select(
+        F.col("source").alias("src"),
+        ((F.col("doc_id") * 31 + 7) % F.col("n")).alias("t_id"),
+    )
+    edges = (
+        targets.join(
+            docs.select(F.col("doc_id").alias("t_id"), F.col("source").alias("dst")),
+            "t_id",
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(outw, "src")
+    nodes = docs.select(F.col("source").alias("node")).distinct()
+
+    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(3):
+        ranks = _pr_iteration(nodes, ew, ranks)
+
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
+    return (
+        ranks.join(indeg, ranks.node == indeg.dst, "left")
+        .select(
+            F.col("node").alias("source"),
+            F.col("r").alias("rank_fp"),
+            F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+        )
+    )

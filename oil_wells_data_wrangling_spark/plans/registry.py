@@ -55,6 +55,7 @@ def _load_all() -> None:
     import oil_wells_data_wrangling_spark.operators.dedup  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.similarity  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.spatial  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.graph  # noqa: F401
     import oil_wells_data_wrangling_spark.streaming.neardup  # noqa: F401
 
 
@@ -71,7 +72,8 @@ def _load_all() -> None:
 # rows, reference-derived wrangle family and corpus/similarity
 # headliners first. The round-4 rows left out (pseudonymize,
 # minhash_containment, embed_neardup, corpus_pipeline,
-# corpus_pipeline_full, pii_redact, pivot_status,
+# corpus_pipeline_full, pii_redact, agg_pricing_summary,
+# serve_wells_full, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -90,6 +92,8 @@ _WINDOW_PRIORITY = [
     "correlated_avg_filter",
     "top_supplier_revenue",
     "late_shipment_priority",
+    "domain_pagerank",
+    "events_attribution",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -134,10 +138,7 @@ _WINDOW_PRIORITY = [
     "sentinel_to_null",
     "extract_stim",
     "serve_wells",
-    "serve_wells_full",
     "well_pipeline",
-    # -- last driver row is round 4: corpus / privacy / similarity
-    "agg_pricing_summary",
 ]
 
 
