@@ -1131,3 +1131,121 @@ def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders")
     )
+
+
+# -------------------------------------------------------------------- custdist
+
+_CUSTDIST_ORACLE = """
+WITH co AS (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM co GROUP BY c_count
+"""
+
+
+@register("custdist", oracle=_CUSTDIST_ORACLE)
+def custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-style customer order-count distribution: how many
+    customers placed 0, 1, 2, … orders — the double-aggregation shape
+    (outer join → per-customer count → histogram of counts) that SQL
+    engines use to exercise outer-join + re-aggregation planning.
+
+    Scale shape: the LEFT join shuffles both sides on the customer key
+    (orders pruned to o_custkey+o_orderkey in the scan); the per-key
+    count reuses that partitioning (no second exchange), and the final
+    histogram is a bounded partial agg on the count value. COUNT of the
+    nullable right key — not COUNT(*) — keeps order-less customers at 0
+    instead of 1, the classic Q13 outer-join trap."""
+    t = load_tables(spark, sf_dir)
+    co = (
+        t.customer.select("c_custkey")
+        .join(
+            t.orders.select("o_custkey", "o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------- idle_rich_customers
+
+_IDLERICH_ORACLE = """
+WITH avg_bal AS (
+  SELECT CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS s,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM customer WHERE c_acctbal > 0.0
+),
+idle AS (
+  SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+  FROM customer c CROSS JOIN avg_bal
+  WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) * avg_bal.n > avg_bal.s
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+)
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+         AS totacctbal_cents
+FROM idle JOIN nation ON n_nationkey = c_nationkey
+GROUP BY n_name
+"""
+
+
+@register("idle_rich_customers", oracle=_IDLERICH_ORACLE)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style lost-opportunity report: customers with an
+    above-average account balance who have never placed an order,
+    rolled up by nation — scalar subquery + NOT EXISTS in one plan.
+
+    Scale shape: the global average is a one-row broadcast (computed
+    over the positive-balance scan with the filter pushed down); the
+    NOT EXISTS is a LEFT ANTI join on the customer key against orders
+    pruned to o_custkey in its scan; the nation name is a broadcast
+    dimension join and the rollup is bounded by nation count. The
+    above-average test is the cross-multiplied integer form
+    ``cents(bal) * n > sum_cents`` — no FP division, no partial-sum
+    accumulation order, so the qualifying set is bit-identical across
+    engines and cluster layouts (the avg-threshold analog of the
+    winsorize/percentile integer-rank rule)."""
+    t = load_tables(spark, sf_dir)
+    avg_bal = t.customer.filter(F.col("c_acctbal") > 0.0).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    idle = (
+        t.customer.select("c_custkey", "c_nationkey", "c_acctbal")
+        .crossJoin(F.broadcast(avg_bal))
+        .filter(
+            F.round(F.col("c_acctbal") * 100).cast("bigint") * F.col("n")
+            > F.col("s")
+        )
+        .join(
+            t.orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+    )
+    return (
+        idle.join(
+            F.broadcast(
+                t.nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("totacctbal_cents"),
+        )
+    )

@@ -919,3 +919,56 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_clicks").cast("bigint").alias("n_pairs"),
         dsum("value", 6).alias("attributed_value"),
     )
+
+
+# ----------------------------------------------------------- events_rate_limit
+
+_RATE_LIMIT_N = 3
+
+_RATE_LIMIT_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id,
+         CAST(row_number() OVER (
+           PARTITION BY user_id, date_trunc('minute', {_TS_US})
+           ORDER BY {_TS_US}, event_id) AS BIGINT) AS rk
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN rk <= {_RATE_LIMIT_N} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rk > {_RATE_LIMIT_N} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dropped
+FROM ranked GROUP BY user_id
+"""
+
+
+@register("events_rate_limit", oracle=_RATE_LIMIT_ORACLE)
+def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rate limiting audit: keep the first N events per
+    (user, minute), count kept vs dropped per user — the ingestion
+    throttle / bot-mitigation pass an event pipeline runs before
+    sessionization (a burst of automated events would otherwise dominate
+    per-user aggregates downstream).
+
+    Scale shape: ONE window shuffle keyed on (user, minute) — partitions
+    are bounded by a minute of one user's activity, so no hot key can
+    exceed burst size × 60s; the deterministic (ts, event_id) order
+    makes the kept set reproducible across runs and engines. The rollup
+    groups by user only — a prefix of the window key, so AQE coalesces
+    rather than re-shuffles. In streaming form this is exactly the
+    per-key state of a transformWithState throttle; the batch window is
+    its replayable twin."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy(
+        "user_id", F.date_trunc("minute", F.col("ts"))
+    ).orderBy("ts", "event_id")
+    ranked = t.events.select(
+        "user_id", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    n = _RATE_LIMIT_N
+    return ranked.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("rk") <= n, 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("rk") > n, 1).otherwise(0)).alias("n_dropped"),
+    )

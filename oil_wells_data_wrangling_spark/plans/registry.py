@@ -73,7 +73,8 @@ def _load_all() -> None:
 # headliners first. The round-4 rows left out (pseudonymize,
 # minhash_containment, embed_neardup, corpus_pipeline,
 # corpus_pipeline_full, pii_redact, agg_pricing_summary,
-# serve_wells_full, pivot_status,
+# serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
+# pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -94,6 +95,9 @@ _WINDOW_PRIORITY = [
     "late_shipment_priority",
     "domain_pagerank",
     "events_attribution",
+    "custdist",
+    "idle_rich_customers",
+    "events_rate_limit",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -135,9 +139,6 @@ _WINDOW_PRIORITY = [
     "upsert_latest",
     "enrich_join",
     "fuzzy_match_names",
-    "sentinel_to_null",
-    "extract_stim",
-    "serve_wells",
     "well_pipeline",
 ]
 
