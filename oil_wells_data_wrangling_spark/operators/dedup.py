@@ -783,7 +783,10 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash; the per-doc rollup joins the tiny (hash, count≥2) flag back on
     the same key — text never leaves the scan. Since a distinct 8-gram
     occurs once per doc, COUNT(*) per hash IS the distinct-doc count (no
-    count_distinct partials needed)."""
+    count_distinct partials needed). The distinct (doc_id, hash) set is
+    cached — the frequency side and the rollup side both consume it, and
+    without the cache Catalyst re-runs the shingle explode per consumer
+    (the same 2× recompute ``hashed_shingles`` caches against)."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
     docs2 = base.unionAll(
@@ -808,6 +811,7 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        .cache()
     )
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("d"))
     return (
