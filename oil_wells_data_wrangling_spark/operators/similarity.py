@@ -973,3 +973,113 @@ def ivf_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_moved"),
         )
     )
+
+
+# ----------------------------------------------------------- pca_top_component
+
+_PCA_S = 10_000  # fixed-point scale of the iterate vector
+_PCA_XS = 1000.0  # embedding quantization scale
+
+_PCA_ORACLE = f"""
+WITH xi AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           e -> CAST(round(CAST(e AS DOUBLE) * {_PCA_XS}) AS BIGINT)) AS xi
+  FROM embeddings
+),
+flat AS (
+  SELECT vec_id, CAST(pos - 1 AS INTEGER) AS pos,
+         CAST(xi[pos] AS BIGINT) AS x
+  FROM xi, UNNEST(range(1, len(xi) + 1)) AS r(pos)
+),
+v0 AS (SELECT DISTINCT pos, CAST({_PCA_S} AS BIGINT) AS v FROM flat),
+w1 AS (
+  SELECT vec_id, CAST(SUM(x * v) AS BIGINT) AS w
+  FROM flat JOIN v0 USING (pos) GROUP BY vec_id
+),
+c1 AS (
+  SELECT pos, CAST(SUM(x * w) AS BIGINT) AS c
+  FROM flat JOIN w1 USING (vec_id) GROUP BY pos
+),
+m1 AS (SELECT MAX(ABS(c)) AS m FROM c1),
+v1 AS (
+  SELECT pos, CAST((c * {_PCA_S}) // m AS BIGINT) AS v
+  FROM c1 CROSS JOIN m1
+),
+w2 AS (
+  SELECT vec_id, CAST(SUM(x * v) AS BIGINT) AS w
+  FROM flat JOIN v1 USING (pos) GROUP BY vec_id
+),
+c2 AS (
+  SELECT pos, CAST(SUM(x * w) AS BIGINT) AS c
+  FROM flat JOIN w2 USING (vec_id) GROUP BY pos
+),
+m2 AS (SELECT MAX(ABS(c)) AS m FROM c2)
+SELECT pos AS dim, CAST((c * {_PCA_S}) // m AS BIGINT) AS component
+FROM c2 CROSS JOIN m2
+"""
+
+
+@register("pca_top_component", oracle=_PCA_ORACLE)
+def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix by two power
+    iterations — the dominant-direction probe an embedding-curation
+    pipeline runs to detect collapsed/anisotropic embedding spaces
+    (one direction soaking up the variance) and to whiten before
+    cosine retrieval.
+
+    Scale shape: the covariance matrix is NEVER materialized — each
+    iteration is the two-pass matvec ``w = X·v`` then ``v' = Xᵀ·w``:
+    pass 1 joins the flattened (vec_id, dim, x) table with the
+    broadcast 64-row iterate and reduces per vector; pass 2 joins the
+    per-vector scalars back and reduces per dimension. Both are
+    partial-agg shuffles whose results are bounded by n_vectors and
+    n_dims respectively; the flattened table is cached once and fed to
+    all four passes. Arithmetic is fixed-point bigint throughout —
+    embeddings quantized at 1e3, the iterate renormalized to ±1e4 by
+    max-|component| integer division after each iteration (both
+    engines truncate toward zero, verified) — so the walk is
+    bit-identical with no libm and no FP accumulation order. The
+    headroom bound (|x|≤1e3 · |w| ≤ n·d·1e7) stays inside int64 up to
+    ~1e7 vectors at these scales; beyond that, drop the iterate scale
+    one decade per 100× rows."""
+    t = load_tables(spark, sf_dir)
+    flat = (
+        t.embeddings.select(
+            "vec_id", F.posexplode("embedding").alias("pos", "e")
+        )
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("e").cast("double") * _PCA_XS)
+            .cast("bigint")
+            .alias("x"),
+        )
+        .cache()
+    )
+    v = flat.select("pos").distinct().select(
+        "pos", F.lit(_PCA_S).cast("bigint").alias("v")
+    )
+    comp = None
+    for _ in range(2):
+        if comp is not None:
+            m = comp.agg(F.max(F.abs(F.col("c"))).alias("m"))
+            v = comp.crossJoin(F.broadcast(m)).select(
+                "pos",
+                F.expr(f"(c * {_PCA_S}) div m").cast("bigint").alias("v"),
+            )
+        w = (
+            flat.join(F.broadcast(v), "pos")
+            .groupBy("vec_id")
+            .agg(F.sum(F.col("x") * F.col("v")).cast("bigint").alias("w"))
+        )
+        comp = (
+            flat.join(w, "vec_id")
+            .groupBy("pos")
+            .agg(F.sum(F.col("x") * F.col("w")).cast("bigint").alias("c"))
+        )
+    m = comp.agg(F.max(F.abs(F.col("c"))).alias("m"))
+    return comp.crossJoin(F.broadcast(m)).select(
+        F.col("pos").alias("dim"),
+        F.expr(f"(c * {_PCA_S}) div m").cast("bigint").alias("component"),
+    )
