@@ -39,19 +39,20 @@ GROUP BY 1, 2
 @register("events_window_agg", oracle=_WINDOW_AGG_ORACLE, headline=True)
 def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour window per event type. Batch twin of the streaming
-    watermark+window aggregate; epoch-aligned windows equal date_trunc."""
+    watermark+window aggregate. Epoch-aligned 1h windows equal
+    date_trunc('hour'), and the scalar date_trunc beats F.window()'s
+    struct+filter codegen by ~25% at sf0.1 (measured min 0.27s vs
+    0.36s), so the batch side groups on the scalar; the streaming twin
+    keeps F.window(), which the watermark machinery requires."""
     t = load_tables(spark, sf_dir)
     return (
-        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        t.events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            "event_type",
+        )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             dsum("value", 6).alias("total_value"),
-        )
-        .select(
-            F.col("w.start").alias("window_start"),
-            "event_type",
-            "n_events",
-            "total_value",
         )
     )
 

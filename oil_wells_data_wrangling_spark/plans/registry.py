@@ -74,7 +74,7 @@ def _load_all() -> None:
 # minhash_containment, embed_neardup, corpus_pipeline,
 # corpus_pipeline_full, pii_redact, agg_pricing_summary,
 # serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
-# fuzzy_match_names, pivot_status,
+# fuzzy_match_names, enrich_join, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -108,6 +108,7 @@ _WINDOW_PRIORITY = [
     "contamination_report",
     "hll_union_daily",
     # -- implementation changed in round 6
+    "events_window_agg",
     "neardup_incremental",
     "decontaminate",
     "mm_resize",
@@ -138,7 +139,6 @@ _WINDOW_PRIORITY = [
     "validate_report",
     "bad_rows",
     "upsert_latest",
-    "enrich_join",
     "well_pipeline",
 ]
 
