@@ -973,3 +973,56 @@ def events_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("rk") <= n, 1).otherwise(0)).alias("n_kept"),
         F.sum(F.when(F.col("rk") > n, 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------- events_transitions
+
+_TRANSITIONS_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY {_TS_US}, event_id) AS prev_type
+  FROM events
+),
+tr AS (
+  SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM tr)
+SELECT prev_type, next_type, n,
+       CAST((1000 * n) // t AS BIGINT) AS permille
+FROM tr CROSS JOIN tot
+"""
+
+
+@register("events_transitions", oracle=_TRANSITIONS_ORACLE)
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey transition matrix: counts of consecutive
+    (prev event → next event) pairs across all user timelines, with a
+    permille share — the Markov-chain view of product flows
+    (view→click→purchase vs view→error) that funnel analysis
+    (events_funnel) summarizes and this operator exposes raw.
+
+    Scale shape: ONE window shuffle keyed on user_id (a user's timeline
+    sorts within its partition; no global order anywhere), then a
+    partial-agg shuffle bounded by |event_type|² — 25 rows here, still
+    tiny for any real event taxonomy. The total for the share column is
+    a one-row broadcast over that bounded aggregate. The deterministic
+    (ts, event_id) tiebreak keeps lag() reproducible across engines and
+    partition layouts."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = tr.agg(F.sum("n").cast("bigint").alias("t"))
+    return tr.crossJoin(F.broadcast(tot)).select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("(1000 * n) div t").alias("permille"),
+    )
