@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StructField,
     StructType,
@@ -326,4 +327,81 @@ def rank_topk(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
         .select("window_start", "rank", "event_type", "n_events")
+    )
+
+
+# ------------------------------------------------------- rate-limit throttle
+
+_THROTTLE_N = 3  # matches operators/eventops.py::events_rate_limit
+
+_THROTTLE_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("minute", TimestampType()),
+        StructField("event_id", LongType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+_THROTTLE_STATE_SCHEMA = StructType([StructField("n_seen", LongType())])
+
+
+def _throttle_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """First-N-per-(user,minute) throttle: state is ONE counter per key.
+
+    On event-time timeout (watermark passed the minute) the counter is
+    dropped — the store never holds more than the watermark horizon's
+    worth of (user, minute) keys."""
+    user_id, minute = key
+    if state.hasTimedOut:
+        state.remove()
+        return
+
+    n_seen = state.get[0] if state.exists else 0
+    ids: list[tuple[int, int]] = []
+    for pdf in pdfs:
+        sub = pdf.sort_values(["ts", "event_id"])
+        ids.extend((int(e), int(pd.to_datetime(t).value)) for e, t in
+                   zip(sub["event_id"], sub["ts"]))
+    kept = []
+    for eid, _ in ids:
+        n_seen += 1
+        kept.append(n_seen <= _THROTTLE_N)
+    state.update((n_seen,))
+    # purge the counter two minutes after this minute's close
+    state.setTimeoutTimestamp(
+        int(pd.Timestamp(minute).value // 1_000_000) + 120_000
+    )
+    if ids:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(ids),
+                "minute": [minute] * len(ids),
+                "event_id": [eid for eid, _ in ids],
+                "kept": kept,
+            }
+        )
+
+
+def stream_rate_limit(events: DataFrame) -> DataFrame:
+    """Streaming twin of events_rate_limit via applyInPandasWithState:
+    per-(user, minute) counter state with event-time purge. Per-event
+    keep decisions depend on arrival order inside a minute (the batch
+    twin re-ranks by (ts, event_id)), but the per-key KEPT COUNT —
+    min(n, N) — is arrival-order invariant, which is what the equality
+    test asserts after rolling the stream output up to users."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("user_id", "minute")
+        .applyInPandasWithState(
+            _throttle_fn,
+            outputStructType=_THROTTLE_OUT_SCHEMA,
+            stateStructType=_THROTTLE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

@@ -255,3 +255,27 @@ def test_stream_events_topk_matches_batch(spark, sf_dir, events_dir):
     got = rank_topk(emitted)
     want = events_topk(spark, sf_dir)
     assert _canon(got) == _canon(want)
+
+
+def test_stream_rate_limit_matches_batch(spark, sf_dir, events_dir):
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        events_rate_limit,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_rate_limit,
+    )
+
+    got = _run_available_now(
+        stream_rate_limit(read_event_stream(spark, events_dir)),
+        "stream_rate_limit_t",
+        spark,
+    )
+    # per-event keeps are arrival-order dependent inside a minute, but
+    # the per-user totals are not: roll up and compare to the batch twin
+    agg = got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    want = events_rate_limit(spark, sf_dir)
+    assert _canon(agg) == _canon(want)
