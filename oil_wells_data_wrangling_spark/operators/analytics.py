@@ -1249,3 +1249,57 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("totacctbal_cents"),
         )
     )
+
+
+# ------------------------------------------------- disjunctive_filter_revenue
+
+_DISJ_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size <= 10
+       AND l_quantity >= 1 AND l_quantity <= 11)
+   OR (p_brand = 'Brand#23' AND p_size <= 20
+       AND l_quantity >= 10 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#34' AND p_size <= 30
+       AND l_quantity >= 20 AND l_quantity <= 30)
+"""
+
+
+@register("disjunctive_filter_revenue", oracle=_DISJ_ORACLE)
+def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style OR-of-ANDs revenue: three disjoint brand/size/
+    quantity branches combined in one predicate — the disjunctive-
+    pushdown stress test. Catalyst's constraint propagation derives the
+    single-side implications (``p_size <= 30``, ``l_quantity BETWEEN 1
+    AND 30``, brand IN-list) and pushes them into both scans, so the
+    join sees pre-filtered inputs even though no single branch predicate
+    is one-sided; the residual OR evaluates post-join.
+
+    Scale shape: the filtered part side broadcasts; one scalar row out.
+    Revenue routes through exact scaled-int64 sums."""
+    t = load_tables(spark, sf_dir)
+    j = t.lineitem.join(
+        t.part, F.col("p_partkey") == F.col("l_partkey")
+    ).filter(
+        (
+            (F.col("p_brand") == "Brand#12")
+            & (F.col("p_size") <= 10)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & (F.col("p_size") <= 20)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & (F.col("p_size") <= 30)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(disc_price, 6).alias("revenue"),
+    )

@@ -869,3 +869,75 @@ def rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return s.select("doc_id", "dl", F.expr("sum_r div dl").alias("rarity"))
+
+
+# -------------------------------------------------------------- vocab_coverage
+
+_VC_K = 30
+
+_VC_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+),
+c AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+),
+vocab AS (
+  SELECT word FROM (
+    SELECT word, row_number() OVER (ORDER BY cnt DESC, word) AS rk FROM c
+  ) WHERE rk <= {_VC_K}
+)
+SELECT tok.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       CAST((1000 * SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END))
+            // COUNT(*) AS BIGINT) AS oov_permille
+FROM tok LEFT JOIN vocab v ON tok.word = v.word
+GROUP BY tok.doc_id
+"""
+
+
+@register("vocab_coverage", oracle=_VC_ORACLE)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus' own top-k
+    vocabulary — the tokenizer-coverage audit a pipeline runs before
+    committing to a vocab size (docs with high OOV permille will
+    fragment into byte-fallback tokens and blow up their train-time
+    length). Here the vocab is the in-query top-30; the production form
+    joins against a fixed tokenizer vocab table — same plan, one input
+    swapped.
+
+    Scale shape: one tokenize explode feeding both the frequency count
+    and the coverage join; the vocab is a k-row broadcast (rank over the
+    word-count aggregate — vocabulary-sized, not corpus-sized), and the
+    per-doc rollup is a single partial-agg shuffle on doc_id. Text
+    never shuffles; the exchanges carry (doc_id, word) and
+    (word, count) pairs only."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    counts = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("word"))
+    vocab = (
+        counts.select("word", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _VC_K)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.expr("(1000 * n_oov) div n_tokens").alias("oov_permille"),
+        )
+    )

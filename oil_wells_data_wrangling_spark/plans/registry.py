@@ -74,7 +74,8 @@ def _load_all() -> None:
 # minhash_containment, embed_neardup, corpus_pipeline,
 # corpus_pipeline_full, pii_redact, agg_pricing_summary,
 # serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
-# fuzzy_match_names, enrich_join, upsert_latest, pivot_status,
+# fuzzy_match_names, enrich_join, upsert_latest, validate_report,
+# bad_rows, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -100,6 +101,8 @@ _WINDOW_PRIORITY = [
     "events_rate_limit",
     "pca_top_component",
     "events_transitions",
+    "vocab_coverage",
+    "disjunctive_filter_revenue",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -137,8 +140,6 @@ _WINDOW_PRIORITY = [
     "text_normalize",
     "normalize_keys",
     "csv_repair",
-    "validate_report",
-    "bad_rows",
     "well_pipeline",
 ]
 

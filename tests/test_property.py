@@ -166,3 +166,61 @@ def test_decontaminate_injection_loses_no_train_docs(spark_prop):
     }
     assert len(out_ids) == len(set(out_ids)), "duplicated train docs"
     assert set(out_ids) == train_ids, "train docs lost or invented"
+
+
+def test_group_split_never_straddles_sources(spark_prop):
+    """The leakage-safety invariant group_split is FOR: no source may
+    appear in two splits. Checked on the doc-level assignment (the
+    audit query aggregates it away), directly on the same expression."""
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    t = load_tables(spark_prop, "/root/testdata/sf0.001")
+    bucket = (
+        F.expr(
+            "cast(conv(substr(md5(concat('gsplit_v1_', source)),"
+            " 1, 8), 16, 10) as bigint)"
+        )
+        % 100
+    )
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    straddlers = (
+        t.documents.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(F.count_distinct("split").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+    )
+    assert straddlers == 0
+
+
+def test_rate_limit_kept_is_min_of_count_and_n(spark_prop):
+    """events_rate_limit's kept-per-user must equal the sum over that
+    user's minutes of min(minute_count, 3) — the arrival-order-free
+    closed form the streaming twin equality also relies on."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        events_rate_limit,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r["user_id"]: (r["n_events"], r["n_kept"], r["n_dropped"])
+        for r in events_rate_limit(spark_prop, sf).collect()
+    }
+    t = load_tables(spark_prop, sf)
+    per_minute = (
+        t.events.groupBy(
+            "user_id", F.date_trunc("minute", F.col("ts")).alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.least(F.col("c"), F.lit(3))).alias("kept"),
+        )
+    )
+    for r in per_minute.collect():
+        n, kept, dropped = got[r["user_id"]]
+        assert (n, kept, dropped) == (r["n"], r["kept"], r["n"] - r["kept"])
