@@ -1026,3 +1026,65 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("(1000 * n) div t").alias("permille"),
     )
+
+
+# --------------------------------------------------------- incremental_rollup
+
+_INCR_CUTOFF = "2024-01-15 00:00:00"
+
+_INCR_ORACLE = f"""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       {sql_dsum('value', 6)} AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("incremental_rollup", oracle=_INCR_ORACLE)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the stored rollup for
+    data up to a checkpoint merges with the delta batch's partials, and
+    the result must equal the from-scratch rollup — the correctness
+    contract of every incremental pipeline. The oracle IS the direct
+    full rollup, so the hash match proves merge-equals-recompute.
+
+    Scale shape: the aggregate state is MERGEABLE on purpose — (count,
+    scaled-int64 sum) partials add associatively, so the merge is a
+    union of two bounded per-type tables + one re-aggregation, never a
+    re-scan of history (the 100 TB path: history partials live in the
+    store, each refresh scans only the delta partition). The exact
+    scaled-int sum is what makes this safe: double partials would make
+    merge-vs-recompute differ by accumulation order, breaking the
+    self-check the operator exists to provide; with int64 cents the two
+    plans agree bit-for-bit."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit(_INCR_CUTOFF).cast("timestamp")
+
+    def partials(df: DataFrame) -> DataFrame:
+        # raw mergeable state: count + scaled-int64 sum (dsum's addend)
+        m = 10**6
+        lim = float(2**62 // m)
+        guarded = F.when(
+            F.col("value").between(-lim, lim), F.col("value")
+        )
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(guarded * m).cast("bigint")).alias("sv"),
+        )
+
+    stored = partials(t.events.filter(F.col("ts") < cutoff))
+    delta = partials(t.events.filter(F.col("ts") >= cutoff))
+    return (
+        stored.unionAll(delta)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("sv").alias("sv"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            (F.col("sv") / float(10**6)).alias("total_value"),
+        )
+    )

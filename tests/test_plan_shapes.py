@@ -147,3 +147,32 @@ def test_no_unbounded_single_partition_window_in_any_query(spark, sf_dir):
         if "WindowGroupLimit" not in phys and "TakeOrderedAndProject" not in phys:
             offenders.append(name)
     assert not offenders, f"unbounded single-partition windows in: {offenders}"
+
+
+def test_disjunctive_filters_are_derived_and_pushed(spark, sf_dir):
+    # Q19 shape: no single branch predicate is one-sided, but Catalyst's
+    # constraint propagation must still derive per-side filters and push
+    # them into the scans, so the join sees pre-filtered inputs.
+    plan = _plan(spark, sf_dir, "disjunctive_filter_revenue")
+    assert "PushedFilters: [" in plan
+    # the part scan must carry a derived brand IN-list (or Or of brands)
+    assert re.search(r"PushedFilters: \[[^\]]*p_brand", plan), (
+        "derived part-side predicate not pushed into the part scan"
+    )
+    assert re.search(r"PushedFilters: \[[^\]]*l_quantity", plan), (
+        "derived lineitem-side predicate not pushed into the lineitem scan"
+    )
+
+
+def test_vocab_coverage_vocab_is_broadcast(spark, sf_dir):
+    # the k-row vocabulary must broadcast onto the token stream; a
+    # shuffle join here would re-exchange the whole token table.
+    plan = _plan(spark, sf_dir, "vocab_coverage")
+    assert "BroadcastHashJoin" in plan, "vocab join must broadcast"
+
+
+def test_incremental_rollup_merge_has_no_rescan_join(spark, sf_dir):
+    # merge = union of partials + re-aggregation; a join (or more than
+    # the three aggregation exchanges) would mean history re-scans.
+    plan = _plan(spark, sf_dir, "incremental_rollup")
+    assert "Join" not in plan, "partial merge must be union+agg, not a join"
