@@ -769,3 +769,61 @@ def group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ------------------------------------------------------------ dataset_card_stats
+
+_CARD_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(len(string_split(text, ' '))) // COUNT(*) AS BIGINT)
+         AS mean_tokens,
+       CAST((1000 * (COUNT(*) - COUNT(DISTINCT md5(text)))) // COUNT(*)
+         AS BIGINT) AS dup_permille
+FROM documents
+"""
+
+
+@register("dataset_card_stats", oracle=_CARD_ORACLE)
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the header block of a datasheet/data-card
+    (doc count, source/language diversity, token and char volume, mean
+    doc length, exact-dup permille) computed in ONE pass — the summary
+    every corpus release ships and every ingestion gate re-checks.
+
+    Scale shape: a single scan feeding one global aggregation; the
+    distinct counts ride the same partial-agg expansion (text reduced
+    to md5 in the scan — the heaviest distinct key that shuffles is 16
+    bytes). At 100 TB the same query answers from the operator's
+    natural companion store (shard_stats' per-shard partials) by
+    summing mergeable partials instead of re-scanning; the one-pass
+    form here is the from-scratch gate."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "source",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("h"),
+            F.size(F.split("text", " ")).alias("n_tokens"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "*",
+            F.expr("total_tokens div n_docs").alias("mean_tokens"),
+            F.expr("(1000 * (n_docs - n_unique_texts)) div n_docs").alias(
+                "dup_permille"
+            ),
+        )
+    )

@@ -1083,3 +1083,149 @@ def pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos").alias("dim"),
         F.expr(f"(c * {_PCA_S}) div m").cast("bigint").alias("component"),
     )
+
+
+# ------------------------------------------------------------ semdedup_clusters
+
+_SEM_TAU2_NUM = 8100    # tau^2 = 0.81 as 8100/10000
+_SEM_TAU2_DEN = 10000
+_SEM_XS = 1000.0        # quantization scale
+
+_SEMDEDUP_ORACLE = f"""
+WITH emb2 AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label, embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT vec_id + 200000, label,
+         list_transform(embedding, e -> -e)
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+xi AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           e -> CAST(round(CAST(e AS DOUBLE) * {_SEM_XS}) AS BIGINT)) AS xi
+  FROM emb2
+),
+nrm AS (
+  SELECT vec_id, label, xi,
+         CAST(list_dot_product(xi, xi) AS BIGINT) AS n2
+  FROM xi
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM nrm a JOIN nrm b
+    ON a.label = b.label AND b.vec_id < a.vec_id
+  WHERE CAST(list_dot_product(a.xi, b.xi) AS BIGINT) > 0
+    AND CAST(list_dot_product(a.xi, b.xi) AS BIGINT)
+        * CAST(list_dot_product(a.xi, b.xi) AS BIGINT)
+        * {_SEM_TAU2_DEN}
+        >= {_SEM_TAU2_NUM} * a.n2 * b.n2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept
+FROM nrm LEFT JOIN dropped d ON nrm.vec_id = d.vec_id
+GROUP BY label
+"""
+
+
+@register("semdedup_clusters", oracle=_SEMDEDUP_ORACLE)
+def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): inside
+    each coarse cluster, drop every vector that has a cluster-mate with
+    a smaller id and cosine ≥ 0.9 — keeping one representative per
+    semantic near-dup group. The cluster here is the ``label`` column
+    standing in for an ``ivf_assign`` coarse assignment; the production
+    composition is ivf_assign → this operator, unchanged.
+
+    Scale shape: the pair search is a CLUSTER-LOCAL self-join — the
+    whole point of SemDeDup's k-means prepass is that pair cost is
+    Σ|cluster|², never n² (same bound our LSH dedup uses bands for).
+    The join shuffles (vec_id, 64×int64 array, norm) keyed on the
+    cluster id, pairs evaluate a zip_with/aggregate integer dot product
+    inline, and the drop verdict aggregates back to a bounded per-
+    cluster audit. The cosine test is exact integer arithmetic:
+    ``dot > 0 AND dot²·10⁴ ≥ 8100·‖a‖²·‖b‖²`` over 1e3-quantized
+    embeddings — no sqrt, no division, no FP accumulation, so both
+    engines (and any partitioning) agree on every keep/drop decision;
+    the bigint headroom bound holds to ~3e5-dim vectors at this scale.
+
+    The base embeddings are random (no true cos≥0.9 pairs), so the
+    query plants positives the way the dedup family does: every seventh
+    vector gets an exact duplicate (cos = 1 → must drop) and every
+    eleventh a NEGATED copy (cos = −1 → the ``dot > 0`` guard must keep
+    it); negation and duplication are FP-exact in both engines."""
+    t = load_tables(spark, sf_dir)
+    base = t.embeddings.select("vec_id", "label", "embedding")
+    emb2 = base.unionAll(
+        base.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"),
+            "label",
+            "embedding",
+        )
+    ).unionAll(
+        base.filter(F.col("vec_id") % 11 == 0).select(
+            (F.col("vec_id") + 200_000).alias("vec_id"),
+            "label",
+            F.expr("transform(embedding, e -> -e)").alias("embedding"),
+        )
+    )
+    xi = F.expr(
+        f"transform(embedding, e -> cast(round(cast(e as double) * {_SEM_XS}) as bigint))"
+    )
+    nrm = emb2.select(
+        "vec_id",
+        "label",
+        xi.alias("xi"),
+    ).withColumn(
+        "n2",
+        F.expr("aggregate(zip_with(xi, xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"),
+    )
+    a = nrm.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label"),
+        F.col("xi").alias("a_xi"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = nrm.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label"),
+        F.col("xi").alias("b_xi"),
+        F.col("n2").alias("b_n2"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a_xi, b_xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"
+    )
+    dropped = (
+        a.join(b, "label")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(_SEM_TAU2_DEN)
+                >= F.lit(_SEM_TAU2_NUM) * F.col("a_n2") * F.col("b_n2")
+            )
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        nrm.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -75,7 +75,7 @@ def _load_all() -> None:
 # corpus_pipeline_full, pii_redact, agg_pricing_summary,
 # serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
 # fuzzy_match_names, enrich_join, upsert_latest, validate_report,
-# bad_rows, csv_repair, pivot_status,
+# bad_rows, csv_repair, text_normalize, normalize_keys, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -104,6 +104,8 @@ _WINDOW_PRIORITY = [
     "vocab_coverage",
     "disjunctive_filter_revenue",
     "incremental_rollup",
+    "semdedup_clusters",
+    "dataset_card_stats",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -138,8 +140,6 @@ _WINDOW_PRIORITY = [
     "parse_coordinates",
     "api_canonical",
     "numeric_sanitize",
-    "text_normalize",
-    "normalize_keys",
     "well_pipeline",
 ]
 
