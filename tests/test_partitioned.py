@@ -64,3 +64,50 @@ def test_dynamic_partition_pruning_from_join(spark, sf_dir, tmp_path):
     )
     got = joined.count()
     assert got == want and got > 0
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, sf_dir, tmp_path):
+    """Runtime bloom-filter join pruning: a selective dimension filter
+    on a shuffle (non-broadcast, non-DPP) join should inject a bloom
+    filter on the fact side, so most fact rows die at the scan instead
+    of riding the exchange — the row-level sibling of DPP that matters
+    when the fact is not partitioned by the join key."""
+    t = load_tables(spark, sf_dir)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # test-scale overrides: at sf0.001 the fact scan is KBs, far
+        # below the 10GB default that gates injection on a real cluster
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtimeFilter.number.threshold": "10",
+        # force the join to shuffle: bloom filters only apply when the
+        # join is not broadcast (a broadcast build IS already a filter)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        dim = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        joined = t.lineitem.join(
+            dim, F.col("l_orderkey") == F.col("o_orderkey")
+        ).groupBy("o_orderpriority").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "bloom" in plan.lower() or "might_contain" in plan.lower(), (
+            "no runtime bloom filter injected on the fact side"
+        )
+        rows = joined.collect()
+        # correctness under the filter: equal to the unfiltered join
+        want = (
+            t.lineitem.join(
+                t.orders.filter(F.col("o_orderpriority") == "1-URGENT"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            ).count()
+        )
+        assert rows[0]["count"] == want
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
