@@ -828,3 +828,105 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_dup) div n_shingles").alias("dup_permille"),
         )
     )
+
+
+# ----------------------------------------------------- minhash_band_sensitivity
+
+_BAND_SENS_ORACLE = f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+{minhash_pairs_ctes('docs2')},
+bands2 AS (
+  SELECT doc_id, r.range AS band_id,
+         md5(array_to_string(sig[r.range * 2 + 1 : r.range * 2 + 2], ',')) AS bh
+  FROM sig, range(0, 16) r
+),
+pairs2 AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands2 a JOIN bands2 b
+    ON a.band_id = b.band_id AND a.bh = b.bh AND a.doc_id < b.doc_id
+),
+s1 AS (
+  SELECT '8x4' AS config,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST((SELECT COUNT(DISTINCT d) FROM
+               (SELECT doc_a AS d FROM mh_pairs
+                UNION SELECT doc_b FROM mh_pairs)) AS BIGINT) AS n_docs
+  FROM mh_pairs
+),
+s2 AS (
+  SELECT '16x2' AS config,
+         CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         CAST((SELECT COUNT(DISTINCT d) FROM
+               (SELECT doc_a AS d FROM pairs2
+                UNION SELECT doc_b FROM pairs2)) AS BIGINT) AS n_docs
+  FROM pairs2
+)
+SELECT * FROM s1 UNION ALL SELECT * FROM s2
+"""
+
+
+def _band_pairs(sig_df: DataFrame, n_bands: int, rows: int) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs for an arbitrary banding of the
+    32-slot signature."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.md5(
+                    F.expr(
+                        f"array_join(transform(slice(sig, {rows * j + 1}, {rows}), "
+                        "x -> cast(x as string)), ',')"
+                    )
+                ).alias("bh"),
+            )
+            for j in range(n_bands)
+        ]
+    )
+    buckets = sig_df.select("doc_id", F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band_id").alias("band_id"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def _pair_summary(pairs: DataFrame, label: str) -> DataFrame:
+    docs = pairs.select(F.col("doc_a").alias("d")).unionAll(
+        pairs.select(F.col("doc_b").alias("d"))
+    )
+    return pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
+        docs.agg(F.countDistinct("d").alias("n_docs"))
+    ).select(F.lit(label).alias("config"), "n_pairs", "n_docs")
+
+
+@register("minhash_band_sensitivity", oracle=_BAND_SENS_ORACLE)
+def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve audit: the SAME 32-permutation signatures banded two
+    ways — 8 bands × 4 rows (the production default) vs 16 × 2 (the
+    recall-heavy setting) — with candidate-pair and touched-doc counts
+    side by side. This is the measurement that picks (b, r) for a
+    corpus: collision probability is 1−(1−s^r)^b, so fewer rows per
+    band slides the S-curve left (more candidates, more recall, more
+    join work); the audit shows the actual candidate cost of that
+    slide on this corpus before anyone re-runs the full dedup at the
+    new setting.
+
+    Scale shape: ONE signature computation (the cached stage both
+    bandings read); each banding is the standard bucket self-join that
+    exchanges (doc_id, band_id, 16-byte hash) triples only, and the
+    audit aggregates are scalars. Work tracks candidate mass exactly
+    like dedup_minhash — this query IS dedup_minhash's join run twice
+    with different band slicing."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    sig = minhash_signature(docs)
+    return _pair_summary(_band_pairs(sig, 8, 4), "8x4").unionAll(
+        _pair_summary(_band_pairs(sig, 16, 2), "16x2")
+    )

@@ -941,3 +941,149 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000 * n_oov) div n_tokens").alias("oov_permille"),
         )
     )
+
+
+# ------------------------------------------------------------ blocklist_filter
+
+# Two-category blocklist over the synthetic vocabulary (real pipelines
+# load thousands of terms from a file; the plan is identical — the list
+# broadcasts either way). Categories let the audit show WHICH policy
+# fired, the C4/RefinedWeb badwords pattern.
+_BLOCK_CATS = {
+    "infra": ("error", "crash", "leak"),
+    "spam": ("spam", "click", "free"),
+}
+_BLOCK_SPARK = (
+    "map("
+    + ", ".join(
+        f"'{w}', '{cat}'" for cat, ws in _BLOCK_CATS.items() for w in ws
+    )
+    + ")"
+)
+
+
+def _block_duck_case() -> str:
+    whens = " ".join(
+        f"WHEN word = '{w}' THEN '{cat}'"
+        for cat, ws in _BLOCK_CATS.items()
+        for w in ws
+    )
+    return f"CASE {whens} END"
+
+
+_BLOCKLIST_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+hits AS (
+  SELECT doc_id, source, {_block_duck_case()} AS cat
+  FROM tok
+),
+per_doc AS (
+  SELECT doc_id, source,
+         CAST(SUM(CASE WHEN cat = 'infra' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_infra,
+         CAST(SUM(CASE WHEN cat = 'spam' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_spam,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM hits GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN (1000 * (n_infra + n_spam)) // n_tokens >= 20
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked,
+       CAST(SUM(n_infra) AS BIGINT) AS infra_hits,
+       CAST(SUM(n_spam) AS BIGINT) AS spam_hits
+FROM per_doc GROUP BY source
+"""
+
+
+@register("blocklist_filter", oracle=_BLOCKLIST_ORACLE)
+def blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-tagged blocklist gate (the C4 badwords / policy-filter
+    pattern): per-token category lookup, per-doc hit densities, and a
+    ≥2% combined-density block decision, audited per source so a
+    policy change shows WHERE it bites before anything is deleted.
+
+    Scale shape: the blocklist compiles to a literal MAP expression
+    evaluated inside the scan — a real 10⁴-term list broadcasts as a
+    join or stays a map literal; either way no shuffle carries text,
+    and the only exchanges are the (doc, counts) partial agg and the
+    bounded per-source rollup. The block decision is integer permille
+    arithmetic, bit-identical across engines."""
+    t = load_tables(spark, sf_dir)
+    cat = F.expr(f"{_BLOCK_SPARK}[word]")
+    per_doc = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.explode(F.split("text", " ")).alias("word"),
+        )
+        .select("doc_id", "source", cat.alias("cat"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.when(F.col("cat") == "infra", 1).otherwise(0)).alias(
+                "n_infra"
+            ),
+            F.sum(F.when(F.col("cat") == "spam", 1).otherwise(0)).alias(
+                "n_spam"
+            ),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    blocked = F.expr("(1000 * (n_infra + n_spam)) div n_tokens") >= 20
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(blocked, 1).otherwise(0)).alias("n_blocked"),
+        F.sum("n_infra").cast("bigint").alias("infra_hits"),
+        F.sum("n_spam").cast("bigint").alias("spam_hits"),
+    )
+
+
+# --------------------------------------------------------- lang_mismatch_matrix
+
+_LANG_MM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+),
+pred AS (
+  SELECT doc_id, lang,
+         CASE WHEN len(list_filter(words, w -> list_contains({_STOP_DUCK}, w)))
+                   / len(words) > 0.05
+              THEN 'en' ELSE 'und' END AS predicted_lang
+  FROM t
+)
+SELECT lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang, predicted_lang
+"""
+
+
+@register("lang_mismatch_matrix", oracle=_LANG_MM_ORACLE)
+def lang_mismatch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-vs-heuristic language confusion matrix: crawl-declared
+    ``lang`` against the stopword-ratio prediction (`lang_id`), counted
+    per (declared, predicted) cell — the audit that catches mislabeled
+    upstream metadata BEFORE a language-filtered training mix trusts
+    it. Cells off the diagonal are the docs a lang-filter would route
+    wrongly.
+
+    Scale shape: the prediction is the same single-scan expression as
+    lang_id (no join with a prediction table — recomputing a scan-side
+    scalar beats materializing and re-shuffling it), and the matrix agg
+    is bounded by |langs|² cells."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    ratio = F.size(
+        F.expr(f"filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w))")
+    ) / F.size(words)
+    return (
+        t.documents.select(
+            "lang",
+            F.when(ratio > 0.05, "en").otherwise("und").alias(
+                "predicted_lang"
+            ),
+        )
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

@@ -75,7 +75,8 @@ def _load_all() -> None:
 # corpus_pipeline_full, pii_redact, agg_pricing_summary,
 # serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
 # fuzzy_match_names, enrich_join, upsert_latest, validate_report,
-# bad_rows, csv_repair, text_normalize, normalize_keys, pivot_status,
+# bad_rows, csv_repair, text_normalize, normalize_keys,
+# parse_coordinates, api_canonical, numeric_sanitize, pivot_status,
 # rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
 # winsorize, range_join, salted_agg_join, skew_report,
 # integrity_report, geo_bucket, spatial_bbox, events_anomaly,
@@ -106,6 +107,9 @@ _WINDOW_PRIORITY = [
     "incremental_rollup",
     "semdedup_clusters",
     "dataset_card_stats",
+    "minhash_band_sensitivity",
+    "blocklist_filter",
+    "lang_mismatch_matrix",
     "bm25_topk",
     "events_topk",
     "scd2_apply",
@@ -137,9 +141,6 @@ _WINDOW_PRIORITY = [
     # -- last driver row is round 4: reference-derived wrangle family
     "extract_fields",
     "extract_repeated",
-    "parse_coordinates",
-    "api_canonical",
-    "numeric_sanitize",
     "well_pipeline",
 ]
 
