@@ -13,6 +13,10 @@ exactly microsecond precision.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1088,3 +1092,168 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sv") / float(10**6)).alias("total_value"),
         )
     )
+
+
+# ---------------------------------------------------------- scd2_attribution
+
+_SCD2_ATTR_ORACLE = f"""
+WITH ev AS (
+  SELECT user_id, event_type, {_TS_US} AS ts, event_id, value FROM events
+),
+st AS (
+  SELECT user_id, event_type AS status, ts, event_id,
+         lead(ts) OVER w AS nts, lead(event_id) OVER w AS nid
+  FROM ev WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+p AS (
+  SELECT user_id, ts, event_id, value FROM ev WHERE event_type = 'purchase'
+)
+SELECT COALESCE(s.status, 'none') AS status,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+       {sql_dsum('p.value', 6)} AS attributed_value
+FROM p LEFT JOIN st s ON p.user_id = s.user_id
+  AND (s.ts < p.ts OR (s.ts = p.ts AND s.event_id < p.event_id))
+  AND (s.nts IS NULL OR p.ts < s.nts
+       OR (p.ts = s.nts AND p.event_id < s.nid))
+GROUP BY 1
+"""
+
+
+@register("scd2_attribution", oracle=_SCD2_ATTR_ORACLE)
+def scd2_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution over SCD2 validity intervals: every purchase
+    is attributed to the status the user was IN at purchase time — the
+    interval of the ``scd2_apply`` dimension (built from the user's
+    non-purchase events) that contains the purchase's (ts, event_id)
+    point — then revenue rolls up per status. A purchase before any
+    status event lands in 'none'. This is the point-in-time-correct
+    dimension lookup (feature-store "as-of" semantics): joining on the
+    CURRENT status instead would leak future information.
+
+    Two equivalent formulations exist, and each side runs a different
+    one so the oracle is a genuine cross-check: the SQL oracle builds
+    lead()-bounded intervals and point-in-interval LEFT JOINs each
+    purchase into them; the Spark plan never materializes intervals at
+    all — it unions facts into the event stream and takes
+    last(status, ignorenulls) over a (ts, event_id)-ordered running
+    window per user. The window form is the 100 TB winner: ONE
+    user-keyed hash exchange, state = one running value per user, no
+    join fan-out, and no interval table to rebuild when history
+    backfills. (The interval-join form shuffles both sides AND risks
+    per-user fan-out before the range predicate filters; its win is
+    incremental maintenance — a static dimension joined by many fact
+    scans — which ``asof_join`` covers.) Total (ts, event_id) order
+    makes attribution deterministic under equal timestamps."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "status_ev"
+        ),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    attributed = ev.withColumn(
+        "status", F.last("status_ev", ignorenulls=True).over(w)
+    ).filter("is_purchase")
+    return attributed.groupBy(
+        F.coalesce("status", F.lit("none")).alias("status")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+        dsum("value", 6).alias("attributed_value"),
+    )
+
+
+# ------------------------------------------------------- hll_persist_incremental
+
+_HLL_PERSIST_CUTOFF = "2024-01-15 00:00:00"
+
+_HLL_PERSIST_ORACLE = f"""
+WITH e AS (SELECT CAST(date_trunc('day', {_TS_US}) AS DATE) AS day, user_id
+           FROM events)
+SELECT CAST(COUNT(DISTINCT CASE WHEN day <  DATE '2024-01-15' THEN day END)
+         AS BIGINT) AS n_days_persisted,
+       CAST(COUNT(DISTINCT CASE WHEN day >= DATE '2024-01-15' THEN day END)
+         AS BIGINT) AS n_days_fresh,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+       TRUE AS union_within_5pct
+FROM e
+"""
+
+
+@register("hll_persist_incremental", oracle=_HLL_PERSIST_ORACLE)
+def hll_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sketch maintenance with a PERSISTED state table —
+    the production shape behind ``hll_union_daily``: a backfill run
+    writes one Datasketches HLL per day to a parquet state table
+    (binary sketch column + day key); the incremental run scans ONLY
+    the post-cutoff raw events, sketches the new days, unions the
+    fresh rows with the state table read back from parquet, and merges
+    all sketches with ``hll_union_agg`` — no rescan of history, ever.
+    The audit recount (exact distinct over the full range) is what the
+    oracle shares; a boolean asserts the merged estimate lands within
+    5% of it, proving the sketches survived the parquet round-trip
+    intact (a truncated/corrupted binary column would blow the bound
+    or fail to merge).
+
+    Scale shape: state is ~KB per day regardless of event volume, so
+    ten years of history is ~4 MB read by one task; the incremental
+    scan's ``ts >= cutoff`` predicate pushes down to the parquet
+    reader (day-partitioned storage would prune files entirely). The
+    recount term exists only for the correctness gate — at 100 TB the
+    dashboard reads the sketch union alone, which is the point: an
+    exact COUNT(DISTINCT) over the full range re-shuffles all history
+    every refresh; the sketch union shuffles nothing."""
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit(_HLL_PERSIST_CUTOFF).cast("timestamp")
+
+    def daily_sketch(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.to_date(F.date_trunc("day", "ts")).alias("day")
+        ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+
+    work = tempfile.mkdtemp(prefix="hll_state_")
+    state_dir = os.path.join(work, "daily_sketches")
+    # backfill run: persist per-day sketch state for history
+    daily_sketch(t.events.filter(F.col("ts") < cutoff)).write.parquet(
+        state_dir
+    )
+    # incremental run: fresh days only + state table read back
+    fresh = daily_sketch(t.events.filter(F.col("ts") >= cutoff))
+    stored = spark.read.parquet(state_dir)
+    merged = stored.unionAll(fresh).agg(
+        F.count(F.when(F.col("day") < F.to_date(cutoff), 1)).alias(
+            "n_days_persisted"
+        ),
+        F.count(F.when(F.col("day") >= F.to_date(cutoff), 1)).alias(
+            "n_days_fresh"
+        ),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_est"),
+    )
+    exact = t.events.agg(F.count_distinct("user_id").alias("n_users_exact"))
+    out = (
+        merged.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("n_days_persisted").cast("bigint"),
+            F.col("n_days_fresh").cast("bigint"),
+            "n_users_exact",
+            (
+                F.abs(F.col("n_est") - F.col("n_users_exact"))
+                / F.col("n_users_exact")
+                <= F.lit(0.05)
+            ).alias("union_within_5pct"),
+        )
+        .localCheckpoint(eager=True)  # sever lineage so the dir can go
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

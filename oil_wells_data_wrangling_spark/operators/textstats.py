@@ -1087,3 +1087,90 @@ def lang_mismatch_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------- bigram_lift
+
+_LIFT_MINSUP = 20
+# lift threshold 11/10 — kept rational so the cut is exact integer
+# cross-multiplication on both engines (no float compare at the boundary)
+_LIFT_NUM, _LIFT_DEN = 11, 10
+
+_BIGRAM_LIFT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+big AS (
+  SELECT a.w AS w1, b.w AS w2
+  FROM toks a JOIN toks b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM toks),
+pairs AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n_pair FROM big GROUP BY w1, w2
+)
+SELECT p.w1, p.w2, p.n_pair, u1.n AS n_w1, u2.n AS n_w2
+FROM pairs p
+JOIN uni u1 ON p.w1 = u1.w
+JOIN uni u2 ON p.w2 = u2.w
+CROSS JOIN tot
+WHERE p.n_pair >= {_LIFT_MINSUP}
+  AND {_LIFT_DEN} * p.n_pair * tot.n_tokens > {_LIFT_NUM} * u1.n * u2.n
+"""
+
+
+@register("bigram_lift", oracle=_BIGRAM_LIFT_ORACLE)
+def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-association mining: adjacent-word bigrams whose observed
+    frequency beats independence by a lift of ≥ 1.1 with minimum
+    support — the collocation detector (PMI's ratio core, before the
+    log) a tokenizer-prep pipeline runs to find multi-word expressions
+    worth fusing into single tokens. Emits the raw counts (n_pair,
+    n_w1, n_w2) rather than a float score: lift = n_pair·N/(n_w1·n_w2)
+    is a ratio of integers, and the ≥11/10 cut is applied by integer
+    cross-multiplication on BOTH engines, so the survivor set is exact
+    — no float epsilon at the decision boundary, which is where
+    engine-hash comparisons die.
+
+    Scale shape: bigrams explode map-side from each doc (zip of the
+    word array with its tail — no self-join; the oracle's pos-join
+    formulation is the cross-check); one hash agg keys (w1, w2), one
+    keys w; the unigram table is vocabulary-sized and broadcast onto
+    the pair table, and the corpus total is a scalar broadcast. At
+    100 TB the only big exchange is the (w1, w2) partial-agg shuffle,
+    which Zipf-compresses map-side: partial counts mean the shuffle
+    carries at most |vocab|² rows per task, not corpus tokens. Counts
+    are bigint: n_pair·N overflows int64 only past ~3·10⁹ tokens with
+    ~3·10⁹ pair occurrences (≈ exabyte corpora); document
+    decimal(38,0) there."""
+    t = load_tables(spark, sf_dir)
+    words = t.documents.select(
+        F.split("text", " ").alias("ws")
+    )
+    toks = words.select(F.explode("ws").alias("w"))
+    bigrams = words.select(
+        F.explode(
+            F.expr("zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1), (a, b) -> struct(a as w1, b as w2))")
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    tot = toks.agg(F.count(F.lit(1)).alias("n_tokens"))
+    pairs = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_w2"))
+    return (
+        pairs.filter(F.col("n_pair") >= _LIFT_MINSUP)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .filter(
+            _LIFT_DEN * F.col("n_pair") * F.col("n_tokens")
+            > _LIFT_NUM * F.col("n_w1") * F.col("n_w2")
+        )
+        .select("w1", "w2", "n_pair", "n_w1", "n_w2")
+    )

@@ -70,7 +70,8 @@ def _load_all() -> None:
 # verdict's top item; events_enrich/json_props matter most because
 # their r2 rows predate the events ts-encoding change, (4) round-4
 # rows, reference-derived wrangle family and corpus/similarity
-# headliners first. The round-4 rows left out (pseudonymize,
+# headliners first. The round-4 rows left out (extract_fields,
+# extract_repeated, well_pipeline, pseudonymize,
 # minhash_containment, embed_neardup, corpus_pipeline,
 # corpus_pipeline_full, pii_redact, agg_pricing_summary,
 # serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
@@ -118,6 +119,9 @@ _WINDOW_PRIORITY = [
     "events_distinct_windowed",
     "contamination_report",
     "hll_union_daily",
+    "scd2_attribution",
+    "hll_persist_incremental",
+    "bigram_lift",
     # -- implementation changed in round 6
     "events_window_agg",
     "neardup_incremental",
@@ -138,10 +142,6 @@ _WINDOW_PRIORITY = [
     "approx_percentiles",
     "join_region_rollup",
     "join_revenue_topn",
-    # -- last driver row is round 4: reference-derived wrangle family
-    "extract_fields",
-    "extract_repeated",
-    "well_pipeline",
 ]
 
 

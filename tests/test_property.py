@@ -224,3 +224,66 @@ def test_rate_limit_kept_is_min_of_count_and_n(spark_prop):
     for r in per_minute.collect():
         n, kept, dropped = got[r["user_id"]]
         assert (n, kept, dropped) == (r["n"], r["kept"], r["n"] - r["kept"])
+
+
+def test_scd2_attribution_partitions_all_purchases(spark_prop):
+    """Every purchase is attributed to exactly one status (or 'none'):
+    the per-status n_purchases must sum to the raw purchase count, and
+    n_users per status can't exceed n_purchases."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        scd2_attribution,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = scd2_attribution(spark_prop, sf).collect()
+    t = load_tables(spark_prop, sf)
+    total = t.events.filter("event_type = 'purchase'").count()
+    assert sum(r["n_purchases"] for r in rows) == total
+    assert all(r["n_users"] <= r["n_purchases"] for r in rows)
+
+
+def test_hll_persist_incremental_cleans_tmpdir(spark_prop):
+    """The state-table scratch dir must not leak (the registry sweep
+    calls every operator repeatedly), and the returned DF must survive
+    the dir's removal (lineage severed by localCheckpoint)."""
+    import glob
+    import os
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        hll_persist_incremental,
+    )
+
+    before = set(glob.glob(os.path.join(tempfile.gettempdir(), "hll_state_*")))
+    out = hll_persist_incremental(spark_prop, "/root/testdata/sf0.001")
+    rows = out.collect()  # after rmtree — lineage must not need the dir
+    after = set(glob.glob(os.path.join(tempfile.gettempdir(), "hll_state_*")))
+    assert after == before, "hll_persist_incremental leaked its scratch dir"
+    assert len(rows) == 1 and rows[0]["union_within_5pct"]
+    assert rows[0]["n_days_persisted"] > 0 and rows[0]["n_days_fresh"] > 0
+
+
+def test_bigram_lift_counts_are_consistent(spark_prop):
+    """Survivors obey the published cut exactly: n_pair >= minsup and
+    10·n_pair·N > 11·n_w1·n_w2, and a pair can't outnumber either of
+    its words."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _LIFT_MINSUP,
+        bigram_lift,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    rows = bigram_lift(spark_prop, sf).collect()
+    assert rows, "threshold filtered everything — cut too tight for testdata"
+    t = load_tables(spark_prop, sf)
+    n_tokens = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("w")
+        ).count()
+    )
+    for r in rows:
+        assert r["n_pair"] >= _LIFT_MINSUP
+        assert r["n_pair"] <= min(r["n_w1"], r["n_w2"])
+        assert 10 * r["n_pair"] * n_tokens > 11 * r["n_w1"] * r["n_w2"]
