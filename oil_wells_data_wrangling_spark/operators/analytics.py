@@ -1303,3 +1303,83 @@ def disjunctive_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         dsum(disc_price, 6).alias("revenue"),
     )
+
+
+# --------------------------------------------------------------- snapshot_diff
+
+_SNAPDIFF_ORACLE = f"""
+WITH v1 AS (
+  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 11 <> 3
+),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 13 <> 7
+),
+d AS (
+  SELECT CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+              WHEN v2.o_orderkey IS NULL THEN 'removed'
+              WHEN v1.o_totalprice <> v2.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change,
+         COALESCE(v2.o_totalprice, 0.0) - COALESCE(v1.o_totalprice, 0.0)
+           AS delta
+  FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+)
+SELECT change, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       {sql_dsum('delta', 2)} AS price_delta
+FROM d GROUP BY change
+"""
+
+
+@register("snapshot_diff", oracle=_SNAPDIFF_ORACLE)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of the orders table
+    by primary key into added / removed / changed / unchanged, with the
+    net price delta per class — the audit a lakehouse runs after a CDC
+    backfill or a migration to prove the new snapshot is the old one
+    plus the intended changes (``cdc_apply`` builds snapshots; this is
+    the operator that CHECKS one). Versions are derived
+    deterministically from orders: v1 is missing the keys a later
+    backfill added, v2 reprices every 5th key and drops the keys a
+    retention pass removed.
+
+    Scale shape: one full-outer sort-merge join on the primary key —
+    both sides hash-partition on the SAME key so there is exactly one
+    exchange each and no fan-out (keys are unique per side); the
+    classifier is a projection and the rollup is a 4-group partial
+    agg. At 100 TB the join is the floor for an exact diff; the
+    storage-layer shortcut (comparing partition/file-level min-max or
+    content hashes first and joining only dirty partitions) drops out
+    of the same plan when snapshots share file lineage — zorder_stats
+    documents the file-stat side of that."""
+    t = load_tables(spark, sf_dir)
+    base = t.orders.select("o_orderkey", "o_totalprice")
+    v1 = base.filter(F.col("o_orderkey") % 11 != 3).withColumnRenamed(
+        "o_totalprice", "p1"
+    )
+    v2 = (
+        base.filter(F.col("o_orderkey") % 13 != 7)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("p2"),
+        )
+    )
+    d = v1.join(v2, "o_orderkey", "full_outer").select(
+        F.when(F.col("p1").isNull(), "added")
+        .when(F.col("p2").isNull(), "removed")
+        .when(F.col("p1") != F.col("p2"), "changed")
+        .otherwise("unchanged")
+        .alias("change"),
+        (
+            F.coalesce("p2", F.lit(0.0)) - F.coalesce("p1", F.lit(0.0))
+        ).alias("delta"),
+    )
+    return d.groupBy("change").agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        dsum("delta", 2).alias("price_delta"),
+    )

@@ -1174,3 +1174,80 @@ def bigram_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("w1", "w2", "n_pair", "n_w1", "n_w2")
     )
+
+
+# ----------------------------------------------------- quality_threshold_sweep
+
+# distinct-word-ratio thresholds in permille — the operating points a
+# curation pipeline would A/B; permille keeps the cut integer-exact
+_QTS_THRESHOLDS = (400, 500, 600, 700, 800)
+_QTS_SQL_VALUES = ", ".join(f"({t})" for t in _QTS_THRESHOLDS)
+
+_QTS_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id, n_chars,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           / len(string_split(text, ' ')) AS score_permille
+  FROM documents
+),
+thr(threshold) AS (VALUES {_QTS_SQL_VALUES}),
+tot AS (SELECT COUNT(*) AS n FROM s)
+SELECT CAST(thr.threshold AS BIGINT) AS threshold,
+       CAST(SUM(CASE WHEN s.score_permille >= thr.threshold
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(CASE WHEN s.score_permille >= thr.threshold
+                     THEN s.n_chars ELSE 0 END) AS BIGINT) AS n_chars_kept,
+       CAST(SUM(CASE WHEN s.score_permille >= thr.threshold
+                     THEN 1 ELSE 0 END) * 1000000 // MAX(tot.n)
+         AS BIGINT) AS ppm_kept
+FROM s CROSS JOIN thr CROSS JOIN tot
+GROUP BY thr.threshold
+"""
+
+
+@register("quality_threshold_sweep", oracle=_QTS_ORACLE)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation operating curve: for each candidate quality threshold,
+    how many documents (and characters) survive — the sweep a pipeline
+    runs BEFORE committing to a filter cut, so the data-mix owner picks
+    a point on the volume/quality curve instead of a blind constant
+    (the filter itself is ``quality_score``/``repetition_filter``; the
+    band-sensitivity analog for dedup is ``minhash_band_sensitivity``).
+    Score is the distinct-word ratio in integer permille — the cut is
+    exact on both engines, no float boundary.
+
+    Scale shape: the per-doc score is computed ONCE in the scan stage;
+    the |thresholds|-row table cross-joins in map-side (broadcast
+    nested loop over 5 rows — row expansion ×5, columns just (score,
+    n_chars)), and the rollup is a 5-group partial agg, so the only
+    exchange carries ≤ 5 rows per map task. The corpus total rides the
+    same agg via MAX(broadcast scalar) rather than a second pass."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    s = t.documents.select(
+        "n_chars",
+        (
+            F.size(F.array_distinct(words)) * 1000 / F.size(words)
+        ).cast("bigint").alias("score_permille"),
+    )
+    thr = spark.range(len(_QTS_THRESHOLDS)).select(
+        F.element_at(
+            F.array(*[F.lit(t) for t in _QTS_THRESHOLDS]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("bigint").alias("threshold")
+    )
+    tot = t.documents.agg(F.count(F.lit(1)).alias("n"))
+    kept = F.when(F.col("score_permille") >= F.col("threshold"), 1).otherwise(0)
+    return (
+        s.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("threshold")
+        .agg(
+            F.sum(kept).cast("bigint").alias("n_docs_kept"),
+            F.sum(kept * F.col("n_chars")).cast("bigint").alias("n_chars_kept"),
+            F.expr(
+                "cast(sum(case when score_permille >= threshold then 1 else 0 end)"
+                " * 1000000 div max(n) as bigint)"
+            ).alias("ppm_kept"),
+        )
+    )

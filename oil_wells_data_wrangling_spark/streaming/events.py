@@ -27,7 +27,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -404,4 +406,77 @@ def stream_rate_limit(events: DataFrame) -> DataFrame:
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
+    )
+
+
+# ------------------------------------------------------- scd2 attribution
+
+_SCD2_ATTR_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("status", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+_SCD2_ATTR_STATE_SCHEMA = StructType([StructField("status", StringType())])
+
+
+def _scd2_attr_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Running-status attribution: state is the user's CURRENT status —
+    one short string per user, the live form of the SCD2 'is_current'
+    row. Rows are processed in (ts, event_id) order within the batch;
+    a purchase emits the status in force at that point, any other
+    event updates it."""
+    (user_id,) = key
+    status = state.get[0] if state.exists else None
+    out_ids: list[int] = []
+    out_status: list[str] = []
+    out_value: list[float] = []
+    for pdf in pdfs:
+        for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+            if row.event_type == "purchase":
+                out_ids.append(int(row.event_id))
+                out_status.append(status if status is not None else "none")
+                out_value.append(float(row.value))
+            else:
+                status = row.event_type
+    if status is not None:
+        state.update((status,))
+    if out_ids:
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id] * len(out_ids),
+                "event_id": out_ids,
+                "status": out_status,
+                "value": out_value,
+            }
+        )
+
+
+def stream_scd2_attribution(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``scd2_attribution`` operator via
+    applyInPandasWithState: the state store holds each user's current
+    status (ONE row per user — exactly the state a feature store keeps
+    for point-in-time-correct serving), and purchases are attributed
+    on arrival. With a time-ordered feed the per-purchase output
+    equals the batch operator's running-window attribution row for
+    row; the equality test rolls both up per (status).
+
+    No timeout is set: the state is the live SCD2 dimension itself
+    (bounded by |users|, ~bytes each), and expiring it would
+    mis-attribute a returning user's purchases to 'none' where the
+    batch form — and the business meaning — keep the last known
+    status. At 100 TB of *events* the state is still only per-user,
+    the same cardinality every stateful-user operator here carries."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _scd2_attr_fn,
+        outputStructType=_SCD2_ATTR_OUT_SCHEMA,
+        stateStructType=_SCD2_ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

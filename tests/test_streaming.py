@@ -279,3 +279,58 @@ def test_stream_rate_limit_matches_batch(spark, sf_dir, events_dir):
     )
     want = events_rate_limit(spark, sf_dir)
     assert _canon(agg) == _canon(want)
+
+
+def test_stream_scd2_attribution_matches_batch(spark, sf_dir, tmp_path):
+    """Per-status attribution rollup of the stream must equal the batch
+    scd2_attribution — including purchases whose governing status event
+    arrived in an EARLIER micro-batch (the state-carry path), which the
+    two-file time-split feed forces."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        scd2_attribution,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_scd2_attribution,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    mid = ev.selectExpr(
+        "timestamp_micros(cast(percentile_approx(unix_micros(ts), 0.5) as bigint)) m"
+    ).first()["m"]
+    feed = tmp_path / "feed"
+    # two time-ordered files -> two micro-batches under maxFilesPerTrigger=1
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(
+        str(feed / "a=0")
+    )
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.parquet(
+        str(feed / "a=1")
+    )
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "a=*"))
+    )
+    got = _run_available_now(
+        stream_scd2_attribution(stream), "scd2_attr_stream", spark
+    )
+    got_roll = got.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+    want = scd2_attribution(spark, sf_dir).select(
+        "status", "n_purchases", "n_users"
+    )
+    assert _canon(got_roll) == _canon(want)
+    assert got.count() > 0
+    # state-carry actually exercised: some purchase in batch 2 must be
+    # attributed to a status set in batch 1
+    n_cross = (
+        got.join(
+            ev.filter(F.col("ts") >= F.lit(mid)).select("event_id"),
+            "event_id",
+        )
+        .filter(F.col("status") != "none")
+        .count()
+    )
+    assert n_cross > 0
