@@ -1,0 +1,139 @@
+"""Batched model-inference scaffold (SURVEY.md §2.C).
+
+The quality-classifier pass of a training-data pipeline (fastText /
+linear-probe style) runs as BATCHED inference over document features:
+featurize in the scan, ship Arrow batches to a worker-side model,
+emit scores, filter. This module is that plumbing with a
+DETERMINISTIC stub model — integer weights over integer features, so
+the score is bit-exact cross-engine and the whole path (feature
+extraction → Arrow batch → vectorized model → threshold) is testable
+against a DuckDB oracle. Swapping the stub for a real ONNX/linear
+model changes ONE function (the weights), none of the Spark plumbing
+— which is the part this engine owns.
+
+Reference parity: the reference scores rows one at a time in Python
+(pdf_extraction.py's per-row validators); here scoring is vectorized
+per Arrow batch and distributed per partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from oil_wells_data_wrangling_spark.plans.registry import register
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+# Stub linear model: integer weights over integer permille features.
+# score = w0 + w1·distinct_permille + w2·stop_permille + w3·min(n_words, 100)
+# A real classifier drops in by replacing _MODEL_W and _score_batch's
+# dot product with a loaded model's predict — the plumbing is identical.
+_MODEL_W = (-300, 2, 5, 3)
+_SCORE_CUTOFF = 1000
+
+_STOP = ("the", "a", "of", "and", "to", "in", "is", "for")
+_STOP_SPARK = "array(" + ", ".join(f"'{w}'" for w in _STOP) + ")"
+_STOP_DUCK = "[" + ", ".join(f"'{w}'" for w in _STOP) + "]"
+
+_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score", LongType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+
+
+def _score_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized stub model over Arrow batches — the worker-side half.
+
+    Everything here is int64 pandas ops; a real model would do
+    `model.predict(batch[feature_cols])` in the same spot, amortizing
+    model dispatch over the whole Arrow batch instead of per row."""
+    w0, w1, w2, w3 = _MODEL_W
+    for pdf in it:
+        score = (
+            w0
+            + w1 * pdf["distinct_permille"].astype("int64")
+            + w2 * pdf["stop_permille"].astype("int64")
+            + w3 * pdf["n_words"].astype("int64").clip(upper=100)
+        )
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "score": score,
+                "kept": score >= _SCORE_CUTOFF,
+            }
+        )
+
+
+_MODEL_SCORE_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           // len(string_split(text, ' ')) AS distinct_permille,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_STOP_DUCK}, w))) * 1000
+           // len(string_split(text, ' ')) AS stop_permille
+  FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         {_MODEL_W[0]} + {_MODEL_W[1]} * CAST(distinct_permille AS BIGINT)
+           + {_MODEL_W[2]} * CAST(stop_permille AS BIGINT)
+           + {_MODEL_W[3]} * LEAST(n_words, 100) AS score
+  FROM feat
+)
+SELECT doc_id, CAST(score AS BIGINT) AS score,
+       score >= {_SCORE_CUTOFF} AS kept
+FROM scored
+"""
+
+
+@register("model_score", oracle=_MODEL_SCORE_ORACLE)
+def model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched-inference quality scoring: featurize documents in the
+    scan stage (integer permille features — JVM-side column
+    expressions), then run the model worker-side over Arrow batches
+    with ``mapInPandas`` and threshold into a keep decision. This is
+    the classifier-filter scaffold (fastText-quality / linear-probe
+    pass) with a deterministic integer stub standing in for the model
+    so the WHOLE path has an exact oracle; the model function is the
+    single swap point for real weights.
+
+    Scale shape: features reduce each document to three int64s BEFORE
+    the Python exchange, so the Arrow transfer carries ~32 bytes/doc,
+    not text; the model is embarrassingly parallel per partition (no
+    shuffle anywhere — output partitioning is inherited from the
+    scan). Batch size follows
+    spark.sql.execution.arrow.maxRecordsPerBatch (10k default): model
+    dispatch amortizes over the batch, the win that makes Pandas UDFs
+    10-100× row-at-a-time Python. At 100 TB this is a map-only pass —
+    executors scale it linearly, and a GPU model slots in by raising
+    the batch size and pinning one model instance per worker."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    feats = t.documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000L"
+            " div size(split(text, ' '))"
+        ).alias("distinct_permille"),
+        F.expr(
+            f"size(filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w)))"
+            " * 1000L div size(split(text, ' '))"
+        ).alias("stop_permille"),
+    )
+    return feats.mapInPandas(_score_batch, schema=_OUT_SCHEMA)

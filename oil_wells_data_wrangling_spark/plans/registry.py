@@ -56,6 +56,7 @@ def _load_all() -> None:
     import oil_wells_data_wrangling_spark.operators.similarity  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.spatial  # noqa: F401
     import oil_wells_data_wrangling_spark.operators.graph  # noqa: F401
+    import oil_wells_data_wrangling_spark.operators.inference  # noqa: F401
     import oil_wells_data_wrangling_spark.streaming.neardup  # noqa: F401
 
 

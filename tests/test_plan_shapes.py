@@ -176,3 +176,27 @@ def test_incremental_rollup_merge_has_no_rescan_join(spark, sf_dir):
     # the three aggregation exchanges) would mean history re-scans.
     plan = _plan(spark, sf_dir, "incremental_rollup")
     assert "Join" not in plan, "partial merge must be union+agg, not a join"
+
+
+def test_model_score_is_map_only(spark, sf_dir):
+    """The inference scaffold must stay embarrassingly parallel: no
+    Exchange anywhere (partitioning inherited from the scan) and the
+    model running as an Arrow MapInPandas node, with the three int64
+    features projected BEFORE the Python exchange so text bytes never
+    cross into Python."""
+    from oil_wells_data_wrangling_spark.operators.inference import model_score
+
+    plan = (
+        model_score(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+    assert "MapInPandas" in plan
+    assert "text" not in _python_input_columns(plan)
+
+
+def _python_input_columns(plan: str) -> str:
+    # the MapInPandas node line lists its child output columns
+    for line in plan.splitlines():
+        if "MapInPandas" in line:
+            return line
+    return ""
