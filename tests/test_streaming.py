@@ -334,3 +334,67 @@ def test_stream_scd2_attribution_matches_batch(spark, sf_dir, tmp_path):
         .count()
     )
     assert n_cross > 0
+
+
+def test_stream_attribution_state_is_bounded(spark, sf_dir, tmp_path):
+    """PROVE the attribution join's watermarks bound its state: over a
+    4-batch time-ordered feed, the state store must evict rows
+    (rows_removed > 0 once the watermark advances) and the final
+    batch's state must hold strictly fewer rows than the total
+    click+purchase input — i.e. the store is a sliding horizon, not an
+    append-only buffer."""
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_attribution,
+    )
+    from oil_wells_data_wrangling_spark.streaming.metrics import (
+        assert_state_bounded,
+        progress_state_metrics,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    qs = ev.selectExpr(
+        *[
+            f"timestamp_micros(cast(percentile_approx(unix_micros(ts), {q}) as bigint)) q{i}"
+            for i, q in enumerate((0.25, 0.5, 0.75))
+        ]
+    ).first()
+    feed = tmp_path / "feed"
+    bounds = [None, qs["q0"], qs["q1"], qs["q2"], None]
+    for i in range(4):
+        part = ev
+        if bounds[i] is not None:
+            part = part.filter(F.col("ts") >= F.lit(bounds[i]))
+        if bounds[i + 1] is not None:
+            part = part.filter(F.col("ts") < F.lit(bounds[i + 1]))
+        part.coalesce(1).write.parquet(str(feed / f"b={i}"))
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "b=*"))
+    )
+    q = (
+        stream_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("attrib_metrics")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    metrics = progress_state_metrics(q)
+    assert metrics, "no stateful-operator progress captured"
+    n_input = ev.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).count()
+    assert sum(m["rows_removed"] for m in metrics) > 0, (
+        "watermark never evicted join state across 4 batches"
+    )
+    final_batch = max(m["batch_id"] for m in metrics)
+    final_rows = max(
+        m["state_rows"] for m in metrics if m["batch_id"] == final_batch
+    )
+    assert final_rows < n_input, (
+        f"state ({final_rows}) holds the whole input ({n_input}) — unbounded"
+    )
+    assert_state_bounded(metrics, max_rows=n_input)

@@ -40,3 +40,18 @@ def test_survey_stated_count_matches_registry():
     assert int(m.group(1)) == len(REGISTRY), (
         f"SURVEY says {m.group(1)} operators; registry has {len(REGISTRY)}"
     )
+
+
+def test_operator_index_in_sync():
+    # docs/OPERATORS.md is generated from the registry; a missing or
+    # stale row means someone added a query without regenerating.
+    rows = set()
+    for line in open("docs/OPERATORS.md"):
+        m = re.match(r"^\| `([a-z0-9_]+)` \|", line)
+        if m:
+            rows.add(m.group(1))
+    assert rows == set(REGISTRY), (
+        f"docs/OPERATORS.md drifted: run python3 docs/gen_operator_index.py "
+        f"(missing {sorted(set(REGISTRY) - rows)[:5]}, "
+        f"stale {sorted(rows - set(REGISTRY))[:5]})"
+    )
