@@ -442,7 +442,11 @@ def _scd2_attr_fn(
             if row.event_type == "purchase":
                 out_ids.append(int(row.event_id))
                 out_status.append(status if status is not None else "none")
-                out_value.append(float(row.value))
+                # None -> NaN keeps the batch twin's null-skip contract
+                # (dsum drops non-finite addends) instead of raising
+                out_value.append(
+                    float(row.value) if row.value is not None else float("nan")
+                )
             else:
                 status = row.event_type
     if status is not None:
