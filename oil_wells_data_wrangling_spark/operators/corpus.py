@@ -827,3 +827,84 @@ def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------------- mix_temperature
+
+# alpha = 1/2 temperature via integer sqrt: target_i ∝ floor(sqrt(n_i)).
+# _MIX_T_K scales how many docs each stratum targets (K·sqrt(n)).
+_MIX_T_K = 12
+
+_MIX_T_ORACLE = f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+r AS (
+  SELECT lang, n,
+         LEAST({_MIX_SCALE},
+               ({_MIX_T_K} * CAST(FLOOR(SQRT(n)) AS BIGINT) * {_MIX_SCALE})
+                 // n) AS rate
+  FROM c
+),
+kept AS (
+  SELECT d.lang
+  FROM documents d JOIN r ON d.lang = r.lang
+  WHERE CAST('0x' || substr(md5('mixt_v1_' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+        AS BIGINT) % {_MIX_SCALE} < r.rate
+)
+SELECT r.lang, r.n AS n_docs, r.rate AS rate_ppm,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+FROM r LEFT JOIN (
+  SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY lang
+) k ON r.lang = k.lang
+"""
+
+
+@register("mix_temperature", oracle=_MIX_T_ORACLE)
+def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (α = ½): each language's
+    keep-rate targets K·√n of its n documents, flattening the mixture
+    toward low-resource strata WITHOUT capping everything to the
+    smallest slice the way ``mix_balance`` does — the standard
+    multilingual-LM sampling schedule (p_i ∝ n_i^α). α = ½ is computed
+    as floor(sqrt(n)) so the rate is integer-exact: binary64 sqrt is
+    correctly rounded and n ≤ 2^52, so both engines floor the same
+    value — no libm drift at the decision boundary. Emits the
+    per-language audit (count, rate in ppm, kept) rather than the kept
+    rows; acceptance reuses the salted-md5 rule of ``mix_balance``
+    (deterministic, RNG-free).
+
+    Scale shape: identical to mix_balance — per-language counts are a
+    tiny partial agg broadcast back onto the scan, the keep decision
+    is a hash compare per row, and the audit rollup is a
+    |langs|-group partial agg: documents themselves never shuffle."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    r = c.select(
+        "lang",
+        "n",
+        F.least(
+            F.lit(_MIX_SCALE),
+            F.expr(
+                f"({_MIX_T_K} * cast(floor(sqrt(n)) as bigint)"
+                f" * {_MIX_SCALE}) div n"
+            ),
+        ).alias("rate_ppm"),
+    )
+    h = F.expr(
+        "cast(conv(substr(md5(concat('mixt_v1_', cast(doc_id as string))),"
+        f" 1, 8), 16, 10) as bigint) % {_MIX_SCALE}"
+    )
+    kept = (
+        t.documents.select("lang", "doc_id")
+        .join(F.broadcast(r), "lang")
+        .filter(h < F.col("rate_ppm"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return r.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n").alias("n_docs"),
+        "rate_ppm",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+    )
