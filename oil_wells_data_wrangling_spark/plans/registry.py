@@ -85,7 +85,10 @@ def _load_all() -> None:
 # events_funnel, kmeans_step, bucket_quantiles, domain_cap,
 # quality_topk, length_histogram, pack_sequences_grouped, ann_pq,
 # ann_recall_eval, vector_quantize) are 2 rounds old at r6 and
-# rotate into the r7 window. Everything past 50 keeps its old green row and stays
+# rotate into the r7 window. The late-r6 operators that missed this
+# window entirely (snapshot_diff, quality_threshold_sweep,
+# model_score, mix_temperature) should LEAD the r7 window — they have
+# no driver row at all yet, only local parity coverage. Everything past 50 keeps its old green row and stays
 # covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
