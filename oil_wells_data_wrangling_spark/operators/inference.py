@@ -18,6 +18,7 @@ per Arrow batch and distributed per partition.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterator
 
 import pandas as pd
@@ -53,27 +54,72 @@ _OUT_SCHEMA = StructType(
 )
 
 
-def _score_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Vectorized stub model over Arrow batches — the worker-side half.
+def load_weights(path: str) -> tuple[int, int, int, int]:
+    """Load linear-model weights from a JSON artifact: [w0, w1, w2, w3]
+    integers. This is the production weight-delivery path — train
+    offline, ship the artifact with the job, load once on the driver;
+    the tuple rides to executors inside the mapInPandas closure (tiny —
+    for megabyte-scale models use SparkContext.broadcast the same way)."""
+    with open(path) as f:
+        w = json.load(f)
+    if len(w) != 4 or not all(isinstance(x, int) for x in w):
+        raise ValueError(f"weights must be 4 ints, got {w!r}")
+    return tuple(w)
 
-    Everything here is int64 pandas ops; a real model would do
-    `model.predict(batch[feature_cols])` in the same spot, amortizing
-    model dispatch over the whole Arrow batch instead of per row."""
-    w0, w1, w2, w3 = _MODEL_W
-    for pdf in it:
-        score = (
-            w0
-            + w1 * pdf["distinct_permille"].astype("int64")
-            + w2 * pdf["stop_permille"].astype("int64")
-            + w3 * pdf["n_words"].astype("int64").clip(upper=100)
-        )
-        yield pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"].astype("int64"),
-                "score": score,
-                "kept": score >= _SCORE_CUTOFF,
-            }
-        )
+
+def make_scorer(weights: tuple[int, int, int, int], cutoff: int):
+    """Bind weights into the Arrow-batch scoring function. The returned
+    function is what mapInPandas ships to executors — swapping stub
+    weights for a trained artifact changes nothing else."""
+
+    def _score_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w0, w1, w2, w3 = weights
+        for pdf in it:
+            score = (
+                w0
+                + w1 * pdf["distinct_permille"].astype("int64")
+                + w2 * pdf["stop_permille"].astype("int64")
+                + w3 * pdf["n_words"].astype("int64").clip(upper=100)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "score": score,
+                    "kept": score >= cutoff,
+                }
+            )
+
+    return _score_batch
+
+
+def featurize(documents: DataFrame) -> DataFrame:
+    """Scan-stage featurization: three int64 permille features per doc
+    — shared by the registered query and any externally-weighted run."""
+    words = F.split("text", " ")
+    return documents.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000L"
+            " div size(split(text, ' '))"
+        ).alias("distinct_permille"),
+        F.expr(
+            f"size(filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w)))"
+            " * 1000L div size(split(text, ' '))"
+        ).alias("stop_permille"),
+    )
+
+
+def score_documents(
+    documents: DataFrame,
+    weights: tuple[int, int, int, int] = _MODEL_W,
+    cutoff: int = _SCORE_CUTOFF,
+) -> DataFrame:
+    """Featurize + batched inference with the given weights — the
+    public API; ``model_score`` is this with the stub weights."""
+    return featurize(documents).mapInPandas(
+        make_scorer(weights, cutoff), schema=_OUT_SCHEMA
+    )
 
 
 _MODEL_SCORE_ORACLE = f"""
@@ -122,18 +168,4 @@ def model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     executors scale it linearly, and a GPU model slots in by raising
     the batch size and pinning one model instance per worker."""
     t = load_tables(spark, sf_dir)
-    words = F.split("text", " ")
-    n_words = F.size(words)
-    feats = t.documents.select(
-        "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        F.expr(
-            "size(array_distinct(split(text, ' '))) * 1000L"
-            " div size(split(text, ' '))"
-        ).alias("distinct_permille"),
-        F.expr(
-            f"size(filter(split(text, ' '), w -> array_contains({_STOP_SPARK}, w)))"
-            " * 1000L div size(split(text, ' '))"
-        ).alias("stop_permille"),
-    )
-    return feats.mapInPandas(_score_batch, schema=_OUT_SCHEMA)
+    return score_documents(t.documents)

@@ -287,3 +287,34 @@ def test_bigram_lift_counts_are_consistent(spark_prop):
         assert r["n_pair"] >= _LIFT_MINSUP
         assert r["n_pair"] <= min(r["n_w1"], r["n_w2"])
         assert 10 * r["n_pair"] * n_tokens > 11 * r["n_w1"] * r["n_w2"]
+
+
+def test_model_score_external_weights(spark_prop, tmp_path):
+    """The weight-artifact path: a JSON weights file loads, ships into
+    the Arrow scorer, and changes scores exactly per the linear form —
+    the swap point a trained model drops into."""
+    import json
+
+    from oil_wells_data_wrangling_spark.operators.inference import (
+        load_weights,
+        score_documents,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    wfile = tmp_path / "weights.json"
+    wfile.write_text(json.dumps([100, 1, 0, 2]))
+    w = load_weights(str(wfile))
+    assert w == (100, 1, 0, 2)
+    docs = load_tables(spark_prop, "/root/testdata/sf0.001").documents
+    got = {
+        r["doc_id"]: r["score"]
+        for r in score_documents(docs, weights=w, cutoff=500).collect()
+    }
+    feats = docs.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) as nw",
+        "size(array_distinct(split(text, ' '))) * 1000L"
+        " div size(split(text, ' ')) as dp",
+    ).collect()
+    for r in feats:
+        assert got[r["doc_id"]] == 100 + r["dp"] + 2 * min(r["nw"], 100)
