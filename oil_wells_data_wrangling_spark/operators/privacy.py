@@ -370,3 +370,72 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------- dp_histogram
+
+# suppression threshold (k-anonymity style) and noise bound. Noise is
+# a DETERMINISTIC md5-derived integer in [-_DP_B, +_DP_B] so the gate
+# can hash-compare engines; production swaps the derivation for a
+# calibrated Laplace/discrete-Gaussian sampler — the pipeline shape
+# (per-cell noise, sensitivity-1 counts, small-cell suppression) is
+# identical and that shape is what this operator pins.
+_DP_K = 25
+_DP_B = 10
+
+_DP_HIST_ORACLE = f"""
+WITH c AS (
+  SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY lang, source
+),
+noised AS (
+  SELECT lang, source, n,
+         n + CAST('0x' || substr(md5('dph_v1_' || lang || '|' || source), 1, 8)
+               AS BIGINT) % {2 * _DP_B + 1} - {_DP_B} AS n_noised
+  FROM c
+)
+SELECT lang, source,
+       CASE WHEN n >= {_DP_K} THEN GREATEST(n_noised, 0) END AS n_released,
+       (n < {_DP_K}) AS suppressed
+FROM noised
+"""
+
+
+@register("dp_histogram", oracle=_DP_HIST_ORACLE)
+def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-releasable histogram over (lang, source): per-cell counts
+    get bounded integer noise, cells below the suppression threshold k
+    release NULL (flagged), and released values clamp at zero — the
+    disclosure-control pass run before sharing corpus composition
+    stats outside the trust boundary. Noise here is derived
+    deterministically from the cell key (so the correctness gate can
+    compare engines bit-for-bit); a production release swaps ONE
+    expression for a calibrated Laplace sampler at sensitivity 1 —
+    suppression, clamping, and the release schema do not change.
+
+    Scale shape: one partial-agg shuffle on the (lang, source) grid —
+    the released table is grid-sized, never row-sized; noise and
+    suppression are projections over that tiny aggregate, so the
+    privacy pass costs nothing beyond the histogram it protects. At
+    100 TB the same plan holds: disclosure control composes AFTER
+    aggregation, on |grid| rows."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    noise = (
+        F.expr(
+            "cast(conv(substr(md5(concat('dph_v1_', lang, '|', source)),"
+            " 1, 8), 16, 10) as bigint)"
+        )
+        % (2 * _DP_B + 1)
+        - _DP_B
+    )
+    return c.select(
+        "lang",
+        "source",
+        F.when(
+            F.col("n") >= _DP_K, F.greatest(F.col("n") + noise, F.lit(0))
+        ).alias("n_released"),
+        (F.col("n") < _DP_K).alias("suppressed"),
+    )
