@@ -1257,3 +1257,111 @@ def hll_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------- late_arrival_audit
+
+# candidate watermark delays (minutes) — the knob being tuned
+_LATE_DELAYS_MIN = (0, 1, 5, 30, 120)
+_LATE_EPOCHS = 256
+
+_LATE_SQL_DELAYS = ", ".join(f"({m})" for m in _LATE_DELAYS_MIN)
+
+_LATE_AUDIT_ORACLE = f"""
+WITH e AS (
+  SELECT event_id, epoch_us({_TS_US}) AS us FROM events
+),
+mx AS (SELECT MAX(event_id) AS mid FROM e),
+b AS (
+  SELECT e.event_id, e.us,
+         CAST(e.event_id * {_LATE_EPOCHS} // (mx.mid + 1) AS BIGINT) AS epoch
+  FROM e CROSS JOIN mx
+),
+em AS (SELECT epoch, MAX(us) AS emax FROM b GROUP BY epoch),
+wm AS (
+  SELECT epoch,
+         MAX(emax) OVER (ORDER BY epoch
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS wm_us
+  FROM em
+),
+d(delay_min) AS (VALUES {_LATE_SQL_DELAYS})
+SELECT CAST(d.delay_min AS BIGINT) AS delay_min,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN wm.wm_us IS NOT NULL
+                      AND b.us < wm.wm_us - CAST(d.delay_min AS BIGINT) * 60000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN wm.wm_us IS NOT NULL
+                      AND b.us < wm.wm_us - CAST(d.delay_min AS BIGINT) * 60000000
+                     THEN 1 ELSE 0 END) * 1000000 // COUNT(*)
+         AS BIGINT) AS ppm_dropped
+FROM b JOIN wm ON b.epoch = wm.epoch CROSS JOIN d
+GROUP BY d.delay_min
+"""
+
+
+@register("late_arrival_audit", oracle=_LATE_AUDIT_ORACLE)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay tuning curve: for each candidate delay, how many
+    events the streaming twins WOULD drop — the query run before
+    choosing `withWatermark(...)` so the drop rate is a decision, not a
+    surprise. Arrival order is proxied by event_id (the monotonic
+    ingest id); arrival is discretized into 256 equal-id epochs (the
+    stand-ins for micro-batches), the watermark before epoch b is
+    max event-time over epochs < b minus the delay, and an event drops
+    iff its time is below that watermark. All comparisons are integer
+    microseconds — exact on both engines.
+
+    Scale shape: the per-epoch max is a 256-group partial agg (tiny);
+    the prefix-max window runs over exactly 256 rows — bounded by
+    construction, NOT by data size, so the empty-partition-spec fence
+    admits it; the epoch watermark broadcasts back onto the scan and
+    the delay grid expands ×5 map-side into a 5-group partial agg. No
+    row-sized shuffle anywhere: the audit costs one scan plus
+    constant-size state, the same budget the streaming watermark
+    machinery itself spends."""
+    t = load_tables(spark, sf_dir)
+    e = t.events.select("event_id", F.unix_micros("ts").alias("us"))
+    mx = e.agg(F.max("event_id").alias("mid"))
+    b = e.crossJoin(F.broadcast(mx)).select(
+        "us",
+        F.expr(f"event_id * {_LATE_EPOCHS} div (mid + 1)").alias("epoch"),
+    )
+    em = b.groupBy("epoch").agg(F.max("us").alias("emax"))
+    # prefix max via a triangular self-join over the 256-row epoch
+    # table (≤ 32k pairs, broadcast) — no empty-partition-spec Window
+    # anywhere in the plan; the oracle uses the window formulation, so
+    # the two shapes cross-check each other
+    prior = em.select(
+        F.col("epoch").alias("p_epoch"), F.col("emax").alias("p_max")
+    )
+    wm = (
+        em.join(F.broadcast(prior), F.col("p_epoch") < F.col("epoch"), "left")
+        .groupBy("epoch")
+        .agg(F.max("p_max").alias("wm_us"))
+    )
+    delays = spark.range(len(_LATE_DELAYS_MIN)).select(
+        F.element_at(
+            F.array(*[F.lit(m) for m in _LATE_DELAYS_MIN]),
+            (F.col("id") + 1).cast("int"),
+        ).cast("bigint").alias("delay_min")
+    )
+    dropped = F.when(
+        F.col("wm_us").isNotNull()
+        & (F.col("us") < F.col("wm_us") - F.col("delay_min") * 60_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        b.join(F.broadcast(wm), "epoch")
+        .crossJoin(F.broadcast(delays))
+        .groupBy("delay_min")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dropped).cast("bigint").alias("n_dropped"),
+            F.expr(
+                "cast(sum(case when wm_us is not null"
+                " and us < wm_us - delay_min * 60000000"
+                " then 1 else 0 end) * 1000000 div count(*) as bigint)"
+            ).alias("ppm_dropped"),
+        )
+    )
