@@ -142,6 +142,29 @@ def _content_stream_text(data: bytes) -> list[str]:
     return ["".join(parts) for parts in lines if parts]
 
 
+def _inflate_stream(head: bytes, raw: bytes) -> bytes | None:
+    """Inflate a FlateDecode stream body. /Length is authoritative when
+    it is a direct integer — EOL-stripping heuristics CANNOT be: zlib
+    data may legitimately end in 0x0D or 0x0A, and stripping a real
+    final byte truncates the stream (a fuzz-found failure). Indirect
+    /Length (``7 0 R``) falls back to trying the plausible EOL slices
+    in order until one inflates."""
+    candidates = []
+    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+    if lm:
+        candidates.append(raw[: int(lm.group(1))])
+    for cut in (-2, -1, 0):
+        c = raw[:cut] if cut else raw
+        if c not in candidates:
+            candidates.append(c)
+    for c in candidates:
+        try:
+            return zlib.decompress(c)
+        except zlib.error:
+            continue
+    return None
+
+
 def decode_pdf_text(payload: bytes) -> str | None:
     """Pure-stdlib PDF text extraction (parity target:
     pdf_extraction.py:48-59's pdfplumber text layer): find every
@@ -155,18 +178,19 @@ def decode_pdf_text(payload: bytes) -> str | None:
     try:
         lines: list[str] = []
         for m in _STREAM_RE.finditer(payload):
-            head, body = m.group(1), m.group(2)
-            if body.endswith(b"\r\n"):
-                body = body[:-2]
-            elif body.endswith(b"\n"):
-                body = body[:-1]
+            head, raw = m.group(1), m.group(2)
             if b"/FlateDecode" in head:
-                try:
-                    body = zlib.decompress(body)
-                except zlib.error:
+                body = _inflate_stream(head, raw)
+                if body is None:
                     continue
             elif re.search(rb"/Filter\b", head):
                 continue  # other filters (DCT, LZW, …) out of scope
+            else:
+                body = raw
+                if body.endswith(b"\r\n"):
+                    body = body[:-2]
+                elif body.endswith(b"\n"):
+                    body = body[:-1]
             if b"BT" in body:
                 lines.extend(_content_stream_text(body))
         return "\n".join(lines) if lines else None

@@ -189,7 +189,7 @@ def test_image_only_pdf_routes_to_ocr_distributed(spark, tmp_path):
 
 # -------------------------------------------------------------- property fuzz
 
-from hypothesis import given, settings, strategies as st  # noqa: E402
+from hypothesis import example, given, settings, strategies as st  # noqa: E402
 
 _line = st.text(
     alphabet=st.characters(min_codepoint=0x20, max_codepoint=0xFF,
@@ -201,6 +201,9 @@ _line = st.text(
 @settings(max_examples=40, deadline=None)
 @given(st.lists(st.lists(_line, min_size=1, max_size=5), min_size=1, max_size=3),
        st.booleans())
+# regression: this content compresses to zlib data ending in 0x0D; the
+# old EOL-strip heuristic truncated it (decode returned None)
+@example(pages=[["µñ", "257Bi\x89çø"]], compress=True)
 def test_pdf_text_roundtrip_property(pages, compress):
     """decode(encode(pages)) must contain every non-empty line for ANY
     latin-1 text content — parens, backslashes, octal-escape-shaped
