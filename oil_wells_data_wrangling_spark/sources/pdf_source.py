@@ -150,7 +150,11 @@ def _inflate_stream(head: bytes, raw: bytes) -> bytes | None:
     /Length (``7 0 R``) falls back to trying the plausible EOL slices
     in order until one inflates."""
     candidates = []
-    lm = re.search(rb"/Length\s+(\d+)(?!\s+\d+\s+R)", head)
+    # (?![0-9]) stops the capture backtracking into a digit prefix of an
+    # indirect ref: without it, "/Length 17 0 R" matches "1" (the
+    # lookahead rejects "7 0 R", so the engine retries one digit
+    # shorter) and a bogus raw[:1] candidate is tried first.
+    lm = re.search(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)", head)
     if lm:
         candidates.append(raw[: int(lm.group(1))])
     for cut in (-2, -1, 0):

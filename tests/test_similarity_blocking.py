@@ -62,3 +62,80 @@ def test_neardup_pairs_share_label_and_bucket(spark, sf_dir):
     # ordering + threshold invariants survive the re-blocking
     assert pairs.filter(F.col("vec_a") >= F.col("vec_b")).count() == 0
     assert pairs.filter(F.col("cos_r") < 0.3).count() == 0
+
+
+# ---------------------------------------------------------- semdedup_pipeline
+# The r6 verdict's item #5: the coarse-cell count must scale WITH the
+# corpus so the within-cell pair term stays linear — semdedup_clusters
+# held the cluster count fixed and measured ~16× pairs at 10× rows.
+
+
+def _pair_count(bucketed):
+    """Σ c·(c−1)/2 over coarse cells — the candidate-pair cost the
+    within-cell self-join actually pays."""
+    row = (
+        bucketed.groupBy("bucket")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("p"))
+        .collect()[0]
+    )
+    return float(row["p"])
+
+
+def test_semdedup_pipeline_planted_decisions(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        semdedup_pipeline,
+    )
+
+    rows = semdedup_pipeline(spark, sf_dir).collect()
+    n_vectors = sum(r["n_vectors"] for r in rows)
+    n_dropped = sum(r["n_dropped"] for r in rows)
+    n_kept = sum(r["n_kept"] for r in rows)
+    # base 500 ids (0..499): 72 are ≡0 (mod 7) → exact duplicates that
+    # MUST drop (identical sign bits → same cell at any u → compared →
+    # cos=1); 46 are ≡0 (mod 11) → negated copies that MUST be kept
+    # (dot<0, rejected by the guard even when co-bucketed). Random
+    # 64-dim vectors produce no organic cos≥0.9 pairs.
+    assert n_vectors == 500 + 72 + 46
+    assert n_dropped == 72
+    assert n_kept == n_vectors - 72
+
+
+def test_semdedup_pipeline_pairs_scale_linearly(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _semp_bucketed,
+        _semp_emb2,
+    )
+
+    emb1 = _semp_emb2(spark, sf_dir)
+    # 8× corpus of DISTINCT vectors: replica r cyclically shifts every
+    # embedding by r dims (norm-preserving, fresh direction — exact
+    # copies would be un-splittable by ANY clusterer and test nothing).
+    replicas = [emb1]
+    for r in range(1, 8):
+        replicas.append(
+            emb1.select(
+                (F.col("vec_id") + 1_000_000 * r).alias("vec_id"),
+                "label",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, {64 - r}), "
+                    f"slice(embedding, 1, {r}))"
+                ).alias("embedding"),
+            )
+        )
+    emb8 = replicas[0]
+    for rep in replicas[1:]:
+        emb8 = emb8.unionAll(rep)
+
+    b1 = _semp_bucketed(emb1)
+    b8 = _semp_bucketed(emb8)
+    cells1 = b1.select("bucket").distinct().count()
+    cells8 = b8.select("bucket").distinct().count()
+    p1 = _pair_count(b1)
+    p8 = _pair_count(b8)
+    # u grows bitlen(4)=3 → bitlen(38)=6, so the cell count scales with
+    # n and the pair term stays ~linear: 8× corpus → ~8× pairs. A
+    # fixed-u prepass would measure ~64×; allow 3× skew slack.
+    assert cells8 >= 4 * cells1, (cells1, cells8)
+    assert p8 <= 24 * p1, (p1, p8)
+    assert p8 >= 2 * p1, (p1, p8)
