@@ -5,10 +5,16 @@ import os
 import duckdb
 import pytest
 
+from oil_wells_data_wrangling_spark.compat import ensure_protobuf
 from oil_wells_data_wrangling_spark.session import get_spark
 from oil_wells_data_wrangling_spark.sources.readers import TABLE_NAMES
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+# Bridge google.protobuf (transformWithStateInPandas worker protocol)
+# BEFORE any SparkSession exists: workers inherit the JVM's env, so the
+# shim's PYTHONPATH entry must be in place when the JVM launches.
+HAVE_PROTOBUF = ensure_protobuf()
 
 
 @pytest.fixture(scope="session")

@@ -207,23 +207,38 @@ def test_stream_running_totals_transform_with_state(spark, sf_dir, events_dir):
     static events, each user's LATEST emitted running total must equal
     the batch aggregate — scaled-int sums make the comparison exact
     across micro-batch boundaries. The operator's worker protocol
-    needs protobuf; absent (as in this container), the twin is
-    import-gated like the other optional-dependency paths."""
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithStateInPandas worker protocol needs protobuf",
-    )
+    needs protobuf; ``ensure_protobuf`` bridges the relocated on-disk
+    runtime when no installed distribution exists (compat/__init__.py),
+    so this skips only on hosts with NO usable runtime at all."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
     from oil_wells_data_wrangling_spark.sources.readers import load_tables
     from oil_wells_data_wrangling_spark.streaming.events import (
         stream_running_totals,
     )
 
-    got_df = _run_available_now(
-        stream_running_totals(read_event_stream(spark, events_dir)),
-        "running_totals",
-        spark,
-        mode="update",
+    # transformWithState keeps each state variable in its own column
+    # family — only the RocksDB provider supports that (the HDFS-backed
+    # default raises STATE_STORE_MULTIPLE_COLUMN_FAMILIES).
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
+    try:
+        got_df = _run_available_now(
+            stream_running_totals(read_event_stream(spark, events_dir)),
+            "running_totals",
+            spark,
+            mode="update",
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     latest = {}
     for r in got_df.collect():
         cur = latest.get(r["user_id"])
