@@ -19,13 +19,15 @@ per Arrow batch and distributed per partition.
 from __future__ import annotations
 
 import json
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -169,3 +171,158 @@ def model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch size and pinning one model instance per worker."""
     t = load_tables(spark, sf_dir)
     return score_documents(t.documents)
+
+
+# --------------------------------------------------- real-model artifact path
+#
+# The stub above exists so the WHOLE path has a bit-exact oracle. The
+# production swap point is here: a trained artifact loaded from disk
+# and run vectorized over the same Arrow batches. Two gates:
+#   - .npz (numpy linear / MLP weights): always available — numpy is a
+#     hard dependency — so the real-artifact path is TESTED, not just
+#     plumbed (tests/test_inference_real.py runs it distributed).
+#   - .onnx via onnxruntime: import-gated like pdfplumber/OCR in
+#     sources/pdf_source.py — absent runtime raises a clear error at
+#     LOAD time on the driver, never inside an executor task.
+
+_FLOAT_OUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+        StructField("kept", BooleanType()),
+    ]
+)
+
+_FEATURES = ("n_words", "distinct_permille", "stop_permille")
+
+
+class NumpyLinearModel:
+    """w·x + b over the float feature matrix — the shape a fastText /
+    logistic quality probe exports. Weights ride to executors in the
+    mapInPandas closure (fine at this size; broadcast for MB-scale)."""
+
+    def __init__(self, w: np.ndarray, b: float) -> None:
+        self.w = np.asarray(w, dtype=np.float64).reshape(-1)
+        if self.w.shape[0] != len(_FEATURES):
+            raise ValueError(f"expected {len(_FEATURES)} weights, got {self.w.shape}")
+        self.b = float(b)
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        return x @ self.w + self.b
+
+
+class NumpyMLPModel:
+    """Two-layer ReLU MLP: relu(x@W1 + b1)@W2 + b2 — the smallest
+    genuinely non-linear classifier head, exercising a real hidden
+    layer through the identical Spark plumbing as the stub."""
+
+    def __init__(
+        self, w1: np.ndarray, b1: np.ndarray, w2: np.ndarray, b2: np.ndarray
+    ) -> None:
+        self.w1 = np.asarray(w1, dtype=np.float64)
+        self.b1 = np.asarray(b1, dtype=np.float64)
+        self.w2 = np.asarray(w2, dtype=np.float64).reshape(-1)
+        self.b2 = float(np.asarray(b2).reshape(()))
+        if self.w1.shape[0] != len(_FEATURES):
+            raise ValueError(f"W1 must be ({len(_FEATURES)}, h), got {self.w1.shape}")
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        h = np.maximum(x @ self.w1 + self.b1, 0.0)
+        return h @ self.w2 + self.b2
+
+
+class OnnxModel:
+    """onnxruntime-backed scorer. The session is created lazily PER
+    EXECUTOR PROCESS (first batch) and cached on the instance — ORT
+    sessions don't pickle, so what crosses the closure boundary is the
+    model path + input/output names only. Requires onnxruntime at
+    score time; ``load_model`` refuses the artifact up front on hosts
+    without it so the failure is a driver-side ImportError, not a
+    mid-job executor stack trace."""
+
+    def __init__(self, path: str, input_name: str | None = None) -> None:
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "onnxruntime is required for .onnx artifacts; "
+                "install it or export the model to .npz"
+            ) from e
+        self.path = path
+        self.input_name = input_name
+        self._session = None
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_session"] = None
+        return d
+
+    def predict(self, x: np.ndarray) -> np.ndarray:
+        if self._session is None:
+            import onnxruntime as ort
+
+            self._session = ort.InferenceSession(
+                self.path, providers=["CPUExecutionProvider"]
+            )
+            if self.input_name is None:
+                self.input_name = self._session.get_inputs()[0].name
+        out = self._session.run(None, {self.input_name: x.astype(np.float32)})
+        return np.asarray(out[0], dtype=np.float64).reshape(len(x))
+
+
+def load_model(path: str):
+    """Load a scoring model artifact by extension:
+
+    - ``.json`` — the integer stub's 4-weight format (`load_weights`);
+    - ``.npz`` — numpy arrays: ``w``+``b`` (linear) or
+      ``w1``/``b1``/``w2``/``b2`` (2-layer ReLU MLP);
+    - ``.onnx`` — onnxruntime session (import-gated).
+
+    Returns an object with ``predict(x: (n,3) float64) -> (n,) float64``
+    for the float formats, or the weight tuple for ``.json``.
+    """
+    if path.endswith(".json"):
+        return load_weights(path)
+    if path.endswith(".npz"):
+        with np.load(path) as z:
+            if "w1" in z:
+                return NumpyMLPModel(z["w1"], z["b1"], z["w2"], z["b2"])
+            return NumpyLinearModel(z["w"], z["b"])
+    if path.endswith(".onnx"):
+        return OnnxModel(path)
+    raise ValueError(f"unsupported model artifact: {path!r}")
+
+
+def make_model_scorer(
+    model, cutoff: float
+) -> Callable[[Iterator[pd.DataFrame]], Iterator[pd.DataFrame]]:
+    """Bind a real (float) model into the Arrow-batch scoring function —
+    the float twin of ``make_scorer``; same batch shape, same
+    amortization, model dispatch is one vectorized call per batch."""
+
+    def _score_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            x = np.column_stack(
+                [pdf[c].to_numpy(dtype=np.float64) for c in _FEATURES]
+            )
+            score = model.predict(x)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "score": score,
+                    "kept": score >= cutoff,
+                }
+            )
+
+    return _score_batch
+
+
+def score_documents_with_model(
+    documents: DataFrame, model, cutoff: float
+) -> DataFrame:
+    """Featurize + batched inference with a LOADED artifact (npz/onnx):
+    the production entry point. Identical plan shape to the stub path —
+    map-only, 3 int64 features per doc across the Arrow boundary."""
+    return featurize(documents).mapInPandas(
+        make_model_scorer(model, cutoff), schema=_FLOAT_OUT_SCHEMA
+    )
