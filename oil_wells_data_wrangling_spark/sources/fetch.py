@@ -103,3 +103,131 @@ def fetch_pages(
     # parallelism at all. The shuffle is trivial next to network time
     # and guarantees exactly max_concurrency sequential fetch lanes.
     return urls.repartition(max_concurrency).mapInPandas(run, schema)
+
+
+# ------------------------------------------------------- real transports
+#
+# fetch_pages takes any ``url -> html`` callable; these are the two
+# production transports. Both are plain picklable objects so they ride
+# the mapInPandas closure to executors.
+
+
+def make_urllib_fetcher(
+    timeout_s: float = 30.0,
+    user_agent: str = "oil-wells-data-wrangling-spark/1.0",
+) -> Callable[[str], str]:
+    """Stdlib transport for server-rendered pages — no dependency, no
+    JS. Raises on HTTP errors so fetch_pages' retry/backoff machinery
+    sees them; the decoded body is returned on success."""
+
+    def fetch(url: str) -> str:
+        from urllib.request import Request, urlopen
+
+        req = Request(url, headers={"User-Agent": user_agent})
+        with urlopen(req, timeout=timeout_s) as resp:
+            charset = resp.headers.get_content_charset() or "utf-8"
+            return resp.read().decode(charset, errors="replace")
+
+    return fetch
+
+
+class PlaywrightFetcher:
+    """Headless-browser transport for JS-rendered sites — the
+    reference's scraping target renders its well tables client-side,
+    which is why it drives Chromium via ``sync_playwright`` rather
+    than requesting raw HTML (web_scraping.py:139-286). This is that
+    transport re-expressed for the distributed fetch source:
+
+    - **Lazy per-process launch**: browser objects neither pickle nor
+      survive forks, so ``__init__`` stores only configuration; the
+      browser starts on the first call INSIDE the executor process and
+      is reused for every subsequent URL in the partition (the
+      reference reuses one page across wells the same way).
+    - **Pickle-safe**: live handles are dropped from ``__getstate__``;
+      what crosses the closure boundary is config only.
+    - **Import-gated at construction**: build via
+      :func:`make_playwright_fetcher`, which verifies the playwright
+      package on the driver so a missing dependency is a clear
+      ImportError before any job is submitted. Executors must also
+      have playwright installed (a cluster ships it via the usual
+      pyspark dependency channels); absent there, the error surfaces
+      as this class's message rather than a bare ModuleNotFoundError.
+    """
+
+    def __init__(
+        self,
+        timeout_s: float = 30.0,
+        wait_until: str = "load",
+        browser: str = "chromium",
+    ) -> None:
+        self.timeout_s = timeout_s
+        self.wait_until = wait_until
+        self.browser_name = browser
+        self._pw = None
+        self._browser = None
+        self._page = None
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        d["_pw"] = d["_browser"] = d["_page"] = None
+        return d
+
+    def _ensure_page(self):
+        if self._page is None:
+            try:
+                from playwright.sync_api import sync_playwright
+            except ImportError as e:
+                raise ImportError(
+                    "playwright is required for the headless-browser "
+                    "transport; install it on driver AND executors, or "
+                    "use make_urllib_fetcher for server-rendered pages"
+                ) from e
+            self._pw = sync_playwright().start()
+            self._browser = getattr(self._pw, self.browser_name).launch(
+                headless=True
+            )
+            self._page = self._browser.new_page()
+        return self._page
+
+    def __call__(self, url: str) -> str:
+        page = self._ensure_page()
+        page.goto(
+            url,
+            timeout=self.timeout_s * 1000.0,
+            wait_until=self.wait_until,
+        )
+        return page.content()
+
+    def close(self) -> None:
+        for obj, stop in (
+            (self._browser, "close"),
+            (self._pw, "stop"),
+        ):
+            if obj is not None:
+                try:
+                    getattr(obj, stop)()
+                except Exception:  # noqa: BLE001 — best-effort teardown
+                    pass
+        self._pw = self._browser = self._page = None
+
+
+def make_playwright_fetcher(
+    timeout_s: float = 30.0,
+    wait_until: str = "load",
+    browser: str = "chromium",
+) -> PlaywrightFetcher:
+    """Import-gated constructor for the browser transport: fail on the
+    driver, at build time, with an actionable message — mirroring the
+    pdfplumber/OCR gates in sources/pdf_source.py."""
+    try:
+        import playwright.sync_api  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "playwright is not installed; the headless-browser transport "
+            "needs it (pip install playwright && playwright install "
+            "chromium). For server-rendered pages use "
+            "make_urllib_fetcher instead."
+        ) from e
+    return PlaywrightFetcher(
+        timeout_s=timeout_s, wait_until=wait_until, browser=browser
+    )

@@ -94,3 +94,137 @@ def test_fetch_concurrency_bound_and_pacing(spark):
     t0 = time.monotonic()
     fetch_pages(urls4, fetcher, max_concurrency=1, min_interval_s=0.15).count()
     assert time.monotonic() - t0 >= 3 * 0.15
+
+
+def test_playwright_gate_refuses_cleanly_without_playwright():
+    """make_playwright_fetcher must fail on the driver at BUILD time
+    with an actionable message when playwright is absent (mirroring the
+    pdfplumber/OCR gates); with playwright present it must return the
+    transport without launching anything."""
+    import pytest
+
+    from oil_wells_data_wrangling_spark.sources.fetch import (
+        PlaywrightFetcher,
+        make_playwright_fetcher,
+    )
+
+    try:
+        import playwright.sync_api  # noqa: F401
+
+        has_pw = True
+    except ImportError:
+        has_pw = False
+
+    if has_pw:
+        f = make_playwright_fetcher()
+        assert isinstance(f, PlaywrightFetcher)
+        assert f._page is None  # lazy: nothing launched at build time
+    else:
+        with pytest.raises(ImportError, match="playwright"):
+            make_playwright_fetcher()
+
+
+def test_playwright_fetcher_lazy_launch_pickle_and_reuse(monkeypatch):
+    """Drive PlaywrightFetcher against a FAKE playwright module: the
+    browser must launch lazily on first call, be reused across calls,
+    survive pickling with live handles dropped, and tear down on
+    close() — the exact contract the distributed fetch path relies on."""
+    import pickle
+    import sys
+    import types
+
+    from oil_wells_data_wrangling_spark.sources.fetch import PlaywrightFetcher
+
+    launches = []
+
+    class FakePage:
+        def __init__(self):
+            self.visited = []
+
+        def goto(self, url, timeout=None, wait_until=None):
+            self.visited.append((url, timeout, wait_until))
+
+        def content(self):
+            return f"<html>{self.visited[-1][0]}</html>"
+
+    class FakeBrowser:
+        def __init__(self):
+            self.page = FakePage()
+            self.closed = False
+
+        def new_page(self):
+            return self.page
+
+        def close(self):
+            self.closed = True
+
+    class FakeBrowserType:
+        def launch(self, headless=None):
+            launches.append(headless)
+            return FakeBrowser()
+
+    class FakePW:
+        def __init__(self):
+            self.chromium = FakeBrowserType()
+            self.stopped = False
+
+        def stop(self):
+            self.stopped = True
+
+    class FakeStarter:
+        def start(self):
+            return FakePW()
+
+    fake_pkg = types.ModuleType("playwright")
+    fake_api = types.ModuleType("playwright.sync_api")
+    fake_api.sync_playwright = lambda: FakeStarter()
+    fake_pkg.sync_api = fake_api
+    monkeypatch.setitem(sys.modules, "playwright", fake_pkg)
+    monkeypatch.setitem(sys.modules, "playwright.sync_api", fake_api)
+
+    f = PlaywrightFetcher(timeout_s=7.0, wait_until="networkidle")
+    assert f._page is None and launches == []  # nothing until first call
+
+    html = f("http://x/a")
+    assert html == "<html>http://x/a</html>"
+    assert launches == [True]  # headless, launched exactly once
+    f("http://x/b")
+    assert launches == [True]  # second call reuses the browser
+    assert f._page.visited[-1] == ("http://x/b", 7000.0, "networkidle")
+
+    clone = pickle.loads(pickle.dumps(f))  # what mapInPandas ships
+    assert clone._page is None and clone._pw is None  # handles dropped
+    assert clone.timeout_s == 7.0 and clone.wait_until == "networkidle"
+
+    browser, pw = f._browser, f._pw
+    f.close()
+    assert browser.closed and pw.stopped and f._page is None
+
+
+def test_urllib_fetcher_against_local_server(tmp_path):
+    """The stdlib transport end-to-end against a real local HTTP server:
+    decoded body on success, exception (retryable by fetch_pages) on 404."""
+    import http.server
+    import threading
+
+    import pytest
+
+    from oil_wells_data_wrangling_spark.sources.fetch import make_urllib_fetcher
+
+    (tmp_path / "page.html").write_text(
+        "<html>wéll</html>", encoding="utf-8"
+    )
+    handler = lambda *a, **k: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(tmp_path), **k
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        port = srv.server_address[1]
+        fetch = make_urllib_fetcher(timeout_s=5.0)
+        assert fetch(f"http://127.0.0.1:{port}/page.html") == "<html>wéll</html>"
+        with pytest.raises(Exception):
+            fetch(f"http://127.0.0.1:{port}/missing.html")
+    finally:
+        srv.shutdown()
