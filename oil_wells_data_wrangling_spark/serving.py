@@ -80,8 +80,23 @@ def _iter_json_rows(root: str, partition: tuple[str, str] | None):
                     yield row
 
 
+_CONTENT_TYPES = {
+    ".html": "text/html; charset=utf-8",
+    ".css": "text/css; charset=utf-8",
+    ".js": "text/javascript; charset=utf-8",
+    ".json": "application/json",
+    ".png": "image/png",
+    ".svg": "image/svg+xml",
+}
+
+
 class _WellsHandler(BaseHTTPRequestHandler):
     export_dir: str = "."
+    # Root for /static/** assets. Default is the packaged static/ dir;
+    # serve_wells_http's static_dir parameter overrides it (vendored
+    # third-party assets — e.g. Leaflet via scripts/vendor_leaflet.py —
+    # can live outside the package).
+    static_dir: str = os.path.join(os.path.dirname(__file__), "static")
     protocol_version = "HTTP/1.1"  # chunked transfer needs 1.1
 
     def log_message(self, *args) -> None:  # quiet test runs
@@ -92,15 +107,25 @@ class _WellsHandler(BaseHTTPRequestHandler):
             self.wfile.write(b"%x\r\n" % len(data) + data + b"\r\n")
 
     def _send_static(self, name: str) -> None:
-        path = os.path.join(os.path.dirname(__file__), "static", name)
+        root = os.path.realpath(self.static_dir)
+        path = os.path.realpath(os.path.join(root, name))
+        # containment check, not string prefix games: realpath resolves
+        # ../ and symlink escapes before the comparison
+        if not (path == root or path.startswith(root + os.sep)):
+            self.send_error(404)
+            return
         try:
             with open(path, "rb") as f:
                 body = f.read()
         except OSError:
             self.send_error(404)
             return
+        ext = os.path.splitext(path)[1].lower()
         self.send_response(200)
-        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header(
+            "Content-Type",
+            _CONTENT_TYPES.get(ext, "application/octet-stream"),
+        )
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
@@ -112,6 +137,9 @@ class _WellsHandler(BaseHTTPRequestHandler):
             return
         if url.path == "/map":
             self._send_static("map.html")
+            return
+        if url.path.startswith("/static/"):
+            self._send_static(url.path[len("/static/"):])
             return
         if url.path != "/wells":
             self.send_error(404)
@@ -140,13 +168,20 @@ class _WellsHandler(BaseHTTPRequestHandler):
 
 
 def serve_wells_http(
-    export_dir: str, host: str = "127.0.0.1", port: int = 0
+    export_dir: str,
+    host: str = "127.0.0.1",
+    port: int = 0,
+    static_dir: str | None = None,
 ) -> ThreadingHTTPServer:
     """Start the serving tier over ``export_dir`` (an ``export_json``
     output). ``port=0`` binds an ephemeral port (``server.server_port``);
     the server runs on a daemon thread — call ``server.shutdown()`` to
-    stop. Returns the server instance."""
-    handler = type("Handler", (_WellsHandler,), {"export_dir": export_dir})
+    stop. ``static_dir`` overrides the packaged static root (vendored
+    assets, custom front-ends). Returns the server instance."""
+    attrs = {"export_dir": export_dir}
+    if static_dir is not None:
+        attrs["static_dir"] = static_dir
+    handler = type("Handler", (_WellsHandler,), attrs)
     server = ThreadingHTTPServer((host, port), handler)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()

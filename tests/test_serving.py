@@ -112,3 +112,71 @@ def test_static_map_and_index_served(spark, sf_dir, tmp_path):
             assert "/map" in r.read().decode("utf-8")
     finally:
         server.shutdown()
+
+
+def test_static_lib_assets_served_offline(spark, sf_dir, tmp_path):
+    """Air-gapped front-end parity (reference static/map.html:8-9 loads
+    vendored static/lib/leaflet/*): once scripts/vendor_leaflet.py has
+    populated static/lib/, /static/lib/leaflet/leaflet.js serves 200
+    with the right content type and no network. Exercised against an
+    overriding static root so the test owns its fixture files."""
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "lang")
+    path = str(tmp_path / "j")
+    export_json(docs, path, partition_col=None)
+
+    static = tmp_path / "static"
+    lib = static / "lib" / "leaflet"
+    lib.mkdir(parents=True)
+    (static / "map.html").write_text("<html>local</html>", encoding="utf-8")
+    (lib / "leaflet.js").write_text("var L = {};", encoding="utf-8")
+    (lib / "leaflet.css").write_text(".leaflet-container{}", encoding="utf-8")
+    (lib / "images").mkdir()
+    (lib / "images" / "marker-icon.png").write_bytes(b"\x89PNG\r\n\x1a\n")
+    secret = tmp_path / "secret.txt"
+    secret.write_text("nope")
+
+    server = serve_wells_http(path, static_dir=str(static))
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        with urllib.request.urlopen(
+            f"{base}/static/lib/leaflet/leaflet.js", timeout=30
+        ) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/javascript")
+            assert r.read() == b"var L = {};"
+        with urllib.request.urlopen(
+            f"{base}/static/lib/leaflet/leaflet.css", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"].startswith("text/css")
+        with urllib.request.urlopen(
+            f"{base}/static/lib/leaflet/images/marker-icon.png", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"] == "image/png"
+        # traversal out of the static root must 404, not leak
+        import pytest
+
+        for esc in ("/static/../secret.txt", "/static/%2e%2e/secret.txt"):
+            with pytest.raises(urllib.error.HTTPError) as e:
+                urllib.request.urlopen(f"{base}{esc}", timeout=30)
+            assert e.value.code == 404
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(f"{base}/static/lib/absent.js", timeout=30)
+        assert e.value.code == 404
+    finally:
+        server.shutdown()
+
+
+def test_map_page_prefers_local_leaflet_with_cdn_fallback():
+    """The shipped map.html must try /static/lib/leaflet first and only
+    fall back to the CDN — the contract vendor_leaflet.py fulfills."""
+    import os
+
+    import oil_wells_data_wrangling_spark as pkg
+
+    page = open(
+        os.path.join(os.path.dirname(pkg.__file__), "static", "map.html"),
+        encoding="utf-8",
+    ).read()
+    assert "/static/lib/leaflet/" in page
+    assert "unpkg.com/leaflet" in page  # fallback, not the primary
+    assert page.index("/static/lib/leaflet/") < page.index("unpkg.com/leaflet")
