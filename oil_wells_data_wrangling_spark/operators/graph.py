@@ -106,7 +106,7 @@ def _pr_iteration(nodes: DataFrame, ew: DataFrame, ranks: DataFrame) -> DataFram
     )
 
 
-@register("domain_pagerank", oracle=_PAGERANK_ORACLE)
+@register("domain_pagerank", oracle=_PAGERANK_ORACLE, headline=True)
 def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Damped PageRank (3 power iterations, d=0.85) over the domain link
     graph — the crawl-prioritization / quality-weighting authority score
