@@ -1328,23 +1328,21 @@ def _semp_emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semp_bucketed(emb2: DataFrame) -> DataFrame:
-    """Coarse-cell assignment with n-scaled cell count: returns
-    (vec_id, label, xi, n2, bucket).
+def _semp_u(n: int) -> int:
+    """Cells-per-corpus knob: u = bitlength(n div TARGET), clipped.
+    Same formula as the oracle's ``length(bin(greatest(...)))``."""
+    return min(max(n // _SEMP_TARGET, 1).bit_length(), _SEMP_W)
 
-    ``u`` is sized driver-side from one ``count()`` of the corpus
-    (a single int-column scan, amortized over the featurization it
-    sizes; a production run that already knows n passes it by config).
-    Computing u on the driver instead of broadcasting a 1-row count
-    aggregate means only the u planes the bucket id actually USES are
-    ever evaluated — the old plan computed all ``_SEMP_W`` plane dots
-    per row and then read u of them, a 4× waste at small n — and the
-    bucket is one flat codegen-able sum expression, no intermediate
-    bits array. Same u formula as the oracle's SQL (bitlength ==
-    ``length(bin(x))`` for x ≥ 1), so cross-engine results are
-    unchanged."""
-    n = emb2.count()
-    u = min(max(n // _SEMP_TARGET, 1).bit_length(), _SEMP_W)
+
+def _semp_bucketed_sql(emb2: DataFrame, u: int) -> DataFrame:
+    """The SQL-expression form of the coarse-cell assignment — the
+    executable SPEC for ``_semp_bucketed``'s numpy fast path (and the
+    direct transliteration of the DuckDB oracle's arithmetic): xi is
+    ``round(double(e)·XS)`` with Spark/DuckDB's shared half-away-from-
+    zero semantics, each plane dot is a strict left-to-right fold of
+    ``double(e_i)·p_i`` starting at 0D, and the bucket packs the u
+    sign bits. Kept for the bit-equality test in
+    tests/test_similarity_blocking.py; queries call the fast twin."""
     planes = _planes(_SEMP_W)[:u]
     bit_terms = []
     for i, row in enumerate(planes):
@@ -1367,6 +1365,69 @@ def _semp_bucketed(emb2: DataFrame) -> DataFrame:
         F.expr(
             "aggregate(zip_with(xi, xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"
         ),
+    )
+
+
+def _semp_bucketed(emb2: DataFrame) -> DataFrame:
+    """Coarse-cell assignment with n-scaled cell count: returns
+    (vec_id, label, xi, n2, bucket).
+
+    ``u`` is sized driver-side from one ``count()`` of the corpus
+    (a single int-column scan, amortized over the featurization it
+    sizes; a production run that already knows n passes it by config).
+
+    Featurization runs as ONE Arrow-batched ``mapInPandas`` pass that
+    replicates ``_semp_bucketed_sql``'s arithmetic bit-for-bit:
+
+    - xi: ``v = double(e)·XS`` then half-away-from-zero rounding
+      (``floor(v+0.5)`` / ``ceil(v−0.5)`` by sign — the semantics both
+      Spark's and DuckDB's ``round(double)`` implement);
+    - plane dots: a sequential fold over dimensions, vectorized across
+      rows (``acc += double(E[:,i])·p_i`` from acc=0), which is the
+      SAME IEEE operation sequence as the SQL fold — not ``np.sum``,
+      whose pairwise summation would associate differently;
+    - n2 and bucket are pure int64 (order-free).
+
+    The SQL twin evaluated ~u interpreted higher-order-function dots
+    per row (each allocating intermediate arrays): 24s for 247k rows
+    at the 100× spot-check vs well under a second vectorized —
+    equality with the spec is pinned by test over the shipped corpora,
+    not assumed."""
+    import numpy as np
+    import pandas as pd
+
+    n = emb2.count()
+    u = _semp_u(n)
+    planes = _planes(_SEMP_W)[:u]
+    xs = _SEM_XS
+
+    def featurize(batches):
+        for pdf in batches:
+            e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            v = e * xs
+            xi = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
+                np.int64
+            )
+            n2 = (xi * xi).sum(axis=1)
+            bucket = np.zeros(len(e), dtype=np.int64)
+            for j, plane in enumerate(planes):
+                acc = np.zeros(len(e), dtype=np.float64)
+                for i, p in enumerate(plane):
+                    acc += e[:, i] * p
+                bucket |= (acc > 0).astype(np.int64) << j
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].astype("int64"),
+                    "label": pdf["label"],
+                    "xi": list(xi),
+                    "bucket": bucket,
+                    "n2": n2,
+                }
+            )
+
+    return emb2.mapInPandas(
+        featurize,
+        "vec_id long, label int, xi array<bigint>, bucket long, n2 long",
     )
 
 

@@ -139,3 +139,31 @@ def test_semdedup_pipeline_pairs_scale_linearly(spark, sf_dir):
     assert cells8 >= 4 * cells1, (cells1, cells8)
     assert p8 <= 24 * p1, (p1, p8)
     assert p8 >= 2 * p1, (p1, p8)
+
+
+def test_semp_numpy_featurization_matches_sql_spec(spark, sf_dir):
+    """The mapInPandas featurization must equal _semp_bucketed_sql —
+    the executable spec sharing the oracle's arithmetic — bit-for-bit
+    on the shipped corpus: same xi (half-away-from-zero rounding),
+    same bucket (sign bits of the left-to-right double fold), same n2.
+    This is the guard that lets the fast path claim the SQL fold's FP
+    semantics rather than assume np.sum's pairwise association."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _semp_bucketed,
+        _semp_bucketed_sql,
+        _semp_emb2,
+        _semp_u,
+    )
+
+    emb2 = _semp_emb2(spark, sf_dir)
+    u = _semp_u(emb2.count())
+    fast = {
+        r["vec_id"]: (list(r["xi"]), r["bucket"], r["n2"])
+        for r in _semp_bucketed(emb2).collect()
+    }
+    spec = {
+        r["vec_id"]: (list(r["xi"]), r["bucket"], r["n2"])
+        for r in _semp_bucketed_sql(emb2, u).collect()
+    }
+    assert len(fast) == len(spec) > 0
+    assert fast == spec
