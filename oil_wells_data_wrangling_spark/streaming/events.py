@@ -300,6 +300,112 @@ def stream_running_totals(events: DataFrame) -> DataFrame:
     )
 
 
+class _SessionizerTWS:
+    """StatefulProcessor twin of ``_session_fn`` on the Spark-4
+    arbitrary-state API, exercising its EVENT-TIME TIMERS: sessions
+    close either when a successor event arrives past the 30-min gap
+    (emitted from ``handleInputRows``) or when the watermark passes
+    last_event + gap with no successor (``handleExpiredTimer`` fires,
+    emits the open session, clears state). One value-state tuple and at
+    most one registered timer per user — state is three int64s per key
+    regardless of event volume, and the timer bookkeeping (delete old,
+    register new) keeps the per-key timer count at one, so the state
+    store never accumulates stale timers."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._handle = handle
+        schema = StructType(
+            [
+                StructField("start_us", LongType()),
+                StructField("last_us", LongType()),
+                StructField("n", LongType()),
+                StructField("timer_ms", LongType()),
+            ]
+        )
+        self._state = handle.getValueState("open_session", schema)
+
+    @staticmethod
+    def _row(user_id, start_us: int, last_us: int, n: int) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start_us, unit="us")],
+                "session_end": [pd.Timestamp(last_us, unit="us")],
+                "n_events": [n],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        ts_us: list[int] = []
+        for pdf in rows:
+            ts_us.extend(int(v.value // 1000) for v in pd.to_datetime(pdf["ts"]))
+        if not ts_us:
+            return
+        ts_us.sort()
+
+        if self._state.exists():
+            start_us, last_us, n, timer_ms = self._state.get()
+        else:
+            start_us, last_us, n, timer_ms = None, None, 0, None
+
+        for us in ts_us:
+            if start_us is None:
+                start_us, last_us, n = us, us, 1
+            elif us - last_us > _GAP_US:
+                yield self._row(user_id, start_us, last_us, n)
+                start_us, last_us, n = us, us, 1
+            else:
+                last_us, n = us, n + 1
+
+        new_timer_ms = last_us // 1000 + _GAP_US // 1000
+        if timer_ms is not None and timer_ms != new_timer_ms:
+            self._handle.deleteTimer(timer_ms)
+        if timer_ms != new_timer_ms:
+            self._handle.registerTimer(new_timer_ms)
+        self._state.update((start_us, last_us, n, new_timer_ms))
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (user_id,) = key
+        if self._state.exists():
+            start_us, last_us, n, _timer_ms = self._state.get()
+            self._state.clear()
+            yield self._row(user_id, start_us, last_us, n)
+
+    def close(self) -> None:
+        pass
+
+
+def stream_sessionize_tws(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming sessionization on ``transformWithStateInPandas`` —
+    the same contract as ``stream_sessionize`` (append-mode emission of
+    closed sessions, event-time timeout for idle ones) on the
+    forward-compat state API. Needs the RocksDB state store provider
+    (per-variable column families) and a protobuf runtime
+    (``compat.ensure_protobuf``).
+
+    ``watermark`` is the late-data allowance; a session's idle timer
+    fires only once the watermark passes last_event + gap, so a delay
+    much larger than the 30-min gap means timer closures lag by that
+    delay (they can never be WRONG — an event that would have extended
+    the session must beat the watermark, and the watermark trails it by
+    this same allowance)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_SessionizerTWS(),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def stream_events_window_counts(events: DataFrame) -> DataFrame:
     """Streaming half of the events_topk twin: watermark + tumbling
     (window, event_type) counts — the stateful part Structured

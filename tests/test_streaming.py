@@ -413,3 +413,83 @@ def test_stream_attribution_state_is_bounded(spark, sf_dir, tmp_path):
         f"state ({final_rows}) holds the whole input ({n_input}) — unbounded"
     )
     assert_state_bounded(metrics, max_rows=n_input)
+
+
+def test_stream_sessionize_tws_timers_match_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas sessionizer with EVENT-TIME TIMERS:
+    two time-ordered micro-batches advance the watermark past batch-1
+    activity, so idle sessions must close via handleExpiredTimer (not a
+    successor event). Every emitted session must appear in the batch
+    sessionization, and the timer path must close strictly more
+    sessions than successor events alone would."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        load_tables,
+        normalize_event_ts,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_sessionize_tws,
+    )
+
+    e = load_tables(spark, sf_dir).events.withColumn("ts_us", F.unix_micros("ts"))
+    mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+    src = tmp_path / "src"
+    e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part0")
+    )
+    e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        # 1s late allowance: after batch 1, the watermark sits just
+        # behind batch-0's max ts, so every batch-0 session idle >30min
+        # at that point MUST close via its timer during batch 2 — the
+        # timer path becomes observable instead of being swallowed by a
+        # 2h allowance on a corpus with no 2.5h-idle users.
+        got = _run_available_now(
+            stream_sessionize_tws(stream, watermark="1 second"),
+            "sess_tws",
+            spark,
+        )
+        # gap-closed only (no timers): the same stream twin on the
+        # applyInPandasWithState path, single batch, never times out
+        single = _run_available_now(
+            stream_sessionize(
+                normalize_event_ts(
+                    spark.readStream.schema(
+                        spark.read.parquet(str(src / "part0")).schema
+                    ).parquet(str(src / "part*"))
+                )
+            ),
+            "sess_tws_single",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    batch = events_sessionize(spark, sf_dir).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+    got_set, batch_set = set(_canon(got)), set(_canon(batch))
+    assert got_set, "no sessions emitted"
+    assert got_set <= batch_set, sorted(got_set - batch_set)[:5]
+    assert got.count() > single.count(), (
+        "event-time timers closed no extra sessions"
+    )
