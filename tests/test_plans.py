@@ -78,27 +78,32 @@ def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
 
 def test_driver_window_covers_required_queries():
     """The driver's CORRECTNESS gate reads the first 50 queries() yield.
-    The round-6 window must contain every round-6 addition, every query
-    whose implementation changed this round, and all 13 operators whose
-    newest driver row was round 2 (the r5 verdict's rotation order —
-    events_enrich/json_props especially, whose r2 rows predate the
-    events ts-encoding change)."""
+    The round-7 window leads with the six operators that have NEVER had
+    a driver row (the r6 verdict's top item), then the round-7
+    new/changed queries, then the r4-stale rotation (wrangle family and
+    corpus/similarity headliners whose r4 rows predate two rounds of
+    shared-helper churn)."""
     from oil_wells_data_wrangling_spark.plans.registry import all_queries
 
     window = list(all_queries())[:50]
     required = {
-        # new in round 6
-        "bm25_topk", "events_topk", "scd2_apply", "rarity_score",
-        "mix_balance", "events_distinct_windowed", "contamination_report",
-        "hll_union_daily",
-        # changed in round 6
-        "neardup_incremental", "decontaminate",
-        "mm_resize", "mm_audio_chunks", "mm_frame_sample",
-        # last driver row was round 2
-        "mm_meta", "html_table", "fingerprint_diff", "events_enrich",
-        "json_props", "window_rank", "window_running", "distinct_count",
-        "approx_distinct", "approx_percentiles", "join_region_rollup",
-        "join_revenue_topn",
+        # never driver-checked before round 7
+        "snapshot_diff", "quality_threshold_sweep", "mix_temperature",
+        "model_score", "dp_histogram", "late_arrival_audit",
+        # new or reworked in round 7
+        "semdedup_pipeline",
+        # r4-stale: reference wrangle family
+        "api_canonical", "extract_fields", "extract_repeated",
+        "extract_stim", "parse_coordinates", "normalize_keys",
+        "numeric_sanitize", "text_normalize", "csv_repair", "bad_rows",
+        "validate_report", "upsert_latest", "fuzzy_match_names",
+        "enrich_join", "sentinel_to_null", "serve_wells",
+        "serve_wells_full", "well_pipeline",
+        # r4-stale: corpus / similarity headliners
+        "corpus_pipeline", "corpus_pipeline_full", "pack_sequences_grouped",
+        "quality_topk", "embed_neardup", "minhash_containment", "ann_pq",
+        "ann_recall_eval", "vector_quantize", "kmeans_step", "pii_redact",
+        "pseudonymize",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"
