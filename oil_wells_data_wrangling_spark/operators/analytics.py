@@ -1383,3 +1383,103 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         dsum("delta", 2).alias("price_delta"),
     )
+
+
+# --------------------------------------------------------------- basket_lift
+
+_BASKET_LIFT_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+  FROM read_parquet_lineitem l JOIN read_parquet_part p
+    ON l.l_partkey = p.p_partkey
+),
+n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM baskets),
+brand_n AS (SELECT brand, COUNT(*) AS n FROM baskets GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS n_co
+  FROM baskets a JOIN baskets b
+    ON a.okey = b.okey AND a.brand < b.brand
+  GROUP BY 1, 2
+)
+SELECT brand_a, brand_b,
+       CAST(n_co AS BIGINT) AS n_co,
+       CAST(ca.n AS BIGINT) AS n_a,
+       CAST(cb.n AS BIGINT) AS n_b,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       (CAST(n_co AS DOUBLE) * n_orders) / (CAST(ca.n AS DOUBLE) * cb.n)
+         AS lift
+FROM pairs
+JOIN brand_n ca ON pairs.brand_a = ca.brand
+JOIN brand_n cb ON pairs.brand_b = cb.brand
+CROSS JOIN n
+WHERE n_co >= 5
+"""
+
+
+@register(
+    "basket_lift",
+    oracle=_BASKET_LIFT_ORACLE.replace(
+        "read_parquet_lineitem", "lineitem"
+    ).replace("read_parquet_part", "part"),
+)
+def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair lift over order lines: for every pair of part
+    brands co-purchased in one order, lift = P(a,b) / (P(a)·P(b)) —
+    the association-rule signal behind "frequently bought together"
+    (and, on a corpus, behind bigram_lift, its text twin).
+
+    Scale shape: the pair generator self-joins the DISTINCT
+    (order, brand) baskets on orderkey, so per-order work is bounded by
+    (brands per order choose 2) — ~7 lines/order means ≤21 pairs, i.e.
+    the pair count grows LINEARLY in orders even though it is
+    notionally quadratic in brands. The brand totals and order count
+    are tiny aggregates joined back by brand key (25 brands — the
+    optimizer broadcasts them); support floor n_co ≥ 5 bounds output
+    noise. Lift is one double multiply/divide chain per pair (exact
+    same IEEE op order as the oracle: double(n_co)·N / (double(n_a)·
+    n_b) — deterministic, no FP accumulation anywhere); all counts stay
+    int64."""
+    t = load_tables(spark, sf_dir)
+    baskets = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .join(t.part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = baskets.agg(
+        F.count_distinct("okey").alias("n_orders")
+    )
+    brand_n = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))
+    b = baskets.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 5)
+    )
+    ca = brand_n.select(
+        F.col("brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    cb = brand_n.select(
+        F.col("brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            "n_orders",
+            (
+                F.col("n_co").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -1376,3 +1376,78 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppm_dropped"),
         )
     )
+
+
+# -------------------------------------------------------------- events_burst
+
+_BURST_SUPPORT = 8    # min trailing-24h events before a spike can qualify
+_BURST_FACTOR = 3     # n_events must exceed FACTOR x the trailing hourly avg
+
+_BURST_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, epoch_us({_TS_US}) AS us FROM events
+),
+h AS (
+  SELECT user_id, us // 3600000000 AS hr, COUNT(*) AS cnt
+  FROM e GROUP BY 1, 2
+),
+w AS (
+  SELECT *, COALESCE(SUM(cnt) OVER (
+    PARTITION BY user_id ORDER BY hr
+    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING
+  ), 0) AS trail
+  FROM h
+)
+SELECT user_id,
+       make_timestamp(hr * 3600000000) AS hour_start,
+       CAST(cnt AS BIGINT) AS n_events,
+       CAST(trail AS BIGINT) AS trailing_sum
+FROM w
+WHERE trail >= {_BURST_SUPPORT}
+  AND cnt * 24 > {_BURST_FACTOR} * trail
+"""
+
+
+@register("events_burst", oracle=_BURST_ORACLE)
+def events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detection: flag every (user, hour) whose event count
+    exceeds {FACTOR}× the user's trailing-24-hour hourly average —
+    the rate-anomaly primitive behind abuse detection and crawler
+    throttling (anomaly_mad is its value-based sibling; this one is
+    frequency-based).
+
+    The comparison is pure integers: ``cnt·24 > FACTOR·Σtrailing``
+    treats absent hours as zero (a RANGE frame over the epoch-hour
+    key, NOT a ROWS frame — gaps in activity must widen the window's
+    denominator, which a 24-ROW frame would silently ignore), and the
+    support floor keeps one-off first events from flagging. No floats
+    anywhere, so the oracle is bit-exact.
+
+    Scale shape: one shuffle to (user, hour) counts — the only
+    exchange keyed on raw volume — then a per-user window whose state
+    is user-hours (≤ 24·365 rows/user/year, thousands of times smaller
+    than events). Partition-bounded window, no single-partition risk;
+    the streaming cousin is events_rate_limit's per-key counter."""
+    t = load_tables(spark, sf_dir)
+    h = (
+        t.events.select(
+            "user_id", F.expr("unix_micros(ts) div 3600000000").alias("hr")
+        )
+        .groupBy("user_id", "hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("user_id").orderBy("hr").rangeBetween(-24, -1)
+    )
+    flagged = h.withColumn(
+        "trailing", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).filter(
+        (F.col("trailing") >= _BURST_SUPPORT)
+        & (F.col("cnt") * 24 > _BURST_FACTOR * F.col("trailing"))
+    )
+    return flagged.select(
+        "user_id",
+        F.timestamp_seconds(F.col("hr") * 3600).alias("hour_start"),
+        F.col("cnt").alias("n_events"),
+        F.col("trailing").alias("trailing_sum"),
+    )

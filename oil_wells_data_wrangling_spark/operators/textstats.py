@@ -1251,3 +1251,120 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ppm_kept"),
         )
     )
+
+
+# ------------------------------------------------------------------ url_dedup
+
+# Three docs per canonical URL (group = doc_id div 3), each variant
+# differing only in ways canonicalization erases: scheme/authority
+# case, utm_* params, a trailing slash, a fragment. The path keeps one
+# case across variants — canonicalization is case-sensitive past the
+# authority (RFC 3986), so a path-case difference would be a REAL
+# difference and must not collapse.
+_URLD_RAW_SQL = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.Site' ELSE 'https://www.site'
+END || CAST((doc_id // 3) % 9 AS VARCHAR)
+|| CASE WHEN doc_id % 2 = 0 THEN '.COM/p' ELSE '.com/p' END
+|| CAST(doc_id // 3 AS VARCHAR)
+|| CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END
+|| CASE WHEN doc_id % 2 = 0
+        THEN '?utm_source=s' || CAST(doc_id AS VARCHAR)
+             || '&utm_medium=m' || CAST(doc_id AS VARCHAR)
+        ELSE '?utm_campaign=c' || CAST(doc_id AS VARCHAR) END
+|| '#f' || CAST(doc_id AS VARCHAR)
+"""
+
+_URL_DEDUP_ORACLE = rf"""
+WITH raw AS (
+  SELECT doc_id, {_URLD_RAW_SQL} AS url FROM documents
+),
+steps AS (
+  SELECT doc_id,
+         regexp_replace(url, '#.*', '') AS no_frag,
+         regexp_extract(regexp_replace(url, '#.*', ''),
+                        '^[A-Za-z]+://[^/?]+', 0) AS head
+  FROM raw
+),
+canon AS (
+  SELECT doc_id,
+    regexp_replace(
+      lower(head) ||
+      regexp_replace(regexp_replace(regexp_replace(
+        substr(no_frag, length(head) + 1),
+        'utm_[a-z]+=[^&]*&?', '', 'g'), '\?&', '?'), '[?&]$', ''),
+      '/$', '') AS url_canonical
+  FROM canon_src
+)
+SELECT url_canonical,
+       CAST(MIN(doc_id) AS BIGINT) AS winner_doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon GROUP BY url_canonical
+"""
+
+
+@register(
+    "url_dedup",
+    oracle=_URL_DEDUP_ORACLE.replace("canon_src", "steps"),
+)
+def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the crawl-frontier collapse that runs BEFORE
+    any fetch: canonicalize (url_canonical's exact chain: strip
+    fragment, lowercase scheme+authority only, drop utm_* tracking
+    params, tidy ?/& leftovers, strip one trailing slash), then group
+    by the canonical form keeping the smallest doc_id as winner. Three
+    synthesized variants per target URL differ only in
+    canonicalization-erasable ways, so groups of exactly 3 prove the
+    collapse and the case-sensitive path proves nothing over-collapses.
+
+    Scale shape: per-row regexp chain (RE2-safe, no backtracking) in
+    whole-stage codegen, then ONE shuffle keyed on the canonical URL
+    string; winner selection is min-aggregate, not a sort. At crawl
+    scale the canonical key is the natural partitioner (same-host URLs
+    co-locate for the politeness-batched fetch that follows)."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    g = F.expr("doc_id div 3")
+    url = F.concat(
+        F.when(k % 2 == 0, F.lit("HTTPS://WWW.Site")).otherwise(
+            F.lit("https://www.site")
+        ),
+        (g % 9).cast("string"),
+        F.when(k % 2 == 0, F.lit(".COM/p")).otherwise(F.lit(".com/p")),
+        g.cast("string"),
+        F.when(k % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            k % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=s"),
+                k.cast("string"),
+                F.lit("&utm_medium=m"),
+                k.cast("string"),
+            ),
+        ).otherwise(F.concat(F.lit("?utm_campaign=c"), k.cast("string"))),
+        F.lit("#f"),
+        k.cast("string"),
+    )
+    raw = t.documents.select("doc_id", url.alias("url"))
+    no_frag = F.regexp_replace("url", "#.*", "")
+    steps = raw.select(
+        "doc_id",
+        no_frag.alias("no_frag"),
+        F.regexp_extract(no_frag, "^[A-Za-z]+://[^/?]+", 0).alias("head"),
+    )
+    rest = F.expr("substr(no_frag, length(head) + 1)")
+    tidy = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(rest, "utm_[a-z]+=[^&]*&?", ""), r"\?&", "?"
+        ),
+        "[?&]$",
+        "",
+    )
+    canonical = F.regexp_replace(F.concat(F.lower("head"), tidy), "/$", "")
+    return (
+        steps.select("doc_id", canonical.alias("url_canonical"))
+        .groupBy("url_canonical")
+        .agg(
+            F.min("doc_id").alias("winner_doc_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+    )

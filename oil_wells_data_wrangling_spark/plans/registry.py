@@ -72,7 +72,9 @@ def _load_all() -> None:
 # because their r4 rows predate two rounds of shared-helper churn.
 # The r4-stale names that do not fit in this window
 # (events_anomaly, events_funnel, bucket_quantiles,
-# length_histogram, domain_cap) rotate into the r8 window so the
+# length_histogram, domain_cap — plus integrity_report, geo_bucket,
+# spatial_bbox, displaced when the three late-r7 operators took
+# never-checked priority) rotate into the r8 window so the
 # oldest driver row is ≤ r5 by end of r8, exactly the verdict's
 # done-criterion. Everything past 50
 # keeps its old green row and stays covered by the identical local
@@ -87,8 +89,11 @@ _WINDOW_PRIORITY = [
     "model_score",
     "dp_histogram",
     "late_arrival_audit",
-    # -- new in round 7
+    # -- new in round 7 (never driver-checked; must get first rows)
     "semdedup_pipeline",
+    "basket_lift",
+    "events_burst",
+    "url_dedup",
     # -- last driver row is round 4: reference wrangle family
     "api_canonical",
     "extract_fields",
@@ -132,9 +137,6 @@ _WINDOW_PRIORITY = [
     "range_join",
     "salted_agg_join",
     "skew_report",
-    "integrity_report",
-    "geo_bucket",
-    "spatial_bbox",
 ]
 
 
