@@ -216,6 +216,48 @@ def decode_apng(payload: bytes) -> dict | None:
         return None
 
 
+_PIL_CHANNELS = {"L": 1, "RGB": 3, "RGBA": 4}
+
+
+def decode_image_pil(payload: bytes) -> dict | None:
+    """Import-gated compressed-format decode (JPEG/GIF/WebP/…) via PIL,
+    normalized to ``decode_png``'s contract: {width, height, channels,
+    pixels}. Returns None when PIL is absent or refuses the payload —
+    the same degrade-don't-fail contract as the stdlib decoders.
+
+    Unlike the stdlib PNG path this is NOT bit-deterministic across
+    library versions (JPEG decode is implementation-dependent), so
+    oracle-checked queries never depend on its output; it exists for
+    real corpora where compressed formats dominate, gated exactly like
+    onnxruntime in inference and playwright in the fetch source."""
+    if not _HAS_PIL:
+        return None
+    import io
+
+    import PIL.Image
+
+    try:
+        with PIL.Image.open(io.BytesIO(payload)) as im:
+            mode = im.mode if im.mode in _PIL_CHANNELS else "RGB"
+            conv = im.convert(mode)
+            return {
+                "width": conv.width,
+                "height": conv.height,
+                "channels": _PIL_CHANNELS[mode],
+                "pixels": conv.tobytes(),
+            }
+    except Exception:
+        return None
+
+
+def decode_image(payload: bytes) -> dict | None:
+    """Decoder chain: stdlib PNG first (deterministic, oracle-grade),
+    then PIL for compressed formats when importable, else None (the
+    caller stubs). Order matters — a PNG must decode identically with
+    or without PIL installed, so the deterministic path always wins."""
+    return decode_png(payload) or decode_image_pil(payload)
+
+
 def nn_resize(
     pixels: bytes, w: int, h: int, channels: int, new_w: int, new_h: int
 ) -> bytes:
@@ -340,12 +382,14 @@ def resize_features(media: DataFrame) -> DataFrame:
             decoded = {}
             for idx in pdf.index:
                 payload = bytes(pdf.at[idx, "payload"])
-                if payload.startswith(_PNG_MAGIC):
-                    img = decode_png(payload)
-                    if img is not None:
-                        decoded[idx] = img
-                        w.at[idx] = img["width"]
-                        h.at[idx] = img["height"]
+                # full chain: stdlib PNG, then gated PIL for compressed
+                # formats; synthesized non-image payloads fall through
+                # to the metadata path either way
+                img = decode_image(payload)
+                if img is not None:
+                    decoded[idx] = img
+                    w.at[idx] = img["width"]
+                    h.at[idx] = img["height"]
             new_w = pd.Series(
                 [224 if wi >= hi else (wi * 224) // hi for wi, hi in zip(w, h)],
                 index=pdf.index,

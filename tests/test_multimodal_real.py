@@ -395,3 +395,74 @@ def test_frame_sample_decodes_real_apng_distributed(spark):
     ][::2]
     assert got[3].n_frames == 4 and got[3].n_sampled == 2
     assert got[3].sample_fp == hashlib.md5("".join(stub_kept).encode()).hexdigest()
+
+
+def test_pil_gate_contract_with_fake_module(monkeypatch):
+    """decode_image must route: stdlib PNG first (deterministic path
+    always wins, even with PIL present), PIL for compressed formats it
+    claims, None for garbage — driven by a FAKE PIL so the gate's
+    contract is pinned on hosts without the real library."""
+    import sys
+    import types
+
+    from oil_wells_data_wrangling_spark.operators import multimodal as mm
+
+    opened = []
+
+    class FakeImg:
+        def __init__(self, mode, size):
+            self.mode = mode
+            self.width, self.height = size
+
+        def convert(self, mode):
+            return FakeImg(mode, (self.width, self.height))
+
+        def tobytes(self):
+            n = {"L": 1, "RGB": 3, "RGBA": 4}[self.mode]
+            return bytes(self.width * self.height * n)
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    class FakeImageModule(types.ModuleType):
+        @staticmethod
+        def open(buf):
+            data = buf.read()
+            opened.append(data[:2])
+            if data[:2] == b"\xff\xd8":  # JPEG SOI
+                return FakeImg("CMYK", (10, 6))  # odd mode -> RGB convert
+            raise OSError("cannot identify image file")
+
+    fake_pkg = types.ModuleType("PIL")
+    fake_img = FakeImageModule("PIL.Image")
+    fake_pkg.Image = fake_img
+    monkeypatch.setitem(sys.modules, "PIL", fake_pkg)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_img)
+    monkeypatch.setattr(mm, "_HAS_PIL", True)
+
+    # PNG payload: stdlib decoder wins, PIL never consulted
+    png = encode_png(3, 2, bytes(range(3 * 2 * 3)))
+    got = mm.decode_image(png)
+    assert got is not None and (got["width"], got["height"]) == (3, 2)
+    assert opened == []
+
+    # JPEG payload: PIL path, odd mode normalized to RGB
+    jpg = b"\xff\xd8" + b"\x00" * 16
+    got = mm.decode_image(jpg)
+    assert got == {
+        "width": 10,
+        "height": 6,
+        "channels": 3,
+        "pixels": bytes(10 * 6 * 3),
+    }
+    assert opened == [b"\xff\xd8"]
+
+    # garbage: PIL refuses -> None (degrade, not raise)
+    assert mm.decode_image(b"\x00\x01\x02\x03") is None
+
+    # gate closed: PIL path unreachable even with the module present
+    monkeypatch.setattr(mm, "_HAS_PIL", False)
+    assert mm.decode_image(jpg) is None
