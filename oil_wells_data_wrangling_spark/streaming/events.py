@@ -515,6 +515,76 @@ def stream_rate_limit(events: DataFrame) -> DataFrame:
     )
 
 
+class _ThrottleTWS:
+    """transformWithState twin of ``_throttle_fn``: one int64 counter
+    per (user, minute) key, EVICTED by an event-time timer two minutes
+    after the minute closes — the timer surface doing what
+    ``setTimeoutTimestamp`` does on the applyInPandasWithState path,
+    so the store never holds more than the watermark horizon's worth
+    of keys. Expiry emits nothing (eviction is bookkeeping, not
+    output), which is the other half of the timer contract the
+    sessionizer twin doesn't cover."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        self._handle = handle
+        self._state = handle.getValueState(
+            "n_seen", StructType([StructField("n_seen", LongType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        user_id, minute = key
+        n_seen = self._state.get()[0] if self._state.exists() else 0
+        ids: list[int] = []
+        for pdf in rows:
+            sub = pdf.sort_values(["ts", "event_id"])
+            ids.extend(int(e) for e in sub["event_id"])
+        kept = []
+        for _ in ids:
+            n_seen += 1
+            kept.append(n_seen <= _THROTTLE_N)
+        self._state.update((n_seen,))
+        expiry = int(pd.Timestamp(minute).value // 1_000_000) + 120_000
+        if expiry not in set(self._handle.listTimers()):
+            self._handle.registerTimer(expiry)
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(ids),
+                    "minute": [minute] * len(ids),
+                    "event_id": ids,
+                    "kept": kept,
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        self._state.clear()
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stream_rate_limit_tws(events: DataFrame) -> DataFrame:
+    """Streaming rate limiter on ``transformWithStateInPandas`` — the
+    same per-(user, minute) first-N contract as ``stream_rate_limit``,
+    with state eviction driven by event-time timers instead of
+    ``GroupStateTimeout``. Needs the RocksDB provider and a protobuf
+    runtime (``compat.ensure_protobuf``)."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .withColumn("minute", F.date_trunc("minute", F.col("ts")))
+        .groupBy("user_id", "minute")
+        .transformWithStateInPandas(
+            statefulProcessor=_ThrottleTWS(),
+            outputStructType=_THROTTLE_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 # ------------------------------------------------------- scd2 attribution
 
 _SCD2_ATTR_OUT_SCHEMA = StructType(

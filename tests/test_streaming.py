@@ -493,3 +493,47 @@ def test_stream_sessionize_tws_timers_match_batch(spark, sf_dir, tmp_path):
     assert got.count() > single.count(), (
         "event-time timers closed no extra sessions"
     )
+
+
+def test_stream_rate_limit_tws_matches_batch(spark, sf_dir, events_dir):
+    """transformWithState rate limiter (timer-evicted counters): the
+    per-user keep/drop totals must equal the batch events_rate_limit —
+    the same arrival-order-invariant rollup the applyInPandasWithState
+    twin is held to."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        events_rate_limit,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_rate_limit_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_available_now(
+            stream_rate_limit_tws(read_event_stream(spark, events_dir)),
+            "rate_tws",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    agg = got.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+    )
+    want = events_rate_limit(spark, sf_dir)
+    assert _canon(agg) == _canon(
+        want.select("user_id", "n_events", "n_kept", "n_dropped")
+    )
