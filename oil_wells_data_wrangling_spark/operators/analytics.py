@@ -1483,3 +1483,116 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------- rfm_segments
+
+_RFM_LIM = float(2**62 // 100)
+
+_RFM_ORACLE = f"""
+WITH ref AS (SELECT MAX(o_orderdate) AS ref_d FROM orders),
+cust AS (
+  SELECT o_custkey,
+         date_diff('day', MAX(o_orderdate), MAX(ref_d)) AS recency_days,
+         COUNT(*) AS frequency,
+         CAST(SUM(CAST(round((CASE WHEN o_totalprice
+                BETWEEN -{_RFM_LIM} AND {_RFM_LIM}
+                THEN o_totalprice END) * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders CROSS JOIN ref
+  GROUP BY o_custkey
+),
+scored AS (
+  SELECT *,
+    CASE WHEN recency_days <= 180 THEN 3
+         WHEN recency_days <= 540 THEN 2 ELSE 1 END AS r,
+    CASE WHEN frequency >= 15 THEN 3
+         WHEN frequency >= 8 THEN 2 ELSE 1 END AS f,
+    CASE WHEN cents >= 200000000 THEN 3
+         WHEN cents >= 100000000 THEN 2 ELSE 1 END AS m
+  FROM cust
+)
+SELECT CASE WHEN r = 3 AND f = 3 AND m = 3 THEN 'champion'
+            WHEN r = 3 AND f >= 2 THEN 'loyal'
+            WHEN r = 1 AND m = 3 THEN 'lapsed_big_spender'
+            WHEN r = 1 THEN 'at_risk'
+            ELSE 'regular' END AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(frequency) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) / 100.0 AS total_monetary
+FROM scored GROUP BY 1
+"""
+
+
+@register("rfm_segments", oracle=_RFM_ORACLE)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic customer-value rollup
+    (recency / frequency / monetary scored 1-3 on fixed ladders, then
+    named segments): the serving-tier aggregate behind retention
+    dashboards, and the relational cousin of mix_balance's per-domain
+    corpus audit.
+
+    Determinism: recency is integer day arithmetic off a data-derived
+    reference date (the max order date, broadcast as a 1-row
+    aggregate); monetary stays a scaled-int64 CENTS column through
+    BOTH aggregation levels — per-customer and per-segment sums are
+    int64 (associative, partition-order-proof), divided back to double
+    exactly once at the end. Score ladders are integer comparisons, so
+    every segment boundary is bit-exact cross-engine.
+
+    Scale shape: one shuffle to per-customer aggregates (the natural
+    key), then a 15-way segment rollup AQE coalesces; the reference
+    date is a broadcast scalar, never a window. No row carries more
+    than four int64s after the first aggregate."""
+    from oil_wells_data_wrangling_spark.functions.exact import (
+        _finite_in_window,
+    )
+
+    t = load_tables(spark, sf_dir)
+    ref = t.orders.agg(F.max("o_orderdate").alias("ref_d"))
+    cents_addend = F.round(
+        _finite_in_window(F.col("o_totalprice"), 100) * 100
+    ).cast("bigint")
+    cust = (
+        t.orders.crossJoin(F.broadcast(ref))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.max("ref_d"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents_addend).alias("cents"),
+        )
+    )
+    r = (
+        F.when(F.col("recency_days") <= 180, 3)
+        .when(F.col("recency_days") <= 540, 2)
+        .otherwise(1)
+    )
+    f_ = (
+        F.when(F.col("frequency") >= 15, 3)
+        .when(F.col("frequency") >= 8, 2)
+        .otherwise(1)
+    )
+    m = (
+        F.when(F.col("cents") >= 200_000_000, 3)
+        .when(F.col("cents") >= 100_000_000, 2)
+        .otherwise(1)
+    )
+    scored = cust.select("frequency", "cents", r.alias("r"), f_.alias("f"), m.alias("m"))
+    segment = (
+        F.when((F.col("r") == 3) & (F.col("f") == 3) & (F.col("m") == 3), "champion")
+        .when((F.col("r") == 3) & (F.col("f") >= 2), "loyal")
+        .when((F.col("r") == 1) & (F.col("m") == 3), "lapsed_big_spender")
+        .when(F.col("r") == 1, "at_risk")
+        .otherwise("regular")
+    )
+    return (
+        scored.select(segment.alias("segment"), "frequency", "cents")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("frequency").alias("n_orders"),
+            (F.sum("cents") / F.lit(100.0)).alias("total_monetary"),
+        )
+    )

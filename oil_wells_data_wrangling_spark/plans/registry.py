@@ -73,7 +73,7 @@ def _load_all() -> None:
 # The r4-stale names that do not fit in this window
 # (events_anomaly, events_funnel, bucket_quantiles,
 # length_histogram, domain_cap — plus integrity_report, geo_bucket,
-# spatial_bbox, displaced when the three late-r7 operators took
+# spatial_bbox, skew_report, displaced when the late-r7 operators took
 # never-checked priority) rotate into the r8 window so the
 # oldest driver row is ≤ r5 by end of r8, exactly the verdict's
 # done-criterion. Everything past 50
@@ -94,6 +94,7 @@ _WINDOW_PRIORITY = [
     "basket_lift",
     "events_burst",
     "url_dedup",
+    "rfm_segments",
     # -- last driver row is round 4: reference wrangle family
     "api_canonical",
     "extract_fields",
@@ -136,7 +137,6 @@ _WINDOW_PRIORITY = [
     "winsorize",
     "range_join",
     "salted_agg_join",
-    "skew_report",
 ]
 
 
