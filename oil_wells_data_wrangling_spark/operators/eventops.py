@@ -1451,3 +1451,85 @@ def events_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("n_events"),
         F.col("trailing").alias("trailing_sum"),
     )
+
+
+# ------------------------------------------------------------- events_ab_lift
+
+_AB_SCALE = 1_000_000
+_AB_MIN_PURCHASES = 14  # "high-value" bar: splits the dense synthetic cohorts near the median
+
+_AB_LIFT_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         CAST(user_id % 2 AS INTEGER) AS cohort,
+         CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= {_AB_MIN_PURCHASES} THEN 1 ELSE 0 END AS converted,
+         CAST(SUM(CASE WHEN event_type = 'purchase'
+                  AND value BETWEEN -4.6116860184273879e16
+                                AND 4.6116860184273879e16
+                  THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS rev_cents
+  FROM events
+  GROUP BY user_id
+)
+SELECT cohort,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST((SUM(converted) * {_AB_SCALE}) // COUNT(*) AS BIGINT)
+         AS conv_ppm,
+       CAST(SUM(rev_cents) AS BIGINT) / 100.0 AS revenue
+FROM u GROUP BY cohort
+"""
+
+
+@register("events_ab_lift", oracle=_AB_LIFT_ORACLE)
+def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split into cohorts by a deterministic
+    assignment hash (parity here; salted-md5 in production — the same
+    deterministic-acceptance trick as sample_corpus), then per-cohort
+    conversion (did the user clear the high-value purchase bar?) as an
+    exact ppm rate and
+    purchase revenue as a scaled-int64 cents sum divided to double
+    once. The A/B table every growth dashboard starts from.
+
+    Scale shape: ONE shuffle to per-user aggregates (conversion flag +
+    revenue cents ride the same exchange), then a 2-row cohort rollup.
+    Revenue stays integer through both aggregation levels, so the
+    oracle is bit-exact; the conversion rate is an integer floor-div
+    ppm — no float division anywhere."""
+    from oil_wells_data_wrangling_spark.functions.exact import (
+        _finite_in_window,
+    )
+
+    t = load_tables(spark, sf_dir)
+    is_purchase = F.col("event_type") == "purchase"
+    cents = F.when(
+        is_purchase,
+        F.coalesce(
+            F.round(_finite_in_window(F.col("value"), 100) * 100).cast(
+                "bigint"
+            ),
+            F.lit(0),
+        ),
+    ).otherwise(0)
+    u = t.events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(is_purchase, 1).otherwise(0))
+            >= _AB_MIN_PURCHASES
+        )
+        .cast("int")
+        .alias("converted"),
+        F.sum(cents).alias("rev_cents"),
+    )
+    return (
+        u.select((F.col("user_id") % 2).cast("int").alias("cohort"), "converted", "rev_cents")
+        .groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.expr(f"(sum(converted) * {_AB_SCALE}) div count(*)").alias(
+                "conv_ppm"
+            ),
+            (F.sum("rev_cents") / F.lit(100.0)).alias("revenue"),
+        )
+    )

@@ -695,3 +695,107 @@ def wav_chunk_features(df: DataFrame) -> DataFrame:
             " level_sum long"
         ),
     )
+
+
+# ---------------------------------------------------------------- mm_scene_cut
+
+_CUT_THRESHOLD = 230  # frame-difference level that marks a hard cut
+
+_SCENE_CUT_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id, text,
+         CAST(24 + (n_chars * 5) % 240 AS INTEGER) AS n_frames
+  FROM documents
+),
+f AS (
+  SELECT doc_id, n_frames,
+         unnest(range(n_frames)) AS frame
+  FROM v
+),
+d AS (
+  SELECT f.doc_id, f.n_frames, f.frame,
+         CAST('0x' || substr(md5(v.text || '#' || f.frame), 1, 2) AS INTEGER)
+           AS diff
+  FROM f JOIN v ON f.doc_id = v.doc_id
+),
+s AS (
+  SELECT *, SUM(CASE WHEN frame = 0 OR diff >= {_CUT_THRESHOLD}
+                     THEN 1 ELSE 0 END)
+            OVER (PARTITION BY doc_id ORDER BY frame) AS scene_id
+  FROM d
+),
+scenes AS (
+  SELECT doc_id, n_frames, scene_id, COUNT(*) AS scene_len
+  FROM s GROUP BY doc_id, n_frames, scene_id
+)
+SELECT doc_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(COUNT(*) AS BIGINT) AS n_scenes,
+       CAST(MAX(scene_len) AS BIGINT) AS max_scene_len,
+       CAST(MIN(scene_len) AS BIGINT) AS min_scene_len
+FROM scenes GROUP BY doc_id, n_frames
+"""
+
+
+@register("mm_scene_cut", oracle=_SCENE_CUT_ORACLE)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene segmentation plumbing: each document synthesizes a
+    clip (frame count from n_chars), a deterministic per-frame
+    difference metric stands in for the histogram/SSIM delta a real
+    decoder would emit (md5 chain — exactly oracle-checkable, like
+    mm_frame_sample's synthesis), frames above the cut threshold open
+    a new scene, and scenes are assembled with the same
+    flag-and-prefix-sum pattern as sessionization. Output: per-video
+    scene count and extremal scene lengths — the shot table a
+    frame-sampler or clip-encoder consumes downstream.
+
+    Scale shape: the explode is bounded (≤264 frames/doc) and both
+    windows partition on doc_id (never unbounded — pinned by the
+    plan-shape sweep); state per video is one running counter. A real
+    decoder slots in at the diff metric exactly where decode_image's
+    PIL gate sits — the segmentation logic, shuffle keys, and schema
+    are unchanged."""
+    t = load_tables(spark, sf_dir)
+    v = t.documents.select(
+        "doc_id",
+        "text",
+        (24 + (F.col("n_chars") * 5) % 240).cast("int").alias("n_frames"),
+    )
+    # the diff expression references the exploded alias, so explode and
+    # the per-frame metric live in two projections
+    frames = v.select(
+        "doc_id",
+        "n_frames",
+        "text",
+        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame"),
+    ).select(
+        "doc_id",
+        "n_frames",
+        "frame",
+        F.expr(
+            "cast(conv(substr(md5(concat(text, '#', cast(frame as string))), 1, 2),"
+            " 16, 10) as int)"
+        ).alias("diff"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("frame")
+    scenes = (
+        frames.withColumn(
+            "scene_id",
+            F.sum(
+                F.when(
+                    (F.col("frame") == 0)
+                    | (F.col("diff") >= _CUT_THRESHOLD),
+                    1,
+                ).otherwise(0)
+            ).over(w),
+        )
+        .groupBy("doc_id", "n_frames", "scene_id")
+        .agg(F.count(F.lit(1)).alias("scene_len"))
+    )
+    return scenes.groupBy("doc_id", "n_frames").agg(
+        F.count(F.lit(1)).alias("n_scenes"),
+        F.max("scene_len").alias("max_scene_len"),
+        F.min("scene_len").alias("min_scene_len"),
+    )

@@ -73,7 +73,8 @@ def _load_all() -> None:
 # The r4-stale names that do not fit in this window
 # (events_anomaly, events_funnel, bucket_quantiles,
 # length_histogram, domain_cap — plus integrity_report, geo_bucket,
-# spatial_bbox, skew_report, displaced when the late-r7 operators took
+# spatial_bbox, skew_report, salted_agg_join, range_join, displaced
+# when the late-r7 operators took
 # never-checked priority) rotate into the r8 window so the
 # oldest driver row is ≤ r5 by end of r8, exactly the verdict's
 # done-criterion. Everything past 50
@@ -95,6 +96,8 @@ _WINDOW_PRIORITY = [
     "events_burst",
     "url_dedup",
     "rfm_segments",
+    "events_ab_lift",
+    "mm_scene_cut",
     # -- last driver row is round 4: reference wrangle family
     "api_canonical",
     "extract_fields",
@@ -135,8 +138,6 @@ _WINDOW_PRIORITY = [
     "window_lag_delta",
     "semi_anti_join",
     "winsorize",
-    "range_join",
-    "salted_agg_join",
 ]
 
 
