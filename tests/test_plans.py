@@ -120,3 +120,24 @@ def test_window_priority_names_all_registered():
     assert len(set(_WINDOW_PRIORITY)) == 50
     unknown = [n for n in _WINDOW_PRIORITY if n not in qs]
     assert not unknown, f"priority list names unregistered queries: {unknown}"
+
+
+def test_headline_set_is_pinned():
+    """bench.py times exactly the headline-flagged queries; BASELINE.md
+    carries a standing row for each. Losing a flag would silently drop
+    a query from the regression fence — pin the set."""
+    from oil_wells_data_wrangling_spark.plans.registry import (
+        REGISTRY,
+        _load_all,
+    )
+
+    _load_all()
+    headliners = {n for n, q in REGISTRY.items() if q.headline}
+    assert headliners == {
+        "events_window_agg", "dedup_minhash", "corpus_pipeline_full",
+        "corpus_pipeline", "agg_pricing_summary", "join_revenue_topn",
+        "join_region_rollup", "well_pipeline", "ann_topk", "decontaminate",
+        "semdedup_pipeline", "domain_pagerank",
+    }
+    # every headliner must also carry an exact oracle
+    assert all(REGISTRY[n].oracle for n in headliners)
