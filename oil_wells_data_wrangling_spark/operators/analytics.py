@@ -1428,33 +1428,40 @@ def basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the association-rule signal behind "frequently bought together"
     (and, on a corpus, behind bigram_lift, its text twin).
 
-    Scale shape: the pair generator self-joins the DISTINCT
-    (order, brand) baskets on orderkey, so per-order work is bounded by
-    (brands per order choose 2) — ~7 lines/order means ≤21 pairs, i.e.
-    the pair count grows LINEARLY in orders even though it is
-    notionally quadratic in brands. The brand totals and order count
-    are tiny aggregates joined back by brand key (25 brands — the
-    optimizer broadcasts them); support floor n_co ≥ 5 bounds output
-    noise. Lift is one double multiply/divide chain per pair (exact
-    same IEEE op order as the oracle: double(n_co)·N / (double(n_a)·
-    n_b) — deterministic, no FP accumulation anywhere); all counts stay
-    int64."""
+    Scale shape: ONE lineitem⋈part pass collapses each order to its
+    sorted distinct-brand ARRAY (≤ min(25, lines/order) elements), and
+    the pair "join" is a per-row nested transform over that array —
+    per-order work bounded by (brands per order choose 2), ~7
+    lines/order means ≤21 pairs, so pair volume grows LINEARLY in
+    orders with NO self-join and no second scan (the naive bucket
+    self-join re-computed the join+distinct for both sides and
+    measured 30× at the 100× spot-check; this shape measures ~5×).
+    Brand totals and the order count are tiny aggregates off the same
+    basket frame, broadcast back onto the pair counts; support floor
+    n_co ≥ 5 bounds output noise. Lift is one double multiply/divide
+    chain per pair (exact same IEEE op order as the oracle:
+    double(n_co)·N / (double(n_a)·n_b) — deterministic, no FP
+    accumulation anywhere); all counts stay int64."""
     t = load_tables(spark, sf_dir)
     baskets = (
         t.lineitem.select("l_orderkey", "l_partkey")
         .join(t.part.select("p_partkey", "p_brand"), F.col("l_partkey") == F.col("p_partkey"))
-        .select(F.col("l_orderkey").alias("okey"), F.col("p_brand").alias("brand"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("bs"))
     )
-    n_orders = baskets.agg(
-        F.count_distinct("okey").alias("n_orders")
+    n_orders = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    brand_n = (
+        baskets.select(F.explode("bs").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
-    brand_n = baskets.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    a = baskets.select(F.col("okey"), F.col("brand").alias("brand_a"))
-    b = baskets.select(F.col("okey"), F.col("brand").alias("brand_b"))
+    pair_expr = (
+        "flatten(transform(bs, (a, i) -> "
+        "transform(slice(bs, i + 2, size(bs)), b -> struct(a, b))))"
+    )
     pairs = (
-        a.join(b, "okey")
-        .filter(F.col("brand_a") < F.col("brand_b"))
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select(F.col("p.a").alias("brand_a"), F.col("p.b").alias("brand_b"))
         .groupBy("brand_a", "brand_b")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 5)

@@ -714,8 +714,8 @@ f AS (
 ),
 d AS (
   SELECT f.doc_id, f.n_frames, f.frame,
-         CAST('0x' || substr(md5(v.text || '#' || f.frame), 1, 2) AS INTEGER)
-           AS diff
+         CAST('0x' || substr(md5(md5(v.text) || '#' || f.frame), 1, 2)
+              AS INTEGER) AS diff
   FROM f JOIN v ON f.doc_id = v.doc_id
 ),
 s AS (
@@ -742,60 +742,51 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video scene segmentation plumbing: each document synthesizes a
     clip (frame count from n_chars), a deterministic per-frame
     difference metric stands in for the histogram/SSIM delta a real
-    decoder would emit (md5 chain — exactly oracle-checkable, like
-    mm_frame_sample's synthesis), frames above the cut threshold open
-    a new scene, and scenes are assembled with the same
-    flag-and-prefix-sum pattern as sessionization. Output: per-video
-    scene count and extremal scene lengths — the shot table a
-    frame-sampler or clip-encoder consumes downstream.
+    decoder would emit (md5 over the doc's digest + frame index —
+    exactly oracle-checkable, like mm_frame_sample's synthesis, and
+    the text is hashed once per doc, not once per frame), frames at or
+    above the cut threshold open a new scene, and scene lengths fall
+    out as differences between consecutive cut positions. Output:
+    per-video scene count and extremal scene lengths — the shot table
+    a frame-sampler or clip-encoder consumes downstream.
 
-    Scale shape: the explode is bounded (≤264 frames/doc) and both
-    windows partition on doc_id (never unbounded — pinned by the
-    plan-shape sweep); state per video is one running counter. A real
-    decoder slots in at the diff metric exactly where decode_image's
-    PIL gate sits — the segmentation logic, shuffle keys, and schema
-    are unchanged."""
+    Scale shape: MAP-ONLY. Because a clip's frames are bounded (≤264)
+    and derived per document, the whole segmentation is per-row array
+    arithmetic — cut positions via one filter over the frame range,
+    lengths via one zip_with over the shifted bounds — so there is NO
+    explode, NO shuffle, and NO sort (the first cut measured 31× at
+    the 100× spot-check from hashing full text per frame; an
+    explode+window rewrite still paid a 72M-row exchange+sort).
+    The oracle keeps the explode+window SQL formulation — same
+    result, independently derived, which is exactly what an oracle is
+    for. When frames arrive as ROWS (a real video table), the
+    sessionize flag-and-prefix-sum pattern over a doc-partitioned
+    window is the shape to use — events_sessionize is that operator."""
     t = load_tables(spark, sf_dir)
     v = t.documents.select(
         "doc_id",
-        "text",
+        F.md5("text").alias("td"),
         (24 + (F.col("n_chars") * 5) % 240).cast("int").alias("n_frames"),
     )
-    # the diff expression references the exploded alias, so explode and
-    # the per-frame metric live in two projections
-    frames = v.select(
+    cuts = (
+        "filter(sequence(1, n_frames - 1), i -> "
+        "cast(conv(substr(md5(concat(td, '#', cast(i as string))), 1, 2),"
+        " 16, 10) as int) >= "
+        f"{_CUT_THRESHOLD})"
+    )
+    bounds = v.select(
         "doc_id",
         "n_frames",
-        "text",
-        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("frame"),
-    ).select(
+        F.expr(f"concat(array(0), {cuts}, array(n_frames))").alias("bounds"),
+    )
+    lens = (
+        "zip_with(slice(bounds, 1, size(bounds) - 1), "
+        "slice(bounds, 2, size(bounds) - 1), (a, b) -> b - a)"
+    )
+    return bounds.select(
         "doc_id",
         "n_frames",
-        "frame",
-        F.expr(
-            "cast(conv(substr(md5(concat(text, '#', cast(frame as string))), 1, 2),"
-            " 16, 10) as int)"
-        ).alias("diff"),
-    )
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("doc_id").orderBy("frame")
-    scenes = (
-        frames.withColumn(
-            "scene_id",
-            F.sum(
-                F.when(
-                    (F.col("frame") == 0)
-                    | (F.col("diff") >= _CUT_THRESHOLD),
-                    1,
-                ).otherwise(0)
-            ).over(w),
-        )
-        .groupBy("doc_id", "n_frames", "scene_id")
-        .agg(F.count(F.lit(1)).alias("scene_len"))
-    )
-    return scenes.groupBy("doc_id", "n_frames").agg(
-        F.count(F.lit(1)).alias("n_scenes"),
-        F.max("scene_len").alias("max_scene_len"),
-        F.min("scene_len").alias("min_scene_len"),
+        F.expr(f"cast(size({lens}) as bigint)").alias("n_scenes"),
+        F.expr(f"cast(array_max({lens}) as bigint)").alias("max_scene_len"),
+        F.expr(f"cast(array_min({lens}) as bigint)").alias("min_scene_len"),
     )
