@@ -1603,3 +1603,666 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents") / F.lit(100.0)).alias("total_monetary"),
         )
     )
+
+
+# ===================================================================
+# TPC-H-style coverage completion (round 7, second half): the classic
+# query shapes the registry had not yet exercised — multi-dim equality
+# joins (Q5/Q7/Q8), cost-model profit (Q9), returned-item CRM (Q10),
+# scalar-threshold scans (Q6/Q11), distinct-count grids (Q16), HAVING
+# rollups (Q18) and the multi-stage "who blocked the order" report
+# (Q21). The testdata has no partsupp table and lineitem carries no
+# commitdate/shipmode, so Q2/Q9/Q11/Q16/Q21 are adapted to the columns
+# that exist (noted per operator); the join/agg shapes are the point.
+# ===================================================================
+
+# ------------------------------------------------------ local_supplier_volume
+
+_LOCALVOL_ORACLE = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+@register("local_supplier_volume", oracle=_LOCALVOL_ORACLE)
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style local-supplier volume: revenue by nation where the
+    ordering customer and the shipping supplier share a nation inside
+    one region — the five-way join with a cross-table equality
+    (c_nationkey = s_nationkey) that join reordering has to get right.
+
+    Scale shape: supplier ⋈ nation ⋈ region (region-filtered) collapses
+    to one small broadcast dim, so the only shuffles are
+    lineitem ⋈ orders on the order key and the subsequent customer join
+    on the customer key; the date filter sits on the orders scan
+    (pushed) and prunes before the first shuffle. The
+    customer-nation = supplier-nation test rides the customer join as a
+    join condition — no post-join filter pass — and the final rollup is
+    bounded by nations-per-region."""
+    t = load_tables(spark, sf_dir)
+    asia_nation = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = (
+        t.supplier.select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(asia_nation),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.customer.select("c_custkey", "c_nationkey"),
+            (F.col("o_custkey") == F.col("c_custkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+# ---------------------------------------------------------- forecast_revenue
+
+_FORECAST_ORACLE = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 6)} AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24.0
+"""
+
+
+@register("forecast_revenue", oracle=_FORECAST_ORACLE)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style what-if scan: revenue that would be recovered by
+    dropping small-quantity mid-discount discounts for one ship year —
+    the pure filter-and-sum query whose entire cost is the scan.
+
+    Scale shape: zero joins, zero wide shuffles — all three predicates
+    push to the parquet scan (date range + discount range + quantity
+    bound all appear in PushedFilters), the projection prunes to the
+    two price columns, and the aggregate is a partial-combine into a
+    single scalar exchange. This is the query that proves filters and
+    pruning reach the source; at 100 TB it is I/O-bound by design."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        ).agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------- nation_volume_shipping
+
+_NATVOL_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(YEAR(l_shipdate) AS INTEGER) AS l_year,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS volume
+FROM lineitem
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_5' AND n2.n_name = 'NATION_12')
+    OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_5'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1, 2, 3
+"""
+
+
+@register("nation_volume_shipping", oracle=_NATVOL_ORACLE)
+def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: shipped revenue between two
+    nations, both directions, per ship year — the query whose WHERE is
+    a disjunction over a PAIR of dimension attributes.
+
+    Scale shape: both nation lookups are broadcast; the supplier side
+    is collapsed to a broadcast (suppkey → nation) map filtered to the
+    two nations of interest, which prunes lineitem rows at the first
+    join. The customer side filters to the same two nations before its
+    shuffle join, so the pair-disjunction residual runs on rows already
+    restricted to 2×2 nation combinations. Two wide shuffles total
+    (order key, customer key); the rollup output is bounded at
+    2 directions × years."""
+    t = load_tables(spark, sf_dir)
+    pair = ("NATION_5", "NATION_12")
+    n = t.nation.filter(F.col("n_name").isin(*pair)).select(
+        "n_nationkey", "n_name"
+    )
+    supp = (
+        t.supplier.join(
+            F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        t.customer.join(
+            F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+        ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = t.lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+            ).alias("volume")
+        )
+    )
+
+
+# --------------------------------------------------------------- market_share
+
+_MKTSHARE_ORACLE = f"""
+SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       ({sql_dsum("CASE WHEN n2.n_name = 'NATION_3' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)}
+        / {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)}) AS mkt_share
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region ON n1.n_regionkey = r_regionkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'AMERICA'
+  AND p_type = 'ECONOMY'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY 1
+"""
+
+
+@register("market_share", oracle=_MKTSHARE_ORACLE)
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style national market share: one supplier nation's slice
+    of a region's revenue for one part type, per order year — the
+    conditional-numerator / unconditional-denominator ratio rollup.
+
+    Scale shape: part (type-filtered), supplier ⋈ nation (the
+    numerator tag), and the region-restricted customer-nation dim are
+    all broadcast; the part filter prunes lineitem at its first
+    (broadcast) join so the two wide shuffles — order key, then
+    customer key — move only qualifying rows. Numerator and
+    denominator are computed in ONE aggregation pass as a conditional
+    and an unconditional exact scaled-int64 sum; the share is a single
+    IEEE division of two partition-order-proof values, so the ratio is
+    bit-identical across engines and cluster layouts."""
+    t = load_tables(spark, sf_dir)
+    part = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    amer_nation = (
+        t.nation.join(
+            F.broadcast(t.region.filter(F.col("r_name") == "AMERICA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select(F.col("n_nationkey").alias("cn_key"))
+    )
+    cust = t.customer.join(
+        F.broadcast(amer_nation), F.col("c_nationkey") == F.col("cn_key")
+    ).select("c_custkey")
+    supp = (
+        t.supplier.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    tagged = F.when(F.col("supp_nation") == "NATION_3", disc).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(tagged, 6) / dsum(disc, 6)).alias("mkt_share"))
+    )
+
+
+# -------------------------------------------------------- product_type_profit
+
+_PROFIT_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(YEAR(o_orderdate) AS INTEGER) AS o_year,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount) - 0.6 * p_retailprice * l_quantity', 4)} AS profit
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+@register("product_type_profit", oracle=_PROFIT_ORACLE)
+def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product-line profit by supplier nation and order
+    year. The testdata has no partsupp/ps_supplycost, so unit cost is
+    modelled as 60% of p_retailprice — the join/agg shape (substring
+    part filter, per-row revenue-minus-cost, two-dim rollup) is Q9's.
+
+    Scale shape: part is filtered by the LIKE in its scan and
+    broadcast with p_retailprice riding along (so cost needs no second
+    part join); supplier → nation collapses to one broadcast map. The
+    single wide shuffle is lineitem ⋈ orders on the order key; the
+    profit addend is computed per-row in one codegen stage and
+    aggregated as an exact scaled-int64 sum, making the rollup
+    partition-order-proof. Output is bounded by nations × years."""
+    t = load_tables(spark, sf_dir)
+    part = t.part.filter(F.col("p_name").like("%widget%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = (
+        t.supplier.join(
+            F.broadcast(t.nation.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+        - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        t.lineitem.select(
+            "l_orderkey", "l_partkey", "l_suppkey",
+            "l_extendedprice", "l_discount", "l_quantity",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            t.orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(amount, 4).alias("profit"))
+    )
+
+
+# ------------------------------------------------------- returned_item_report
+
+_RETURNED_ORACLE = f"""
+SELECT c_custkey, c_name,
+       {sql_dsum('l_extendedprice * (1.0 - l_discount)', 6)} AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS c_acctbal,
+       n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("returned_item_report", oracle=_RETURNED_ORACLE)
+def returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style returned-item report: the top customers by revenue
+    lost to returns in one quarter — the CRM escalation list.
+
+    Scale shape: the return flag and the quarter filter are both pushed
+    into their scans before the lineitem ⋈ orders shuffle; the
+    customer join shuffles only qualifying order rows, the nation name
+    is a broadcast lookup, and the top-20 is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 20-row
+    heads — no global sort) with the customer key as the total-order
+    tie-break so the cut is deterministic."""
+    t = load_tables(spark, sf_dir)
+    orders = t.orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = t.lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t.customer.select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(
+                t.nation.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                6,
+            ).alias("revenue")
+        )
+        .select(
+            "c_custkey", "c_name", "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ------------------------------------------------------------ important_parts
+
+_IMPPARTS_ORACLE = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(value_cents) AS BIGINT) AS total_cents FROM pv
+)
+SELECT l_partkey,
+       CAST(value_cents AS DOUBLE) / 100.0 AS part_value
+FROM pv, tot
+WHERE value_cents * 10000 > total_cents
+ORDER BY value_cents DESC, l_partkey
+LIMIT 100
+"""
+
+
+@register("important_parts", oracle=_IMPPARTS_ORACLE)
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11-style important-stock scan, adapted to the columns that
+    exist (no partsupp: "inventory value" is one nation's shipped
+    discounted revenue per part): parts whose value exceeds 1/10000 of
+    that nation's total — the scalar-threshold-over-aggregate shape.
+
+    Scale shape: the nation's suppliers collapse to a broadcast key
+    set that prunes lineitem before its single wide shuffle (the
+    per-part agg); the grand total is a one-row broadcast re-derived
+    from the per-part partials, NOT a second scan. The threshold test
+    is the cross-multiplied integer form value·10⁴ > total (cents stay
+    int64 end-to-end; no FP division), so the qualifying set is
+    bit-identical regardless of partitioning; top-100 by value with
+    the part key as tie-break keeps the emitted slice deterministic."""
+    t = load_tables(spark, sf_dir)
+    supp = (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey")
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")) * 100
+    ).cast("bigint")
+    pv = (
+        t.lineitem.select(
+            "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(cents).cast("bigint").alias("value_cents"))
+    )
+    tot = pv.agg(F.sum("value_cents").cast("bigint").alias("total_cents"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value_cents") * 10000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            (F.col("value_cents").cast("double") / 100.0).alias("part_value"),
+            "value_cents",
+        )
+        .orderBy(F.col("value_cents").desc(), F.col("l_partkey"))
+        .limit(100)
+        .select("l_partkey", "part_value")
+    )
+
+
+# --------------------------------------------------------- supplier_part_scope
+
+_PARTSCOPE_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 9, 14, 19, 23)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@register("supplier_part_scope", oracle=_PARTSCOPE_ORACLE)
+def supplier_part_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-style supplier-diversity grid, adapted (no partsupp:
+    who actually shipped a part, from lineitem): distinct supplier
+    count per brand/type/size cell, excluding one brand.
+
+    Scale shape: the part dim is filtered in its scan (brand inequality
+    + size IN-list both pushed) and broadcast; Spark plans the distinct
+    count as the standard two-phase expand — partial dedup of
+    (cell, suppkey) map-side, then one shuffle keyed on the cell — so
+    repeated (part, supplier) pairs collapse before the wire. Output
+    is bounded by the brand × type × size grid, not by lineitem."""
+    t = load_tables(spark, sf_dir)
+    part = t.part.filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        t.lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ------------------------------------------------------ large_volume_customers
+
+_BIGVOL_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING SUM(CAST(round(l_quantity) AS BIGINT)) > 150
+)
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, total_qty
+FROM big
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+"""
+
+
+@register("large_volume_customers", oracle=_BIGVOL_ORACLE)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume customers: orders whose total line
+    quantity clears a threshold, with their customers — the
+    HAVING-on-aggregate join-back shape.
+
+    Scale shape: quantities are rounded to int64 BEFORE summing (the
+    values are integral; rounding first makes Spark's truncating cast
+    and DuckDB's rounding cast agree by construction), so the HAVING
+    filter is exact and partition-order-proof. The per-order agg is
+    the one lineitem-wide shuffle and the HAVING prunes it to a tiny
+    key set, so the orders join-back and customer lookup move almost
+    nothing; top-20 by order value is a TakeOrderedAndProject with
+    the order key as tie-break."""
+    t = load_tables(spark, sf_dir)
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    big = (
+        t.lineitem.select("l_orderkey", qty.alias("q"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("q").cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    return (
+        big.join(
+            t.orders.select(
+                "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            t.customer.select("c_custkey", "c_name"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ----------------------------------------------------- waiting_supplier_report
+
+_WAITSUPP_ORACLE = """
+WITH om AS (
+  SELECT l_orderkey,
+         MAX(l_shipdate) AS max_ship,
+         CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supp
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) >= 2
+), winners AS (
+  SELECT li.l_orderkey, li.l_suppkey
+  FROM lineitem li
+  JOIN om ON li.l_orderkey = om.l_orderkey
+  WHERE li.l_shipdate = om.max_ship
+  GROUP BY li.l_orderkey, li.l_suppkey
+), sole AS (
+  SELECT l_orderkey, MIN(l_suppkey) AS l_suppkey
+  FROM winners
+  GROUP BY l_orderkey
+  HAVING COUNT(*) = 1
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM sole
+JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+@register("waiting_supplier_report", oracle=_WAITSUPP_ORACLE)
+def waiting_supplier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style "who held up the order" report, adapted to the
+    columns that exist (no commitdate: the blocker on a multi-supplier
+    order is the UNIQUE supplier whose line shipped last): suppliers
+    ranked by how many multi-supplier orders they alone closed out.
+
+    Scale shape: every heavy stage — the per-order max/distinct agg,
+    the join-back of lines to their order's max, and the
+    sole-winner test — is keyed on l_orderkey, so after the first agg
+    shuffle the join-back and regroup reuse the same hash
+    partitioning (AQE keeps them exchange-free); the HAVING ≥2 prunes
+    single-supplier orders (the vast majority) before the join-back
+    moves anything. Only the final per-supplier tally — bounded by
+    supplier count — changes key, and the name lookup is broadcast."""
+    t = load_tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    om = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("max_ship"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter(F.col("n_supp") >= 2)
+        .select("l_orderkey", "max_ship")
+    )
+    winners = (
+        li.join(om, "l_orderkey")
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        winners.groupBy("l_orderkey")
+        .agg(
+            F.min("l_suppkey").alias("w_suppkey"),
+            F.count(F.lit(1)).alias("n_winners"),
+        )
+        .filter(F.col("n_winners") == 1)
+    )
+    return (
+        sole.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            F.col("w_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )

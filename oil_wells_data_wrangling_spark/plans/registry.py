@@ -73,9 +73,13 @@ def _load_all() -> None:
 # The r4-stale names that do not fit in this window
 # (events_anomaly, events_funnel, bucket_quantiles,
 # length_histogram, domain_cap — plus integrity_report, geo_bucket,
-# spatial_bbox, skew_report, salted_agg_join, range_join, displaced
-# when the late-r7 operators took
-# never-checked priority) rotate into the r8 window so the
+# spatial_bbox, skew_report, salted_agg_join, range_join,
+# agg_pricing_summary, pivot_status, rollup_cube, grouping_sets,
+# window_lag_delta, semi_anti_join, winsorize, displaced
+# when the late-r7 operators took never-checked priority) rotate
+# into the r8 window, led by the three late-r7 TPC-H-style ops that
+# did not fit (supplier_part_scope, large_volume_customers,
+# waiting_supplier_report), so the
 # oldest driver row is ≤ r5 by end of r8, exactly the verdict's
 # done-criterion. Everything past 50
 # keeps its old green row and stays covered by the identical local
@@ -130,14 +134,18 @@ _WINDOW_PRIORITY = [
     "kmeans_step",
     "pii_redact",
     "pseudonymize",
-    # -- last driver row is round 4: analytics / spatial
-    "agg_pricing_summary",
-    "pivot_status",
-    "rollup_cube",
-    "grouping_sets",
-    "window_lag_delta",
-    "semi_anti_join",
-    "winsorize",
+    # -- new in late round 7 (TPC-H-style coverage completion; never
+    # driver-checked, so they take the slots the r4-stale analytics
+    # names held — those rotate into r8 alongside the three late-r7
+    # ops that did not fit: supplier_part_scope,
+    # large_volume_customers, waiting_supplier_report)
+    "local_supplier_volume",
+    "forecast_revenue",
+    "nation_volume_shipping",
+    "market_share",
+    "product_type_profit",
+    "returned_item_report",
+    "important_parts",
 ]
 
 
