@@ -2223,38 +2223,44 @@ def waiting_supplier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     order is the UNIQUE supplier whose line shipped last): suppliers
     ranked by how many multi-supplier orders they alone closed out.
 
-    Scale shape: every heavy stage — the per-order max/distinct agg,
-    the join-back of lines to their order's max, and the
-    sole-winner test — is keyed on l_orderkey, so after the first agg
-    shuffle the join-back and regroup reuse the same hash
-    partitioning (AQE keeps them exchange-free); the HAVING ≥2 prunes
-    single-supplier orders (the vast majority) before the join-back
-    moves anything. Only the final per-supplier tally — bounded by
-    supplier count — changes key, and the name lookup is broadcast."""
+    Scale shape: two wide shuffles before the bounded tally — the
+    per-(order, supplier) max-shipdate agg (which also dedups repeated
+    pairs, so nothing downstream re-scans lineitem), then ONE
+    order-keyed exchange shared by two stacked Window passes over the
+    identical partition spec (per-order max/count, then the
+    count-at-max that needs the max from pass one — Spark sorts once
+    and runs both windows on the same partitioning, no second
+    exchange, no join-back). The sole-winner filter emits ≤1 row per
+    multi-supplier order; only the final per-supplier tally — bounded
+    by supplier count — changes key, and the name lookup is
+    broadcast."""
     t = load_tables(spark, sf_dir)
-    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
-    om = (
-        li.groupBy("l_orderkey")
-        .agg(
-            F.max("l_shipdate").alias("max_ship"),
-            F.countDistinct("l_suppkey").alias("n_supp"),
-        )
-        .filter(F.col("n_supp") >= 2)
-        .select("l_orderkey", "max_ship")
+    per = (
+        t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("l_shipdate").alias("smax"))
     )
-    winners = (
-        li.join(om, "l_orderkey")
-        .filter(F.col("l_shipdate") == F.col("max_ship"))
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    w = Window.partitionBy("l_orderkey")
+    scored = per.select(
+        "l_orderkey",
+        "l_suppkey",
+        "smax",
+        F.max("smax").over(w).alias("max_ship"),
+        F.count(F.lit(1)).over(w).alias("n_supp"),
     )
     sole = (
-        winners.groupBy("l_orderkey")
-        .agg(
-            F.min("l_suppkey").alias("w_suppkey"),
-            F.count(F.lit(1)).alias("n_winners"),
+        scored.withColumn(
+            "n_at_max",
+            F.sum(
+                F.when(F.col("smax") == F.col("max_ship"), 1).otherwise(0)
+            ).over(w),
         )
-        .filter(F.col("n_winners") == 1)
+        .filter(
+            (F.col("n_supp") >= 2)
+            & (F.col("smax") == F.col("max_ship"))
+            & (F.col("n_at_max") == 1)
+        )
+        .select(F.col("l_suppkey").alias("w_suppkey"))
     )
     return (
         sole.join(
