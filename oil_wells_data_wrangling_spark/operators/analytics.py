@@ -2272,3 +2272,102 @@ def waiting_supplier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------- min_cost_supplier
+
+_MINCOST_ORACLE = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(CAST(round(l_extendedprice * (1.0 - l_discount) / l_quantity * 100) AS BIGINT)) AS unit_cents
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE' AND p_type = 'STANDARD' AND p_size <= 10
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT o.l_partkey AS p_partkey, s_name, n_name,
+       CAST(o.unit_cents AS DOUBLE) / 100.0 AS best_unit_price
+FROM offers o
+JOIN (
+  SELECT l_partkey, MIN(unit_cents) AS min_cents
+  FROM offers GROUP BY l_partkey
+) b ON o.l_partkey = b.l_partkey AND o.unit_cents = b.min_cents
+JOIN supplier ON s_suppkey = o.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+ORDER BY best_unit_price DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+@register("min_cost_supplier", oracle=_MINCOST_ORACLE)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-style min-cost sourcing, adapted to the columns that
+    exist (no partsupp/ps_supplycost: a supplier's offer for a part is
+    the minimum OBSERVED discounted unit price across its shipped
+    lines): for each part in a size/type class, the in-region
+    supplier(s) whose offer matches the part's minimum, ties kept as
+    Q2 keeps them.
+
+    Scale shape: part (type/size-filtered) and the region-restricted
+    supplier⋈nation dim are both broadcast, pruning lineitem before
+    its ONE wide shuffle — the (part, supplier) offer agg. The
+    per-part minimum is a second Window pass over the same
+    l_partkey-prefixed partitioning (min over partition, then the
+    equality filter), not a self-join — no second scan of offers, no
+    extra exchange beyond the window's. Unit price is rounded to
+    integer cents per row BEFORE the min ((e·(1−d)/q)·100 — one IEEE
+    op sequence, identical both engines), so min and tie-set are
+    exact; the top-100 cut carries part key + supplier name
+    tie-breaks."""
+    t = load_tables(spark, sf_dir)
+    part = t.part.filter(
+        (F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10)
+    ).select("p_partkey")
+    eur_supp = (
+        t.supplier.select("s_suppkey", "s_name", "s_nationkey")
+        .join(
+            F.broadcast(
+                t.nation.join(
+                    F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                ).select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    unit_cents = F.round(
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        / F.col("l_quantity")
+        * 100
+    ).cast("bigint")
+    offers = (
+        t.lineitem.select(
+            "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
+        .agg(F.min(unit_cents).alias("unit_cents"))
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        offers.withColumn("min_cents", F.min("unit_cents").over(w))
+        .filter(F.col("unit_cents") == F.col("min_cents"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            (F.col("unit_cents").cast("double") / 100.0).alias(
+                "best_unit_price"
+            ),
+        )
+        .orderBy(
+            F.col("best_unit_price").desc(), F.col("p_partkey"), F.col("s_name")
+        )
+        .limit(100)
+    )

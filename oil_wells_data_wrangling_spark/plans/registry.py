@@ -77,9 +77,9 @@ def _load_all() -> None:
 # agg_pricing_summary, pivot_status, rollup_cube, grouping_sets,
 # window_lag_delta, semi_anti_join, winsorize, displaced
 # when the late-r7 operators took never-checked priority) rotate
-# into the r8 window, led by the three late-r7 TPC-H-style ops that
+# into the r8 window, led by the late-r7 TPC-H-style ops that
 # did not fit (supplier_part_scope, large_volume_customers,
-# waiting_supplier_report), so the
+# waiting_supplier_report, min_cost_supplier), so the
 # oldest driver row is ≤ r5 by end of r8, exactly the verdict's
 # done-criterion. Everything past 50
 # keeps its old green row and stays covered by the identical local
