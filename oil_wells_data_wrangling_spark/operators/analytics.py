@@ -2371,3 +2371,90 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(100)
     )
+
+
+# ------------------------------------------------- excess_inventory_suppliers
+
+_EXCESSINV_ORACLE = """
+WITH red_parts AS (
+  SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+),
+sq AS (
+  SELECT l_suppkey, l_partkey,
+         CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty,
+         CAST(SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                        AND l_shipdate <  TIMESTAMP '1997-01-01'
+                   THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS qty_1996
+  FROM lineitem
+  JOIN red_parts ON l_partkey = p_partkey
+  GROUP BY l_suppkey, l_partkey
+),
+hot AS (
+  SELECT DISTINCT l_suppkey FROM sq WHERE qty_1996 * 2 > total_qty
+)
+SELECT s_name, n_name
+FROM hot
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name IN ('NATION_3', 'NATION_11', 'NATION_19')
+ORDER BY s_name
+"""
+
+
+@register("excess_inventory_suppliers", oracle=_EXCESSINV_ORACLE)
+def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-style excess-inventory probe, adapted to the columns
+    that exist (no partsupp/ps_availqty: a supplier "holds excess" of a
+    part when more than half its ALL-TIME shipped quantity of that part
+    moved in one year — the same half-of-demand threshold shape Q20
+    applies to availqty): suppliers in a nation set who hold excess of
+    any red part. Completes the last of the 22 classic TPC-H query
+    shapes in the registry (reference pdf_to_db.py:1 stores an
+    analytics-ready MySQL schema; this is the sourcing-audit surface
+    that schema implies at engine grade).
+
+    Scale shape: the name-filtered part keys broadcast and prune
+    lineitem before its ONE wide shuffle — the (supplier, part)
+    quantity agg, with the year split computed as a conditional sum in
+    the SAME pass (no second scan, no self-join). The half-threshold is
+    the cross-multiplied integer form qty·2 > total (quantities are
+    integral by construction; round+cast makes that explicit), so the
+    qualifying set is partition-invariant. The surviving supplier keys
+    collapse by distinct to at most |supplier| rows before the final
+    broadcast joins against the supplier/nation dims — fact-side data
+    never touches the output join."""
+    t = load_tables(spark, sf_dir)
+    red = t.part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    in_1996 = (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    sq = (
+        t.lineitem.select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qty).cast("bigint").alias("total_qty"),
+            F.sum(F.when(in_1996, qty).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("qty_1996"),
+        )
+    )
+    hot = (
+        sq.filter(F.col("qty_1996") * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    nations = t.nation.filter(
+        F.col("n_name").isin("NATION_3", "NATION_11", "NATION_19")
+    ).select("n_nationkey", "n_name")
+    return (
+        hot.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

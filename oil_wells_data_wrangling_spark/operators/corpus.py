@@ -908,3 +908,117 @@ def mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rate_ppm",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
     )
+
+
+# --------------------------------------------------------------- dsir_weights
+
+_H32_SPARK = "cast(conv(substr(md5({s}), 1, 8), 16, 10) as bigint) % 2147483647"
+_H32_DUCK = "CAST('0x' || substr(md5({s}), 1, 8) AS BIGINT) % 2147483647"
+_DSIR_B = 1024  # hashed feature buckets
+
+_DSIR_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         ({_H32_DUCK.format(s='word')}) % {_DSIR_B} AS bkt,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (
+    SELECT doc_id, lang,
+           unnest(string_split(text || repeat(' tok_' || lang, 5), ' ')) AS word
+    FROM documents
+  ) w
+  GROUP BY doc_id, lang, bkt
+),
+gc AS (
+  SELECT bkt,
+         CAST(SUM(CASE WHEN lang = 'en' THEN cnt ELSE 0 END) AS BIGINT) AS tgt_c,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE cnt END) AS BIGINT) AS src_c
+  FROM b GROUP BY bkt
+),
+wt AS (
+  SELECT bkt,
+         CAST(length(bin(tgt_c + 1)) - length(bin(src_c + 1)) AS BIGINT) AS wgt
+  FROM gc
+)
+SELECT b.doc_id, MIN(b.lang) AS lang,
+       CAST(SUM(b.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(b.cnt * wt.wgt) AS BIGINT) AS dsir_score
+FROM b JOIN wt ON wt.bkt = b.bkt
+GROUP BY b.doc_id
+"""
+
+
+@register("dsir_weights", oracle=_DSIR_ORACLE)
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every
+    document by how much its hashed-unigram profile looks like the
+    target distribution (here lang='en' stands in for the curated
+    target corpus) versus the raw source distribution. The standard
+    pretraining-curation selector when you have a small trusted corpus
+    and a huge crawl. The synthetic corpus shares one vocabulary
+    across languages (zero unigram signal — every bucket weight
+    collapses to a constant), so per-language marker tokens are
+    appended deterministically (the pii_redact injection pattern) and
+    the oracle mirrors the injection; a real corpus replaces only the
+    tokenizer stage.
+
+    The log-likelihood-ratio is computed in EXACT integer arithmetic:
+    per-bucket weight is length(bin(tgt+1)) - length(bin(src+1)) —
+    floor(log2)+1 of add-one-smoothed counts via binary-string length,
+    identical on both engines (no libm log, whose ln(x)/ln(2) form is
+    inexact at powers of two), so per-doc scores are bit-stable.
+
+    Scale shape: ONE explode pass reduces each document to its hashed
+    bucket histogram ((doc_id, int, count) rows — text never leaves
+    the scan stage); the global target/source counts aggregate that
+    histogram down to exactly {_DSIR_B} rows, which broadcast back
+    onto it. Both wide exchanges carry integer triples; the second
+    scan of the corpus a naive two-pass DSIR would do is gone because
+    the doc-level histogram serves both the global estimate and the
+    per-doc score."""
+    t = load_tables(spark, sf_dir)
+    bkt = F.expr(_H32_SPARK.format(s="word")) % _DSIR_B
+    b = (
+        t.documents.select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.split(
+                    F.concat(
+                        "text",
+                        F.repeat(F.concat(F.lit(" tok_"), F.col("lang")), 5),
+                    ),
+                    " ",
+                )
+            ).alias("word"),
+        )
+        .select("doc_id", "lang", bkt.alias("bkt"))
+        .groupBy("doc_id", "lang", "bkt")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    b = b.persist()
+    gc = b.groupBy("bkt").agg(
+        F.sum(F.when(F.col("lang") == "en", F.col("cnt")).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("tgt_c"),
+        F.sum(F.when(F.col("lang") == "en", F.lit(0)).otherwise(F.col("cnt")))
+        .cast("bigint")
+        .alias("src_c"),
+    )
+    wt = gc.select(
+        "bkt",
+        (
+            F.length(F.bin(F.col("tgt_c") + 1)) - F.length(F.bin(F.col("src_c") + 1))
+        )
+        .cast("bigint")
+        .alias("wgt"),
+    )
+    return (
+        b.join(F.broadcast(wt), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("wgt")).cast("bigint").alias("dsir_score"),
+        )
+    )

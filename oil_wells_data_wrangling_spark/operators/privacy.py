@@ -503,3 +503,104 @@ def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_released"),
         (F.col("n") < _DP_K).alias("suppressed"),
     )
+
+
+# --------------------------------------------------------- k_anonymity_report
+
+_KANON_K = 8
+
+_KANON_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_b
+  FROM customer
+),
+g0 AS (SELECT nat, seg, bal_b, CAST(COUNT(*) AS BIGINT) AS cnt
+       FROM c GROUP BY nat, seg, bal_b),
+g1 AS (SELECT nat, seg, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY nat, seg),
+g2 AS (SELECT seg, CAST(COUNT(*) AS BIGINT) AS cnt FROM c GROUP BY seg),
+lv AS (
+  SELECT c.c_custkey,
+         CASE WHEN g0.cnt >= {_KANON_K} THEN 0
+              WHEN g1.cnt >= {_KANON_K} THEN 1
+              WHEN g2.cnt >= {_KANON_K} THEN 2
+              ELSE 3 END AS level,
+         CASE WHEN g0.cnt >= {_KANON_K}
+                THEN 'L0:' || c.nat || '|' || c.seg || '|' || c.bal_b
+              WHEN g1.cnt >= {_KANON_K} THEN 'L1:' || c.nat || '|' || c.seg
+              WHEN g2.cnt >= {_KANON_K} THEN 'L2:' || c.seg
+              ELSE NULL END AS gkey
+  FROM c
+  JOIN g0 ON g0.nat = c.nat AND g0.seg = c.seg AND g0.bal_b = c.bal_b
+  JOIN g1 ON g1.nat = c.nat AND g1.seg = c.seg
+  JOIN g2 ON g2.seg = c.seg
+)
+SELECT level,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(COUNT(DISTINCT gkey) AS BIGINT) AS n_groups
+FROM lv
+GROUP BY level
+"""
+
+
+@register("k_anonymity_report", oracle=_KANON_ORACLE)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record minimal-generalization k-anonymity (k={_KANON_K})
+    over the customer quasi-identifiers (nation, market segment,
+    $1000 account-balance bucket) — the release-audit step a data
+    pipeline runs before customer-level extracts leave the boundary.
+    Generalization ladder: full QI triple → drop the balance bucket →
+    segment only → suppress; each record reports the FIRST rung whose
+    equivalence class reaches k, and the report aggregates records
+    and surviving classes per rung.
+
+    Scale shape: every rung's class-count table is bounded by the QI
+    DOMAIN (|nations|x|segments|x|balance buckets|), not by record
+    count, so all three aggregate small and broadcast back onto the
+    record scan — records cross exactly one wide exchange (the final
+    per-level agg, 4 rows out). Balance bucketing is integer floor
+    division on offset cents (bigint, non-negative), so bucket edges
+    cannot drift between engines; suppressed records carry a NULL
+    class key, which both engines exclude from COUNT(DISTINCT)."""
+    t = load_tables(spark, sf_dir)
+    c = t.customer.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"
+        ).alias("bal_b"),
+    )
+    g0 = c.groupBy("nat", "seg", "bal_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt0")
+    )
+    g1 = c.groupBy("nat", "seg").agg(F.count(F.lit(1)).cast("bigint").alias("cnt1"))
+    g2 = c.groupBy("seg").agg(F.count(F.lit(1)).cast("bigint").alias("cnt2"))
+    k = F.lit(_KANON_K)
+    lv = (
+        c.join(F.broadcast(g0), ["nat", "seg", "bal_b"])
+        .join(F.broadcast(g1), ["nat", "seg"])
+        .join(F.broadcast(g2), ["seg"])
+        .select(
+            F.when(F.col("cnt0") >= k, F.lit(0))
+            .when(F.col("cnt1") >= k, F.lit(1))
+            .when(F.col("cnt2") >= k, F.lit(2))
+            .otherwise(F.lit(3))
+            .alias("level"),
+            F.when(
+                F.col("cnt0") >= k,
+                F.concat(F.lit("L0:"), "nat", F.lit("|"), "seg", F.lit("|"), "bal_b"),
+            )
+            .when(
+                F.col("cnt1") >= k,
+                F.concat(F.lit("L1:"), "nat", F.lit("|"), "seg"),
+            )
+            .when(F.col("cnt2") >= k, F.concat(F.lit("L2:"), "seg"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("gkey"),
+        )
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_records"),
+        F.countDistinct("gkey").cast("bigint").alias("n_groups"),
+    )

@@ -1368,3 +1368,148 @@ def url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_variants"),
         )
     )
+
+
+# ---------------------------------------------------------- boilerplate_lines
+
+_BP_CHUNK = 10  # words per pseudo-line
+_BP_MIN_DOCS = 4  # chunk seen in >= this many docs of a source => boilerplate
+
+_BP_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 3 = 0
+           THEN 'welcome to ' || source ||
+                ' home page follow us on social media ' || text
+           ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS words FROM docs2
+),
+c AS (
+  SELECT doc_id, source, CAST(i AS INTEGER) AS pos,
+         md5(source || '|' ||
+             array_to_string(words[i*{_BP_CHUNK}+1 : i*{_BP_CHUNK}+{_BP_CHUNK}], ' ')) AS ckey,
+         array_to_string(words[i*{_BP_CHUNK}+1 : i*{_BP_CHUNK}+{_BP_CHUNK}], ' ') AS chunk
+  FROM w, UNNEST(range(0, (len(words)+{_BP_CHUNK}-1)//{_BP_CHUNK})) AS t(i)
+),
+freq AS (
+  SELECT ckey FROM c GROUP BY ckey
+  HAVING COUNT(DISTINCT doc_id) >= {_BP_MIN_DOCS}
+),
+flagged AS (
+  SELECT c.*, (freq.ckey IS NOT NULL) AS is_bp
+  FROM c LEFT JOIN freq ON freq.ckey = c.ckey
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+       CAST(1000000 * SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) // COUNT(*)
+            AS BIGINT) AS boiler_ppm,
+       md5(string_agg(CASE WHEN NOT is_bp THEN chunk END, ' ' ORDER BY pos))
+         AS clean_fp
+FROM flagged
+GROUP BY doc_id
+"""
+
+
+@register("boilerplate_lines", oracle=_BP_ORACLE)
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate removal: a "line" that recurs
+    across many documents of the SAME source (nav bars, footers,
+    cookie banners, subscribe prompts) is template chrome, not
+    content — drop it and keep the rest of the document. The corpus'
+    word-soup text has no newlines, so pseudo-lines are fixed
+    {_BP_CHUNK}-word chunks, and (as with pii_redact's injection) a
+    deterministic per-source banner is prepended to every third
+    document so the detector has real template mass to find; the
+    oracle mirrors the injection.
+
+    Scale shape: one explode pass reduces documents to (doc, pos,
+    chunk-hash) rows; frequency counting shuffles the 16-byte
+    source-salted chunk key with a map-side-combinable
+    count-distinct-docs agg; only keys crossing the threshold —
+    bounded above by |corpus|/{_BP_MIN_DOCS}, in practice the tiny
+    template set — survive into the flag join, which is left
+    UNHINTED so AQE picks broadcast when the flagged set is small
+    and falls back to a partitioned join on adversarial corpora
+    where it is not. Reassembly (the cleaned-text fingerprint)
+    orders kept chunks by position inside a per-doc agg — no global
+    sort, no text in any exchange except the chunk rows themselves."""
+    t = load_tables(spark, sf_dir)
+    banner = F.concat(
+        F.lit("welcome to "),
+        F.col("source"),
+        F.lit(" home page follow us on social media "),
+        F.col("text"),
+    )
+    docs2 = t.documents.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, banner).otherwise(F.col("text")).alias(
+            "text"
+        ),
+    )
+    c = (
+        docs2.select(
+            "doc_id",
+            "source",
+            F.split("text", " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(size(words) + {_BP_CHUNK - 1}) div {_BP_CHUNK} - 1"),
+                )
+            ).alias("pos"),
+            F.col("words"),
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("int").alias("pos"),
+            F.expr(
+                f"array_join(slice(words, pos*{_BP_CHUNK}+1, {_BP_CHUNK}), ' ')"
+            ).alias("chunk"),
+            F.md5(
+                F.concat(
+                    F.col("source"),
+                    F.lit("|"),
+                    F.expr(
+                        f"array_join(slice(words, pos*{_BP_CHUNK}+1, {_BP_CHUNK}), ' ')"
+                    ),
+                )
+            ).alias("ckey"),
+        )
+    )
+    freq = (
+        c.groupBy("ckey")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= _BP_MIN_DOCS)
+        .select("ckey", F.lit(True).alias("is_bp"))
+    )
+    flagged = c.join(freq, "ckey", "left").withColumn(
+        "is_bp", F.coalesce("is_bp", F.lit(False))
+    )
+    kept = F.when(~F.col("is_bp"), F.col("chunk"))
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(F.col("is_bp").cast("bigint")).cast("bigint").alias("n_boiler"),
+        F.expr(
+            "cast(1000000 * sum(cast(is_bp as bigint)) div count(1) as bigint)"
+        ).alias("boiler_ppm"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), kept.alias("chunk")))
+                    ),
+                    lambda x: x.chunk,
+                ),
+                " ",
+            )
+        ).alias("clean_fp"),
+    )

@@ -129,11 +129,6 @@ _WINDOW_PRIORITY = [
     "embed_neardup",
     "minhash_containment",
     "ann_pq",
-    "ann_recall_eval",
-    "vector_quantize",
-    "kmeans_step",
-    "pii_redact",
-    "pseudonymize",
     # -- new in late round 7 (TPC-H-style coverage completion; never
     # driver-checked, so they take the slots the r4-stale analytics
     # names held — those rotate into r8 alongside the three late-r7
@@ -146,6 +141,15 @@ _WINDOW_PRIORITY = [
     "product_type_profit",
     "returned_item_report",
     "important_parts",
+    # -- new in the second half of round 7 (never driver-checked; they
+    # take the last five r4-stale corpus/similarity slots —
+    # ann_recall_eval, vector_quantize, kmeans_step, pii_redact,
+    # pseudonymize — which rotate into the r8 window instead)
+    "excess_inventory_suppliers",
+    "triangle_count",
+    "dsir_weights",
+    "boilerplate_lines",
+    "k_anonymity_report",
 ]
 
 

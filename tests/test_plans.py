@@ -102,8 +102,12 @@ def test_driver_window_covers_required_queries():
         # r4-stale: corpus / similarity headliners
         "corpus_pipeline", "corpus_pipeline_full", "pack_sequences_grouped",
         "quality_topk", "embed_neardup", "minhash_containment", "ann_pq",
-        "ann_recall_eval", "vector_quantize", "kmeans_step", "pii_redact",
-        "pseudonymize",
+        # new in the second half of round 7 — never driver-checked, so
+        # they outrank the five r4-stale rows they displaced
+        # (ann_recall_eval, vector_quantize, kmeans_step, pii_redact,
+        # pseudonymize — r8 rotation)
+        "excess_inventory_suppliers", "triangle_count", "dsir_weights",
+        "boilerplate_lines", "k_anonymity_report",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"
