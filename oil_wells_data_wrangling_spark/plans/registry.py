@@ -63,93 +63,79 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-7 window, per the r6 verdict's top item: (1) the 6 late-r6
-# operators that have NEVER had a driver row (snapshot_diff,
-# quality_threshold_sweep, mix_temperature, model_score,
-# dp_histogram, late_arrival_audit) lead, (2) queries new or changed
-# in round 7, (3) the 48 operators whose newest driver row is
-# round 4 — wrangle family and corpus/similarity headliners first
-# because their r4 rows predate two rounds of shared-helper churn.
-# The r4-stale names that do not fit in this window
-# (events_anomaly, events_funnel, bucket_quantiles,
-# length_histogram, domain_cap — plus integrity_report, geo_bucket,
-# spatial_bbox, skew_report, salted_agg_join, range_join,
-# agg_pricing_summary, pivot_status, rollup_cube, grouping_sets,
-# window_lag_delta, semi_anti_join, winsorize, displaced
-# when the late-r7 operators took never-checked priority) rotate
-# into the r8 window, led by the late-r7 TPC-H-style ops that
-# did not fit (supplier_part_scope, large_volume_customers,
-# waiting_supplier_report, min_cost_supplier), so the
-# oldest driver row is ≤ r5 by end of r8, exactly the verdict's
-# done-criterion. Everything past 50
-# keeps its old green row and stays covered by the identical local
-# comparison in tests/test_oracle_parity.py. A name listed here but
-# not registered fails loudly (KeyError) rather than silently
-# shrinking the window.
+# Round-8 window, per the r7 verdict's top item: (1) the 4 late-r7
+# TPC-H-shape operators that have NEVER had a driver row lead
+# (supplier_part_scope, large_volume_customers,
+# waiting_supplier_report, min_cost_supplier); (2) the 23 operators
+# whose newest driver row is still round 4 — three rounds of
+# shared-helper churn since their last driver check; (3) the four
+# operators whose implementation or oracle changed in round 8
+# (boilerplate_lines' all-boilerplate NULL fingerprint,
+# k_anonymity_report's explicit floor-division buckets,
+# decontaminate's shingle-hash batching, hll_persist_incremental's
+# state_dir parameterization); (4) the remaining slots go to the
+# oldest r5 rows, alphabetical, so every name keeps rotating. After
+# this window lands, every registered operator has a passing driver
+# row and min(latest driver round) >= 5 — the r6/r7 verdicts'
+# done-criterion. Everything past 50 keeps its old green row and
+# stays covered by the identical local comparison in
+# tests/test_oracle_parity.py. A name listed here but not registered
+# fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
-    # -- never driver-checked (landed after the r6 window was fixed)
-    "snapshot_diff",
-    "quality_threshold_sweep",
-    "mix_temperature",
-    "model_score",
-    "dp_histogram",
-    "late_arrival_audit",
-    # -- new in round 7 (never driver-checked; must get first rows)
-    "semdedup_pipeline",
-    "basket_lift",
-    "events_burst",
-    "url_dedup",
-    "rfm_segments",
-    "events_ab_lift",
-    "mm_scene_cut",
-    # -- last driver row is round 4: reference wrangle family
-    "api_canonical",
-    "extract_fields",
-    "extract_repeated",
-    "extract_stim",
-    "parse_coordinates",
-    "normalize_keys",
-    "numeric_sanitize",
-    "text_normalize",
-    "csv_repair",
-    "bad_rows",
-    "validate_report",
-    "upsert_latest",
-    "fuzzy_match_names",
-    "enrich_join",
-    "sentinel_to_null",
-    "serve_wells",
-    "serve_wells_full",
-    "well_pipeline",
-    # -- last driver row is round 4: corpus / similarity headliners
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "pack_sequences_grouped",
-    "quality_topk",
-    "embed_neardup",
-    "minhash_containment",
-    "ann_pq",
-    # -- new in late round 7 (TPC-H-style coverage completion; never
-    # driver-checked, so they take the slots the r4-stale analytics
-    # names held — those rotate into r8 alongside the three late-r7
-    # ops that did not fit: supplier_part_scope,
-    # large_volume_customers, waiting_supplier_report)
-    "local_supplier_volume",
-    "forecast_revenue",
-    "nation_volume_shipping",
-    "market_share",
-    "product_type_profit",
-    "returned_item_report",
-    "important_parts",
-    # -- new in the second half of round 7 (never driver-checked; they
-    # take the last five r4-stale corpus/similarity slots —
-    # ann_recall_eval, vector_quantize, kmeans_step, pii_redact,
-    # pseudonymize — which rotate into the r8 window instead)
-    "excess_inventory_suppliers",
-    "triangle_count",
-    "dsir_weights",
+    # -- never driver-checked (landed after the r7 window was fixed)
+    "supplier_part_scope",
+    "large_volume_customers",
+    "waiting_supplier_report",
+    "min_cost_supplier",
+    # -- last driver row is round 4 (oldest backlog, retired here)
+    "agg_pricing_summary",
+    "ann_recall_eval",
+    "bucket_quantiles",
+    "domain_cap",
+    "events_anomaly",
+    "events_funnel",
+    "geo_bucket",
+    "grouping_sets",
+    "integrity_report",
+    "kmeans_step",
+    "length_histogram",
+    "pii_redact",
+    "pivot_status",
+    "pseudonymize",
+    "range_join",
+    "rollup_cube",
+    "salted_agg_join",
+    "semi_anti_join",
+    "skew_report",
+    "spatial_bbox",
+    "vector_quantize",
+    "window_lag_delta",
+    "winsorize",
+    # -- implementation or oracle touched in round 8
     "boilerplate_lines",
     "k_anonymity_report",
+    "decontaminate",
+    "hll_persist_incremental",
+    # -- oldest remaining driver rows (round 5), alphabetical
+    "ann_lsh",
+    "ann_pipeline",
+    "ann_topk",
+    "anomaly_mad",
+    "asof_join",
+    "cdc_apply",
+    "chunk_dedup",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_minhash",
+    "dedup_simhash",
+    "events_dedup",
+    "events_gap_fill",
+    "events_retention",
+    "events_rolling",
+    "events_sessionize",
+    "events_sessionize_native",
+    "events_sliding_agg",
+    "fingerprint",
 ]
 
 

@@ -78,36 +78,28 @@ def test_pii_redact_single_scan_no_shuffle(spark, sf_dir):
 
 def test_driver_window_covers_required_queries():
     """The driver's CORRECTNESS gate reads the first 50 queries() yield.
-    The round-7 window leads with the six operators that have NEVER had
-    a driver row (the r6 verdict's top item), then the round-7
-    new/changed queries, then the r4-stale rotation (wrangle family and
-    corpus/similarity headliners whose r4 rows predate two rounds of
-    shared-helper churn)."""
+    The round-8 window leads with the four late-r7 operators that have
+    NEVER had a driver row (the r7 verdict's top item), then retires
+    the entire r4-stale backlog, then the operators touched in round 8,
+    then the oldest r5 rows."""
     from oil_wells_data_wrangling_spark.plans.registry import all_queries
 
     window = list(all_queries())[:50]
     required = {
-        # never driver-checked before round 7
-        "snapshot_diff", "quality_threshold_sweep", "mix_temperature",
-        "model_score", "dp_histogram", "late_arrival_audit",
-        # new or reworked in round 7
-        "semdedup_pipeline",
-        # r4-stale: reference wrangle family
-        "api_canonical", "extract_fields", "extract_repeated",
-        "extract_stim", "parse_coordinates", "normalize_keys",
-        "numeric_sanitize", "text_normalize", "csv_repair", "bad_rows",
-        "validate_report", "upsert_latest", "fuzzy_match_names",
-        "enrich_join", "sentinel_to_null", "serve_wells",
-        "serve_wells_full", "well_pipeline",
-        # r4-stale: corpus / similarity headliners
-        "corpus_pipeline", "corpus_pipeline_full", "pack_sequences_grouped",
-        "quality_topk", "embed_neardup", "minhash_containment", "ann_pq",
-        # new in the second half of round 7 — never driver-checked, so
-        # they outrank the five r4-stale rows they displaced
-        # (ann_recall_eval, vector_quantize, kmeans_step, pii_redact,
-        # pseudonymize — r8 rotation)
-        "excess_inventory_suppliers", "triangle_count", "dsir_weights",
-        "boilerplate_lines", "k_anonymity_report",
+        # never driver-checked before round 8
+        "supplier_part_scope", "large_volume_customers",
+        "waiting_supplier_report", "min_cost_supplier",
+        # the full r4-stale backlog (r7 verdict item 1: retire to <=r5)
+        "agg_pricing_summary", "ann_recall_eval", "bucket_quantiles",
+        "domain_cap", "events_anomaly", "events_funnel", "geo_bucket",
+        "grouping_sets", "integrity_report", "kmeans_step",
+        "length_histogram", "pii_redact", "pivot_status", "pseudonymize",
+        "range_join", "rollup_cube", "salted_agg_join", "semi_anti_join",
+        "skew_report", "spatial_bbox", "vector_quantize",
+        "window_lag_delta", "winsorize",
+        # implementation or oracle touched in round 8
+        "boilerplate_lines", "k_anonymity_report", "decontaminate",
+        "hll_persist_incremental",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"
