@@ -37,6 +37,7 @@ def ensure_protobuf() -> bool:
         pass
 
     old_pythonpath = os.environ.get("PYTHONPATH")
+    had_google = "google" in sys.modules
     sys.path.insert(0, _SHIM_DIR)
     os.environ["PYTHONPATH"] = (
         _SHIM_DIR + ((os.pathsep + old_pythonpath) if old_pythonpath else "")
@@ -45,10 +46,20 @@ def ensure_protobuf() -> bool:
         import google.protobuf  # noqa: F401
 
         return True
-    except ImportError:
+    except Exception:
+        # broad catch: a BROKEN relocated runtime raises whatever its
+        # module body raises, not just ImportError — either way the
+        # bridge is unusable and the host must be left exactly as
+        # found. The shim module unwinds its own sys.path/meta_path/
+        # sys.modules side effects before re-raising; this branch
+        # restores the two mutations made here.
         sys.path.remove(_SHIM_DIR)
         if old_pythonpath is None:
             del os.environ["PYTHONPATH"]
         else:
             os.environ["PYTHONPATH"] = old_pythonpath
+        if not had_google:
+            # the failed import can leave the shim's 'google' namespace
+            # package cached; drop it only if we introduced it
+            sys.modules.pop("google", None)
         return False

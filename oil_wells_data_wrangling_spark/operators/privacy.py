@@ -512,7 +512,9 @@ _KANON_K = 8
 _KANON_ORACLE = f"""
 WITH c AS (
   SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
-         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 100000 AS bal_b
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+          - ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 100000
+             + 100000) % 100000) // 100000 AS bal_b
   FROM customer
 ),
 g0 AS (SELECT nat, seg, bal_b, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -558,17 +560,25 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     DOMAIN (|nations|x|segments|x|balance buckets|), not by record
     count, so all three aggregate small and broadcast back onto the
     record scan — records cross exactly one wide exchange (the final
-    per-level agg, 4 rows out). Balance bucketing is integer floor
-    division on offset cents (bigint, non-negative), so bucket edges
-    cannot drift between engines; suppressed records carry a NULL
-    class key, which both engines exclude from COUNT(DISTINCT)."""
+    per-level agg, 4 rows out). Balance bucketing is EXPLICIT integer
+    floor division on offset cents (pmod-subtract before div, so
+    truncate-vs-floor engine differences can't move bucket edges at
+    any balance, positive or negative); suppressed records carry a
+    NULL class key, which both engines exclude from COUNT(DISTINCT)."""
     t = load_tables(spark, sf_dir)
     c = t.customer.select(
         "c_custkey",
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
+        # explicit FLOOR division (subtract pmod first): Spark `div` and
+        # DuckDB `//` both truncate toward zero today, but truncation vs
+        # floor is an engine-version detail — this form buckets negative
+        # offset-cents identically everywhere, with no assumed acctbal
+        # range.
         F.expr(
-            "(cast(round(c_acctbal * 100) as bigint) + 100000) div 100000"
+            "(cast(round(c_acctbal * 100) as bigint) + 100000"
+            " - pmod(cast(round(c_acctbal * 100) as bigint) + 100000, 100000))"
+            " div 100000"
         ).alias("bal_b"),
     )
     g0 = c.groupBy("nat", "seg", "bal_b").agg(

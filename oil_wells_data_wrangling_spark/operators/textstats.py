@@ -1501,15 +1501,23 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "cast(1000000 * sum(cast(is_bp as bigint)) div count(1) as bigint)"
         ).alias("boiler_ppm"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), kept.alias("chunk")))
+        # NULL when no chunk survives: array_join drops NULL elements, so
+        # an all-boilerplate doc would otherwise fingerprint as md5('')
+        # while the oracle's string_agg over all-NULL yields NULL.
+        F.when(
+            F.sum((~F.col("is_bp")).cast("bigint")) > 0,
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("pos"), kept.alias("chunk"))
+                            )
+                        ),
+                        lambda x: x.chunk,
                     ),
-                    lambda x: x.chunk,
-                ),
-                " ",
-            )
+                    " ",
+                )
+            ),
         ).alias("clean_fp"),
     )

@@ -121,8 +121,15 @@ def make_urllib_fetcher(
     sees them; the decoded body is returned on success."""
 
     def fetch(url: str) -> str:
+        from urllib.parse import urlsplit
         from urllib.request import Request, urlopen
 
+        scheme = urlsplit(url).scheme.lower()
+        if scheme not in ("http", "https"):
+            # a crawl frontier is untrusted input: without this gate a
+            # file:// (or ftp://, data:) entry would read executor-local
+            # files into the fetched dataset
+            raise ValueError(f"refusing non-http(s) URL scheme: {url!r}")
         req = Request(url, headers={"User-Agent": user_agent})
         with urlopen(req, timeout=timeout_s) as resp:
             charset = resp.headers.get_content_charset() or "utf-8"
@@ -190,6 +197,12 @@ class PlaywrightFetcher:
         return self._page
 
     def __call__(self, url: str) -> str:
+        from urllib.parse import urlsplit
+
+        if urlsplit(url).scheme.lower() not in ("http", "https"):
+            # same frontier-input gate as make_urllib_fetcher: a browser
+            # will happily render file:// into the dataset
+            raise ValueError(f"refusing non-http(s) URL scheme: {url!r}")
         page = self._ensure_page()
         page.goto(
             url,

@@ -194,7 +194,11 @@ def _session_fn(
             out.append((start_us, last_us, n))
             start_us, last_us, n = us, us, 1
         else:
-            last_us, n = us, n + 1
+            # max(): a late-but-in-allowance event from a later
+            # microbatch (us < last_us) extends the open session's
+            # count but must never move session_end (and therefore the
+            # idle timer) backwards.
+            last_us, n = max(last_us, us), n + 1
 
     state.update((start_us, last_us, n))
     state.setTimeoutTimestamp(last_us // 1000 + _GAP_US // 1000)
@@ -358,7 +362,10 @@ class _SessionizerTWS:
                 yield self._row(user_id, start_us, last_us, n)
                 start_us, last_us, n = us, us, 1
             else:
-                last_us, n = us, n + 1
+                # max(): see _session_fn — cross-microbatch events that
+                # are late but inside the watermark allowance must not
+                # shrink the session or regress its idle timer.
+                last_us, n = max(last_us, us), n + 1
 
         new_timer_ms = last_us // 1000 + _GAP_US // 1000
         if timer_ms is not None and timer_ms != new_timer_ms:
@@ -391,9 +398,11 @@ def stream_sessionize_tws(
     ``watermark`` is the late-data allowance; a session's idle timer
     fires only once the watermark passes last_event + gap, so a delay
     much larger than the 30-min gap means timer closures lag by that
-    delay (they can never be WRONG — an event that would have extended
-    the session must beat the watermark, and the watermark trails it by
-    this same allowance)."""
+    delay. An in-allowance event that would extend the session always
+    beats the timer (the watermark trails it by this same allowance),
+    and out-of-order arrivals within the allowance only ever extend the
+    open session (``last_us = max(...)``) — they can add to the count
+    but never shrink the session or pull its timer earlier."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy("user_id")

@@ -148,6 +148,58 @@ def test_boilerplate_flags_injected_banner_only_when_frequent(spark, sf_dir):
     assert 0 < boiler < total // 2
 
 
+def test_boilerplate_all_template_doc_fingerprints_null(spark, tmp_path):
+    """A doc whose every chunk is boilerplate must get clean_fp = NULL —
+    matching the oracle's string_agg-over-all-NULL semantics — never
+    md5('') (array_join silently drops NULL elements). Checked by
+    running the Spark operator AND the DuckDB oracle on the same
+    micro-corpus and comparing bit-for-bit."""
+    import duckdb
+
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _BP_CHUNK,
+        _BP_MIN_DOCS,
+        _BP_ORACLE,
+    )
+
+    template = " ".join(f"w{i}" for i in range(_BP_CHUNK))
+    rows = [
+        # enough same-source docs sharing the template chunk to flag it;
+        # doc_ids avoid %3==0 so the operator's banner injection stays off
+        (1 + 3 * i, "s1", template + " unique" + str(i) * 30)
+        for i in range(_BP_MIN_DOCS)
+    ]
+    # the all-template doc: every chunk is the flagged one
+    rows.append((1 + 3 * _BP_MIN_DOCS, "s1", template))
+    sf = tmp_path / "bp_sf"
+    spark.createDataFrame(
+        rows, "doc_id bigint, source string, text string"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+
+    got = {r.doc_id: r for r in boilerplate_lines(spark, str(sf)).collect()}
+    all_bp = got[1 + 3 * _BP_MIN_DOCS]
+    assert all_bp.n_boiler == all_bp.n_chunks
+    assert all_bp.clean_fp is None, (
+        f"all-boilerplate doc fingerprinted as {all_bp.clean_fp!r}, not NULL"
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(
+            _BP_ORACLE + " ORDER BY doc_id"
+        ).fetchall()
+    }
+    for doc_id, r in got.items():
+        assert (r.n_chunks, r.n_boiler, r.boiler_ppm, r.clean_fp) == want[
+            doc_id
+        ][1:], f"doc {doc_id} diverges from oracle"
+
+
 # ------------------------------------------------------- k_anonymity_report
 
 
@@ -208,3 +260,43 @@ def test_excess_inventory_plan_broadcasts_and_single_wide_agg(spark, sf_dir):
         re.findall(r"Exchange hashpartitioning\(l_suppkey", plan)
     )
     assert fact_exchanges >= 1
+
+
+def test_kanon_bucket_edges_floor_on_any_balance(spark, tmp_path):
+    """Balance bucketing must use FLOOR division on both engines: a
+    micro customer table with deeply negative balances (outside the
+    TPC-H range the old +100000 offset silently assumed) must produce
+    identical reports from the Spark operator and the DuckDB oracle."""
+    import duckdb
+
+    from oil_wells_data_wrangling_spark.operators.privacy import (
+        _KANON_K,
+        _KANON_ORACLE,
+    )
+
+    rows = []
+    ck = 0
+    # one k-sized class straddling each side of zero offset-cents,
+    # plus balances far below -1000 where truncate != floor
+    for bal in (-5432.10, -1500.00, -999.99, -0.01, 0.0, 2500.0):
+        for _ in range(_KANON_K):
+            ck += 1
+            rows.append((ck, 7, "BUILDING", bal))
+    # a suppressed singleton at an extreme negative balance
+    rows.append((ck + 1, 3, "MACHINERY", -88888.88))
+    sf = tmp_path / "kanon_sf"
+    spark.createDataFrame(
+        rows, "c_custkey bigint, c_nationkey int, c_mktsegment string, "
+        "c_acctbal double"
+    ).coalesce(1).write.parquet(str(sf / "customer.parquet"))
+
+    got = sorted(
+        tuple(r) for r in k_anonymity_report(spark, str(sf)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{sf}/customer.parquet/*.parquet')"
+    )
+    want = sorted(tuple(r) for r in con.execute(_KANON_ORACLE).fetchall())
+    assert got == want, f"engine divergence on negative balances: {got} {want}"

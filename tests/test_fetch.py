@@ -228,3 +228,27 @@ def test_urllib_fetcher_against_local_server(tmp_path):
             fetch(f"http://127.0.0.1:{port}/missing.html")
     finally:
         srv.shutdown()
+
+
+def test_fetchers_reject_non_http_schemes(tmp_path):
+    """A poisoned crawl frontier must not read executor-local files:
+    both transports refuse file:// (and anything non-http(s)) before
+    opening anything."""
+    import pytest
+
+    from oil_wells_data_wrangling_spark.sources.fetch import (
+        PlaywrightFetcher,
+        make_urllib_fetcher,
+    )
+
+    secret = tmp_path / "secret.txt"
+    secret.write_text("do-not-exfiltrate")
+    fetch = make_urllib_fetcher(timeout_s=2.0)
+    for url in (f"file://{secret}", "ftp://x/y", "data:text/html,hi"):
+        with pytest.raises(ValueError, match="non-http"):
+            fetch(url)
+    # the browser transport gates BEFORE launching anything, so this
+    # passes even with no playwright installed
+    pf = PlaywrightFetcher()
+    with pytest.raises(ValueError, match="non-http"):
+        pf(f"file://{secret}")

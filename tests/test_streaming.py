@@ -537,3 +537,104 @@ def test_stream_rate_limit_tws_matches_batch(spark, sf_dir, events_dir):
     assert _canon(agg) == _canon(
         want.select("user_id", "n_events", "n_kept", "n_dropped")
     )
+
+
+def _write_out_of_order_fixture(spark, tmp_path):
+    """Three single-file micro-batches with a late-but-in-allowance event:
+
+    - batch 0: user 1 at 10:00 and 10:10 (open session), user 2 at 12:00
+      (watermark driver — wm becomes 10:00 after this batch).
+    - batch 1: user 1 at 10:05 — OUT OF ORDER but above the watermark, so
+      it must EXTEND the open session (n_events 3) without moving
+      session_end (10:10) or the idle timer backwards; user 2 at 12:45
+      pushes the watermark to 10:45, past session-end + 30min gap.
+    - batch 2: user 2 at 13:00 — a trigger whose watermark (10:45)
+      fires user 1's idle timeout, emitting the session.
+    """
+    import datetime as dt
+
+    def t(hh, mm):
+        return dt.datetime(2024, 1, 1, hh, mm)
+
+    batches = [
+        [(1, t(10, 0)), (1, t(10, 10)), (2, t(12, 0))],
+        [(1, t(10, 5)), (2, t(12, 45))],
+        [(2, t(13, 0))],
+    ]
+    src = tmp_path / "ooo_src"
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "user_id bigint, ts timestamp").coalesce(
+            1
+        ).write.parquet(str(src / f"part{i}"))
+    schema = spark.read.parquet(str(src / "part0")).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+
+
+def _assert_out_of_order_sessions(got):
+    sess = {
+        (r["user_id"], str(r["session_start"]), str(r["session_end"])): r[
+            "n_events"
+        ]
+        for r in got.collect()
+    }
+    key = (1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")
+    assert key in sess, (
+        f"user 1's timer-closed session missing or its end regressed: {sess}"
+    )
+    assert sess[key] == 3, (
+        f"late in-allowance event not counted into the open session: {sess}"
+    )
+    # no session for user 1 may end at the late event's timestamp
+    assert not any(
+        u == 1 and e == "2024-01-01 10:05:00" for (u, _s, e) in sess
+    ), f"session_end moved backwards to the late event: {sess}"
+
+
+def test_stream_sessionize_out_of_order_extends_not_shrinks(spark, tmp_path):
+    """A cross-microbatch event that is late but inside the watermark
+    allowance must extend the open session's count without shrinking
+    session_end or regressing the idle timeout (applyInPandasWithState
+    path)."""
+    got = _run_available_now(
+        stream_sessionize(_write_out_of_order_fixture(spark, tmp_path)),
+        "sess_ooo",
+        spark,
+    )
+    _assert_out_of_order_sessions(got)
+
+
+def test_stream_sessionize_tws_out_of_order_extends_not_shrinks(
+    spark, tmp_path
+):
+    """Same out-of-order contract on the transformWithStateInPandas twin:
+    the late event must not re-register an EARLIER idle timer (which
+    would close the session prematurely and under-count it)."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_sessionize_tws,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_available_now(
+            stream_sessionize_tws(_write_out_of_order_fixture(spark, tmp_path)),
+            "sess_tws_ooo",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    _assert_out_of_order_sessions(got)
