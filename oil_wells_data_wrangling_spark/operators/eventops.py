@@ -1191,6 +1191,44 @@ FROM e
 """
 
 
+def _daily_hll_sketch(df: DataFrame) -> DataFrame:
+    return df.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+
+
+def hll_state_backfill(events: DataFrame, state_dir: str, cutoff) -> None:
+    """One-time backfill: persist one Datasketches HLL per pre-cutoff
+    day to the parquet state table at ``state_dir`` (any Spark-readable
+    URI — on a cluster this is a shared filesystem/object-store path,
+    never a driver-local disk). ~KB per day regardless of event
+    volume."""
+    _daily_hll_sketch(events.filter(F.col("ts") < cutoff)).write.parquet(
+        state_dir
+    )
+
+
+def hll_state_merge(
+    spark: SparkSession, events: DataFrame, state_dir: str, cutoff
+) -> DataFrame:
+    """The recurring incremental run: sketch ONLY the post-cutoff events
+    (``events`` may already be pruned to the fresh range — history is
+    never rescanned), union with the state table read back from
+    ``state_dir``, and merge every sketch with ``hll_union_agg``.
+    Returns one row: (n_days_persisted, n_days_fresh, n_est)."""
+    fresh = _daily_hll_sketch(events.filter(F.col("ts") >= cutoff))
+    stored = spark.read.parquet(state_dir)
+    return stored.unionAll(fresh).agg(
+        F.count(F.when(F.col("day") < F.to_date(cutoff), 1)).alias(
+            "n_days_persisted"
+        ),
+        F.count(F.when(F.col("day") >= F.to_date(cutoff), 1)).alias(
+            "n_days_fresh"
+        ),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_est"),
+    )
+
+
 @register("hll_persist_incremental", oracle=_HLL_PERSIST_ORACLE)
 def hll_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental sketch maintenance with a PERSISTED state table —
@@ -1215,42 +1253,24 @@ def hll_persist_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact COUNT(DISTINCT) over the full range re-shuffles all history
     every refresh; the sketch union shuffles nothing.
 
-    Demo-harness caveats (this registered query, not the pattern): the
-    state table lives under a driver-local ``tempfile.mkdtemp`` path,
-    which is single-node-only — a real deployment passes a shared
-    filesystem/object-store URI for ``state_dir`` (executors cannot
-    read a driver's local disk). And the backfill write + state-table
-    setup run EAGERLY at plan-construction time, so a harness that
-    times only the returned DataFrame's action measures the
-    incremental merge alone — by design, since that is the recurring
-    cost the operator exists to bound, but don't read its bench row as
-    covering the one-time backfill."""
+    The pattern itself is parameterized: ``hll_state_backfill`` /
+    ``hll_state_merge`` take ``state_dir`` as an explicit argument (a
+    real deployment passes a shared filesystem/object-store URI —
+    executors cannot read a driver's local disk). This REGISTERED demo
+    wires them to a throwaway ``tempfile.mkdtemp`` path, which is
+    single-node-only; and the backfill write runs EAGERLY at
+    plan-construction time, so a harness that times only the returned
+    DataFrame's action measures the incremental merge alone — by
+    design, since that is the recurring cost the operator exists to
+    bound, but don't read its bench row as covering the one-time
+    backfill."""
     t = load_tables(spark, sf_dir)
     cutoff = F.lit(_HLL_PERSIST_CUTOFF).cast("timestamp")
 
-    def daily_sketch(df: DataFrame) -> DataFrame:
-        return df.groupBy(
-            F.to_date(F.date_trunc("day", "ts")).alias("day")
-        ).agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
-
     work = tempfile.mkdtemp(prefix="hll_state_")
     state_dir = os.path.join(work, "daily_sketches")
-    # backfill run: persist per-day sketch state for history
-    daily_sketch(t.events.filter(F.col("ts") < cutoff)).write.parquet(
-        state_dir
-    )
-    # incremental run: fresh days only + state table read back
-    fresh = daily_sketch(t.events.filter(F.col("ts") >= cutoff))
-    stored = spark.read.parquet(state_dir)
-    merged = stored.unionAll(fresh).agg(
-        F.count(F.when(F.col("day") < F.to_date(cutoff), 1)).alias(
-            "n_days_persisted"
-        ),
-        F.count(F.when(F.col("day") >= F.to_date(cutoff), 1)).alias(
-            "n_days_fresh"
-        ),
-        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_est"),
-    )
+    hll_state_backfill(t.events, state_dir, cutoff)
+    merged = hll_state_merge(spark, t.events, state_dir, cutoff)
     exact = t.events.agg(F.count_distinct("user_id").alias("n_users_exact"))
     out = (
         merged.crossJoin(F.broadcast(exact))

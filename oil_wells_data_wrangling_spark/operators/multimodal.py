@@ -258,6 +258,59 @@ def decode_image(payload: bytes) -> dict | None:
     return decode_png(payload) or decode_image_pil(payload)
 
 
+_JPEG_SOI = b"\xff\xd8"
+
+
+def jpeg_dims(payload: bytes) -> dict | None:
+    """Stdlib JPEG header parse: walk the marker stream to the first
+    SOF0-3 segment and read the frame dimensions — so genuine JPEG
+    bytes yield REAL width/height/channels even on hosts without PIL.
+    ``pixels`` is None (entropy-coded scan decode is exactly what the
+    import-gated PIL path exists for); callers treat a dims-only hit
+    as metadata override + byte passthrough.
+
+    The ``len >= 32`` gate is deliberate: a real JPEG's mandatory
+    segments can't fit under that, and it makes the synthesized
+    16-byte md5 payloads the oracle queries use structurally unable to
+    collide with this parser."""
+    if len(payload) < 32 or not payload.startswith(_JPEG_SOI):
+        return None
+    i, n = 2, len(payload)
+    while i + 4 <= n:
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        if marker in (0xD9, 0xDA):  # EOI / SOS before any SOF: malformed
+            return None
+        seg_len = int.from_bytes(payload[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        if 0xC0 <= marker <= 0xC3:  # SOF0-3: baseline/extended/prog/lossless
+            if seg_len < 8:
+                return None
+            h = int.from_bytes(payload[i + 5 : i + 7], "big")
+            w = int.from_bytes(payload[i + 7 : i + 9], "big")
+            nch = payload[i + 9]
+            if w == 0 or h == 0 or nch not in (1, 3, 4):
+                return None
+            return {"width": w, "height": h, "channels": nch, "pixels": None}
+        i += 2 + seg_len
+    return None
+
+
+def decode_image_meta(payload: bytes) -> dict | None:
+    """Full metadata chain: pixel decoders first (PNG stdlib, then
+    gated PIL), then the dims-only JPEG header parse — a genuine JPEG
+    on a PIL-less host still reports its true frame size."""
+    return decode_image(payload) or jpeg_dims(payload)
+
+
 def nn_resize(
     pixels: bytes, w: int, h: int, channels: int, new_w: int, new_h: int
 ) -> bytes:
@@ -369,9 +422,13 @@ def resize_features(media: DataFrame) -> DataFrame:
 
     Payloads carrying a real PNG take the REAL path: header dimensions
     override the metadata (w, h) and the pixels are nearest-neighbor
-    resampled to the target box (``decode_png`` + ``nn_resize``);
-    anything else keeps the metadata dims and passes bytes through
-    untouched (stub path — the oracle queries use it)."""
+    resampled to the target box (``decode_png`` + ``nn_resize``).
+    Genuine JPEGs decode pixels through the import-gated PIL path when
+    the library is present; without it, the stdlib SOF header parse
+    still overrides (w, h) with the true frame size and the bytes pass
+    through unthumbnailed. Anything else keeps the metadata dims and
+    passes bytes through untouched (stub path — the oracle queries use
+    it)."""
 
     import hashlib
 
@@ -383,11 +440,13 @@ def resize_features(media: DataFrame) -> DataFrame:
             for idx in pdf.index:
                 payload = bytes(pdf.at[idx, "payload"])
                 # full chain: stdlib PNG, then gated PIL for compressed
-                # formats; synthesized non-image payloads fall through
-                # to the metadata path either way
-                img = decode_image(payload)
+                # formats, then dims-only JPEG header parse (real frame
+                # size, no pixels); synthesized non-image payloads fall
+                # through to the metadata path either way
+                img = decode_image_meta(payload)
                 if img is not None:
-                    decoded[idx] = img
+                    if img["pixels"] is not None:
+                        decoded[idx] = img
                     w.at[idx] = img["width"]
                     h.at[idx] = img["height"]
             new_w = pd.Series(

@@ -466,3 +466,202 @@ def test_pil_gate_contract_with_fake_module(monkeypatch):
     # gate closed: PIL path unreachable even with the module present
     monkeypatch.setattr(mm, "_HAS_PIL", False)
     assert mm.decode_image(jpg) is None
+
+
+# --------------------------------------------------------------- JPEG headers
+
+
+def encode_jpeg_headers(
+    width: int, height: int, channels: int = 3, progressive: bool = False
+) -> bytes:
+    """A structurally genuine JPEG marker stream (SOI, APP0/JFIF, DQT,
+    SOF, DHT, SOS, entropy filler, EOI) with real segment lengths — what
+    any camera/encoder emits, minus meaningful entropy data. Header
+    parsing must treat it exactly like a real photo."""
+    app0 = b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+    dqt = b"\x00" + bytes(64)
+    comp = b"".join(
+        bytes([cid + 1, 0x11 if cid == 0 else 0x22, 0x00])
+        for cid in range(channels)
+    )
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = (
+        b"\x08"
+        + height.to_bytes(2, "big")
+        + width.to_bytes(2, "big")
+        + bytes([channels])
+        + comp
+    )
+    dht = b"\x00" + bytes(16) + b""
+    sos = bytes([channels]) + b"".join(
+        bytes([cid + 1, 0x00]) for cid in range(channels)
+    ) + b"\x00\x3f\x00"
+
+    def seg(marker: bytes, body: bytes) -> bytes:
+        return marker + (len(body) + 2).to_bytes(2, "big") + body
+
+    return (
+        b"\xff\xd8"
+        + seg(b"\xff\xe0", app0)
+        + seg(b"\xff\xdb", dqt)
+        + seg(sof_marker, sof)
+        + seg(b"\xff\xc4", dht)
+        + seg(b"\xff\xda", sos)
+        + b"\x12\x34\x56\x78"  # entropy-coded filler
+        + b"\xff\xd9"
+    )
+
+
+def test_jpeg_dims_parses_genuine_headers_and_rejects_noise():
+    from oil_wells_data_wrangling_spark.operators.multimodal import jpeg_dims
+
+    for w, h, ch, prog in [
+        (640, 480, 3, False),
+        (1, 1, 1, False),
+        (8192, 33, 3, True),  # progressive SOF2
+        (17, 90, 4, False),
+    ]:
+        got = jpeg_dims(encode_jpeg_headers(w, h, ch, progressive=prog))
+        assert got == {
+            "width": w, "height": h, "channels": ch, "pixels": None
+        }, (w, h, ch, prog)
+
+    # 16-byte md5-style payloads can never collide (length gate)
+    assert jpeg_dims(b"\xff\xd8" + bytes(14)) is None
+    # SOI + garbage marker stream
+    assert jpeg_dims(b"\xff\xd8" + b"\x00" * 40) is None
+    # SOS before any SOF is malformed
+    soi_sos = b"\xff\xd8" + b"\xff\xda\x00\x08" + bytes(38)
+    assert jpeg_dims(soi_sos) is None
+    # truncated mid-segment
+    real = encode_jpeg_headers(100, 50)
+    assert jpeg_dims(real[:20]) is None
+    # PNG is not a JPEG
+    assert jpeg_dims(encode_png(3, 2, bytes(18))) is None
+
+
+def test_resize_features_reads_genuine_jpeg_dims_distributed(spark):
+    """Genuine JPEG bytes through the registered resize plumbing on a
+    PIL-less host: the SOF frame size must override the (wrong)
+    metadata dims, the box fit must use the TRUE size, and the
+    fingerprint stays NULL (no pixel decode without PIL)."""
+    sizes = [(640, 480), (33, 467), (224, 224)]
+    rows = []
+    expect = {}
+    for doc_id, (w, h) in enumerate(sizes):
+        rows.append(
+            (doc_id, bytearray(encode_jpeg_headers(w, h)), 999, 111)
+        )
+        new_w = 224 if w >= h else (w * 224) // h
+        new_h = 224 if h >= w else (h * 224) // w
+        expect[doc_id] = (w, h, new_w, new_h, None)
+    media = spark.createDataFrame(
+        rows, "doc_id long, payload binary, w int, h int"
+    ).repartition(3)
+    got = {
+        r["doc_id"]: (r["w"], r["h"], r["new_w"], r["new_h"], r["thumb_fp"])
+        for r in resize_features(media).collect()
+    }
+    assert got == expect
+
+
+_FAKE_PIL_IMAGE_SRC = '''
+"""Fake PIL.Image for the distributed import-gate test: decodes ONLY the
+FAKEJPG container (SOI + b"FAKEJPG" + w:2 + h:2 + raw RGB bytes) and
+refuses everything else, so no other payload shape in the test session
+can ever route through it."""
+import io
+
+
+class _Img:
+    def __init__(self, mode, width, height, data):
+        self.mode, self.width, self.height, self._data = mode, width, height, data
+
+    def convert(self, mode):
+        return self
+
+    def tobytes(self):
+        return self._data
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+
+def open(fp):
+    data = fp.read() if hasattr(fp, "read") else bytes(fp)
+    if data[:2] != b"\\xff\\xd8" or data[2:9] != b"FAKEJPG":
+        raise OSError("cannot identify image file")
+    w = int.from_bytes(data[9:11], "big")
+    h = int.from_bytes(data[11:13], "big")
+    px = data[13 : 13 + w * h * 3]
+    if len(px) != w * h * 3:
+        raise OSError("truncated")
+    return _Img("RGB", w, h, px)
+'''
+
+
+def test_resize_features_jpeg_pixels_via_gated_pil_distributed(tmp_path):
+    """The PIL pixel path end-to-end ON EXECUTORS: a fake PIL package is
+    made importable via PYTHONPATH in a fresh subprocess SparkSession
+    (driver AND workers), compressed payloads decode + thumbnail
+    distributed, and each fingerprint matches a local nn_resize replay
+    bit-for-bit. Runs isolated so the fake module can't leak into this
+    session's import state."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    pil_dir = tmp_path / "fake_pil"
+    (pil_dir / "PIL").mkdir(parents=True)
+    (pil_dir / "PIL" / "__init__.py").write_text("from . import Image\n")
+    (pil_dir / "PIL" / "Image.py").write_text(_FAKE_PIL_IMAGE_SRC)
+
+    probe = textwrap.dedent(
+        """
+        import hashlib, sys, os
+        sys.path.insert(0, os.environ["REPO"])
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]")
+                 .config("spark.sql.shuffle.partitions", "2")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        from oil_wells_data_wrangling_spark.operators import multimodal as mm
+        assert mm._HAS_PIL, "fake PIL not importable on the driver"
+        sizes = [(10, 4), (7, 31)]
+        rows, expect = [], {}
+        for doc_id, (w, h) in enumerate(sizes):
+            px = bytes((doc_id * 7 + i) % 251 for i in range(w * h * 3))
+            payload = (b"\\xff\\xd8" + b"FAKEJPG"
+                       + w.to_bytes(2, "big") + h.to_bytes(2, "big") + px)
+            rows.append((doc_id, bytearray(payload), 999, 111))
+            new_w = 224 if w >= h else (w * 224) // h
+            new_h = 224 if h >= w else (h * 224) // w
+            thumb = mm.nn_resize(px, w, h, 3, new_w, new_h)
+            expect[doc_id] = (w, h, new_w, new_h,
+                              hashlib.md5(thumb).hexdigest())
+        media = spark.createDataFrame(
+            rows, "doc_id long, payload binary, w int, h int").repartition(2)
+        got = {r["doc_id"]: (r["w"], r["h"], r["new_w"], r["new_h"],
+                             r["thumb_fp"])
+               for r in mm.resize_features(media).collect()}
+        assert got == expect, (got, expect)
+        print("PIL_DISTRIBUTED_OK")
+        """
+    )
+    env = dict(os.environ)
+    env["REPO"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = str(pil_dir) + (
+        os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", probe],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    assert "PIL_DISTRIBUTED_OK" in out.stdout

@@ -318,3 +318,39 @@ def test_model_score_external_weights(spark_prop, tmp_path):
     ).collect()
     for r in feats:
         assert got[r["doc_id"]] == 100 + r["dp"] + 2 * min(r["nw"], 100)
+
+
+def test_hll_state_round_trip_through_explicit_path(spark_prop, tmp_path):
+    """The parameterized pattern: backfill writes per-day sketches to a
+    CALLER-CHOSEN state path; a later merge that sees ONLY post-cutoff
+    events (history pruned away entirely) still reports every persisted
+    day and lands the union estimate within 5% of the exact full-range
+    distinct — proving the sketches survive the parquet round-trip and
+    history is truly never rescanned."""
+    from pyspark.sql import functions as F
+
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        _HLL_PERSIST_CUTOFF,
+        hll_state_backfill,
+        hll_state_merge,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    sf = "/root/testdata/sf0.001"
+    events = load_tables(spark_prop, sf).events
+    cutoff = F.lit(_HLL_PERSIST_CUTOFF).cast("timestamp")
+    state_dir = str(tmp_path / "daily_sketches")
+
+    hll_state_backfill(events, state_dir, cutoff)
+    state = spark_prop.read.parquet(state_dir)
+    n_hist_days = state.count()
+    assert n_hist_days > 0
+    assert dict(state.dtypes)["sk"] == "binary"
+
+    # the incremental caller holds ONLY fresh events — no history rescan
+    fresh_only = events.filter(F.col("ts") >= cutoff)
+    row = hll_state_merge(spark_prop, fresh_only, state_dir, cutoff).first()
+    assert row["n_days_persisted"] == n_hist_days
+    assert row["n_days_fresh"] > 0
+    exact = events.select(F.count_distinct("user_id")).first()[0]
+    assert abs(row["n_est"] - exact) / exact <= 0.05
