@@ -11,13 +11,22 @@ State-bounding choices for 100 TB streams:
   per key in the store at any time.
 - dedup: dropDuplicatesWithinWatermark keys only live inside the
   watermark horizon.
-- sessionize: applyInPandasWithState with event-time timeout — the
-  canonical custom-stateful-operator pattern; state per user is O(1)
-  (open session bounds only).
+- sessionize: custom stateful operator with event-time timers; state
+  per user is O(1) (open session bounds only).
+
+Custom-stateful API choice: ``transformWithStateInPandas`` (the
+Spark-4 arbitrary-state API — typed state variables, timers, RocksDB
+column families) is the DEFAULT path for every custom stateful twin
+(sessionize, rate limit, scd2 attribution, running totals). The
+deprecated-lineage ``applyInPandasWithState`` forms are kept behind
+``impl="legacy"`` (or ``SPARK_GRAFT_STATEFUL_IMPL=legacy``) for hosts
+whose Python workers lack a protobuf runtime — which the dispatcher
+sniffs automatically, so the public names work everywhere.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Iterator
 from typing import Any
 
@@ -213,11 +222,61 @@ def _session_fn(
         )
 
 
-def stream_sessionize(events: DataFrame) -> DataFrame:
-    """Streaming twin of events_sessionize via applyInPandasWithState:
-    per-user open-session state, event-time timeout closes idle sessions."""
+# ------------------------------------------------ stateful-impl dispatch
+
+_STATEFUL_IMPL_ENV = "SPARK_GRAFT_STATEFUL_IMPL"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+def _pick_stateful_impl(impl: str | None) -> str:
+    """Resolve which custom-stateful API a public twin should build on:
+    explicit argument, then $SPARK_GRAFT_STATEFUL_IMPL, then 'tws' when
+    the driver can import protobuf (the TWS worker protocol needs it on
+    workers too — ``compat.ensure_protobuf`` run before the session
+    starts covers both), else 'legacy'."""
+    if impl is None:
+        impl = os.environ.get(_STATEFUL_IMPL_ENV) or None
+    if impl is not None:
+        if impl not in ("tws", "legacy"):
+            raise ValueError(f"impl must be 'tws' or 'legacy', got {impl!r}")
+        return impl
+    try:
+        import google.protobuf  # noqa: F401
+
+        return "tws"
+    except ImportError:
+        return "legacy"
+
+
+def _require_rocksdb(events: DataFrame) -> None:
+    """transformWithState needs per-state-variable column families,
+    which only the RocksDB provider supports — select it for the
+    session unless a RocksDB provider is already configured. (Session
+    conf is read at query START, so setting it at plan-build time is
+    effective; the HDFS-backed default provider cannot run TWS at
+    all, so this is a requirement, not a tuning preference.)"""
+    spark = events.sparkSession
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        current = spark.conf.get(key)
+    except Exception:
+        current = None
+    if not current or "RocksDB" not in current:
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
+
+
+def stream_sessionize_legacy(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """applyInPandasWithState form of the sessionizer: per-user
+    open-session state, event-time timeout closes idle sessions. Kept
+    for hosts without a worker protobuf runtime; same emission contract
+    as ``stream_sessionize_tws``."""
     return (
-        events.withWatermark("ts", "2 hours")
+        events.withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             _session_fn,
@@ -227,6 +286,21 @@ def stream_sessionize(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def stream_sessionize(
+    events: DataFrame, watermark: str = "2 hours", impl: str | None = None
+) -> DataFrame:
+    """Streaming twin of events_sessionize — per-user open-session
+    state, idle sessions closed by event-time timers. Builds on
+    ``transformWithStateInPandas`` by default (RocksDB provider is
+    selected automatically); pass ``impl='legacy'`` or set
+    ``SPARK_GRAFT_STATEFUL_IMPL=legacy`` for the
+    applyInPandasWithState form."""
+    if _pick_stateful_impl(impl) == "tws":
+        _require_rocksdb(events)
+        return stream_sessionize_tws(events, watermark)
+    return stream_sessionize_legacy(events, watermark)
 
 
 # ---------------------------------------------------- transformWithState twin
@@ -503,11 +577,11 @@ def _throttle_fn(
         )
 
 
-def stream_rate_limit(events: DataFrame) -> DataFrame:
-    """Streaming twin of events_rate_limit via applyInPandasWithState:
-    per-(user, minute) counter state with event-time purge. Per-event
-    keep decisions depend on arrival order inside a minute (the batch
-    twin re-ranks by (ts, event_id)), but the per-key KEPT COUNT —
+def stream_rate_limit_legacy(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState form of the rate limiter: per-(user,
+    minute) counter state with event-time purge. Per-event keep
+    decisions depend on arrival order inside a minute (the batch twin
+    re-ranks by (ts, event_id)), but the per-key KEPT COUNT —
     min(n, N) — is arrival-order invariant, which is what the equality
     test asserts after rolling the stream output up to users."""
     return (
@@ -577,8 +651,8 @@ class _ThrottleTWS:
 
 def stream_rate_limit_tws(events: DataFrame) -> DataFrame:
     """Streaming rate limiter on ``transformWithStateInPandas`` — the
-    same per-(user, minute) first-N contract as ``stream_rate_limit``,
-    with state eviction driven by event-time timers instead of
+    same per-(user, minute) first-N contract as the legacy form, with
+    state eviction driven by event-time timers instead of
     ``GroupStateTimeout``. Needs the RocksDB provider and a protobuf
     runtime (``compat.ensure_protobuf``)."""
     return (
@@ -592,6 +666,16 @@ def stream_rate_limit_tws(events: DataFrame) -> DataFrame:
             timeMode="EventTime",
         )
     )
+
+
+def stream_rate_limit(events: DataFrame, impl: str | None = None) -> DataFrame:
+    """Streaming twin of events_rate_limit: first-N-per-(user, minute)
+    keep/drop decisions with timer-evicted counter state. TWS by
+    default; ``impl='legacy'`` for the applyInPandasWithState form."""
+    if _pick_stateful_impl(impl) == "tws":
+        _require_rocksdb(events)
+        return stream_rate_limit_tws(events)
+    return stream_rate_limit_legacy(events)
 
 
 # ------------------------------------------------------- scd2 attribution
@@ -647,21 +731,10 @@ def _scd2_attr_fn(
         )
 
 
-def stream_scd2_attribution(events: DataFrame) -> DataFrame:
-    """Streaming twin of the batch ``scd2_attribution`` operator via
-    applyInPandasWithState: the state store holds each user's current
-    status (ONE row per user — exactly the state a feature store keeps
-    for point-in-time-correct serving), and purchases are attributed
-    on arrival. With a time-ordered feed the per-purchase output
-    equals the batch operator's running-window attribution row for
-    row; the equality test rolls both up per (status).
-
-    No timeout is set: the state is the live SCD2 dimension itself
-    (bounded by |users|, ~bytes each), and expiring it would
-    mis-attribute a returning user's purchases to 'none' where the
-    batch form — and the business meaning — keep the last known
-    status. At 100 TB of *events* the state is still only per-user,
-    the same cardinality every stateful-user operator here carries."""
+def stream_scd2_attribution_legacy(events: DataFrame) -> DataFrame:
+    """applyInPandasWithState form of the running-status attributor —
+    same state (one short string per user) and emission contract as
+    ``stream_scd2_attribution_tws``."""
     return events.groupBy("user_id").applyInPandasWithState(
         _scd2_attr_fn,
         outputStructType=_SCD2_ATTR_OUT_SCHEMA,
@@ -669,3 +742,92 @@ def stream_scd2_attribution(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+class _Scd2AttrTWS:
+    """StatefulProcessor twin of ``_scd2_attr_fn``: value state is the
+    user's CURRENT status string (the live form of the SCD2
+    'is_current' row); purchases emit the status in force at that
+    point, any other event updates it. Rows are processed in
+    (ts, event_id) order within the batch, matching the legacy form.
+
+    No timers: the state IS the live dimension (bounded by |users|,
+    ~bytes each) — expiring it would mis-attribute a returning user's
+    purchases to 'none' where the batch operator, and the business
+    meaning, keep the last known status."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        self._state = handle.getValueState(
+            "status", StructType([StructField("status", StringType())])
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        status = self._state.get()[0] if self._state.exists() else None
+        out_ids: list[int] = []
+        out_status: list[str] = []
+        out_value: list[float] = []
+        for pdf in rows:
+            for row in pdf.sort_values(["ts", "event_id"]).itertuples():
+                if row.event_type == "purchase":
+                    out_ids.append(int(row.event_id))
+                    out_status.append(status if status is not None else "none")
+                    # None -> NaN keeps the batch twin's null-skip
+                    # contract (dsum drops non-finite addends)
+                    out_value.append(
+                        float(row.value)
+                        if row.value is not None
+                        else float("nan")
+                    )
+                else:
+                    status = row.event_type
+        if status is not None:
+            self._state.update((status,))
+        if out_ids:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(out_ids),
+                    "event_id": out_ids,
+                    "status": out_status,
+                    "value": out_value,
+                }
+            )
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stream_scd2_attribution_tws(events: DataFrame) -> DataFrame:
+    """Running-status attribution on ``transformWithStateInPandas``.
+    Needs the RocksDB provider and a protobuf runtime
+    (``compat.ensure_protobuf``)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Scd2AttrTWS(),
+        outputStructType=_SCD2_ATTR_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )
+
+
+def stream_scd2_attribution(
+    events: DataFrame, impl: str | None = None
+) -> DataFrame:
+    """Streaming twin of the batch ``scd2_attribution`` operator: the
+    state store holds each user's current status (ONE row per user —
+    exactly the state a feature store keeps for point-in-time-correct
+    serving), and purchases are attributed on arrival. With a
+    time-ordered feed the per-purchase output equals the batch
+    operator's running-window attribution row for row; the equality
+    test rolls both up per (status). At 100 TB of *events* the state
+    is still only per-user, the same cardinality every stateful-user
+    operator here carries. TWS by default; ``impl='legacy'`` for the
+    applyInPandasWithState form."""
+    if _pick_stateful_impl(impl) == "tws":
+        _require_rocksdb(events)
+        return stream_scd2_attribution_tws(events)
+    return stream_scd2_attribution_legacy(events)

@@ -76,11 +76,12 @@ def test_stream_enrich_matches_batch(spark, sf_dir, events_dir):
     assert _canon(got) == _canon(want)
 
 
-def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("impl", ["tws", "legacy"])
+def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path, impl):
     """Two time-ordered micro-batches: batch 2 advances the watermark far
     past batch-1 activity, so idle sessions close via EVENT-TIME TIMEOUT
     (not by a successor event). Every emitted session must still agree
-    with batch sessionization."""
+    with batch sessionization — on BOTH stateful APIs."""
     from oil_wells_data_wrangling_spark.sources.readers import (
         load_tables,
         normalize_event_ts,
@@ -100,7 +101,9 @@ def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(str(src / "part*"))
     )
-    got = _run_available_now(stream_sessionize(stream), "sess_timeout", spark)
+    got = _run_available_now(
+        stream_sessionize(stream, impl=impl), f"sess_timeout_{impl}", spark
+    )
     batch = events_sessionize(spark, sf_dir).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -115,20 +118,27 @@ def test_stream_sessionize_timeout_path(spark, sf_dir, tmp_path):
                 spark.readStream.schema(
                     spark.read.parquet(str(src / "part0")).schema
                 ).parquet(str(src / "part*"))
-            )
+            ),
+            impl=impl,
         ),
-        "sess_single",
+        f"sess_single_{impl}",
         spark,
     )
     assert got.count() >= single.count()
 
 
-def test_stream_sessionize_closed_sessions_match_batch(spark, sf_dir, events_dir):
+@pytest.mark.parametrize("impl", ["tws", "legacy"])
+def test_stream_sessionize_closed_sessions_match_batch(
+    spark, sf_dir, events_dir, impl
+):
     """AvailableNow never fires the final event-time timeout, so the stream
     emits only sessions *closed by a later event*; every one of those must
-    exist in the batch sessionization with identical bounds and counts."""
+    exist in the batch sessionization with identical bounds and counts —
+    on BOTH stateful APIs."""
     got = _run_available_now(
-        stream_sessionize(read_event_stream(spark, events_dir)), "sess", spark
+        stream_sessionize(read_event_stream(spark, events_dir), impl=impl),
+        f"sess_{impl}",
+        spark,
     )
     batch = events_sessionize(spark, sf_dir).select(
         "user_id", "session_start", "session_end", "n_events"
@@ -272,7 +282,8 @@ def test_stream_events_topk_matches_batch(spark, sf_dir, events_dir):
     assert _canon(got) == _canon(want)
 
 
-def test_stream_rate_limit_matches_batch(spark, sf_dir, events_dir):
+@pytest.mark.parametrize("impl", ["tws", "legacy"])
+def test_stream_rate_limit_matches_batch(spark, sf_dir, events_dir, impl):
     from oil_wells_data_wrangling_spark.operators.eventops import (
         events_rate_limit,
     )
@@ -281,8 +292,8 @@ def test_stream_rate_limit_matches_batch(spark, sf_dir, events_dir):
     )
 
     got = _run_available_now(
-        stream_rate_limit(read_event_stream(spark, events_dir)),
-        "stream_rate_limit_t",
+        stream_rate_limit(read_event_stream(spark, events_dir), impl=impl),
+        f"stream_rate_limit_t_{impl}",
         spark,
     )
     # per-event keeps are arrival-order dependent inside a minute, but
@@ -296,11 +307,13 @@ def test_stream_rate_limit_matches_batch(spark, sf_dir, events_dir):
     assert _canon(agg) == _canon(want)
 
 
-def test_stream_scd2_attribution_matches_batch(spark, sf_dir, tmp_path):
+@pytest.mark.parametrize("impl", ["tws", "legacy"])
+def test_stream_scd2_attribution_matches_batch(spark, sf_dir, tmp_path, impl):
     """Per-status attribution rollup of the stream must equal the batch
     scd2_attribution — including purchases whose governing status event
     arrived in an EARLIER micro-batch (the state-carry path), which the
-    two-file time-split feed forces."""
+    two-file time-split feed forces. Runs on BOTH stateful APIs (the
+    TWS form is the default path)."""
     from oil_wells_data_wrangling_spark.operators.eventops import (
         scd2_attribution,
     )
@@ -327,7 +340,9 @@ def test_stream_scd2_attribution_matches_batch(spark, sf_dir, tmp_path):
         .parquet(str(feed / "a=*"))
     )
     got = _run_available_now(
-        stream_scd2_attribution(stream), "scd2_attr_stream", spark
+        stream_scd2_attribution(stream, impl=impl),
+        f"scd2_attr_stream_{impl}",
+        spark,
     )
     got_roll = got.groupBy("status").agg(
         F.count(F.lit(1)).alias("n_purchases"),
@@ -465,15 +480,17 @@ def test_stream_sessionize_tws_timers_match_batch(spark, sf_dir, tmp_path):
             "sess_tws",
             spark,
         )
-        # gap-closed only (no timers): the same stream twin on the
-        # applyInPandasWithState path, single batch, never times out
+        # gap-closed only (no timers): the legacy twin, single batch,
+        # never times out — a cross-API comparison on top of the
+        # timer-path assertion
         single = _run_available_now(
             stream_sessionize(
                 normalize_event_ts(
                     spark.readStream.schema(
                         spark.read.parquet(str(src / "part0")).schema
                     ).parquet(str(src / "part*"))
-                )
+                ),
+                impl="legacy",
             ),
             "sess_tws_single",
             spark,
@@ -600,7 +617,9 @@ def test_stream_sessionize_out_of_order_extends_not_shrinks(spark, tmp_path):
     session_end or regressing the idle timeout (applyInPandasWithState
     path)."""
     got = _run_available_now(
-        stream_sessionize(_write_out_of_order_fixture(spark, tmp_path)),
+        stream_sessionize(
+            _write_out_of_order_fixture(spark, tmp_path), impl="legacy"
+        ),
         "sess_ooo",
         spark,
     )
