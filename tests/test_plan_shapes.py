@@ -200,3 +200,36 @@ def _python_input_columns(plan: str) -> str:
         if "MapInPandas" in line:
             return line
     return ""
+
+
+def test_tpch_fact_scans_broadcast_prune_before_shuffle(spark, sf_dir):
+    """The late-r7 TPC-H shapes claim 'dim broadcast prunes lineitem
+    BEFORE its shuffle' in their docstrings — pin it: in each plan, the
+    lineitem scan's consuming join must be a BroadcastHashJoin sitting
+    DEEPER than every lineitem-side Exchange (fact rows meet the
+    filtered dimension while still on their input partitions; only the
+    pruned/aggregated stream ever shuffles)."""
+    for name in (
+        "min_cost_supplier",
+        "important_parts",
+        "excess_inventory_suppliers",
+    ):
+        lines = _plan(spark, sf_dir, name).splitlines()
+        scan_idx = [
+            i for i, ln in enumerate(lines)
+            if "FileScan parquet" in ln and "lineitem.parquet" in ln
+        ]
+        assert scan_idx, f"{name}: no lineitem scan in plan"
+        scan = scan_idx[0]
+        bhj_above = [
+            i for i, ln in enumerate(lines[:scan]) if "BroadcastHashJoin" in ln
+        ]
+        ex_above = [
+            i for i, ln in enumerate(lines[:scan])
+            if "Exchange hashpartitioning" in ln
+        ]
+        assert bhj_above, f"{name}: lineitem not consumed by a broadcast join"
+        assert ex_above, f"{name}: expected an aggregation shuffle above"
+        assert max(bhj_above) > max(ex_above), (
+            f"{name}: lineitem shuffles before the dim broadcast prunes it"
+        )

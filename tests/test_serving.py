@@ -180,3 +180,93 @@ def test_map_page_prefers_local_leaflet_with_cdn_fallback():
     assert "/static/lib/leaflet/" in page
     assert "unpkg.com/leaflet" in page  # fallback, not the primary
     assert page.index("/static/lib/leaflet/") < page.index("unpkg.com/leaflet")
+
+
+def test_streaming_refresh_updates_served_rows(spark, sf_dir, tmp_path):
+    """End-to-end incremental serving: file-source events → watermarked
+    tumbling agg → partitioned JSON export per micro-batch → live GET
+    against the running web tier INSIDE each foreachBatch. The second
+    micro-batch must CHANGE the served rows, and the final served state
+    must equal the batch operator on the full feed."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        events_window_agg,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        normalize_event_ts,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_window_agg,
+    )
+
+    ev = load_tables(spark, sf_dir).events
+    mid = ev.selectExpr(
+        "timestamp_micros(cast(percentile_approx(unix_micros(ts), 0.5)"
+        " as bigint)) m"
+    ).first()["m"]
+    feed = tmp_path / "feed"
+    ev.filter(F.col("ts") < F.lit(mid)).coalesce(1).write.parquet(
+        str(feed / "a=0")
+    )
+    ev.filter(F.col("ts") >= F.lit(mid)).coalesce(1).write.parquet(
+        str(feed / "a=1")
+    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed / "a=*"))
+    )
+
+    export_dir = str(tmp_path / "served")
+    server = serve_wells_http(export_dir)
+    base = f"http://127.0.0.1:{server.server_port}"
+    snapshots = []
+
+    def _export_and_probe(batch_df, batch_id):
+        export_json(batch_df, export_dir, partition_col="event_type")
+        with urllib.request.urlopen(f"{base}/wells", timeout=60) as resp:
+            snapshots.append(json.loads(resp.read()))
+
+    try:
+        q = (
+            stream_window_agg(stream)
+            .writeStream.outputMode("complete")
+            .foreachBatch(_export_and_probe)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+
+        assert len(snapshots) == 2, "expected one served refresh per batch"
+        n1 = sum(r["n_events"] for r in snapshots[0])
+        n2 = sum(r["n_events"] for r in snapshots[1])
+        assert n2 > n1, "second micro-batch did not change the served rows"
+
+        # final served state == the batch operator on the full feed
+        want = {
+            (str(r["window_start"]), r["event_type"]): (
+                r["n_events"],
+                r["total_value"],
+            )
+            for r in events_window_agg(spark, sf_dir).collect()
+        }
+        got = {
+            (
+                str(r["window_start"]).replace("T", " ").rstrip("Z"),
+                r["event_type"],
+            ): (r["n_events"], r["total_value"])
+            for r in snapshots[1]
+        }
+        norm_want = {
+            (k[0].split(".")[0], k[1]): v for k, v in want.items()
+        }
+        norm_got = {(k[0].split(".")[0], k[1]): v for k, v in got.items()}
+        assert norm_got == norm_want
+
+        # the viewport fetch reads one partition directory and agrees
+        with urllib.request.urlopen(
+            f"{base}/wells?event_type=click", timeout=60
+        ) as resp:
+            clicks = json.loads(resp.read())
+        assert clicks == [r for r in snapshots[1] if r["event_type"] == "click"]
+    finally:
+        server.shutdown()
