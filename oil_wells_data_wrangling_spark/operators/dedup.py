@@ -930,3 +930,157 @@ def minhash_band_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pair_summary(_band_pairs(sig, 8, 4), "8x4").unionAll(
         _pair_summary(_band_pairs(sig, 16, 2), "16x2")
     )
+
+
+# ---------------------------------------------------- neardup_index_probe
+
+
+def minhash_band_ctes(source: str, prefix: str) -> str:
+    """DuckDB CTE chain computing LSH band buckets over ``source`` (a
+    CTE/table exposing doc_id, text), with every CTE name prefixed so
+    two instantiations can coexist in one query — reference
+    ``<prefix>bands(doc_id, band_id, bh)`` afterwards. Arithmetic is
+    identical to :func:`minhash_pairs_ctes` / the Spark helpers."""
+    h = _H32_DUCK.format(s="s")
+    mins = ", ".join(
+        f"list_min(list_transform(harr, h -> ({a} * h + {b}) % {_P}))"
+        for a, b in (_perm(i) for i in range(_K_PERM))
+    )
+    return f"""
+{prefix}tok AS (
+  SELECT doc_id, string_split(text, ' ') AS words FROM {source}
+),
+{prefix}sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS shingles
+  FROM {prefix}tok WHERE len(words) >= 3
+),
+{prefix}hh AS (
+  SELECT doc_id, list_transform(shingles, s -> {h}) AS harr FROM {prefix}sh
+),
+{prefix}sig AS (
+  SELECT doc_id, [{mins}] AS sig FROM {prefix}hh
+),
+{prefix}bands AS (
+  SELECT doc_id, r.range AS band_id,
+         md5(array_to_string(sig[r.range * 4 + 1 : r.range * 4 + 4], ',')) AS bh
+  FROM {prefix}sig, range(0, {_BANDS}) r
+)"""
+
+
+def neardup_index_build(docs: DataFrame, index_dir: str) -> None:
+    """One-time (or periodic) index build: persist the corpus' LSH band
+    buckets — (doc_id, band_id, 16-byte band hash) triples, ~200 bytes
+    per document regardless of text size — to a parquet table at
+    ``index_dir`` (any Spark-readable URI; on a cluster a shared
+    filesystem/object-store path). Text never leaves the scan stage."""
+    lsh_band_buckets(minhash_signature(docs)).write.parquet(index_dir)
+
+
+def neardup_index_candidates(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """The recurring incremental run: band-bucket ONLY the new batch,
+    join it against the persisted index read back from ``index_dir``
+    (history is never re-sketched or re-read as text), and return one
+    row per new doc: distinct indexed near-dup candidates + a matched
+    flag. The join exchanges (id, band, 16-byte hash) triples; a
+    production ingest drops (or routes to review) the matched docs."""
+    probe = lsh_band_buckets(minhash_signature(new_docs))
+    index = spark.read.parquet(index_dir)
+    hits = (
+        probe.join(
+            index.select(
+                F.col("doc_id").alias("idx_id"),
+                "band_id",
+                F.col("bh"),
+            ),
+            ["band_id", "bh"],
+        )
+        .groupBy("doc_id")
+        .agg(F.count_distinct("idx_id").alias("n_candidates"))
+    )
+    return (
+        new_docs.filter(F.size(F.split("text", " ")) >= 3)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            (F.coalesce("n_candidates", F.lit(0)) > 0).alias("matched"),
+        )
+    )
+
+
+_IDX_PROBE_ORACLE = f"""
+WITH probe_src AS (
+  SELECT doc_id + 1000000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+{minhash_band_ctes('documents', 'i_')[1:]},
+{minhash_band_ctes('probe_src', 'p_')[1:]},
+ov AS (
+  SELECT p.doc_id, COUNT(DISTINCT i.doc_id) AS n_candidates
+  FROM p_bands p JOIN i_bands i
+    ON p.band_id = i.band_id AND p.bh = i.bh
+  GROUP BY p.doc_id
+)
+SELECT s.doc_id,
+       CAST(COALESCE(ov.n_candidates, 0) AS BIGINT) AS n_candidates,
+       COALESCE(ov.n_candidates, 0) > 0 AS matched
+FROM (SELECT doc_id FROM probe_src
+      WHERE len(string_split(text, ' ')) >= 3) s
+LEFT JOIN ov ON s.doc_id = ov.doc_id
+"""
+
+
+@register("neardup_index_probe", oracle=_IDX_PROBE_ORACLE)
+def neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup screening against a PERSISTED LSH index —
+    the production shape of ``dedup_minhash`` for a corpus that grows:
+    the accumulated corpus' band buckets live in a parquet state table
+    (built once, appended per ingest); each new batch is sketched
+    alone and bucket-joined against the index, so ingest cost tracks
+    the BATCH size, never the corpus. This is the batch face of
+    ``neardup_incremental`` (streaming/neardup.py) — same index
+    layout, same join, micro-batch loop replaced by one probe.
+
+    Here the index half is the full documents table and the probe
+    batch is the familiar near-dup injection (every-10th doc re-issued
+    with a tail under a new id), so every probe doc has a true indexed
+    near-dup to find and the oracle can assert exact candidate counts.
+
+    Scale shape: index entries are (id, band, 16-byte hash) — ~200
+    bytes/doc, so a 100 TB corpus indexes in ~100s of GB, partitionable
+    by band; the probe join shuffles only the batch's triples (AQE
+    broadcasts them when the batch is small); candidate counts are
+    band-collision-bounded exactly as in dedup_minhash. Text never
+    leaves either scan.
+
+    Demo-harness caveat (mirrors ``hll_persist_incremental``): the
+    registered query wires ``index_dir`` to a driver-local tempdir and
+    builds the index eagerly at plan-construction; real deployments
+    call ``neardup_index_build``/``neardup_index_candidates`` with a
+    shared URI, so a bench row times the PROBE, which is the recurring
+    cost."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    new_batch = base.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    work = tempfile.mkdtemp(prefix="lsh_index_")
+    index_dir = os.path.join(work, "band_index")
+    neardup_index_build(base, index_dir)
+    out = neardup_index_candidates(spark, new_batch, index_dir).localCheckpoint(
+        eager=True
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

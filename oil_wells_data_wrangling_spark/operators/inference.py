@@ -326,3 +326,93 @@ def score_documents_with_model(
     return featurize(documents).mapInPandas(
         make_model_scorer(model, cutoff), schema=_FLOAT_OUT_SCHEMA
     )
+
+
+# ----------------------------------------------------------- score_calibration
+
+_CALIB_BIN = 200  # score units per calibration bucket
+
+_CALIB_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_words,
+         len(list_distinct(string_split(text, ' '))) * 1000
+           // len(string_split(text, ' ')) AS distinct_permille,
+         len(list_filter(string_split(text, ' '),
+                         w -> list_contains({_STOP_DUCK}, w))) * 1000
+           // len(string_split(text, ' ')) AS stop_permille
+  FROM documents
+),
+scored AS (
+  SELECT {_MODEL_W[0]} + {_MODEL_W[1]} * CAST(distinct_permille AS BIGINT)
+           + {_MODEL_W[2]} * CAST(stop_permille AS BIGINT)
+           + {_MODEL_W[3]} * LEAST(n_words, 100) AS score,
+         CASE WHEN stop_permille > 50 THEN 1 ELSE 0 END AS is_pos
+  FROM feat
+),
+b AS (
+  SELECT (score - ((score % {_CALIB_BIN}) + {_CALIB_BIN}) % {_CALIB_BIN})
+           // {_CALIB_BIN} AS bucket,
+         is_pos
+  FROM scored
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(bucket * {_CALIB_BIN} AS BIGINT) AS score_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(is_pos) AS BIGINT) AS n_pos,
+       CAST(SUM(is_pos) * 1000000 // COUNT(*) AS BIGINT) AS pos_ppm
+FROM b
+GROUP BY bucket
+"""
+
+
+@register("score_calibration", oracle=_CALIB_ORACLE)
+def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier calibration / reliability curve: bucket the model's
+    scores into fixed-width bins and measure, per bin, how often the
+    reference label holds — here ``lang_id``'s English prediction
+    (stop ratio > 5%), the weak-supervision label a pipeline actually
+    has at corpus scale (a fastText-style tagger's output), which the
+    stub's stopword feature predicts while its other two features add
+    independent noise. This is the audit run before choosing a filter
+    threshold: a rising pos_ppm-vs-bucket curve says the score ranks;
+    the bin rates say what a given cutoff actually keeps.
+
+    Scale shape: scoring is the same map-only Arrow path as
+    ``model_score`` (3 int64 features per doc cross the Python
+    boundary, never text); the label is one more scan-stage integer
+    expression co-reads with the features (no second pass over text);
+    bucketing is an integer EXPLICIT-floor division (pmod-subtract,
+    sign-safe on both engines — scores go negative by construction);
+    the single exchange carries (bucket, two int64 partials) with
+    map-side combine, output bounded by the score range / bin width."""
+    t = load_tables(spark, sf_dir)
+    feats = featurize(t.documents)
+    scored = feats.mapInPandas(
+        make_scorer(_MODEL_W, _SCORE_CUTOFF), schema=_OUT_SCHEMA
+    )
+    labels = feats.select(
+        "doc_id", (F.col("stop_permille") > 50).cast("bigint").alias("is_pos")
+    )
+    bucket = F.expr(
+        f"(score - pmod(score, {_CALIB_BIN})) div {_CALIB_BIN}"
+    ).cast("bigint")
+    return (
+        scored.join(labels, "doc_id")
+        .select(bucket.alias("bucket"), "is_pos")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("is_pos").cast("bigint").alias("n_pos"),
+            F.expr("sum(is_pos) * 1000000 div count(1)")
+            .cast("bigint")
+            .alias("pos_ppm"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * _CALIB_BIN).cast("bigint").alias("score_lo"),
+            "n_docs",
+            "n_pos",
+            "pos_ppm",
+        )
+    )

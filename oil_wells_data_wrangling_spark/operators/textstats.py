@@ -1521,3 +1521,79 @@ def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("clean_fp"),
     )
+
+
+# --------------------------------------------------------- tokenizer_fertility
+
+_FERTILITY_ORACLE = """
+WITH docs2 AS (
+  SELECT lang,
+         CASE WHEN lang = 'en' THEN text
+              WHEN lang = 'zh' THEN replace(text, ' ', '-- ')
+              ELSE replace(text, ' ', '. ') END AS text
+  FROM documents
+),
+t AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS ws_tokens,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens
+  FROM docs2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_words,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(bpe_tokens) * 1000000 // SUM(ws_tokens) AS BIGINT)
+         AS fertility_ppm
+FROM t
+GROUP BY lang
+"""
+
+
+@register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility (tokens emitted per whitespace
+    word, in ppm) using the same BPE-ish regex tokenizer as
+    ``token_count``. Fertility is the multiplier between a corpus'
+    word count and its actual training-token bill — the number that
+    decides per-language token budgets and flags languages the
+    tokenizer fragments (fertility ≫ 1e6 means each word splinters
+    into many tokens, degrading effective context length for that
+    language).
+
+    The synthetic corpus' word-soup text tokenizes at exactly 1.0
+    everywhere, so (as with pii_redact's and boilerplate_lines'
+    injections) a deterministic per-language decoration plants the
+    effect being measured: non-English words gain punctuation the
+    regex tokenizer splits off (one extra token per word for most,
+    two for 'zh' — standing in for scripts real BPE vocabularies
+    fragment); the oracle mirrors the injection.
+
+    Scale shape: both token counts are JVM-side scan expressions
+    (``regexp_count`` / ``size(split(...))``) — no exploded token rows
+    ever exist; the only exchange carries (lang, 3 int64 partials) with
+    map-side combine, output bounded by |languages|. Integer ppm via
+    bigint floor-div keeps the oracle exact."""
+    t = load_tables(spark, sf_dir)
+    text2 = (
+        F.when(F.col("lang") == "en", F.col("text"))
+        .when(
+            F.col("lang") == "zh", F.expr("replace(text, ' ', '-- ')")
+        )
+        .otherwise(F.expr("replace(text, ' ', '. ')"))
+    )
+    per_doc = t.documents.select("lang", text2.alias("text")).select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_words"),
+        F.sum("bpe_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("sum(bpe_tokens) * 1000000 div sum(ws_tokens)")
+        .cast("bigint")
+        .alias("fertility_ppm"),
+    )

@@ -82,6 +82,10 @@ def _load_all() -> None:
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
+    # -- new in round 8 (never driver-checked; first rows this round)
+    "neardup_index_probe",
+    "tokenizer_fertility",
+    "score_calibration",
     # -- never driver-checked (landed after the r7 window was fixed)
     "supplier_part_scope",
     "large_volume_customers",
@@ -130,11 +134,8 @@ _WINDOW_PRIORITY = [
     "dedup_simhash",
     "events_dedup",
     "events_gap_fill",
-    "events_retention",
-    "events_rolling",
     "events_sessionize",
     "events_sessionize_native",
-    "events_sliding_agg",
     "fingerprint",
 ]
 

@@ -99,6 +99,15 @@ def upsert_parquet_partitioned(
     partition values.
     """
     spark = df.sparkSession
+    # Driver-side collect is bounded by the number of DISTINCT touched
+    # partition values — standard for dynamic partition overwrite, and
+    # safe for the intended partition columns (dates, regions, shards:
+    # thousands of values). Do NOT partition an upsert table by a
+    # high-cardinality column (user id, document id): this list, the
+    # isin() pruning predicate, and the overwrite commit all scale with
+    # it. At that point the right tool is the unpartitioned
+    # ``upsert_parquet`` (bucketed by key) or a table format with
+    # row-level merge.
     touched = [r[0] for r in df.select(partition_col).distinct().collect()]
     incoming = df.withColumn("__gen", F.lit(1))
     if os.path.exists(path):

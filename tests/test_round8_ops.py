@@ -1,0 +1,110 @@
+"""Semantic + plan-shape checks for the round-8 operators
+(neardup_index_probe, tokenizer_fertility, score_calibration). Exact
+parity with DuckDB is covered by test_oracle_parity.py; these assert
+the properties each operator exists to deliver."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.operators.dedup import (
+    neardup_index_build,
+    neardup_index_candidates,
+    neardup_index_probe,
+)
+from oil_wells_data_wrangling_spark.operators.inference import (
+    score_calibration,
+)
+from oil_wells_data_wrangling_spark.operators.textstats import (
+    tokenizer_fertility,
+)
+
+
+# ------------------------------------------------------- neardup_index_probe
+
+
+def test_index_probe_finds_injected_neardups(spark, sf_dir):
+    """Every probe doc is a near-dup of an indexed doc by construction;
+    the banded index must catch the overwhelming majority (LSH is
+    probabilistic per doc, not in aggregate), and candidate counts stay
+    collision-bounded (no quadratic blowup)."""
+    rows = neardup_index_probe(spark, sf_dir).collect()
+    assert rows
+    matched = sum(1 for r in rows if r.matched)
+    assert matched / len(rows) >= 0.9, f"only {matched}/{len(rows)} matched"
+    assert max(r.n_candidates for r in rows) <= 10
+
+
+def test_index_round_trip_exact_copy_always_matches(spark, sf_dir, tmp_path):
+    """The parameterized pattern through an EXPLICIT index path: an
+    exact copy of an indexed doc has the identical signature, hence
+    identical band hashes — it must match with probability 1 (no LSH
+    luck involved), and a fresh never-indexed text must not."""
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    index_dir = str(tmp_path / "band_index")
+    neardup_index_build(docs, index_dir)
+
+    idx = spark.read.parquet(index_dir)
+    assert set(idx.columns) == {"doc_id", "band_id", "bh"}
+
+    copies = docs.limit(5).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"), "text"
+    )
+    fresh = spark.createDataFrame(
+        [(9_000_001, "totally novel zebra quark flux " * 3)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.matched
+        for r in neardup_index_candidates(
+            spark, copies.unionAll(fresh), index_dir
+        ).collect()
+    }
+    assert all(got[d] for d in got if d < 9_000_000), got
+    assert got[9_000_001] is False
+
+
+# ------------------------------------------------------- tokenizer_fertility
+
+
+def test_fertility_orders_languages_by_fragmentation(spark, sf_dir):
+    """en tokenizes 1:1; the injected punctuation makes every other
+    language ~2 tokens/word and zh ~3 — the per-language budget
+    multipliers the operator exists to expose."""
+    rows = {r.lang: r for r in tokenizer_fertility(spark, sf_dir).collect()}
+    assert rows["en"].fertility_ppm == 1_000_000
+    for lang, r in rows.items():
+        if lang in ("en", "zh"):
+            continue
+        assert 1_900_000 < r.fertility_ppm < 2_100_000, (lang, r)
+    assert rows["zh"].fertility_ppm > 2_800_000
+    assert all(r.total_tokens >= r.total_words for r in rows.values())
+
+
+# --------------------------------------------------------- score_calibration
+
+
+def test_calibration_conserves_docs_and_ranks_the_label(spark, sf_dir):
+    """The curve must cover every document exactly once, rates must be
+    valid ppm, and the score must actually RANK the label: positives
+    (lang_id's English prediction) sit in strictly higher buckets on
+    average than negatives — the stub's +5·stop_permille term
+    guarantees signal while the other features add independent
+    noise."""
+    rows = score_calibration(spark, sf_dir).collect()
+    n_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_total
+    for r in rows:
+        assert 0 <= r.n_pos <= r.n_docs
+        assert 0 <= r.pos_ppm <= 1_000_000
+        assert r.score_lo == r.bucket * 200
+    pos_mass = sum(r.bucket * r.n_pos for r in rows)
+    pos_n = sum(r.n_pos for r in rows)
+    neg_mass = sum(r.bucket * (r.n_docs - r.n_pos) for r in rows)
+    neg_n = sum(r.n_docs - r.n_pos for r in rows)
+    assert pos_n > 0 and neg_n > 0
+    assert pos_mass / pos_n > neg_mass / neg_n, (
+        "score does not rank the label — calibration curve is vacuous"
+    )
