@@ -157,3 +157,39 @@ def test_shingle_hashes_arrow_matches_sql_spec(spark, sf_dir):
     key = lambda df: sorted(map(tuple, df[["doc_id", "h"]].to_numpy()))  # noqa: E731
     assert len(fast) == len(spec) > 0
     assert key(fast) == key(spec)
+
+
+def test_shingle_hashes_arrow_matches_sql_spec_adversarial(spark):
+    """Same bit-equality contract on adversarial text shapes the corpus
+    never exercises: consecutive/leading/trailing spaces (empty words —
+    split() keeps them in BOTH engines), sub-8-word docs (no output),
+    exactly-8-word docs (one shingle), repeated words, unicode, and a
+    doc that is all spaces."""
+    from oil_wells_data_wrangling_spark.operators.privacy import (
+        shingle_hashes,
+        shingle_hashes_sql,
+    )
+
+    texts = [
+        "a b c d e f g h",                       # exactly one shingle
+        "a b c d e f g",                         # too short: no output
+        "",                                      # empty text
+        "        ",                              # all spaces: 9 empty words
+        "a  b c d e f g h i",                    # double space -> empty word
+        " a b c d e f g h ",                     # leading/trailing space
+        "x x x x x x x x x x x x",               # repeated word
+        "héllo wörld ünïcode ø æ ß µ 漢字 かな",   # non-ascii
+        ("w1 " * 40).strip(),                    # longer uniform doc
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).repartition(3)
+    fast = shingle_hashes(docs).toPandas()
+    spec = shingle_hashes_sql(docs).toPandas()
+    key = lambda df: sorted(map(tuple, df[["doc_id", "h"]].to_numpy()))  # noqa: E731
+    assert key(fast) == key(spec)
+    # too-short docs must emit nothing from either path
+    emitted = set(fast["doc_id"])
+    assert 1 not in emitted and 2 not in emitted
+    # 8 spaces split to 9 empty words -> 2 shingles, in BOTH engines
+    assert 0 in emitted and 3 in emitted
