@@ -239,6 +239,14 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
     b, p, n_gram = _B, _P, _NGRAM
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Cross-batch word→hash cache, CAPPED: on a natural corpus the
+        # hot vocabulary enters early and the cap never binds; on an
+        # adversarial one (unbounded vocabulary — e.g. the word-salted
+        # scale replicas) an uncapped dict grows with the token stream
+        # per worker process, which is a memory liability at 100×, not
+        # a win. Past the cap, new words still hash correctly — they
+        # just aren't remembered.
+        cache_cap = 1 << 20
         cache: dict[str, int] = {}
 
         for pdf in batches:
@@ -256,6 +264,7 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
                 pos += len(s)
             codes, uniques = pd.factorize(flat, sort=False)
             uh = np.empty(len(uniques), dtype=np.int64)
+            room = len(cache) < cache_cap
             for i, w in enumerate(uniques):
                 h = cache.get(w)
                 if h is None:
@@ -265,7 +274,8 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
                         )
                         % p
                     )
-                    cache[w] = h
+                    if room:
+                        cache[w] = h
                 uh[i] = h
             arr = uh[codes]
             n_pos = total - n_gram + 1
