@@ -978,6 +978,17 @@ def neardup_index_build(docs: DataFrame, index_dir: str) -> None:
     lsh_band_buckets(minhash_signature(docs)).write.parquet(index_dir)
 
 
+def neardup_index_append(new_docs: DataFrame, index_dir: str) -> None:
+    """Complete the ingest loop: after a batch is screened (and the
+    kept docs decided), append ITS band buckets to the index so the
+    next batch screens against it too. Parquet append — no rewrite of
+    existing index files; at 100 TB the index is partitioned by
+    band_id so each append touches every band directory once."""
+    lsh_band_buckets(minhash_signature(new_docs)).write.mode(
+        "append"
+    ).parquet(index_dir)
+
+
 def neardup_index_candidates(
     spark: SparkSession, new_docs: DataFrame, index_dir: str
 ) -> DataFrame:

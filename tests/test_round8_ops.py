@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from oil_wells_data_wrangling_spark.operators.dedup import (
+    neardup_index_append,
     neardup_index_build,
     neardup_index_candidates,
     neardup_index_probe,
@@ -64,6 +65,13 @@ def test_index_round_trip_exact_copy_always_matches(spark, sf_dir, tmp_path):
     }
     assert all(got[d] for d in got if d < 9_000_000), got
     assert got[9_000_001] is False
+
+    # ingest loop: once the novel doc's buckets are APPENDED, a later
+    # batch containing its exact copy must match against the index
+    neardup_index_append(fresh, index_dir)
+    later = fresh.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    again = neardup_index_candidates(spark, later, index_dir).first()
+    assert again.matched and again.n_candidates >= 1
 
 
 # ------------------------------------------------------- tokenizer_fertility
