@@ -21,6 +21,9 @@ text + a tail) before deduplicating; oracles mirror the same UNION ALL.
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -125,12 +128,15 @@ def hashed_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signature(docs: DataFrame) -> DataFrame:
+def minhash_signature_sql(docs: DataFrame) -> DataFrame:
     """32-permutation MinHash signature as an array column (no explode).
 
-    Cached: the 8 band expressions each reference ``sig``, and project
-    collapsing would re-run all 32 permutation scans per band (measured
-    2.3× slower at sf0.1 without the barrier)."""
+    The SQL-expression form — the executable SPEC for the Arrow fast
+    twin :func:`minhash_signature` (bit-equality pinned in
+    tests/test_dedup_fastpath.py); queries call the twin. Cached: the
+    8 band expressions each reference ``sig``, and project collapsing
+    would re-run all 32 permutation scans per band (measured 2.3×
+    slower at sf0.1 without the barrier)."""
     hh = hashed_shingles(docs)
     sigs = [
         F.expr(
@@ -139,6 +145,101 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
         for i, (a, b) in ((i, _perm(i)) for i in range(_K_PERM))
     ]
     return hh.select("doc_id", F.array(*sigs).alias("sig")).cache()
+
+
+def minhash_signature(docs: DataFrame) -> DataFrame:
+    """Arrow fast twin of :func:`minhash_signature_sql`: one
+    ``mapInPandas`` pass from text straight to the 32-slot signature,
+    replicating the spec's arithmetic bit-for-bit (all integer ops, so
+    equality is exact):
+
+    - same doc filter (``len(text.split(" ")) >= 3`` — Python
+      ``str.split(" ")`` and Spark's ``split`` both keep empty
+      fields);
+    - same shingle hash: md5 of the assembled ``"a b c"`` 3-gram
+      string, first 4 bytes big-endian mod P — identical bytes,
+      identical ``conv(substr(md5(s),1,8),16,10) % P`` value. Shingles
+      are deduplicated per batch by ``pd.factorize`` and md5 runs only
+      per DISTINCT shingle (duplicated corpora — the whole point of a
+      dedup pipeline — amortize heavily), with a capped cross-batch
+      dict on top (cap 2²⁰: past it new shingles still hash
+      correctly, they just aren't remembered — an uncapped dict is a
+      per-worker memory liability at 100×, measured on the
+      word-salted replicas);
+    - the 32 permutations run as vectorized numpy passes over the
+      batch's FLAT hash array with one ``minimum.reduceat`` per
+      permutation against the doc-boundary offsets (a ≤ 63 and
+      h < 2³¹ keep a·h + b < 2³⁷ — no int64 overflow).
+
+    At 100 TB this is the map-only signature stage ahead of the banded
+    exchange: text never shuffles, and the per-doc cost is C-speed
+    md5 + 32 reduceat passes instead of 32 interpreted
+    ``array_min(transform(...))`` scans. Cached for the same
+    multi-consumer reason as the spec form."""
+    import hashlib
+
+    import numpy as np
+
+    p = _P
+    perms = [_perm(i) for i in range(_K_PERM)]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache_cap = 1 << 20
+        cache: dict[str, int] = {}
+
+        for pdf in batches:
+            ids, shingle_lists = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) < 3:
+                    continue
+                ids.append(doc_id)
+                shingle_lists.append(
+                    [
+                        a + " " + b + " " + c
+                        for a, b, c in zip(w, w[1:], w[2:])
+                    ]
+                )
+            if not ids:
+                continue
+            lens = np.fromiter(
+                (len(s) for s in shingle_lists),
+                dtype=np.int64,
+                count=len(shingle_lists),
+            )
+            flat = np.empty(int(lens.sum()), dtype=object)
+            pos = 0
+            for s in shingle_lists:
+                flat[pos : pos + len(s)] = s
+                pos += len(s)
+            codes, uniques = pd.factorize(flat, sort=False)
+            uh = np.empty(len(uniques), dtype=np.int64)
+            room = len(cache) < cache_cap
+            for i, s in enumerate(uniques):
+                h = cache.get(s)
+                if h is None:
+                    h = (
+                        int.from_bytes(
+                            hashlib.md5(s.encode("utf-8")).digest()[:4], "big"
+                        )
+                        % p
+                    )
+                    if room:
+                        cache[s] = h
+                uh[i] = h
+            arr = uh[codes]
+            starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            sig = np.empty((len(ids), _K_PERM), dtype=np.int64)
+            for i, (a, b) in enumerate(perms):
+                sig[:, i] = np.minimum.reduceat((a * arr + b) % p, starts)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(ids, dtype=np.int64),
+                    "sig": list(sig),
+                }
+            )
+
+    return docs.mapInPandas(run, "doc_id long, sig array<long>").cache()
 
 
 def lsh_band_buckets(sig_df: DataFrame) -> DataFrame:
