@@ -1070,6 +1070,151 @@ def minhash_band_ctes(source: str, prefix: str) -> str:
 )"""
 
 
+# ------------------------------------------------------- winnowing (MOSS)
+
+# Robust winnowing (Schleimer, Wilkerson, Aiken, SIGMOD 2003 — the MOSS
+# fingerprinter): hash every k-gram, slide a w-wide window over the
+# hash sequence, keep each window's MINIMUM. Guarantee: any two docs
+# sharing a contiguous run of >= w + k - 1 tokens share at least one
+# selected fingerprint — the detection floor is a tunable span length,
+# unlike MinHash whose collision probability tracks whole-doc Jaccard.
+# We emit min VALUES (not positions): the guarantee only needs the
+# shared window to select the same hash, which a value-set preserves.
+_WK = 4  # winnow k-gram length (words)
+_WW = 5  # winnow window width (k-grams) -> guaranteed span = 8 words
+_WB = 1_000_003  # polynomial base for the k-gram combine (mod _P)
+_W_DF_CAP = 50  # drop fingerprints appearing in more docs (boilerplate)
+_W_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) — distinct winnowed fingerprints per doc.
+
+    k-gram hashes are a polynomial combine of per-WORD md5 hashes
+    (base ``_WB`` mod ``_P``, products < 2⁵² — exact int64 on both
+    engines, the decontaminate arithmetic), built as ``zip_with`` over
+    k shifted slices — O(n) references, never a re-split per element.
+    The k-gram array is CACHED before winnowing: the window transform
+    references ``hk`` once per position, and project collapsing would
+    otherwise inline (and recompute) the whole gram chain per window.
+    Winnowing itself is ``array_min`` over ``slice(hk, j, w)`` —
+    O(n·w) element references inside the scan, no explode until the
+    final distinct fingerprint set."""
+    n_kg = f"(size(hw) - {_WK - 1})"
+    gram = f"slice(hw, 1, {n_kg})"
+    for k in range(2, _WK + 1):
+        gram = (
+            f"zip_with({gram}, slice(hw, {k}, {n_kg}), "
+            f"(g{k}, t{k}) -> (g{k} * {_WB} + t{k}) % {_P})"
+        )
+    hk_df = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _WK + _WW - 1)
+        .select(
+            "doc_id",
+            F.expr(f"transform(w, x -> {_H32_SPARK.format(s='x')})").alias("hw"),
+        )
+        .select("doc_id", F.expr(gram).alias("hk"))
+        .cache()
+    )
+    fps = F.expr(
+        f"array_distinct(transform(sequence(1, size(hk) - {_WW - 1}), "
+        f"j -> array_min(slice(hk, j, {_WW}))))"
+    )
+    return hk_df.select("doc_id", F.explode(fps).alias("fp"))
+
+
+def _winnow_poly_duck() -> str:
+    e = "hw[i]"
+    for k in range(1, _WK):
+        e = f"(({e}) * {_WB} + hw[i+{k}]) % {_P}"
+    return e
+
+
+_WINNOW_ORACLE = f"""
+WITH {_docs2_sql(10, _NEAR_TAIL)},
+tw AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> {_H32_DUCK.format(s='x')}) AS hw
+  FROM docs2
+  WHERE len(string_split(text, ' ')) >= {_WK + _WW - 1}
+),
+kg AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, len(hw) - {_WK - 1}),
+    i -> {_winnow_poly_duck()}
+  ) AS hk
+  FROM tw
+),
+fp AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, len(hk) - {_WW - 1}),
+    j -> list_min(list_slice(hk, j, j + {_WW - 1}))
+  )) AS fp
+  FROM kg
+),
+keepfp AS (
+  SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= {_W_DF_CAP}
+),
+ff AS (SELECT f.doc_id, f.fp FROM fp f JOIN keepfp k ON f.fp = k.fp),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ff a JOIN ff b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING COUNT(*) >= {_W_MIN_SHARED}
+)
+SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+       CAST(n_shared AS BIGINT) AS n_shared
+FROM pairs
+"""
+
+
+@register("winnow_dup_spans", oracle=_WINNOW_ORACLE)
+def winnow_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring near-dup detection via robust winnowing — the
+    span-level complement to ``dedup_minhash``: two docs are reported
+    iff they share >= ``_W_MIN_SHARED`` winnowed fingerprints, and the
+    winnowing guarantee makes any shared run of >= w + k - 1 = 8 words
+    detectable regardless of how different the rest of the docs are
+    (whole-doc Jaccard can be ~0). This is the Spark-shaped stand-in
+    for the suffix-array exact-substring pass of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") —
+    suffix arrays don't distribute, winnowing does.
+
+    Scale shape: fingerprinting is in-scan (arrays, no UDF, no
+    shuffle); only (doc_id, int64 fp) pairs ever exchange. The
+    doc-frequency cap (<= 50 docs per fingerprint) drops
+    boilerplate fingerprints BEFORE the pair join — the standard skew
+    guard, bounding any fingerprint's pair fan-out at cap² instead of
+    letting one hot phrase go quadratic. Candidate pairs are then
+    grouped and thresholded, so the output exchange carries scalar
+    triples. Text never shuffles."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    fp = winnow_fingerprints(docs)
+    keep = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _W_DF_CAP)
+        .select("fp")
+    )
+    ff = fp.join(keep, "fp")
+    return (
+        ff.alias("a")
+        .join(ff.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= _W_MIN_SHARED)
+        .select("doc_a", "doc_b", "n_shared")
+    )
+
+
+# ---------------------------------------------------- persisted LSH index
+
 def neardup_index_build(docs: DataFrame, index_dir: str) -> None:
     """One-time (or periodic) index build: persist the corpus' LSH band
     buckets — (doc_id, band_id, 16-byte band hash) triples, ~200 bytes

@@ -83,6 +83,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "winnow_dup_spans",
     "neardup_index_probe",
     "tokenizer_fertility",
     "score_calibration",
@@ -120,6 +121,7 @@ _WINDOW_PRIORITY = [
     "k_anonymity_report",
     "decontaminate",
     "hll_persist_incremental",
+    "minhash_jaccard_est",
     # -- oldest remaining driver rows (round 5), alphabetical
     "ann_lsh",
     "ann_pipeline",
@@ -135,8 +137,6 @@ _WINDOW_PRIORITY = [
     "events_dedup",
     "events_gap_fill",
     "events_sessionize",
-    "events_sessionize_native",
-    "fingerprint",
 ]
 
 

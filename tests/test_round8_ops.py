@@ -116,3 +116,76 @@ def test_calibration_conserves_docs_and_ranks_the_label(spark, sf_dir):
     assert pos_mass / pos_n > neg_mass / neg_n, (
         "score does not rank the label — calibration curve is vacuous"
     )
+
+
+# ---------------------------------------------------------- winnow_dup_spans
+
+
+def test_winnow_guarantee_shared_span_detected(spark):
+    """The winnowing guarantee: two docs sharing a contiguous run of
+    >= w + k - 1 = 8 words MUST share at least one fingerprint, no
+    matter how different the rest of the docs are (whole-doc Jaccard
+    near zero — the case MinHash banding is allowed to miss)."""
+    from oil_wells_data_wrangling_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"
+    docs = spark.createDataFrame(
+        [
+            (1, "x1 x2 x3 x4 x5 " + shared + " x6 x7 x8 x9 x10"),
+            (2, "y1 y2 y3 y4 y5 y6 y7 y8 y9 " + shared + " z1 z2"),
+            (3, "unrelated words only nothing shared here at all ever"),
+        ],
+        "doc_id long, text string",
+    )
+    fp = winnow_fingerprints(docs).toPandas()
+    by_doc = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert by_doc[1] & by_doc[2], "guaranteed shared fingerprint missing"
+    assert not (by_doc[1] & by_doc[3] or by_doc[2] & by_doc[3])
+
+
+def test_winnow_short_docs_filtered(spark):
+    from oil_wells_data_wrangling_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "only seven words here not quite enough"),
+         (2, "this one has exactly eight words in it")],
+        "doc_id long, text string",
+    )
+    got = set(winnow_fingerprints(docs).toPandas()["doc_id"])
+    assert got == {2}
+
+
+def test_winnow_dup_spans_finds_planted_neardups(spark, sf_dir):
+    """Every planted near-dup (same text + tail) shares almost every
+    fingerprint with its source; the pair list must contain every
+    planted (doc, doc+1_000_000) pair that survives the length filter."""
+    from oil_wells_data_wrangling_spark.operators.dedup import (
+        winnow_dup_spans,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = winnow_dup_spans(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # >= 20 shared words -> 13 shared windows; a single shared
+    # fingerprint (which the >= 2 threshold drops) would need every
+    # window min to coincide, which long runs preclude. 8-19-word
+    # docs are legitimately reportable-or-not depending on min
+    # collisions; the exactness claim lives in the oracle row.
+    planted = {
+        int(r.doc_id)
+        for r in docs.filter(
+            (F.col("doc_id") % 10 == 0)
+            & (F.size(F.split("text", " ")) >= 20)
+        ).collect()
+    }
+    assert planted
+    got = {
+        (int(a), int(b))
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"])
+    }
+    for d in planted:
+        assert (d, d + 1_000_000) in got, f"planted pair {d} missing"
