@@ -470,6 +470,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ dedup_keep_best
+
+def _keep_best_oracle() -> str:
+    pairs_sql = _minhash_oracle().strip()
+    return f"""
+WITH RECURSIVE pairs AS (
+{pairs_sql}
+),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+d AS (
+  WITH {_docs2_sql(10, _NEAR_TAIL)}
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM docs2
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+         d.n_words
+  FROM d LEFT JOIN labels l ON d.doc_id = l.doc_id
+),
+rn AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY n_words DESC, doc_id
+  ) AS pick
+  FROM lab
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       pick = 1 AS keep
+FROM rn
+"""
+
+
+@register("dedup_keep_best", oracle=_keep_best_oracle())
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY step of near-dup dedup — the decision a pipeline
+    actually ships: every doc labeled with its cluster and a keep
+    flag. ``dedup_clusters`` names the groups; this picks ONE keeper
+    per cluster — the longest doc (the standard keep-the-superset
+    heuristic for near-dups, since tails/truncations lose to their
+    source), doc_id ascending as the deterministic tie-break — and
+    marks everything else droppable. Docs in no cluster are their own
+    singleton (cluster_id = doc_id, kept).
+
+    Scale shape: the cluster labels come from the O(log diameter)
+    pointer-halving CC (scalar exchanges only); the keeper choice is
+    one window over cluster_id — partitions are CLUSTER-sized (dup
+    groups, not the corpus), so no unbounded window; the doc length
+    is computed in-scan and text never shuffles. Output is the full
+    doc list with (cluster_id, n_words, keep) scalars."""
+    docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
+    pairs = minhash_pairs(docs)
+    labels, _ = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    scored = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_words")
+    )
+    lab = (
+        scored.join(
+            labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cl")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce("cl", F.col("doc_id")).alias("cluster_id"),
+            "n_words",
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    return lab.select(
+        "doc_id",
+        "cluster_id",
+        "n_words",
+        (F.row_number().over(w) == 1).alias("keep"),
+    )
+
+
 # ------------------------------------------------------------ ngram_jaccard
 
 _JACCARD_ORACLE = f"""

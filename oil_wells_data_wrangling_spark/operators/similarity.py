@@ -563,6 +563,198 @@ def ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------------- ivf_pq_search
+
+# The composed IVFPQ QUERY path (ivf_assign builds the cells, ann_pq
+# builds the codes; this is the read side a vector database actually
+# serves): each query probes its nprobe nearest cells and ranks ONLY
+# those cells' members by PQ asymmetric distance — the query's exact
+# per-subspace distances to the 16 codebook entries, summed over the
+# candidate's 8 stored codes.
+_IVFPQ_NPROBE = 4
+_IVFPQ_TOPK = 5
+_IVFPQ_QLO, _IVFPQ_QHI = 100, 131  # fixed 32-query workload
+
+
+def _ivfpq_oracle() -> str:
+    code_cols = ",\n  ".join(
+        f"(MIN(struct_pack(d := ROUND("
+        f"{_sub_dot_duck('e.embedding', 'c.ce', m * _PQ_DSUB)}, 6),"
+        f" c := c.cid))).c AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    adist = " + ".join(
+        f"ROUND({_sub_dot_duck('cand.qe', f'c{m}.ce', m * _PQ_DSUB)}, 6)"
+        for m in range(_PQ_M)
+    )
+    cb_joins = "\n  ".join(
+        f"JOIN cb c{m} ON c{m}.cid = cand.code_{m}" for m in range(_PQ_M)
+    )
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS cid, embedding AS ce FROM embeddings
+  WHERE vec_id < {_PQ_K}
+),
+assign AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT e.vec_id, c.cid, ROW_NUMBER() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY ROUND({_cos_duck('e.embedding', 'c.ce')}, 6) DESC, c.cid
+    ) AS rk
+    FROM embeddings e, cb c
+  ) WHERE rk = 1
+),
+codes AS (
+  SELECT e.vec_id,
+  {code_cols}
+  FROM embeddings e CROSS JOIN cb c GROUP BY e.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+  WHERE vec_id BETWEEN {_IVFPQ_QLO} AND {_IVFPQ_QHI}
+),
+qcell AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid, ROW_NUMBER() OVER (
+      PARTITION BY q.query_id
+      ORDER BY ROUND({_cos_duck('q.qe', 'c.ce')}, 6) DESC, c.cid
+    ) AS rk
+    FROM q, cb c
+  ) WHERE rk <= {_IVFPQ_NPROBE}
+),
+cand AS (
+  SELECT qc.query_id, q.qe, a.vec_id,
+         co.code_0, co.code_1, co.code_2, co.code_3,
+         co.code_4, co.code_5, co.code_6, co.code_7
+  FROM qcell qc
+  JOIN assign a ON a.cell = qc.cell
+  JOIN codes co ON co.vec_id = a.vec_id
+  JOIN q ON q.query_id = qc.query_id
+  WHERE a.vec_id <> qc.query_id
+),
+ad AS (
+  SELECT cand.query_id, cand.vec_id,
+         ROUND({adist}, 6) AS adist_r
+  FROM cand
+  {cb_joins}
+)
+SELECT query_id, vec_id AS neighbor_id, adist_r, CAST(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY adist_r, vec_id
+  ) AS rk FROM ad
+) WHERE rk <= {_IVFPQ_TOPK}
+"""
+
+
+@register("ivf_pq_search", oracle=_ivfpq_oracle())
+def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ search — the production billion-vector ANN read path,
+    composing ``ivf_assign`` (coarse cells) and ``ann_pq`` (codes):
+    a FIXED 32-query workload probes its 4 nearest cells and ranks
+    only those cells' members by PQ asymmetric distance (exact
+    query-to-codebook sub-distances, summed over each candidate's 8
+    stored codes in a FIXED left-to-right order — deterministic FP on
+    both engines, hence the exact oracle).
+
+    Scale shape: centroids and codebook broadcast (16 × 64 floats);
+    the index side is one scan producing (vec_id, cell, 8 codes)
+    scalars — embeddings never shuffle after the scan; candidates are
+    cell-pruned (nprobe/16 of the corpus per query) and carry codes
+    not vectors; the query workload is FIXED-size, so total work
+    scales linearly with corpus size, never with corpus × corpus.
+    The asymmetric distance table (32 queries × 8 × 16 doubles)
+    broadcasts as one tiny array-struct frame."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    cb = F.broadcast(
+        emb.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        )
+    )
+    # index side: one scan -> cell + 8 codes per vector
+    scored = emb.crossJoin(cb).select(
+        "vec_id",
+        "cid",
+        F.round(cosine("embedding", "ce"), 6).alias("cos_r"),
+        *[
+            F.round(
+                F.expr(_sub_dot_spark("embedding", "ce", m * _PQ_DSUB)), 6
+            ).alias(f"d_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    index = scored.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(f"d_{m}", "cid")).getField("cid").alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
+        # argmax cos with min-cid tie-break: max over (cos_r, -cid)
+        F.max(F.struct("cos_r", (-F.col("cid")).alias("nc")))
+        .getField("nc")
+        .alias("neg_cell"),
+    ).select(
+        "vec_id",
+        (-F.col("neg_cell")).alias("cell"),
+        *[F.col(f"code_{m}") for m in range(_PQ_M)],
+    )
+    # query side: nprobe cells + asymmetric distance table per query
+    q = emb.filter(
+        F.col("vec_id").between(_IVFPQ_QLO, _IVFPQ_QHI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    qscored = q.crossJoin(cb).select(
+        "query_id",
+        "cid",
+        F.round(cosine("qe", "ce"), 6).alias("cos_r"),
+        *[
+            F.round(
+                F.expr(_sub_dot_spark("qe", "ce", m * _PQ_DSUB)), 6
+            ).alias(f"dt_{m}")
+            for m in range(_PQ_M)
+        ],
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("cid")
+    )
+    qcell = (
+        qscored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= _IVFPQ_NPROBE)
+        .select("query_id", F.col("cid").alias("cell"))
+    )
+    dtab = F.broadcast(
+        qscored.groupBy("query_id").agg(
+            *[
+                F.expr(
+                    f"transform(array_sort(collect_list(struct(cid, dt_{m}))),"
+                    f" s -> s.dt_{m})"
+                ).alias(f"tab_{m}")
+                for m in range(_PQ_M)
+            ]
+        )
+    )
+    cand = (
+        qcell.join(index, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(dtab, "query_id")
+    )
+    adist = F.element_at("tab_0", (F.col("code_0") + 1).cast("int"))
+    for m in range(1, _PQ_M):
+        adist = adist + F.element_at(
+            f"tab_{m}", (F.col(f"code_{m}") + 1).cast("int")
+        )
+    ranked = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(adist, 6).alias("adist_r"),
+    )
+    wr = Window.partitionBy("query_id").orderBy("adist_r", "neighbor_id")
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _IVFPQ_TOPK)
+        .select("query_id", "neighbor_id", "adist_r", "rank")
+    )
+
+
 # ------------------------------------------------------------- ann_recall_eval
 
 def _recall_oracle() -> str:

@@ -84,6 +84,8 @@ def _load_all() -> None:
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
     "winnow_dup_spans",
+    "dedup_keep_best",
+    "ivf_pq_search",
     "neardup_index_probe",
     "tokenizer_fertility",
     "score_calibration",
@@ -135,8 +137,6 @@ _WINDOW_PRIORITY = [
     "dedup_minhash",
     "dedup_simhash",
     "events_dedup",
-    "events_gap_fill",
-    "events_sessionize",
 ]
 
 

@@ -189,3 +189,55 @@ def test_winnow_dup_spans_finds_planted_neardups(spark, sf_dir):
     }
     for d in planted:
         assert (d, d + 1_000_000) in got, f"planted pair {d} missing"
+
+
+# ----------------------------------------------------------- dedup_keep_best
+
+
+def test_keep_best_one_keeper_per_cluster(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.dedup import dedup_keep_best
+
+    pdf = dedup_keep_best(spark, sf_dir).toPandas()
+    # full corpus covered exactly once (base + planted dups)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_planted = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        "doc_id % 10 = 0"
+    ).count()
+    assert len(pdf) == n_docs + n_planted
+    # exactly one keeper per cluster
+    per = pdf.groupby("cluster_id")["keep"].sum()
+    assert (per == 1).all()
+    # the planted near-dup carries a 4-word tail, so in every pure
+    # (source, source+tail) cluster the LONGER dup is the keeper
+    by_doc = pdf.set_index("doc_id")
+    pure_pairs = [
+        (d, d + 1_000_000)
+        for d in pdf[pdf.doc_id < 1_000_000].doc_id
+        if d + 1_000_000 in by_doc.index
+        and (pdf.cluster_id == by_doc.loc[d].cluster_id).sum() == 2
+        and by_doc.loc[d + 1_000_000].cluster_id == by_doc.loc[d].cluster_id
+    ]
+    assert pure_pairs
+    for src, dup in pure_pairs:
+        assert bool(by_doc.loc[dup].keep) and not bool(by_doc.loc[src].keep)
+
+
+# ------------------------------------------------------------- ivf_pq_search
+
+
+def test_ivf_pq_search_shape_and_ranking(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _IVFPQ_QHI,
+        _IVFPQ_QLO,
+        _IVFPQ_TOPK,
+        ivf_pq_search,
+    )
+
+    pdf = ivf_pq_search(spark, sf_dir).toPandas()
+    queries = set(pdf["query_id"])
+    assert queries == set(range(_IVFPQ_QLO, _IVFPQ_QHI + 1))
+    for q, g in pdf.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, _IVFPQ_TOPK + 1))
+        assert g["adist_r"].is_monotonic_increasing
+        assert q not in set(g["neighbor_id"]), "query returned itself"
