@@ -849,3 +849,114 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(array_max({lens}) as bigint)").alias("max_scene_len"),
         F.expr(f"cast(array_min({lens}) as bigint)").alias("min_scene_len"),
     )
+
+
+# ------------------------------------------------------------ mm_phash_dedup
+
+def phash64(img: dict) -> int:
+    """64-bit difference hash (dHash) of a decoded image: downsample to
+    a 9×8 grayscale grid with the deterministic nearest-neighbor
+    resampler, then emit one bit per horizontal neighbor pair
+    (left < right). Integer luma (299/587/114 // 1000) — every step is
+    integer arithmetic over ``decode_png``'s deterministic pixels, so
+    the hash is bit-stable across machines. Returned as SIGNED int64
+    (wrapped) so it stores in a Spark ``long`` column.
+
+    dHash survives uniform rescaling (the 9×8 grid samples the same
+    relative positions) and small recompressions — the standard cheap
+    perceptual bucketing for image dedup; exact-match grouping on it is
+    the image-side analogue of ``dedup_exact``'s md5 grouping."""
+    ch = img["channels"]
+    g = nn_resize(img["pixels"], img["width"], img["height"], ch, 9, 8)
+    bits = 0
+    for row in range(8):
+        base = row * 9 * ch
+        prev = None
+        for col in range(9):
+            p = base + col * ch
+            if ch >= 3:
+                luma = (
+                    g[p] * 299 + g[p + 1] * 587 + g[p + 2] * 114
+                ) // 1000
+            else:
+                luma = g[p]
+            if prev is not None:
+                bits = (bits << 1) | (1 if prev < luma else 0)
+            prev = luma
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash_features(media: DataFrame) -> DataFrame:
+    """(doc_id, phash) over (doc_id, payload binary): real images (PNG
+    stdlib, then gated PIL) hash via :func:`phash64`; payloads no
+    decoder claims fall back to the first 7 payload bytes big-endian —
+    deterministic, positive, and exactly SQL-checkable, the same
+    stub-path contract as every mm_* oracle. Map-only Arrow pass; the
+    binary column never shuffles."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for idx in pdf.index:
+                payload = bytes(pdf.at[idx, "payload"])
+                img = decode_image(payload)
+                if img is not None and img["pixels"] is not None:
+                    out.append(phash64(img))
+                else:
+                    out.append(int.from_bytes(payload[:7], "big"))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": pd.Series(out, index=pdf.index, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(_batches, "doc_id long, phash long")
+
+
+_PHASH_ORACLE = """
+WITH m AS (
+  SELECT doc_id, md5(text) AS hx FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS hx
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM m GROUP BY CAST('0x' || substr(hx, 1, 14) AS BIGINT)
+"""
+
+
+@register("mm_phash_dedup", oracle=_PHASH_ORACLE)
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup — the image-side ``dedup_exact``:
+    group media by dHash, keep the lowest doc_id per group. The
+    registered query runs the stub branch over synthesized payloads
+    (every 10th doc's payload re-issued under a new id, so every group
+    either is a singleton or has its planted copy); genuine PNG bytes
+    — including a 2× rescaled copy hashing IDENTICALLY — are exercised
+    distributed in tests/test_multimodal_real.py.
+
+    Scale shape: hashing is map-only Arrow (bytes never shuffle); the
+    exchange carries (8-byte phash, doc_id) pairs only, exactly like
+    text dedup_exact's md5 grouping. A Hamming-tolerant variant would
+    band the 64 bits like dedup_minhash's LSH bands — same exchange
+    shape."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    dups = (
+        t.documents.filter(F.col("doc_id") % 10 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.unhex(F.md5("text")).alias("payload"),
+        )
+    )
+    return (
+        phash_features(base.unionAll(dups))
+        .groupBy("phash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("keep_id", "n_copies")
+    )

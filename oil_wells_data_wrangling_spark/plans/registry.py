@@ -84,6 +84,7 @@ def _load_all() -> None:
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
     "winnow_dup_spans",
+    "mm_phash_dedup",
     "dedup_keep_best",
     "ivf_pq_search",
     "neardup_index_probe",
@@ -136,7 +137,6 @@ _WINDOW_PRIORITY = [
     "dedup_exact",
     "dedup_minhash",
     "dedup_simhash",
-    "events_dedup",
 ]
 
 

@@ -665,3 +665,44 @@ def test_resize_features_jpeg_pixels_via_gated_pil_distributed(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-3000:]
     assert "PIL_DISTRIBUTED_OK" in out.stdout
+
+
+def test_phash_identical_across_uniform_rescale_distributed(spark):
+    """dHash must be INVARIANT under integer upscaling (the 9×8 sample
+    grid lands on the same relative pixels) and must separate genuinely
+    different images; payloads no decoder claims take the stub path.
+    Run distributed through the real mapInPandas chain."""
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        nn_resize,
+        phash64,
+        phash_features,
+    )
+
+    w, h = 18, 16
+    px = _gradient(w, h)
+    base = encode_png(w, h, px)
+    up = encode_png(
+        w * 2, h * 2, nn_resize(px, w, h, 3, w * 2, h * 2)
+    )
+    # a genuinely different image: gradient with axes transposed
+    other_px = bytes(
+        px[((x * h // w) * w + (y * w // h)) * 3 + c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    other = encode_png(w, h, other_px)
+    stub = b"\x07\x01" * 8  # not a PNG: stub path
+    media = spark.createDataFrame(
+        [(1, bytearray(base)), (2, bytearray(up)),
+         (3, bytearray(other)), (4, bytearray(stub))],
+        "doc_id long, payload binary",
+    ).repartition(2)
+    got = {r.doc_id: r.phash for r in phash_features(media).collect()}
+    assert got[1] == got[2], "uniform 2x rescale changed the dHash"
+    assert got[1] != got[3], "transposed image collided"
+    assert got[4] == int.from_bytes(stub[:7], "big")
+    # and the local hash agrees with the distributed one
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        decode_png,
+    )
+
+    assert got[1] == phash64(decode_png(base))
