@@ -63,7 +63,9 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-8 window, per the r7 verdict's top item: (1) the 4 late-r7
+# Round-8 window, per the r7 verdict's top item (extended in-round as
+# new operators landed — each new registration enters at the head the
+# SAME round, per the standing judge bar): (1) the 4 late-r7
 # TPC-H-shape operators that have NEVER had a driver row lead
 # (supplier_part_scope, large_volume_customers,
 # waiting_supplier_report, min_cost_supplier); (2) the 23 operators
@@ -125,10 +127,10 @@ _WINDOW_PRIORITY = [
     "decontaminate",
     "hll_persist_incremental",
     "minhash_jaccard_est",
+    "minhash_band_sensitivity",
     # -- oldest remaining driver rows (round 5), alphabetical
     "ann_lsh",
     "ann_pipeline",
-    "ann_topk",
     "anomaly_mad",
     "asof_join",
     "cdc_apply",
