@@ -100,3 +100,112 @@ def html_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = t.supplier.select("s_suppkey", html.alias("html"))
     return parse_well_pages(pages)
+
+
+# --------------------------------------------------------------- html_to_text
+
+# The WET-extraction stage every web corpus runs before any text
+# operator (the reference's scraper reads structured cells out of known
+# markup — web_scraping.py:80-128; a TRAINING pipeline instead needs
+# whole-page text): drop <script>/<style> blocks wholesale, strip the
+# remaining tags, collapse whitespace, and keep the link inventory as
+# scalars. Spark's Java regex and DuckDB's RE2 agree on every pattern
+# used here ((?s) dotall, non-greedy .*?, [^>]+ classes), which is what
+# makes the oracle exact — the same property html_table relies on.
+
+_H2T_PAGE_SPARK = (
+    "concat('<html><head><title>Doc ', cast(doc_id as string), '</title>',"
+    " '<script type=\"text/javascript\">var id = ', cast(doc_id as string),"
+    " ';</script><style>p { margin: 0 }</style></head>',"
+    " '<body><h1>Doc ', cast(doc_id as string), '</h1>',"
+    " '<div class=\"nav\">Home | About | <a href=\"/home\">x</a></div>',"
+    " '<p>', text, '</p>',"
+    " '<a href=\"https://example.com/d/', cast(doc_id as string), '\">next</a>',"
+    " case when doc_id % 3 = 0 then concat('<a href=\"https://example.com/d/',"
+    " cast(doc_id + 1 as string), '\">more</a>') else '' end,"
+    " '<footer>(c) corpus</footer></body></html>')"
+)
+
+_H2T_PAGE_DUCK = """
+    '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'
+    || '<script type="text/javascript">var id = ' || CAST(doc_id AS VARCHAR)
+    || ';</script><style>p { margin: 0 }</style></head>'
+    || '<body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>'
+    || '<div class="nav">Home | About | <a href="/home">x</a></div>'
+    || '<p>' || text || '</p>'
+    || '<a href="https://example.com/d/' || CAST(doc_id AS VARCHAR) || '">next</a>'
+    || CASE WHEN doc_id % 3 = 0 THEN '<a href="https://example.com/d/'
+         || CAST(doc_id + 1 AS VARCHAR) || '">more</a>' ELSE '' END
+    || '<footer>(c) corpus</footer></body></html>'
+"""
+
+_H2T_ORACLE = rf"""
+WITH pages AS (
+  SELECT doc_id, {_H2T_PAGE_DUCK} AS html FROM documents
+),
+stripped AS (
+  SELECT doc_id, html,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      '<[^>]+>', ' ', 'g'),
+      '\s+', ' ', 'g')) AS clean
+  FROM pages
+)
+SELECT doc_id,
+       regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+       CAST(len(regexp_extract_all(html, 'href="[^"]*"')) AS BIGINT) AS n_links,
+       CAST(length(clean) AS BIGINT) AS n_chars,
+       md5(clean) AS clean_fp
+FROM stripped
+"""
+
+
+@register("html_to_text", oracle=_H2T_ORACLE)
+def html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction over a synthesized page per document
+    (title + script + style + nav + body + per-page links — every
+    boilerplate class a crawler sees): script/style blocks drop
+    WHOLESALE (their content must never leak into training text),
+    remaining tags strip to spaces, whitespace collapses, and the link
+    inventory survives as a count. Output carries scalars and the
+    md5 of the clean text, not the page.
+
+    Downstream chain: this feeds `boilerplate_lines` (template-line
+    removal), `lang_id`/`quality_score` (filtering), then the dedup
+    family — the standard web-corpus front door.
+
+    Scale shape: pure in-scan regex (whole-stage codegen, no UDF, no
+    Python); the only exchange is whatever the consumer adds. Pages
+    stay in the scan — the output is 5 scalars/doc."""
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(
+        "doc_id", F.expr(_H2T_PAGE_SPARK).alias("html")
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "
+                    ),
+                    r"(?s)<style[^>]*>.*?</style>",
+                    " ",
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    stripped = pages.select("doc_id", "html", clean.alias("clean"))
+    return stripped.select(
+        "doc_id",
+        F.regexp_extract("html", r"<title>([^<]*)</title>", 1).alias("title"),
+        F.expr("regexp_count(html, 'href=\"[^\"]*\"')")
+        .cast("bigint")
+        .alias("n_links"),
+        F.length("clean").cast("bigint").alias("n_chars"),
+        F.md5("clean").alias("clean_fp"),
+    )

@@ -86,6 +86,7 @@ def _load_all() -> None:
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
     "winnow_dup_spans",
+    "html_to_text",
     "mm_phash_dedup",
     "dedup_keep_best",
     "ivf_pq_search",
@@ -138,7 +139,6 @@ _WINDOW_PRIORITY = [
     "dedup_clusters",
     "dedup_exact",
     "dedup_minhash",
-    "dedup_simhash",
 ]
 
 

@@ -241,3 +241,63 @@ def test_ivf_pq_search_shape_and_ranking(spark, sf_dir):
         assert list(g["rank"]) == list(range(1, _IVFPQ_TOPK + 1))
         assert g["adist_r"].is_monotonic_increasing
         assert q not in set(g["neighbor_id"]), "query returned itself"
+
+
+# ------------------------------------------------------------- html_to_text
+
+
+def test_html_to_text_drops_code_keeps_text(spark, sf_dir):
+    """Script/style content must NEVER leak into extracted text; the
+    document's own words must survive; the link inventory must count
+    the synthesized links exactly (3 when doc_id % 3 == 0 — nav + next
+    + more — else 2)."""
+    from oil_wells_data_wrangling_spark.operators.webtable import (
+        html_to_text,
+    )
+
+    out = {r.doc_id: r for r in html_to_text(spark, sf_dir).collect()}
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert set(out) == set(docs)
+    import re
+
+    for doc_id, r in out.items():
+        assert r.title == f"Doc {doc_id}"
+        assert r.n_links == (3 if doc_id % 3 == 0 else 2)
+        # clean length >= normalized text length (body text survives)
+        norm = re.sub(r"\s+", " ", docs[doc_id]).strip()
+        assert r.n_chars >= len(norm)
+        # no script/style residue is possible in ANY doc: the md5'd
+        # clean of a doc whose id appears nowhere in its text can't
+        # contain 'var id =' — spot-check via a reconstruction
+    sample = sorted(out)[:3]
+    from pyspark.sql import functions as F
+
+    recon = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id").isin([int(s) for s in sample]))
+        .select(
+            "doc_id",
+            F.concat(
+                F.lit("Doc "), F.col("doc_id").cast("string"),
+                F.lit(" Doc "), F.col("doc_id").cast("string"),
+                F.lit(" Home | About | x "),
+                F.regexp_replace(F.trim("text"), r"\s+", " "),
+                F.lit(" next "),
+                F.when(F.col("doc_id") % 3 == 0, F.lit("more "))
+                .otherwise(F.lit("")),
+                F.lit("(c) corpus"),
+            ).alias("expect"),
+        )
+        .collect()
+    )
+    import hashlib
+
+    for r in recon:
+        assert out[r.doc_id].clean_fp == hashlib.md5(
+            r.expect.encode()
+        ).hexdigest(), f"clean text drifted for doc {r.doc_id}"
