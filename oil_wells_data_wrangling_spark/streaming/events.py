@@ -37,6 +37,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
+    IntegerType,
     LongType,
     StringType,
     StructField,
@@ -831,3 +832,106 @@ def stream_scd2_attribution(
         _require_rocksdb(events)
         return stream_scd2_attribution_tws(events)
     return stream_scd2_attribution_legacy(events)
+
+
+# ------------------------------------------------------ windowed top-k (TWS)
+
+class _TopKTWS:
+    """Per-window top-k with FINAL emission — the transformWithState
+    answer to complete-mode re-ranking: state is the (event_type →
+    count) MAP for each open window (cardinality = event types, not
+    events), an event-time timer registered at the window's close +
+    the watermark allowance fires exactly once, emits the ranked
+    top-k rows for that window, and clears the map. Downstream sinks
+    receive each window's result ONCE, final — no retraction handling,
+    no unbounded complete-mode state."""
+
+    def __init__(self, fire_after_close_ms: int = 2 * 3600 * 1000) -> None:
+        self._fire_after_close_ms = fire_after_close_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._counts = handle.getMapState(
+            "counts", "event_type string", "n bigint"
+        )
+        self._timer = handle.getValueState("timer", "t bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for et, n in pdf["event_type"].value_counts().items():
+                cur = (
+                    self._counts.getValue((et,))[0]
+                    if self._counts.containsKey((et,))
+                    else 0
+                )
+                self._counts.updateValue((et,), (cur + int(n),))
+        if not self._timer.exists():
+            # window close (start + 1h) + the configured allowance, epoch ms
+            (window_start,) = key
+            close_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            fire_ms = close_ms + 3600 * 1000 + self._fire_after_close_ms
+            self._handle.registerTimer(fire_ms)
+            self._timer.update((fire_ms,))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (window_start,) = key
+        pairs = sorted(
+            ((k[0], self._counts.getValue(k)[0]) for k in self._counts.keys()),
+            key=lambda p: (-p[1], p[0]),
+        )[:_STREAM_TOPK_K]
+        self._counts.clear()
+        self._timer.clear()
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "window_start": [window_start] * len(pairs),
+                    "rank": list(range(1, len(pairs) + 1)),
+                    "event_type": [p[0] for p in pairs],
+                    "n_events": [p[1] for p in pairs],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+_STREAM_TOPK_K = 3  # matches operators/eventops.py::_TOPK_K
+
+_TOPK_OUT_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("rank", IntegerType()),
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def stream_topk_tws(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    fire_after_close_ms: int = 2 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming per-hour top-k event types with FINAL once-per-window
+    emission via transformWithStateInPandas (RocksDB provider
+    required): ``stream_events_window_counts`` + ``rank_topk`` re-rank
+    every emission in complete mode; this twin instead holds one
+    (type → count) map per OPEN window and lets the window's timer
+    publish the sealed ranking exactly once. State is bounded by
+    (open windows × event types); events stream through without
+    accumulating."""
+    _require_rocksdb(events)
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .groupBy("window_start")
+    )
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=_TopKTWS(fire_after_close_ms),
+        outputStructType=_TOPK_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

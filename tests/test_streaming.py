@@ -657,3 +657,75 @@ def test_stream_sessionize_tws_out_of_order_extends_not_shrinks(
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
     _assert_out_of_order_sessions(got)
+
+
+def test_stream_topk_tws_final_emission_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithState windowed top-k: MAP state per open window, one
+    event-time timer per window, FINAL once-per-window emission. Two
+    time-ordered micro-batches + a 1s allowance mean every batch-0
+    window whose close+1min precedes the batch-1 watermark must fire —
+    and a fired window's rows must EXACTLY equal the batch operator's
+    rows for that window (the window was complete when sealed)."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.operators.eventops import events_topk
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        load_tables,
+        normalize_event_ts,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import stream_topk_tws
+
+    e = load_tables(spark, sf_dir).events.withColumn("ts_us", F.unix_micros("ts"))
+    mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+    src = tmp_path / "src"
+    e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part0")
+    )
+    e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_available_now(
+            stream_topk_tws(
+                stream, watermark="1 second", fire_after_close_ms=60_000
+            ),
+            "topk_tws",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    emitted = got.collect()
+    assert emitted, "no window fired its timer"
+    batch = {
+        (r.window_start, r.rank): (r.event_type, r.n_events)
+        for r in events_topk(spark, sf_dir).collect()
+    }
+    for r in emitted:
+        assert batch[(r.window_start, r.rank)] == (r.event_type, r.n_events), (
+            f"sealed window {r.window_start} diverged from batch at rank {r.rank}"
+        )
+    # every fired window carries exactly the batch row count for that
+    # window (its full top-k; fewer only when the hour has fewer types)
+    import collections
+
+    per_win = collections.Counter(r.window_start for r in emitted)
+    batch_per_win = collections.Counter(w for (w, _rk) in batch)
+    for w, n in per_win.items():
+        assert n == batch_per_win[w], (w, n, batch_per_win[w])
