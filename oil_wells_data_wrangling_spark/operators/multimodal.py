@@ -960,3 +960,105 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("keep_id", "n_copies")
     )
+
+
+# ---------------------------------------------------------- mm_phash_neardup
+
+# Hamming-banded phash near-dup: split the (stub-path) 56-bit hash
+# into 4 bands of 14 bits; two hashes within Hamming distance 3 are
+# GUARANTEED to agree on some band (pigeonhole), distances 4-6 are
+# caught when no band straddles — the LSH-band recall contract, on
+# bits instead of minhashes. Band collisions propose pairs; the exact
+# popcount-of-xor filter keeps those within the threshold.
+_PH_BANDS = 4
+_PH_BAND_BITS = 14
+_PH_HAMMING_MAX = 6
+
+
+_PHASH_ND_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS ph
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id,
+         CAST('0x' || substr(md5(text), 1, 14) AS BIGINT) AS ph
+  FROM documents WHERE doc_id % 10 = 0
+),
+bands AS (
+  SELECT doc_id, ph, r.range AS band_id,
+         (ph >> (r.range * {_PH_BAND_BITS})) & {(1 << _PH_BAND_BITS) - 1} AS bb
+  FROM m, range(0, {_PH_BANDS}) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.ph AS pa, b.ph AS pb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bb = b.bb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(pa, pb)) <= {_PH_HAMMING_MAX}
+"""
+
+
+@register("mm_phash_neardup", oracle=_PHASH_ND_ORACLE)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate images by banded perceptual hash — the Hamming
+    half of the image dedup story (``mm_phash_dedup`` is exact-match):
+    band collisions propose candidate pairs, an exact popcount-of-xor
+    filter keeps pairs within Hamming distance 6. Distance ≤ 3 is
+    recall-GUARANTEED by pigeonhole over the 4 bands; the registered
+    stub-path demo plants distance-0 copies and lets random band
+    collisions exercise the filter's reject side, while genuinely
+    perturbed PNGs (a few pixels brightened → small true distance) are
+    driven through the real decoder in tests/test_multimodal_real.py.
+
+    Scale shape: identical to dedup_minhash's — hashing is map-only
+    Arrow, the exchange carries (band bits, doc_id, 8-byte hash)
+    scalars, candidate pairs are band-collision-bounded, and the
+    Hamming filter runs on the pair row with two bigint intrinsics
+    (xor + bit_count), no re-decode, no bytes."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
+    dups = t.documents.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.unhex(F.md5("text")).alias("payload"),
+    )
+    ph = phash_features(base.unionAll(dups))
+    bands = (
+        ph.select(
+            "doc_id",
+            F.col("phash").alias("ph"),
+            F.explode(
+                F.array(*[F.lit(b) for b in range(_PH_BANDS)])
+            ).alias("band_id"),
+        )
+        .withColumn(
+            "bb",
+            F.expr(
+                f"(ph >> (band_id * {_PH_BAND_BITS}))"
+                f" & {(1 << _PH_BAND_BITS) - 1}"
+            ),
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.ph").alias("pa"),
+            F.col("b.ph").alias("pb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(pa ^ pb) as bigint)").alias("hamming"),
+    ).filter(F.col("hamming") <= _PH_HAMMING_MAX)

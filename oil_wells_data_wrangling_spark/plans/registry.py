@@ -88,6 +88,7 @@ _WINDOW_PRIORITY = [
     "winnow_dup_spans",
     "html_to_text",
     "mm_phash_dedup",
+    "mm_phash_neardup",
     "dedup_keep_best",
     "ivf_pq_search",
     "neardup_index_probe",
@@ -137,7 +138,6 @@ _WINDOW_PRIORITY = [
     "cdc_apply",
     "chunk_dedup",
     "dedup_clusters",
-    "dedup_exact",
     "dedup_minhash",
 ]
 

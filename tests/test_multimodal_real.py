@@ -706,3 +706,36 @@ def test_phash_identical_across_uniform_rescale_distributed(spark):
     )
 
     assert got[1] == phash64(decode_png(base))
+
+
+def test_phash_neardup_catches_perturbed_png():
+    """A lightly perturbed image (a few pixels brightened) must land
+    within a small Hamming distance of its source — the property the
+    banded near-dup join exists to catch — while a structurally
+    different image must sit far away."""
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        decode_png,
+        phash64,
+    )
+
+    w, h = 18, 16
+    px = bytearray(_gradient(w, h))
+    base = phash64(decode_png(encode_png(w, h, bytes(px))))
+    # brighten one 2x2 patch by a small delta
+    for y in (5, 6):
+        for x in (7, 8):
+            for c in range(3):
+                i = (y * w + x) * 3 + c
+                px[i] = min(255, px[i] + 24)
+    pert = phash64(decode_png(encode_png(w, h, bytes(px))))
+    other_px = bytes(
+        px[((x * h // w) * w + (y * w // h)) * 3 + c]
+        for y in range(h) for x in range(w) for c in range(3)
+    )
+    other = phash64(decode_png(encode_png(w, h, other_px)))
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(base, pert) <= 6, f"perturbation moved hash {ham(base, pert)} bits"
+    assert ham(base, other) > 6
