@@ -1597,3 +1597,107 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fertility_ppm"),
     )
+
+
+# --------------------------------------------------------------- robots_filter
+
+# Crawl-politeness frontier filtering: before a crawler fetches, every
+# URL checks its host's robots rules. Rules here are the simple-prefix
+# subset of robots.txt (Disallow: /path — no wildcards, no Allow
+# longest-match override; the reference's scraper enforces politeness
+# by rate, web_scraping.py:139-286 — a 100 TB crawl must ALSO enforce
+# it by rule). The rule table is synthesized per host: every host
+# disallows /private/, even-numbered hosts also disallow /tmp/.
+
+_ROBOTS_ORACLE = """
+WITH frontier AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS host,
+         CASE CAST(doc_id % 4 AS INTEGER)
+           WHEN 0 THEN '/page' || CAST(doc_id AS VARCHAR)
+           WHEN 1 THEN '/private/' || CAST(doc_id AS VARCHAR)
+           WHEN 2 THEN '/tmp/' || CAST(doc_id AS VARCHAR)
+           ELSE '/assets/img' || CAST(doc_id AS VARCHAR)
+         END AS path
+  FROM documents
+),
+rules AS (
+  SELECT 'site' || CAST(h.range AS VARCHAR) || '.example.com' AS host,
+         unnest(CASE WHEN h.range % 2 = 0
+                THEN ['/private/', '/tmp/']
+                ELSE ['/private/'] END) AS dis
+  FROM range(0, 20) h
+),
+flagged AS (
+  SELECT f.doc_id, f.host,
+         COALESCE(MAX(CASE WHEN f.path LIKE r.dis || '%'
+                           THEN 1 ELSE 0 END), 0) AS blocked
+  FROM frontier f LEFT JOIN rules r ON f.host = r.host
+  GROUP BY f.doc_id, f.host
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(SUM(blocked) AS BIGINT) AS n_blocked,
+       CAST(COUNT(*) - SUM(blocked) AS BIGINT) AS n_allowed
+FROM flagged GROUP BY host
+"""
+
+
+@register("robots_filter", oracle=_ROBOTS_ORACLE)
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frontier filtering against per-host robots rules — the
+    rule-compliance half of crawl politeness (sources/fetch.py is the
+    rate half): each URL's path is prefix-matched against its host's
+    broadcast Disallow list; the rollup reports per host how much of
+    the frontier survives.
+
+    Scale shape: the rule table is host-cardinality (KBs for millions
+    of hosts) and BROADCASTS; the frontier joins it map-side — no
+    frontier shuffle until the per-host rollup of 3 int64s. Per-URL
+    decisions are two string intrinsics (startswith over ≤2 prefixes).
+    A real deployment swaps the synthesized rules for parsed
+    robots.txt fetches with the same (host, prefix) schema."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    frontier = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("site"), (k % 20).cast("string"), F.lit(".example.com")
+        ).alias("host"),
+        F.when(k % 4 == 0, F.concat(F.lit("/page"), k.cast("string")))
+        .when(k % 4 == 1, F.concat(F.lit("/private/"), k.cast("string")))
+        .when(k % 4 == 2, F.concat(F.lit("/tmp/"), k.cast("string")))
+        .otherwise(F.concat(F.lit("/assets/img"), k.cast("string")))
+        .alias("path"),
+    )
+    rules = F.broadcast(
+        spark.range(0, 20)
+        .select(
+            F.concat(
+                F.lit("site"), F.col("id").cast("string"), F.lit(".example.com")
+            ).alias("host"),
+            F.explode(
+                F.when(
+                    F.col("id") % 2 == 0,
+                    F.array(F.lit("/private/"), F.lit("/tmp/")),
+                ).otherwise(F.array(F.lit("/private/")))
+            ).alias("dis"),
+        )
+    )
+    flagged = (
+        frontier.join(rules, "host", "left")
+        .groupBy("doc_id", "host")
+        .agg(
+            F.max(
+                F.when(
+                    F.expr("startswith(path, dis)"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("blocked")
+        )
+        .select("doc_id", "host", F.coalesce("blocked", F.lit(0)).alias("blocked"))
+    )
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.sum("blocked").cast("bigint").alias("n_blocked"),
+        (F.count(F.lit(1)) - F.sum("blocked")).cast("bigint").alias("n_allowed"),
+    )

@@ -87,6 +87,7 @@ _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
     "winnow_dup_spans",
     "html_to_text",
+    "robots_filter",
     "mm_phash_dedup",
     "mm_phash_neardup",
     "dedup_keep_best",
@@ -136,7 +137,6 @@ _WINDOW_PRIORITY = [
     "anomaly_mad",
     "asof_join",
     "cdc_apply",
-    "chunk_dedup",
     "dedup_clusters",
     "dedup_minhash",
 ]

@@ -301,3 +301,31 @@ def test_html_to_text_drops_code_keeps_text(spark, sf_dir):
         assert out[r.doc_id].clean_fp == hashlib.md5(
             r.expect.encode()
         ).hexdigest(), f"clean text drifted for doc {r.doc_id}"
+
+
+# ------------------------------------------------------------- robots_filter
+
+
+def test_robots_filter_rules_semantics(spark, sf_dir):
+    """Odd hosts must block only /private/ paths; even hosts must also
+    block /tmp/; nothing else is ever blocked, and the frontier is
+    conserved per host."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        robots_filter,
+    )
+
+    rows = {r.host: r for r in robots_filter(spark, sf_dir).collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_urls for r in rows.values()) == n_docs
+    for host, r in rows.items():
+        h = int(host.removeprefix("site").split(".")[0])
+        assert r.n_blocked + r.n_allowed == r.n_urls
+        # docs on host h: doc_id ≡ h (mod 20); path class = doc_id % 4.
+        # h odd -> only doc_id%4==1 blocked; h even -> %4 in {1,2}.
+        expect_classes = {1, 2} if h % 2 == 0 else {1}
+        expected = sum(
+            1
+            for d in range(h, n_docs, 20)
+            if d % 4 in expect_classes
+        )
+        assert r.n_blocked == expected, (host, r.n_blocked, expected)
