@@ -1437,3 +1437,139 @@ def neardup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------- persisted winnow index
+
+def winnow_index_build(docs: DataFrame, index_dir: str) -> None:
+    """Persist the corpus' winnowed fingerprints as the span-level
+    dedup index — the ``neardup_index_build`` pattern for
+    ``winnow_dup_spans``: (doc_id, int64 fp) pairs in parquet,
+    partitionable by fp range at 100 TB."""
+    winnow_fingerprints(docs).write.parquet(index_dir)
+
+
+def winnow_index_append(new_docs: DataFrame, index_dir: str) -> None:
+    """Append a screened batch's fingerprints so later batches screen
+    against it too — parquet append, no rewrite of existing files."""
+    winnow_fingerprints(new_docs).write.mode("append").parquet(index_dir)
+
+
+def winnow_index_candidates(
+    spark: SparkSession, new_docs: DataFrame, index_dir: str
+) -> DataFrame:
+    """Screen a new batch against the persisted span index: fingerprint
+    ONLY the batch, join the index on fp, and report per new doc how
+    many indexed docs share >= ``_W_MIN_SHARED`` fingerprints (the
+    winnow_dup_spans pair threshold). History is never re-read as
+    text; the join exchanges (doc_id, int64) pairs. Production runs
+    the ``_W_DF_CAP`` boilerplate cap as an index-maintenance job
+    (drop over-frequent fps from the stored index); the demo index is
+    small enough to skip it, which only ADDS candidates."""
+    probe = winnow_fingerprints(new_docs)
+    index = spark.read.parquet(index_dir).select(
+        F.col("doc_id").alias("idx_id"), "fp"
+    )
+    shared = (
+        probe.join(index, "fp")
+        .groupBy("doc_id", "idx_id")
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+        .filter(F.col("n_fp") >= _W_MIN_SHARED)
+    )
+    hits = shared.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    return (
+        new_docs.filter(F.size(F.split("text", " ")) >= _WK + _WW - 1)
+        .select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias(
+                "n_candidates"
+            ),
+            (F.coalesce("n_candidates", F.lit(0)) > 0).alias("matched"),
+        )
+    )
+
+
+def winnow_fp_ctes(source: str, prefix: str) -> str:
+    """DuckDB CTE chain computing winnowed fingerprints over ``source``
+    (a CTE/table exposing doc_id, text). Appends CTEs {p}tw/{p}kg/
+    {p}fp — reference ``{p}fp(doc_id, fp)`` afterwards."""
+    p = prefix
+    return f"""
+{p}tw AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> {_H32_DUCK.format(s='x')}) AS hw
+  FROM {source}
+  WHERE len(string_split(text, ' ')) >= {_WK + _WW - 1}
+),
+{p}kg AS (
+  SELECT doc_id, list_transform(
+    generate_series(1, len(hw) - {_WK - 1}),
+    i -> {_winnow_poly_duck()}
+  ) AS hk
+  FROM {p}tw
+),
+{p}fp AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+    generate_series(1, len(hk) - {_WW - 1}),
+    j -> list_min(list_slice(hk, j, j + {_WW - 1}))
+  )) AS fp
+  FROM {p}kg
+)"""
+
+
+_WINNOW_IDX_ORACLE = f"""
+WITH probe_src AS (
+  SELECT doc_id + 1000000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+{winnow_fp_ctes('documents', 'i_')[1:]},
+{winnow_fp_ctes('probe_src', 'p_')[1:]},
+shared AS (
+  SELECT p.doc_id, i.doc_id AS idx_id, COUNT(*) AS n_fp
+  FROM p_fp p JOIN i_fp i ON p.fp = i.fp
+  GROUP BY p.doc_id, i.doc_id
+  HAVING COUNT(*) >= {_W_MIN_SHARED}
+),
+ov AS (
+  SELECT doc_id, COUNT(*) AS n_candidates FROM shared GROUP BY doc_id
+)
+SELECT s.doc_id,
+       CAST(COALESCE(ov.n_candidates, 0) AS BIGINT) AS n_candidates,
+       COALESCE(ov.n_candidates, 0) > 0 AS matched
+FROM (SELECT doc_id FROM probe_src
+      WHERE len(string_split(text, ' ')) >= {_WK + _WW - 1}) s
+LEFT JOIN ov ON s.doc_id = ov.doc_id
+"""
+
+
+@register("winnow_index_probe", oracle=_WINNOW_IDX_ORACLE)
+def winnow_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SPAN-level screening against a persisted winnow
+    index — ``neardup_index_probe``'s exact pattern applied to
+    ``winnow_dup_spans``' fingerprints: the corpus' fingerprints live
+    in parquet; each ingest batch is fingerprinted alone and joined
+    against them, so cost tracks the batch. The probe batch re-issues
+    every 10th doc with a tail, so each probe shares its source's full
+    span — every sufficiently-long probe MUST match (the winnowing
+    guarantee, not LSH luck).
+
+    Demo-harness caveat (mirrors ``neardup_index_probe``): index_dir
+    is a driver-local tempdir built eagerly at plan construction;
+    deployments call winnow_index_build/append/candidates with a
+    shared URI."""
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    index_dir = tempfile.mkdtemp(prefix="winnow_idx_") + "/fp"
+    winnow_index_build(docs, index_dir)
+    probe = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    return winnow_index_candidates(spark, probe, index_dir)

@@ -88,6 +88,7 @@ _WINDOW_PRIORITY = [
     "winnow_dup_spans",
     "html_to_text",
     "robots_filter",
+    "winnow_index_probe",
     "mm_phash_dedup",
     "mm_phash_neardup",
     "dedup_keep_best",
@@ -136,7 +137,6 @@ _WINDOW_PRIORITY = [
     "ann_pipeline",
     "anomaly_mad",
     "asof_join",
-    "cdc_apply",
     "dedup_clusters",
     "dedup_minhash",
 ]

@@ -329,3 +329,46 @@ def test_robots_filter_rules_semantics(spark, sf_dir):
             if d % 4 in expect_classes
         )
         assert r.n_blocked == expected, (host, r.n_blocked, expected)
+
+
+# ----------------------------------------------------------- winnow index
+
+
+def test_winnow_index_round_trip_and_append(spark, sf_dir, tmp_path):
+    """Span-index ingest loop through an EXPLICIT path: an exact copy
+    of an indexed doc shares its whole span (guaranteed match); a
+    novel long doc must not match; after APPENDING the novel doc, a
+    later copy of it must match."""
+    from oil_wells_data_wrangling_spark.operators.dedup import (
+        winnow_index_append,
+        winnow_index_build,
+        winnow_index_candidates,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    index_dir = str(tmp_path / "winnow_idx")
+    winnow_index_build(docs, index_dir)
+
+    copies = (
+        docs.filter(F.size(F.split("text", " ")) >= 20)
+        .limit(5)
+        .select((F.col("doc_id") + 5_000_000).alias("doc_id"), "text")
+    )
+    fresh = spark.createDataFrame(
+        [(9_000_001, "totally novel zebra quark flux vortex " * 4)],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.matched
+        for r in winnow_index_candidates(
+            spark, copies.unionAll(fresh), index_dir
+        ).collect()
+    }
+    assert all(got[d] for d in got if d < 9_000_000), got
+    assert got[9_000_001] is False
+
+    winnow_index_append(fresh, index_dir)
+    later = fresh.select((F.col("doc_id") + 1).alias("doc_id"), "text")
+    again = winnow_index_candidates(spark, later, index_dir).first()
+    assert again.matched and again.n_candidates >= 1
