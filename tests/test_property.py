@@ -354,3 +354,77 @@ def test_hll_state_round_trip_through_explicit_path(spark_prop, tmp_path):
     assert row["n_days_fresh"] > 0
     exact = events.select(F.count_distinct("user_id")).first()[0]
     assert abs(row["n_est"] - exact) / exact <= 0.05
+
+
+# ---------------------------------------------------- winnowing guarantee
+
+@st.composite
+def shared_span_case(draw):
+    """Two docs from DISJOINT alphabets except a shared >=8-word run."""
+    n_shared = draw(st.integers(8, 14))
+    shared = [f"s{i}" for i in range(n_shared)]
+    pre_a = [f"a{i}" for i in range(draw(st.integers(0, 10)))]
+    post_a = [f"A{i}" for i in range(draw(st.integers(0, 10)))]
+    pre_b = [f"b{i}" for i in range(draw(st.integers(0, 10)))]
+    post_b = [f"B{i}" for i in range(draw(st.integers(0, 10)))]
+    return (
+        " ".join(pre_a + shared + post_a),
+        " ".join(pre_b + shared + post_b),
+    )
+
+
+@settings(max_examples=10, deadline=None)
+@given(case=shared_span_case())
+def test_winnow_guarantee_property(spark_prop, case):
+    """ANY two docs sharing a contiguous run of >= w + k - 1 = 8 words
+    share at least one winnowed fingerprint — the Schleimer et al.
+    guarantee, exercised through the actual Spark expression chain."""
+    from oil_wells_data_wrangling_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    doc_a, doc_b = case
+    docs = spark_prop.createDataFrame(
+        [(1, doc_a), (2, doc_b)], "doc_id long, text string"
+    )
+    fp = winnow_fingerprints(docs).toPandas()
+    sets = {d: set(g["fp"]) for d, g in fp.groupby("doc_id")}
+    assert sets.get(1) and sets.get(2) and (sets[1] & sets[2]), case
+
+
+# ------------------------------------------------- dHash rescale invariance
+
+@st.composite
+def image_case(draw):
+    w = draw(st.integers(9, 24))
+    h = draw(st.integers(8, 20))
+    f = draw(st.integers(2, 4))
+    px = bytes(
+        draw(st.integers(0, 255)) for _ in range(w * h * 3)
+    )
+    return w, h, f, px
+
+
+@settings(max_examples=25, deadline=None)
+@given(case=image_case())
+def test_phash_invariant_under_any_integer_upscale(case):
+    """floor(floor(x·fW/9)/f) = floor(x·W/9): nearest-neighbor
+    upscaling by ANY integer factor lands the 9×8 sample grid on the
+    same source pixels, so the dHash is bit-identical — the exact
+    property that makes phash grouping a rescale-robust dedup key."""
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        nn_resize,
+        phash64,
+    )
+
+    w, h, f, px = case
+    base = {"width": w, "height": h, "channels": 3, "pixels": px}
+    up = {
+        "width": w * f,
+        "height": h * f,
+        "channels": 3,
+        "pixels": nn_resize(px, w, h, 3, w * f, h * f),
+    }
+    pb, pu = phash64(base), phash64(up)
+    assert pb == pu
+    assert -(1 << 63) <= pb < (1 << 63)
