@@ -1573,3 +1573,177 @@ def winnow_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
     )
     return winnow_index_candidates(spark, probe, index_dir)
+
+
+# ------------------------------------------------------------ dedup_pipeline
+
+def _dedup_pipeline_oracle() -> str:
+    return f"""
+WITH RECURSIVE docs3 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 4 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+  FROM documents WHERE doc_id % 10 = 0
+),
+surv AS (
+  SELECT MIN(doc_id) AS doc_id, MIN(text) AS text
+  FROM docs3 GROUP BY md5(text)
+),
+{minhash_pairs_ctes('surv')[1:]},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM mh_pairs
+  UNION
+  SELECT doc_b AS a, doc_a AS b FROM mh_pairs
+),
+reach(node, r) AS (
+  SELECT DISTINCT a, a FROM edges
+  UNION
+  SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+),
+labels AS (
+  SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node
+),
+lab AS (
+  SELECT s.doc_id, COALESCE(l.cluster_id, s.doc_id) AS cluster_id,
+         len(string_split(s.text, ' ')) AS n_words, s.text
+  FROM surv s LEFT JOIN labels l ON s.doc_id = l.doc_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY cluster_id ORDER BY n_words DESC, doc_id
+  ) AS pick FROM lab
+),
+kept AS (SELECT doc_id, text FROM ranked WHERE pick = 1),
+{winnow_fp_ctes('kept', 'w_')[1:]},
+keepfp AS (
+  SELECT fp FROM w_fp GROUP BY fp HAVING COUNT(*) <= {_W_DF_CAP}
+),
+wf AS (SELECT f.doc_id, f.fp FROM w_fp f JOIN keepfp k ON f.fp = k.fp),
+span_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM wf a JOIN wf b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id HAVING COUNT(*) >= {_W_MIN_SHARED}
+)
+SELECT
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs3) AS n_in,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM docs3)
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM surv) AS n_exact_dropped,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)
+    - (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_near_dropped,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM kept) AS n_kept,
+  (SELECT CAST(COUNT(*) AS BIGINT) FROM span_pairs) AS n_span_pairs
+"""
+
+
+@register("dedup_pipeline", oracle=_dedup_pipeline_oracle())
+def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE dedup stack as one auditable run — what a corpus
+    release actually executes, in order, each stage feeding the next's
+    SURVIVORS (never re-scanning dropped docs):
+
+    1. exact (``dedup_exact``): md5-group, keep lowest id;
+    2. near-dup (``dedup_minhash`` → ``dedup_clusters`` →
+       ``dedup_keep_best``): MinHash pairs over exact survivors, CC
+       clusters, longest-doc keeper per cluster;
+    3. span audit (``winnow_dup_spans``): winnowed-fingerprint pairs
+       among the KEPT docs — the residual cross-doc duplication the
+       whole-doc stages cannot remove, reported for loss-masking.
+
+    One audit row: (n_in, n_exact_dropped, n_near_dropped, n_kept,
+    n_span_pairs). The corpus plants all three layers (exact copies
+    every 4, tailed near-dups every 10), so every stage's count is
+    exercised and the DuckDB oracle replays the full stack exactly.
+
+    Scale shape: inherits each stage's — hash-only exchanges, banded
+    candidates, O(log) CC rounds, df-capped span join; the final row
+    assembles via one-row-aggregate cross joins (broadcast scalars)."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    docs3 = base.unionAll(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionAll(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
+        )
+    )
+    surv = (
+        docs3.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
+        .select("doc_id", "text")
+        .cache()
+    )
+    pairs = minhash_pairs(surv)
+    labels, _ = connected_components(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    )
+    lab = (
+        surv.select(
+            "doc_id",
+            "text",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+        )
+        .join(
+            labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cl")
+            ),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            "text",
+            "n_words",
+            F.coalesce("cl", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id")
+    )
+    kept = (
+        lab.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select("doc_id", "text")
+        .cache()
+    )
+    fp = winnow_fingerprints(kept)
+    keepfp = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _W_DF_CAP)
+        .select("fp")
+    )
+    wf = fp.join(keepfp, "fp")
+    span_pairs = (
+        wf.alias("a")
+        .join(wf.alias("b"), "fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id"), F.col("b.doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_fp"))
+        .filter(F.col("n_fp") >= _W_MIN_SHARED)
+    )
+    r_in = docs3.agg(F.count(F.lit(1)).cast("bigint").alias("n_in"))
+    r_surv = surv.agg(F.count(F.lit(1)).cast("bigint").alias("n_surv"))
+    r_kept = kept.agg(F.count(F.lit(1)).cast("bigint").alias("n_kept"))
+    r_span = span_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_span_pairs")
+    )
+    return (
+        r_in.crossJoin(r_surv)
+        .crossJoin(r_kept)
+        .crossJoin(r_span)
+        .select(
+            "n_in",
+            (F.col("n_in") - F.col("n_surv")).alias("n_exact_dropped"),
+            (F.col("n_surv") - F.col("n_kept")).alias("n_near_dropped"),
+            "n_kept",
+            "n_span_pairs",
+        )
+    )

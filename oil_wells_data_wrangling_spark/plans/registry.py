@@ -89,6 +89,7 @@ _WINDOW_PRIORITY = [
     "html_to_text",
     "robots_filter",
     "winnow_index_probe",
+    "dedup_pipeline",
     "mm_phash_dedup",
     "mm_phash_neardup",
     "dedup_keep_best",
@@ -136,7 +137,6 @@ _WINDOW_PRIORITY = [
     "ann_lsh",
     "ann_pipeline",
     "anomaly_mad",
-    "asof_join",
     "dedup_clusters",
     "dedup_minhash",
 ]

@@ -372,3 +372,28 @@ def test_winnow_index_round_trip_and_append(spark, sf_dir, tmp_path):
     later = fresh.select((F.col("doc_id") + 1).alias("doc_id"), "text")
     again = winnow_index_candidates(spark, later, index_dir).first()
     assert again.matched and again.n_candidates >= 1
+
+
+# ------------------------------------------------------------ dedup_pipeline
+
+
+def test_dedup_pipeline_stage_accounting(spark, sf_dir):
+    """The audit row must reconcile: planted exact copies (every 4th
+    doc, grouped away entirely) and planted near-dups (every 10th,
+    dropped by keep-best unless degenerate) book against the right
+    stages, and kept + drops = input."""
+    from oil_wells_data_wrangling_spark.operators.dedup import dedup_pipeline
+
+    r = dedup_pipeline(spark, sf_dir).first()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_exact_planted = sum(1 for d in range(0, n_docs, 4))
+    assert r.n_in == n_docs + n_exact_planted + sum(
+        1 for d in range(0, n_docs, 10)
+    )
+    assert r.n_exact_dropped == n_exact_planted
+    # >= : the word-soup corpus contains NATURAL near-dup clusters on
+    # top of the planted ones (winnow_dup_spans surfaces the same),
+    # and keep-best drops one per cluster member beyond the keeper
+    assert r.n_near_dropped > 0
+    assert r.n_kept == r.n_in - r.n_exact_dropped - r.n_near_dropped
+    assert r.n_span_pairs >= 0
