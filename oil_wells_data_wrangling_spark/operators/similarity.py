@@ -732,8 +732,13 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+    # qcell is 32 queries × nprobe = 128 rows by construction — hint
+    # it so the cell join broadcasts even without AQE runtime sizing
+    # (otherwise a static planner sort-merge-joins the corpus-sized
+    # index against 128 rows).
     cand = (
-        qcell.join(index, "cell")
+        F.broadcast(qcell)
+        .join(index, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(dtab, "query_id")
     )

@@ -1670,31 +1670,33 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("/assets/img"), k.cast("string")))
         .alias("path"),
     )
+    # one prefix ARRAY per host (not one row per rule): the per-URL
+    # decision becomes a map-side exists() over ≤2 prefixes, so the
+    # frontier is NEVER shuffled at URL granularity — the only
+    # exchange is the host rollup, which map-side combines to
+    # |hosts| rows per task. (A per-rule row join would force a
+    # frontier-sized (doc, host) re-aggregation first — measured as
+    # an extra full exchange in the plan audit.)
     rules = F.broadcast(
-        spark.range(0, 20)
-        .select(
+        spark.range(0, 20).select(
             F.concat(
                 F.lit("site"), F.col("id").cast("string"), F.lit(".example.com")
             ).alias("host"),
-            F.explode(
-                F.when(
-                    F.col("id") % 2 == 0,
-                    F.array(F.lit("/private/"), F.lit("/tmp/")),
-                ).otherwise(F.array(F.lit("/private/")))
-            ).alias("dis"),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.array(F.lit("/private/"), F.lit("/tmp/")),
+            )
+            .otherwise(F.array(F.lit("/private/")))
+            .alias("dis"),
         )
     )
-    flagged = (
-        frontier.join(rules, "host", "left")
-        .groupBy("doc_id", "host")
-        .agg(
-            F.max(
-                F.when(
-                    F.expr("startswith(path, dis)"), F.lit(1)
-                ).otherwise(F.lit(0))
-            ).alias("blocked")
+    flagged = frontier.join(rules, "host", "left").select(
+        "host",
+        F.coalesce(
+            F.expr("exists(dis, p -> startswith(path, p))"), F.lit(False)
         )
-        .select("doc_id", "host", F.coalesce("blocked", F.lit(0)).alias("blocked"))
+        .cast("int")
+        .alias("blocked"),
     )
     return flagged.groupBy("host").agg(
         F.count(F.lit(1)).alias("n_urls"),

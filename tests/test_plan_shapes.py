@@ -233,3 +233,24 @@ def test_tpch_fact_scans_broadcast_prune_before_shuffle(spark, sf_dir):
         assert max(bhj_above) > max(ex_above), (
             f"{name}: lineitem shuffles before the dim broadcast prunes it"
         )
+
+
+def test_robots_filter_frontier_never_shuffles_at_url_grain(spark, sf_dir):
+    """robots_filter's docstring claims the frontier is flagged
+    map-side with only the host rollup exchanging: the plan must hold
+    one broadcast join (the rules), no sort-merge join, and at most
+    the rollup's partial+final exchange pair."""
+    plan = _plan(spark, sf_dir, "robots_filter")
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_ivf_pq_search_joins_all_broadcast(spark, sf_dir):
+    """ivf_pq_search's candidate join sides (128-row qcell, 32-row
+    distance table) are fixed-size by construction — every join must
+    broadcast; a sort-merge join would mean the corpus-sized index is
+    being co-shuffled against a constant."""
+    plan = _plan(spark, sf_dir, "ivf_pq_search")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
