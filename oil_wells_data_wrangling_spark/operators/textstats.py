@@ -1703,3 +1703,106 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("blocked").cast("bigint").alias("n_blocked"),
         (F.count(F.lit(1)) - F.sum("blocked")).cast("bigint").alias("n_allowed"),
     )
+
+
+# ---------------------------------------------------------------- gopher_rules
+
+_GOPHER_ORACLE = """
+WITH w AS (
+  SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents
+),
+s AS (
+  SELECT doc_id, source,
+         len(ws) AS n_words,
+         len(list_distinct(ws)) AS n_distinct,
+         list_sum(list_transform(ws, x -> len(x))) AS sum_len,
+         len(list_filter(ws, x -> x IN ('a', 'the'))) AS n_stop
+  FROM w
+),
+f AS (
+  SELECT source,
+         CASE WHEN n_words < 20 OR n_words > 80 THEN 1 ELSE 0 END AS f_wc,
+         CASE WHEN 4 * n_words > sum_len OR sum_len > 5 * n_words
+              THEN 1 ELSE 0 END AS f_mwl,
+         CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS f_stop,
+         CASE WHEN 5 * n_distinct < 2 * n_words THEN 1 ELSE 0 END AS f_rep
+  FROM s
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(f_wc) AS BIGINT) AS fail_word_count,
+       CAST(SUM(f_mwl) AS BIGINT) AS fail_mean_word_len,
+       CAST(SUM(f_stop) AS BIGINT) AS fail_stopword,
+       CAST(SUM(f_rep) AS BIGINT) AS fail_repetition,
+       CAST(SUM(CASE WHEN f_wc + f_mwl + f_stop + f_rep = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+FROM f GROUP BY source
+"""
+
+
+@register("gopher_rules", oracle=_GOPHER_ORACLE)
+def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style multi-rule quality audit (Rae et al. 2021 §A1.1
+    adapted to the synthetic corpus): word-count bounds, mean-word-
+    length band, minimum stop-word evidence, and a distinct-token
+    repetition floor — reported as per-rule failure counts plus the
+    all-rules keep count, rolled up per source so a threshold change
+    shows WHICH rule bites WHERE before anything is dropped.
+
+    Reference parity: the reference keeps only `validate_report`-style
+    row screening (pdf_extraction.py's field sanity checks); this is
+    the corpus-level generalization a pretraining pipeline runs.
+
+    Every threshold is cross-multiplied integer arithmetic (no FP
+    division anywhere), so the keep decision is bit-identical across
+    engines and replay-stable. Scale shape: all four rules evaluate
+    inside the single documents scan (split/size/aggregate
+    intrinsics, no UDF, no explode — the token array never leaves the
+    row); the only exchange is the bounded per-source rollup, which
+    map-side combines to |sources| rows per task. At 100 TB the scan
+    dominates and nothing else grows."""
+    t = load_tables(spark, sf_dir)
+    ws = F.split("text", " ")
+    doc = t.documents.select(
+        "source",
+        F.size(ws).alias("n_words"),
+        F.size(F.array_distinct(ws)).alias("n_distinct"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), x -> length(x)),"
+            " 0L, (acc, v) -> acc + v)"
+        ).alias("sum_len"),
+        F.size(F.filter(ws, lambda x: x.isin("a", "the"))).alias("n_stop"),
+    )
+    f_wc = F.when(
+        (F.col("n_words") < 20) | (F.col("n_words") > 80), 1
+    ).otherwise(0)
+    f_mwl = F.when(
+        (4 * F.col("n_words") > F.col("sum_len"))
+        | (F.col("sum_len") > 5 * F.col("n_words")),
+        1,
+    ).otherwise(0)
+    f_stop = F.when(F.col("n_stop") < 2, 1).otherwise(0)
+    f_rep = F.when(5 * F.col("n_distinct") < 2 * F.col("n_words"), 1).otherwise(0)
+    flags = doc.select(
+        "source",
+        f_wc.alias("f_wc"),
+        f_mwl.alias("f_mwl"),
+        f_stop.alias("f_stop"),
+        f_rep.alias("f_rep"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("f_wc").cast("bigint").alias("fail_word_count"),
+        F.sum("f_mwl").cast("bigint").alias("fail_mean_word_len"),
+        F.sum("f_stop").cast("bigint").alias("fail_stopword"),
+        F.sum("f_rep").cast("bigint").alias("fail_repetition"),
+        F.sum(
+            F.when(
+                F.col("f_wc") + F.col("f_mwl") + F.col("f_stop") + F.col("f_rep")
+                == 0,
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )

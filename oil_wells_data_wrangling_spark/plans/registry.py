@@ -85,6 +85,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "gopher_rules",
     "winnow_dup_spans",
     "html_to_text",
     "robots_filter",
@@ -138,7 +139,6 @@ _WINDOW_PRIORITY = [
     "ann_pipeline",
     "anomaly_mad",
     "dedup_clusters",
-    "dedup_minhash",
 ]
 
 

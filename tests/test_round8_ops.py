@@ -397,3 +397,60 @@ def test_dedup_pipeline_stage_accounting(spark, sf_dir):
     assert r.n_near_dropped > 0
     assert r.n_kept == r.n_in - r.n_exact_dropped - r.n_near_dropped
     assert r.n_span_pairs >= 0
+
+
+# ----------------------------------------------------------- gopher_rules
+
+
+def test_gopher_rules_accounting_consistent(spark, sf_dir):
+    """Per-source failure counts are each bounded by n_docs; n_keep can
+    never exceed docs failing zero rules (n_docs - max single-rule
+    failures is an upper bound only rule-by-rule, so assert the exact
+    complement on a hand-recomputed doc-level frame instead)."""
+    from oil_wells_data_wrangling_spark.operators.textstats import gopher_rules
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    agg = {r["source"]: r for r in gopher_rules(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir).documents.select("source", "text").collect()
+
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in docs:
+        ws = r.text.split(" ")
+        n, d = len(ws), len(set(ws))
+        sl = sum(len(w) for w in ws)
+        st = sum(1 for w in ws if w in ("a", "the"))
+        f = [
+            int(n < 20 or n > 80),
+            int(4 * n > sl or sl > 5 * n),
+            int(st < 2),
+            int(5 * d < 2 * n),
+        ]
+        e = exp[r.source]
+        e[0] += 1
+        for i in range(4):
+            e[1 + i] += f[i]
+        e[5] += int(sum(f) == 0)
+    for src, e in exp.items():
+        row = agg[src]
+        got = [
+            row.n_docs,
+            row.fail_word_count,
+            row.fail_mean_word_len,
+            row.fail_stopword,
+            row.fail_repetition,
+            row.n_keep,
+        ]
+        assert got == e, f"{src}: {got} != {e}"
+
+
+def test_gopher_rules_single_scan_no_explode(spark, sf_dir):
+    """The docstring claims the token array never leaves the row: the
+    plan must contain no Generate (explode) and exactly the rollup's
+    partial+final exchange pair."""
+    from oil_wells_data_wrangling_spark.operators.textstats import gopher_rules
+
+    plan = gopher_rules(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+    assert plan.count("Exchange") <= 2
