@@ -1756,22 +1756,27 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every threshold is cross-multiplied integer arithmetic (no FP
     division anywhere), so the keep decision is bit-identical across
     engines and replay-stable. Scale shape: all four rules evaluate
-    inside the single documents scan (split/size/aggregate
-    intrinsics, no UDF, no explode — the token array never leaves the
-    row); the only exchange is the bounded per-source rollup, which
-    map-side combines to |sources| rows per task. At 100 TB the scan
-    dominates and nothing else grows."""
+    inside the single documents scan with NO interpreted higher-order
+    function (the scan-dominant hot spot measured on other text ops):
+    sum-of-word-lengths folds to ``length(text) - (n_words - 1)``
+    (splitting on a single space makes word count = space count + 1
+    for every input, including empty and consecutive-space texts),
+    and the stop-word count is a pair of codegen'd ``array_remove``
+    size deltas — no lambda, no explode, the token array never leaves
+    the row. The only exchange is the bounded per-source rollup,
+    which map-side combines to |sources| rows per task. At 100 TB
+    the scan dominates and nothing else grows."""
     t = load_tables(spark, sf_dir)
     ws = F.split("text", " ")
     doc = t.documents.select(
         "source",
         F.size(ws).alias("n_words"),
         F.size(F.array_distinct(ws)).alias("n_distinct"),
-        F.expr(
-            "aggregate(transform(split(text, ' '), x -> length(x)),"
-            " 0L, (acc, v) -> acc + v)"
-        ).alias("sum_len"),
-        F.size(F.filter(ws, lambda x: x.isin("a", "the"))).alias("n_stop"),
+        (F.length("text").cast("long") - F.size(ws) + 1).alias("sum_len"),
+        (
+            F.size(ws)
+            - F.size(F.array_remove(F.array_remove(ws, "a"), "the"))
+        ).alias("n_stop"),
     )
     f_wc = F.when(
         (F.col("n_words") < 20) | (F.col("n_words") > 80), 1
