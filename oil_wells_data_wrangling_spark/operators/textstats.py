@@ -1811,3 +1811,179 @@ def gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_keep"),
     )
+
+
+# ------------------------------------------------------------------- c4_rules
+
+_C4_LINE = 10  # words per pseudo-line (same convention as boilerplate_lines)
+
+_C4_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum ' || text
+              WHEN doc_id % 11 = 0 THEN '{{ ' || text
+              ELSE text END AS text
+  FROM documents
+),
+w AS (
+  SELECT doc_id, source, text, string_split(text, ' ') AS words FROM d
+),
+l AS (
+  SELECT doc_id, source,
+         array_to_string(
+           words[i*{_C4_LINE}+1 : i*{_C4_LINE}+{_C4_LINE}], ' ')
+         || CASE WHEN (doc_id + i) % 3 <> 2 THEN '.' ELSE '' END AS line
+  FROM w, UNNEST(range(0, (len(words)+{_C4_LINE}-1)//{_C4_LINE})) AS t(i)
+),
+per_line AS (
+  SELECT doc_id, source,
+         CASE WHEN ends_with(line, '.')
+                   AND len(string_split(line, ' ')) >= 3
+              THEN 1 ELSE 0 END AS kept
+  FROM l
+),
+per_doc AS (
+  SELECT p.doc_id, p.source,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(p.kept) AS BIGINT) AS kept_lines,
+         CASE WHEN contains(min(d.text), 'lorem ipsum') THEN 1 ELSE 0
+           END AS f_lorem,
+         CASE WHEN contains(min(d.text), '{{') THEN 1 ELSE 0 END AS f_brace
+  FROM per_line p JOIN d ON d.doc_id = p.doc_id
+  GROUP BY p.doc_id, p.source
+),
+flags AS (
+  SELECT source, n_lines, kept_lines, f_lorem, f_brace,
+         CASE WHEN kept_lines < 3 THEN 1 ELSE 0 END AS f_short
+  FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+       CAST(SUM(kept_lines) AS BIGINT) AS n_lines_kept,
+       CAST(SUM(f_lorem) AS BIGINT) AS drop_lorem,
+       CAST(SUM(f_brace) AS BIGINT) AS drop_brace,
+       CAST(SUM(f_short) AS BIGINT) AS drop_short,
+       CAST(SUM(CASE WHEN f_lorem + f_brace + f_short = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_keep
+FROM flags GROUP BY source
+"""
+
+
+@register("c4_rules", oracle=_C4_ORACLE)
+def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style LINE-level cleaning audit (Raffel et al. 2020 §2.2) —
+    the complement of ``gopher_rules``' doc-level heuristics: a line
+    survives only if it ends in terminal punctuation AND carries at
+    least 3 words; a document survives only if at least 3 of its lines
+    do and it contains neither the 'lorem ipsum' placeholder nor a
+    curly brace (the code-page tell). Reported per source as line- and
+    doc-level keep counts plus one column per drop reason, so a corpus
+    owner sees WHICH rule removes HOW MUCH from WHERE before deleting
+    anything.
+
+    The synthetic corpus' word-soup has no newlines or punctuation, so
+    (exactly as boilerplate_lines and pii_redact do) deterministic
+    injection plants every effect being measured: pseudo-lines are
+    fixed {_C4_LINE}-word chunks, two of every three lines gain a
+    trailing period, every 7th document is prefixed with 'lorem
+    ipsum', every 11th (that isn't a 7th) with '{{'; short-line
+    variation comes free from each document's natural tail chunk. The
+    oracle mirrors the injection; the PREDICATES (ends_with, per-line
+    word count, substring containment) run on real strings, not on
+    the injection arithmetic.
+
+    Reference parity: the reference's only text screening is row-wise
+    field validation (pdf_to_db.py:259-299); this is the corpus-level
+    page/line cleaning a pretraining pipeline runs first.
+
+    Scale shape: doc-level flags are two codegen'd ``contains`` in the
+    scan; the explode is a narrow generate whose per-line predicate is
+    codegen string intrinsics (``endswith`` + split-size — no lambda,
+    no interpreted HOF); partial aggregation collapses each task's
+    lines to one (doc, 2×int64) row BEFORE the doc-keyed exchange, and
+    the final source rollup map-side combines to |sources| rows per
+    task. Line text never crosses an exchange. At 100 TB both
+    exchanges carry scalars only and the scan dominates."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    text2 = (
+        F.when(k % 7 == 0, F.concat(F.lit("lorem ipsum "), F.col("text")))
+        .when(k % 11 == 0, F.concat(F.lit("{ "), F.col("text")))
+        .otherwise(F.col("text"))
+    )
+    base = t.documents.select("doc_id", "source", text2.alias("text"))
+    line = F.concat(
+        F.expr(
+            f"array_join(slice(words, pos*{_C4_LINE}+1, {_C4_LINE}), ' ')"
+        ),
+        F.when((k + F.col("pos")) % 3 != 2, F.lit(".")).otherwise(F.lit("")),
+    )
+    lines = (
+        base.select(
+            "doc_id",
+            "source",
+            F.contains("text", F.lit("lorem ipsum")).cast("int").alias("f_lorem"),
+            F.contains("text", F.lit("{")).cast("int").alias("f_brace"),
+            F.split("text", " ").alias("words"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "f_lorem",
+            "f_brace",
+            "words",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.expr(f"(size(words) + {_C4_LINE - 1}) div {_C4_LINE} - 1"),
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "f_lorem",
+            "f_brace",
+            line.alias("line"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "f_lorem",
+            "f_brace",
+            (
+                F.col("line").endswith(".")
+                & (F.size(F.split("line", " ")) >= 3)
+            )
+            .cast("int")
+            .alias("kept"),
+        )
+    )
+    per_doc = lines.groupBy("doc_id", "source", "f_lorem", "f_brace").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum("kept").cast("bigint").alias("kept_lines"),
+    )
+    flags = per_doc.select(
+        "source",
+        "n_lines",
+        "kept_lines",
+        "f_lorem",
+        "f_brace",
+        F.when(F.col("kept_lines") < 3, 1).otherwise(0).alias("f_short"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_lines").cast("bigint").alias("n_lines"),
+        F.sum("kept_lines").cast("bigint").alias("n_lines_kept"),
+        F.sum("f_lorem").cast("bigint").alias("drop_lorem"),
+        F.sum("f_brace").cast("bigint").alias("drop_brace"),
+        F.sum("f_short").cast("bigint").alias("drop_short"),
+        F.sum(
+            F.when(
+                F.col("f_lorem") + F.col("f_brace") + F.col("f_short") == 0, 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_keep"),
+    )

@@ -85,6 +85,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "c4_rules",
     "gopher_rules",
     "winnow_dup_spans",
     "html_to_text",

@@ -454,3 +454,90 @@ def test_gopher_rules_single_scan_no_explode(spark, sf_dir):
     plan = gopher_rules(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "Generate" not in plan
     assert plan.count("Exchange") <= 2
+
+
+# --------------------------------------------------------------- c4_rules
+
+
+def test_c4_rules_accounting_matches_python_recompute(spark, sf_dir):
+    """Re-derive every per-source column from a doc-level Python
+    recompute of the injected corpus — pins the line chunking, the
+    terminal-punct injection phase, both doc-level substring flags,
+    and the keep complement."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _C4_LINE,
+        c4_rules,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    agg = {r["source"]: r for r in c4_rules(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "source", "text"
+    ).collect()
+
+    import collections
+
+    exp = collections.defaultdict(lambda: [0] * 7)
+    for r in docs:
+        if r.doc_id % 7 == 0:
+            text = "lorem ipsum " + r.text
+        elif r.doc_id % 11 == 0:
+            text = "{ " + r.text
+        else:
+            text = r.text
+        ws = text.split(" ")
+        n_lines = (len(ws) + _C4_LINE - 1) // _C4_LINE
+        kept = 0
+        for pos in range(n_lines):
+            line = " ".join(ws[pos * _C4_LINE : (pos + 1) * _C4_LINE])
+            if (r.doc_id + pos) % 3 != 2:
+                line += "."
+            if line.endswith(".") and len(line.split(" ")) >= 3:
+                kept += 1
+        f_lorem = int("lorem ipsum" in text)
+        f_brace = int("{" in text)
+        f_short = int(kept < 3)
+        e = exp[r.source]
+        e[0] += 1
+        e[1] += n_lines
+        e[2] += kept
+        e[3] += f_lorem
+        e[4] += f_brace
+        e[5] += f_short
+        e[6] += int(f_lorem + f_brace + f_short == 0)
+    for src, e in exp.items():
+        row = agg[src]
+        got = [
+            row.n_docs,
+            row.n_lines,
+            row.n_lines_kept,
+            row.drop_lorem,
+            row.drop_brace,
+            row.drop_short,
+            row.n_keep,
+        ]
+        assert got == e, f"{src}: {got} != {e}"
+
+
+def test_c4_rules_scalar_exchanges_no_hof(spark, sf_dir):
+    """The docstring's scale claims: line text never crosses an
+    exchange (both exchange rows are id/flag/count scalars — no string
+    wider than `source`), the per-line predicate is codegen (no
+    interpreted higher-order function in the plan), and there are
+    exactly the doc-agg + source-rollup exchange pairs."""
+    from oil_wells_data_wrangling_spark.operators.textstats import c4_rules
+
+    qe = c4_rules(spark, sf_dir)._jdf.queryExecution()
+    plan = qe.executedPlan().toString()
+    # explode of line positions is expected; interpreted HOFs are not
+    assert "LambdaFunction" not in plan
+    assert plan.count("Exchange") <= 4  # partial/final x (doc agg, rollup)
+    # no 'line' or 'text'/'words' column survives into any exchange:
+    # every hashpartitioning clause keys on doc_id/source/flags only
+    import re
+
+    for m in re.finditer(r"hashpartitioning\(([^)]*)\)", plan):
+        keys = m.group(1)
+        assert "line" not in keys and "words" not in keys and "text" not in keys, (
+            keys
+        )
