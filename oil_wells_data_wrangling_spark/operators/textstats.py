@@ -11,6 +11,9 @@ reproducible across engines.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -1550,6 +1553,148 @@ GROUP BY lang
 """
 
 
+def tokenizer_fertility_sql_form(docs: DataFrame) -> DataFrame:
+    """SQL-expression form of tokenizer fertility over a (lang, text)
+    frame — the executable SPEC for the Arrow fast twin that
+    :func:`tokenizer_fertility` registers (bit-equality pinned in
+    tests/test_round8_ops.py, including adversarial text shapes).
+    Builds the decorated text2 and counts tokens with the honest
+    per-char ``regexp_count`` — exactly the oracle's arithmetic."""
+    text2 = (
+        F.when(F.col("lang") == "en", F.col("text"))
+        .when(
+            F.col("lang") == "zh", F.expr("replace(text, ' ', '-- ')")
+        )
+        .otherwise(F.expr("replace(text, ' ', '. ')"))
+    )
+    per_doc = docs.select("lang", text2.alias("text")).select(
+        "lang",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
+        .cast("bigint")
+        .alias("bpe_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ws_tokens").cast("bigint").alias("total_words"),
+        F.sum("bpe_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("sum(bpe_tokens) * 1000000 div sum(ws_tokens)")
+        .cast("bigint")
+        .alias("fertility_ppm"),
+    )
+
+
+def tokenizer_fertility_arrow(docs: DataFrame) -> DataFrame:
+    """Arrow fast twin of :func:`tokenizer_fertility_sql_form`,
+    bit-identical by construction (integer arithmetic only):
+
+    - the per-language decoration is never materialized: replacing
+      each ``' '`` with ``'. '`` (or ``'-- '``) inserts characters
+      that (a) keep exactly one space per original space, so
+      ``size(split(text2, ' ')) = n_spaces(text) + 1`` for EVERY
+      language, and (b) tokenize as isolated single-char
+      ``[^a-z0-9 ]`` matches adjacent to a space — they can never
+      merge with or split a neighboring run — so
+      ``bpe_tokens(text2) = bpe_tokens(text) + m·n_spaces`` with
+      m = 0 (en), 1 (default), 2 (zh). The twin counts on the RAW
+      text and adds the closed-form correction;
+    - ``bpe_tokens(text)`` itself is run-counting over the batch's
+      Arrow string buffer IN PLACE: ``pa.array`` hands back the
+      concatenated UTF-8 bytes plus per-doc byte offsets with no
+      Python-level copy, and one vectorized pass counts [a-z]+ run
+      starts, [0-9]+ run starts, and other non-space LEAD bytes —
+      UTF-8 continuation bytes (0x80–0xBF) are masked out, so every
+      multi-byte character counts exactly once, matching Java's
+      per-code-point regex (the adversarial spec test covers
+      2/3/4-byte characters), and doc boundaries force run starts
+      via the offset mask.
+
+    At 100× data the registered operator's cost was the per-char Java
+    regex alternation (BASELINE.md named it the largest honest-linear
+    term at ~11s); this twin replaces it with numpy compare/shift
+    passes at memory bandwidth (an earlier join+UTF-32 draft measured
+    3× slower than this buffer-borrowing form — the copies, not the
+    counting, were the cost). Plan shape is unchanged: map-only
+    scan, one (lang, 3×int64) partial-agg exchange — the Python
+    stage pre-aggregates per batch, so at most |langs| rows per batch
+    cross Arrow back to the JVM."""
+    import numpy as np
+    import pyarrow as pa
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ta = pa.array(pdf["text"], type=pa.large_string())
+            if ta.null_count:
+                ta = ta.fill_null("")
+            offs = np.frombuffer(
+                ta.buffers()[1], dtype=np.int64, count=len(ta) + 1
+            )
+            nbytes = int(offs[-1])
+            data = (
+                np.frombuffer(ta.buffers()[2], dtype=np.uint8, count=nbytes)
+                if nbytes
+                else np.empty(0, np.uint8)
+            )
+            lens = np.diff(offs)
+            is_alpha = (data >= 97) & (data <= 122)
+            is_digit = (data >= 48) & (data <= 57)
+            is_space = data == 32
+            is_cont = (data & 0xC0) == 0x80
+            first = np.zeros(nbytes, dtype=bool)
+            first[offs[:-1][lens > 0]] = True
+            prev_alpha = np.empty_like(is_alpha)
+            prev_digit = np.empty_like(is_digit)
+            if nbytes:
+                prev_alpha[0] = False
+                prev_alpha[1:] = is_alpha[:-1]
+                prev_digit[0] = False
+                prev_digit[1:] = is_digit[:-1]
+            tok = (
+                (is_alpha & (first | ~prev_alpha))
+                | (is_digit & (first | ~prev_digit))
+                | (~(is_alpha | is_digit | is_space) & ~is_cont)
+            ).astype(np.int64)
+            tok_cum = np.zeros(nbytes + 1, np.int64)
+            np.cumsum(tok, out=tok_cum[1:])
+            base_tokens = tok_cum[offs[1:]] - tok_cum[offs[:-1]]
+            sp_cum = np.zeros(nbytes + 1, np.int64)
+            np.cumsum(is_space.astype(np.int64), out=sp_cum[1:])
+            n_spaces = sp_cum[offs[1:]] - sp_cum[offs[:-1]]
+            lang = pdf["lang"].astype(str).to_numpy()
+            m = np.where(lang == "en", 0, np.where(lang == "zh", 2, 1))
+            out = pd.DataFrame(
+                {
+                    "lang": lang,
+                    "ws_tokens": n_spaces + 1,
+                    "bpe_tokens": base_tokens + m * n_spaces,
+                }
+            )
+            yield (
+                out.groupby("lang", sort=False)
+                .agg(
+                    n_docs=("ws_tokens", "size"),
+                    total_words=("ws_tokens", "sum"),
+                    total_tokens=("bpe_tokens", "sum"),
+                )
+                .reset_index()
+            )
+
+    partials = docs.select("lang", "text").mapInPandas(
+        run,
+        "lang string, n_docs long, total_words long, total_tokens long",
+    )
+    return partials.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("total_words").cast("bigint").alias("total_words"),
+        F.sum("total_tokens").cast("bigint").alias("total_tokens"),
+        F.expr("sum(total_tokens) * 1000000 div sum(total_words)")
+        .cast("bigint")
+        .alias("fertility_ppm"),
+    )
+
+
 @register("tokenizer_fertility", oracle=_FERTILITY_ORACLE)
 def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility (tokens emitted per whitespace
@@ -1569,34 +1714,16 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     two for 'zh' — standing in for scripts real BPE vocabularies
     fragment); the oracle mirrors the injection.
 
-    Scale shape: both token counts are JVM-side scan expressions
-    (``regexp_count`` / ``size(split(...))``) — no exploded token rows
-    ever exist; the only exchange carries (lang, 3 int64 partials) with
-    map-side combine, output bounded by |languages|. Integer ppm via
-    bigint floor-div keeps the oracle exact."""
+    Executes the Arrow twin (:func:`tokenizer_fertility_arrow`) —
+    the SQL-expression spec is :func:`tokenizer_fertility_sql_form`,
+    bit-equality pinned in tests. Scale shape: map-only scan with
+    per-batch partial aggregation in the Arrow stage (≤ |langs| rows
+    per batch cross back to the JVM); the only exchange carries
+    (lang, 3 int64 partials) with map-side combine, output bounded by
+    |languages|. Integer ppm via bigint floor-div keeps the oracle
+    exact."""
     t = load_tables(spark, sf_dir)
-    text2 = (
-        F.when(F.col("lang") == "en", F.col("text"))
-        .when(
-            F.col("lang") == "zh", F.expr("replace(text, ' ', '-- ')")
-        )
-        .otherwise(F.expr("replace(text, ' ', '. ')"))
-    )
-    per_doc = t.documents.select("lang", text2.alias("text")).select(
-        "lang",
-        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
-        F.regexp_count("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
-        .cast("bigint")
-        .alias("bpe_tokens"),
-    )
-    return per_doc.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("ws_tokens").cast("bigint").alias("total_words"),
-        F.sum("bpe_tokens").cast("bigint").alias("total_tokens"),
-        F.expr("sum(bpe_tokens) * 1000000 div sum(ws_tokens)")
-        .cast("bigint")
-        .alias("fertility_ppm"),
-    )
+    return tokenizer_fertility_arrow(t.documents)
 
 
 # --------------------------------------------------------------- robots_filter

@@ -541,3 +541,51 @@ def test_c4_rules_scalar_exchanges_no_hof(spark, sf_dir):
         assert "line" not in keys and "words" not in keys and "text" not in keys, (
             keys
         )
+
+
+# ------------------------------------------------- tokenizer_fertility twin
+
+
+def test_tokenizer_fertility_arrow_matches_sql_spec(spark, sf_dir):
+    """The registered Arrow twin must be bit-identical to the
+    SQL-expression spec — on the real corpus AND on adversarial text
+    shapes (empty/whitespace-only/leading/trailing/double spaces,
+    2/3/4-byte UTF-8 characters, digit/alpha runs at batch-scale
+    lengths, dashes that collide with the zh injection)."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        tokenizer_fertility_arrow,
+        tokenizer_fertility_sql_form,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    def canon(df):
+        p = df.toPandas().sort_values("lang").reset_index(drop=True)
+        return p.reindex(sorted(p.columns), axis=1)
+
+    docs = load_tables(spark, sf_dir).documents
+    assert canon(tokenizer_fertility_arrow(docs)).equals(
+        canon(tokenizer_fertility_sql_form(docs))
+    )
+
+    rows = [
+        ("en", ""),
+        ("en", " "),
+        ("en", "   "),
+        ("zh", ""),
+        ("zh", "a  b"),
+        ("fr", "héllo wörld"),
+        ("zh", "abc123!@# end"),
+        ("fr", " leading"),
+        ("en", "trailing "),
+        ("zh", "--already-dashes --"),
+        ("fr", "a.b.c . ."),
+        ("de", "ümlaut ß€𝄞 astral"),
+        ("en", "a" * 5000 + " " + "9" * 5000),
+        ("zh", "mixed0a0b0c space  double"),
+        ("fr", "."),
+        ("en", "{brace}"),
+    ]
+    adv = spark.createDataFrame(rows, "lang string, text string")
+    assert canon(tokenizer_fertility_arrow(adv)).equals(
+        canon(tokenizer_fertility_sql_form(adv))
+    )
