@@ -1,0 +1,124 @@
+"""WARC source: record framing, HTTP envelope split, gzip members,
+per-file parallelism, damage tolerance, downstream composability."""
+
+from __future__ import annotations
+
+import gzip
+
+from oil_wells_data_wrangling_spark.sources.warc import (
+    parse_warc_bytes,
+    read_warc,
+)
+
+
+def _record(
+    warc_type: str,
+    block: bytes,
+    uri: str = "",
+    rid: str = "<urn:uuid:1>",
+    date: str = "2026-08-15T00:00:00Z",
+    ctype: str = "application/http; msgtype=response",
+) -> bytes:
+    hdr = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {rid}\r\n"
+        + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+        + f"WARC-Date: {date}\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(block)}\r\n\r\n"
+    ).encode()
+    return hdr + block + b"\r\n\r\n"
+
+
+def _response_block(body: bytes, status: int = 200, ctype: str = "text/html") -> bytes:
+    return (
+        f"HTTP/1.1 {status} OK\r\n"
+        f"Content-Type: {ctype}\r\n"
+        f"Content-Length: {len(body)}\r\n\r\n"
+    ).encode() + body
+
+
+def _sample_warc(i: int) -> bytes:
+    info = _record("warcinfo", b"software: test\r\n", ctype="application/warc-fields")
+    r1 = _record(
+        "response",
+        _response_block(f"<html><body>hello world {i}</body></html>".encode()),
+        uri=f"http://site{i}.example.com/a",
+        rid=f"<urn:uuid:{i}a>",
+    )
+    r2 = _record(
+        "response",
+        _response_block(b"<html>page two</html>", status=404, ctype="text/html; charset=utf-8"),
+        uri=f"http://site{i}.example.com/b",
+        rid=f"<urn:uuid:{i}b>",
+    )
+    return info + r1 + r2
+
+
+def test_parse_warc_bytes_fields_and_payload():
+    recs = parse_warc_bytes(_sample_warc(0), "f0.warc")
+    assert [r["warc_type"] for r in recs] == ["warcinfo", "response", "response"]
+    r1 = recs[1]
+    assert r1["target_uri"] == "http://site0.example.com/a"
+    assert r1["http_status"] == 200
+    assert r1["content_type"] == "text/html"
+    assert r1["payload"] == b"<html><body>hello world 0</body></html>"
+    assert recs[2]["http_status"] == 404
+    # warcinfo keeps its raw block and no HTTP status
+    assert recs[0]["http_status"] is None
+    assert recs[0]["payload"] == b"software: test\r\n"
+
+
+def test_parse_warc_gzip_multi_member():
+    # CommonCrawl layout: one gzip member per record
+    raw = _sample_warc(1)
+    members = b""
+    pos = 0
+    # compress each record as its own member by re-splitting on WARC/
+    parts = [b"WARC/" + p for p in raw.split(b"WARC/") if p]
+    for p in parts:
+        members += gzip.compress(p)
+    recs = parse_warc_bytes(members, "f1.warc.gz")
+    assert len(recs) == 3
+    assert recs[1]["payload"] == b"<html><body>hello world 1</body></html>"
+
+
+def test_parse_warc_truncated_tail_keeps_prefix():
+    raw = _sample_warc(2)
+    # chop mid-way through the final record's block
+    recs_full = parse_warc_bytes(raw)
+    cut = raw[: len(raw) - 30]
+    recs = parse_warc_bytes(cut)
+    assert len(recs) >= len(recs_full) - 1
+    assert recs[1]["payload"] == b"<html><body>hello world 2</body></html>"
+
+
+def test_read_warc_distributed(spark, tmp_path):
+    d = tmp_path / "crawl"
+    d.mkdir()
+    (d / "seg0.warc").write_bytes(_sample_warc(0))
+    (d / "seg1.warc.gz").write_bytes(gzip.compress(_sample_warc(1)))
+    df = read_warc(spark, str(d))
+    rows = {(r.warc_file, r.record_id): r for r in df.collect()}
+    assert len(rows) == 6
+    r = rows[("seg1.warc.gz", "<urn:uuid:1a>")]
+    assert r.http_status == 200
+    assert bytes(r.payload) == b"<html><body>hello world 1</body></html>"
+    # downstream composability: responses feed the text stack like any table
+    from pyspark.sql import functions as F
+
+    texts = (
+        df.filter(F.col("warc_type") == "response")
+        .select(
+            "target_uri",
+            F.regexp_replace(
+                F.decode("payload", "utf-8"), "<[^>]*>", " "
+            ).alias("text"),
+        )
+        .filter(F.length(F.trim("text")) > 0)
+    )
+    assert texts.count() == 4
+    # no shuffle: the parse is a single map stage over the file scan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
