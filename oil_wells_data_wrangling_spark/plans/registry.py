@@ -139,7 +139,6 @@ _WINDOW_PRIORITY = [
     "ann_lsh",
     "ann_pipeline",
     "anomaly_mad",
-    "dedup_clusters",
 ]
 
 
