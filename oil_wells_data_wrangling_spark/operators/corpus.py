@@ -1022,3 +1022,83 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("wgt")).cast("bigint").alias("dsir_score"),
         )
     )
+
+
+# ---------------------------------------------------------- packing_efficiency
+
+_PACK_EFF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, doc_id // {_PACK_SHARD} AS shard,
+         len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT shard, n_tokens,
+         CAST((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+              // {_BUDGET} AS BIGINT) AS bin_id
+  FROM tok
+),
+bins AS (
+  SELECT shard, bin_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+  FROM packed GROUP BY shard, bin_id
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(COUNT(*) AS BIGINT) AS n_bins,
+       CAST(SUM(bin_tokens) AS BIGINT) AS total_tokens,
+       CAST((SUM(bin_tokens) + {_BUDGET - 1}) // {_BUDGET} AS BIGINT)
+         AS lower_bound_bins,
+       CAST(SUM(CASE WHEN bin_tokens > {_BUDGET} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overflow,
+       CAST(SUM(CASE WHEN bin_tokens < {_BUDGET}
+                     THEN {_BUDGET} - bin_tokens ELSE 0 END)
+            AS BIGINT) AS padding_tokens,
+       CAST(1000000 * SUM(CASE WHEN bin_tokens < {_BUDGET}
+                               THEN {_BUDGET} - bin_tokens ELSE 0 END)
+            // (COUNT(*) * {_BUDGET}) AS BIGINT) AS waste_ppm
+FROM bins GROUP BY shard
+"""
+
+
+@register("packing_efficiency", oracle=_PACK_EFF_ORACLE)
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-waste audit over :func:`pack_sequences`' bins — the
+    number a production corpus build actually watches: per shard, how
+    many {_BUDGET}-token bins the streaming packer opened vs the
+    ``ceil(total/{_BUDGET})`` lower bound any packer must pay, how many
+    bins overflowed (the streaming packer's one-doc overshoot trade),
+    and the padding mass in ppm of opened capacity. A waste_ppm drift
+    upward after a corpus change (longer docs, different shard key) is
+    the signal to re-shard BEFORE burning accelerator hours on pad
+    tokens.
+
+    Composes over the registered packer's own bin output, so the
+    audited numbers are definitionally the shipped packing, not a
+    re-derivation that could drift. Scale shape: inherits
+    pack_sequences' shard-parallel prefix-sum window (no global order,
+    no single-partition exchange); the audit adds one (shard, 5×int64)
+    map-side-combined rollup on the SAME shard key the window already
+    partitioned by, so AQE sees a no-op repartition. Integer ppm by
+    bigint floor-div keeps the oracle exact."""
+    bins = pack_sequences(spark, sf_dir)
+    b = F.col("total_tokens")
+    waste = F.when(b < _BUDGET, _BUDGET - b).otherwise(F.lit(0))
+    return bins.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+        F.sum(b).cast("bigint").alias("total_tokens"),
+        F.expr(f"(sum(total_tokens) + {_BUDGET - 1}) div {_BUDGET}")
+        .cast("bigint")
+        .alias("lower_bound_bins"),
+        F.sum(F.when(b > _BUDGET, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overflow"),
+        F.sum(waste).cast("bigint").alias("padding_tokens"),
+        F.expr(
+            f"1000000 * sum(case when total_tokens < {_BUDGET} "
+            f"then {_BUDGET} - total_tokens else 0 end) "
+            f"div (count(*) * {_BUDGET})"
+        )
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )

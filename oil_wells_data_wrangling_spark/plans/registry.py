@@ -85,6 +85,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "packing_efficiency",
     "c4_rules",
     "gopher_rules",
     "winnow_dup_spans",
@@ -138,7 +139,6 @@ _WINDOW_PRIORITY = [
     # -- oldest remaining driver rows (round 5), alphabetical
     "ann_lsh",
     "ann_pipeline",
-    "anomaly_mad",
 ]
 
 

@@ -589,3 +589,55 @@ def test_tokenizer_fertility_arrow_matches_sql_spec(spark, sf_dir):
     assert canon(tokenizer_fertility_arrow(adv)).equals(
         canon(tokenizer_fertility_sql_form(adv))
     )
+
+
+# -------------------------------------------------------- packing_efficiency
+
+
+def test_packing_efficiency_accounting(spark, sf_dir):
+    """Audit columns re-derive exactly from pack_sequences' own bins,
+    and the invariants hold: n_bins >= lower_bound_bins is NOT
+    guaranteed bin-for-bin by a streaming packer (overflow bins carry
+    >budget tokens), but capacity accounting must balance and ppm must
+    floor-divide."""
+    from oil_wells_data_wrangling_spark.operators.corpus import (
+        _BUDGET,
+        pack_sequences,
+        packing_efficiency,
+    )
+
+    bins = pack_sequences(spark, sf_dir).collect()
+    import collections
+
+    exp = collections.defaultdict(lambda: [0, 0, 0, 0])
+    for r in bins:
+        e = exp[r.shard]
+        e[0] += 1
+        e[1] += r.total_tokens
+        e[2] += int(r.total_tokens > _BUDGET)
+        e[3] += max(0, _BUDGET - r.total_tokens)
+    got = {r.shard: r for r in packing_efficiency(spark, sf_dir).collect()}
+    assert set(got) == set(exp)
+    for shard, e in exp.items():
+        r = got[shard]
+        assert [r.n_bins, r.total_tokens, r.n_overflow, r.padding_tokens] == e
+        assert r.lower_bound_bins == (e[1] + _BUDGET - 1) // _BUDGET
+        assert r.waste_ppm == 1000000 * e[3] // (e[0] * _BUDGET)
+
+
+def test_packing_efficiency_no_extra_exchange(spark, sf_dir):
+    """The audit rollup keys on the shard the packer's window already
+    partitioned by — the whole plan must carry exactly the packer's
+    one exchange and no SinglePartition."""
+    from oil_wells_data_wrangling_spark.operators.corpus import (
+        packing_efficiency,
+    )
+
+    plan = (
+        packing_efficiency(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 1
