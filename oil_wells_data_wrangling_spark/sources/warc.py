@@ -150,3 +150,56 @@ def read_warc(
                 yield pd.DataFrame(rows)
 
     return raw.mapInPandas(_batches, schema=WARC_SCHEMA)
+
+
+def write_wet(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    text_col: str = "text",
+    date: str = "1970-01-01T00:00:00Z",
+) -> DataFrame:
+    """Export extracted text as WET (WARC conversion records) — the
+    format downstream text pipelines consume from CommonCrawl. One
+    ``part-{partition}.warc.wet`` file per input partition, written on
+    the executor that owns the partition (the exact inverse of
+    ``read_warc``'s file-parallel read; no driver collect, no
+    shuffle). Returns the (wet_file, n_records) manifest DataFrame —
+    an action on it performs the write.
+
+    ``date`` is an explicit parameter (stamped uniformly) so exports
+    are deterministic and replay-stable; a production caller passes
+    the crawl timestamp.
+    """
+    import os
+
+    from pyspark import TaskContext
+
+    def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet")
+        n = 0
+        buf: list[bytes] = []
+        for pdf in it:
+            for uri, text in zip(pdf[uri_col], pdf[text_col]):
+                body = ("" if text is None else str(text)).encode("utf-8")
+                hdr = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: conversion\r\n"
+                    f"WARC-Record-ID: <urn:wet:{pid}:{n}>\r\n"
+                    f"WARC-Target-URI: {'' if uri is None else uri}\r\n"
+                    f"WARC-Date: {date}\r\n"
+                    "Content-Type: text/plain\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
+                buf.append(hdr + body + b"\r\n\r\n")
+                n += 1
+        if n:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(b"".join(buf))
+            yield pd.DataFrame({"wet_file": [path], "n_records": [n]})
+
+    return df.select(uri_col, text_col).mapInPandas(
+        _write, schema="wet_file string, n_records long"
+    )

@@ -8,6 +8,7 @@ import gzip
 from oil_wells_data_wrangling_spark.sources.warc import (
     parse_warc_bytes,
     read_warc,
+    write_wet,
 )
 
 
@@ -122,3 +123,37 @@ def test_read_warc_distributed(spark, tmp_path):
     # no shuffle: the parse is a single map stage over the file scan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_write_wet_round_trip(spark, tmp_path):
+    """WET export: one conversion-record file per partition, written
+    executor-side, parseable by our own reader — including bodies that
+    embed CRLF pairs and a 'WARC/' lookalike (length framing, not
+    sentinel scanning, delimits records)."""
+    rows = [
+        ("http://a.example.com/1", "plain text body"),
+        ("http://a.example.com/2", "tricky\r\n\r\nWARC/1.0\r\nbody"),
+        ("http://b.example.com/3", ""),
+        ("http://b.example.com/4", "unicode ümlaut 𝄞"),
+    ]
+    df = spark.createDataFrame(rows, "target_uri string, text string").repartition(2)
+    out = str(tmp_path / "wet")
+    manifest = write_wet(df, out).collect()
+    assert sum(m.n_records for m in manifest) == 4
+    import glob as g
+
+    from oil_wells_data_wrangling_spark.sources.warc import parse_warc_bytes
+
+    recs = []
+    for f in sorted(g.glob(out + "/*.warc.wet")):
+        recs.extend(parse_warc_bytes(open(f, "rb").read(), f))
+    assert len(recs) == 4
+    by_uri = {r["target_uri"]: r for r in recs}
+    assert all(r["warc_type"] == "conversion" for r in recs)
+    assert by_uri["http://a.example.com/2"]["payload"].decode() == (
+        "tricky\r\n\r\nWARC/1.0\r\nbody"
+    )
+    assert by_uri["http://b.example.com/4"]["payload"].decode() == (
+        "unicode ümlaut 𝄞"
+    )
+    assert by_uri["http://b.example.com/3"]["payload"] == b""
