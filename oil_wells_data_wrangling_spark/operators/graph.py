@@ -113,7 +113,10 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a web-corpus pipeline. The per-document outlink is synthesized
     deterministically (doc ``i`` cites the domain of doc ``(31i+7) mod
     N``) standing in for a real href extraction; the production form
-    replaces only the ``edges_raw`` stage with the link parser.
+    replaces only the ``edges_raw`` stage with the link parser —
+    :func:`link_graph_pagerank` below IS that form (real
+    ``regexp_extract_all`` href parsing, no document-to-document
+    join), kept alongside so both edge-stage shapes stay measured.
 
     Scale shape: the ONE corpus-sized pass reduces documents to the
     weighted domain-level edge list ((src, dst, w) — a partial-agg
@@ -297,4 +300,176 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deg",
             F.coalesce("tri_pivot", F.lit(0).cast("bigint")).alias("tri_pivot"),
         )
+    )
+
+
+# -------------------------------------------------------- link_graph_pagerank
+
+_LG_PAGE_SPARK = (
+    "concat('<html><body><div class=\"nav\"><a href=\"/home\">home</a></div>',"
+    " '<a href=\"https://site', cast(doc_id % 20 as string),"
+    " '.example.com/self\">self</a>',"
+    " '<a href=\"https://site', cast((doc_id * 31 + 7) % 20 as string),"
+    " '.example.com/p', cast(doc_id as string), '\">out1</a>',"
+    " case when doc_id % 2 = 0 then concat('<a href=\"https://site',"
+    " cast(doc_id % 4 as string), '.example.com/q\">out2</a>')"
+    " else '' end,"
+    " '<p>', text, '</p></body></html>')"
+)
+
+_LG_PAGE_DUCK = """
+    '<html><body><div class="nav"><a href="/home">home</a></div>'
+    || '<a href="https://site' || CAST(doc_id % 20 AS VARCHAR)
+    || '.example.com/self">self</a>'
+    || '<a href="https://site' || CAST((doc_id * 31 + 7) % 20 AS VARCHAR)
+    || '.example.com/p' || CAST(doc_id AS VARCHAR) || '">out1</a>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<a href="https://site'
+         || CAST(doc_id % 4 AS VARCHAR) || '.example.com/q">out2</a>'
+       ELSE '' END
+    || '<p>' || text || '</p></body></html>'
+"""
+
+_LINK_PR_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
+         {_LG_PAGE_DUCK} AS html
+  FROM documents
+),
+links AS (
+  SELECT src, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
+  FROM pages
+),
+edges AS (
+  SELECT src, regexp_extract(url, '^https://([^/]+)/', 1) AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM links
+  WHERE regexp_extract(url, '^https://([^/]+)/', 1) <> ''
+    AND regexp_extract(url, '^https://([^/]+)/', 1) <> src
+  GROUP BY src, dst
+),
+outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
+),
+nodes AS (
+  SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+    AS node
+  FROM documents
+),
+r0 AS (
+  SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes
+),
+r1 AS (
+  SELECT nodes.node,
+         CAST({_PR_BASE} + COALESCE(SUM(
+           (r0.r * e.w * 85) // (o.out_w * 100)), 0) AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r0 ON r0.node = e.src
+  GROUP BY nodes.node
+),
+r2 AS (
+  SELECT nodes.node,
+         CAST({_PR_BASE} + COALESCE(SUM(
+           (r1.r * e.w * 85) // (o.out_w * 100)), 0) AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r1 ON r1.node = e.src
+  GROUP BY nodes.node
+),
+r3 AS (
+  SELECT nodes.node,
+         CAST({_PR_BASE} + COALESCE(SUM(
+           (r2.r * e.w * 85) // (o.out_w * 100)), 0) AS BIGINT) AS r
+  FROM nodes
+  LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN outw o ON o.src = e.src
+  LEFT JOIN r2 ON r2.node = e.src
+  GROUP BY nodes.node
+)
+SELECT r3.node AS host, r3.r AS rank_fp,
+       COALESCE(deg.in_edges, 0) AS in_edges
+FROM r3
+LEFT JOIN (
+  SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_edges FROM edges GROUP BY dst
+) deg ON deg.dst = r3.node
+"""
+
+
+def link_edges(pages: DataFrame) -> DataFrame:
+    """(src, dst, w) host-level edges from REAL href parsing over a
+    (src, html) page frame: extract every ``href="..."``, keep absolute
+    https targets (relative nav links fall out because they have no
+    host), extract the target host, drop host-level self-loops, and
+    weight by link multiplicity. The single corpus-sized stage — one
+    scan, a narrow explode, one partial-agg exchange carrying (src,
+    dst) host pairs only."""
+    return (
+        pages.select(
+            "src",
+            F.explode(
+                F.expr("regexp_extract_all(html, 'href=\"([^\"]*)\"', 1)")
+            ).alias("url"),
+        )
+        .select(
+            "src",
+            F.regexp_extract("url", "^https://([^/]+)/", 1).alias("dst"),
+        )
+        .filter((F.col("dst") != "") & (F.col("dst") != F.col("src")))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+@register("link_graph_pagerank", oracle=_LINK_PR_ORACLE)
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over a host graph whose edges come from REAL href
+    parsing — the production edge path `domain_pagerank`'s docstring
+    promises (its edge stage joins on a synthesized target id; the r7
+    verdict flagged that join as the stand-in to replace). Here each
+    document gets an in-scan synthesized page whose anchors point at
+    OTHER hosts (plus a relative nav link and a host-level self-link,
+    both of which the parser must drop), and the edge list is
+    ``regexp_extract_all`` → explode → host extraction → (src, dst)
+    aggregation — no document-to-document join anywhere.
+
+    Scale shape: the corpus-sized stage is scan + narrow explode with
+    ONE partial-agg exchange carrying host pairs (never text, never a
+    corpus join); out-weights and the three damped bigint iterations
+    run on the host-bounded tables exactly as `domain_pagerank`'s
+    (shared `_pr_iteration`, fixed-point floor-div — bit-identical
+    across engines). On a real crawl this same plan consumes
+    `read_warc` payloads: swap the page synthesis for the WARC body
+    column and nothing else changes."""
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src"),
+        F.expr(_LG_PAGE_SPARK).alias("html"),
+    )
+    edges = link_edges(pages)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(outw, "src")
+    nodes = (
+        t.documents.select(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.com"),
+            ).alias("node")
+        )
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
+    for _ in range(3):
+        ranks = _pr_iteration(nodes, ew, ranks)
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
+    return ranks.join(indeg, ranks.node == indeg.dst, "left").select(
+        F.col("node").alias("host"),
+        F.col("r").alias("rank_fp"),
+        F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
     )

@@ -641,3 +641,55 @@ def test_packing_efficiency_no_extra_exchange(spark, sf_dir):
     )
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") <= 1
+
+
+# ------------------------------------------------------ link_graph_pagerank
+
+
+def test_link_edges_real_parsing_drops_relative_and_self(spark):
+    """The edge extractor must parse anchors out of real markup: keep
+    absolute https cross-host links (weighted by multiplicity), drop
+    relative hrefs (no host) and host-level self-loops."""
+    from oil_wells_data_wrangling_spark.operators.graph import link_edges
+
+    rows = [
+        (
+            "a.com",
+            '<a href="/rel">r</a><a href="https://a.com/self">s</a>'
+            '<a href="https://b.com/x">1</a><a href="https://b.com/y">2</a>',
+        ),
+        ("b.com", '<a href="https://c.com/z">1</a>'),
+        ("c.com", "<p>no links at all</p>"),
+    ]
+    pages = spark.createDataFrame(rows, "src string, html string")
+    edges = {(r.src, r.dst): r.w for r in link_edges(pages).collect()}
+    assert edges == {("a.com", "b.com"): 2, ("b.com", "c.com"): 1}
+
+
+def test_link_graph_pagerank_no_corpus_join(spark, sf_dir):
+    """domain_pagerank's synthetic edge stage joins documents to
+    documents; this operator must NOT — the corpus-sized stage is one
+    scan + explode + partial agg, so the edge subplan carries exactly
+    one exchange and zero joins."""
+    from oil_wells_data_wrangling_spark.operators.graph import (
+        _LG_PAGE_SPARK,
+        link_edges,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src"),
+        F.expr(_LG_PAGE_SPARK).alias("html"),
+    )
+    plan = (
+        link_edges(pages)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
