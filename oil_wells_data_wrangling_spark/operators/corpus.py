@@ -1102,3 +1102,85 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("waste_ppm"),
     )
+
+
+# -------------------------------------------------------------- corpus_shuffle
+
+_SHUF_SHARDS = 8
+_SHUF_PRIME = 1_000_000_007
+
+_SHUF_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('shuf_v1_' || CAST(doc_id AS VARCHAR)),
+               1, 8))::BIGINT % {_SHUF_SHARDS} AS BIGINT) AS shard,
+         substr(md5('shuf_v1_' || CAST(doc_id AS VARCHAR)), 9, 16) AS rank_key
+  FROM documents
+),
+ordered AS (
+  SELECT shard, doc_id,
+         CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                ORDER BY rank_key, doc_id) AS BIGINT) AS pos
+  FROM keyed
+)
+SELECT shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(SUM((doc_id % {_SHUF_PRIME}) * (pos % {_SHUF_PRIME})
+                % {_SHUF_PRIME}) % {_SHUF_PRIME} AS BIGINT) AS order_checksum
+FROM ordered GROUP BY shard
+"""
+
+
+@register("corpus_shuffle", oracle=_SHUF_ORACLE)
+def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic, RNG-free training-order shuffle — the step between
+    corpus freeze and shard export: every document gets a salted-md5
+    rank key, is routed to one of {_SHUF_SHARDS} shards by an
+    independent slice of the same digest, and receives its position in
+    the shard's shuffled order. Replaying the pipeline reproduces the
+    exact byte order of every training shard (the property data-loader
+    debugging and loss-spike forensics depend on); changing the salt is
+    a full reshuffle.
+
+    The audit row per shard pins the ORDER itself, not just membership:
+    ``order_checksum`` folds (doc_id × position) mod p, so any swap of
+    two positions changes it — two engines agreeing means they ordered
+    every document identically.
+
+    Scale shape: rank key and shard are in-scan md5 arithmetic; the one
+    corpus-sized exchange is the shard-keyed sort the shuffle IS (Spark
+    sorts within partitions after hash-partitioning on shard — no
+    global order, no single-partition window; the same shape
+    pack_sequences pins). The rollup reuses the shard partitioning, so
+    the whole plan carries one exchange. All arithmetic is bigint mod a
+    31-bit prime — products stay under 2^62, bit-identical across
+    engines."""
+    t = load_tables(spark, sf_dir)
+    digest = F.md5(F.concat(F.lit("shuf_v1_"), F.col("doc_id").cast("string")))
+    keyed = t.documents.select(
+        "doc_id",
+        (
+            F.expr(
+                "cast(conv(substr(md5(concat('shuf_v1_', "
+                f"cast(doc_id as string))), 1, 8), 16, 10) as bigint) % {_SHUF_SHARDS}"
+            )
+        ).alias("shard"),
+        F.substring(digest, 9, 16).alias("rank_key"),
+    )
+    w = Window.partitionBy("shard").orderBy("rank_key", "doc_id")
+    ordered = keyed.select(
+        "shard",
+        "doc_id",
+        F.row_number().over(w).cast("bigint").alias("pos"),
+    )
+    p = _SHUF_PRIME
+    return ordered.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.expr(
+            f"sum((doc_id % {p}) * (pos % {p}) % {p}) % {p}"
+        )
+        .cast("bigint")
+        .alias("order_checksum"),
+    )

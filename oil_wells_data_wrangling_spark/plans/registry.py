@@ -85,6 +85,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "corpus_shuffle",
     "link_graph_pagerank",
     "packing_efficiency",
     "c4_rules",
@@ -137,8 +138,6 @@ _WINDOW_PRIORITY = [
     "hll_persist_incremental",
     "minhash_jaccard_est",
     "minhash_band_sensitivity",
-    # -- oldest remaining driver rows (round 5), alphabetical
-    "ann_lsh",
 ]
 
 

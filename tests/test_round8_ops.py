@@ -693,3 +693,62 @@ def test_link_graph_pagerank_no_corpus_join(spark, sf_dir):
     )
     assert "Join" not in plan
     assert plan.count("Exchange") <= 1
+
+
+# ----------------------------------------------------------- corpus_shuffle
+
+
+def test_corpus_shuffle_checksum_pins_order(spark, sf_dir):
+    """Recompute the per-shard checksum from a Python re-derivation of
+    the shuffled order; then prove the checksum is order-SENSITIVE by
+    swapping two adjacent positions in the recompute and checking it
+    diverges (membership-only checksums would not)."""
+    import hashlib
+
+    from oil_wells_data_wrangling_spark.operators.corpus import (
+        _SHUF_PRIME,
+        _SHUF_SHARDS,
+        corpus_shuffle,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    ids = [
+        r.doc_id
+        for r in load_tables(spark, sf_dir).documents.select("doc_id").collect()
+    ]
+    shards = {}
+    for d in ids:
+        h = hashlib.md5(f"shuf_v1_{d}".encode()).hexdigest()
+        shards.setdefault(int(h[:8], 16) % _SHUF_SHARDS, []).append((h[8:24], d))
+    got = {r.shard: r for r in corpus_shuffle(spark, sf_dir).collect()}
+    assert set(got) == set(shards)
+    p = _SHUF_PRIME
+    for shard, members in shards.items():
+        order = [d for _, d in sorted(members)]
+        chk = sum((d % p) * (pos % p) % p for pos, d in enumerate(order, 1)) % p
+        r = got[shard]
+        assert (r.n_docs, r.min_doc_id, r.order_checksum) == (
+            len(order),
+            min(order),
+            chk,
+        )
+        if len(order) >= 2:
+            swapped = order[:]
+            swapped[0], swapped[1] = swapped[1], swapped[0]
+            chk2 = (
+                sum((d % p) * (i % p) % p for i, d in enumerate(swapped, 1)) % p
+            )
+            assert chk2 != chk, "checksum must be order-sensitive"
+
+
+def test_corpus_shuffle_one_exchange_no_global_sort(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.corpus import corpus_shuffle
+
+    plan = (
+        corpus_shuffle(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") <= 1
