@@ -157,3 +157,62 @@ def test_write_wet_round_trip(spark, tmp_path):
         "unicode ümlaut 𝄞"
     )
     assert by_uri["http://b.example.com/3"]["payload"] == b""
+
+
+def test_warc_to_wet_corpus_loop(spark, tmp_path):
+    """The full crawl loop: WARC archives in → HTTP 200 filter → tag
+    strip → exact text dedup (keep lowest record id) → WET export →
+    re-parse. Proves the connector output composes with the standard
+    corpus stack and survives a round trip."""
+    import gzip
+
+    from pyspark.sql import functions as F
+
+    d = tmp_path / "crawl"
+    d.mkdir()
+    # seg2 duplicates seg0's page bodies under different URIs
+    (d / "seg0.warc").write_bytes(_sample_warc(0))
+    (d / "seg1.warc.gz").write_bytes(gzip.compress(_sample_warc(1)))
+    (d / "seg2.warc").write_bytes(
+        _record(
+            "response",
+            _response_block(b"<html><body>hello world 0</body></html>"),
+            uri="http://mirror.example.com/copy",
+            rid="<urn:uuid:dup>",
+        )
+    )
+    docs = (
+        read_warc(spark, str(d))
+        .filter((F.col("warc_type") == "response") & (F.col("http_status") == 200))
+        .select(
+            "record_id",
+            "target_uri",
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.decode("payload", "utf-8"), "<[^>]*>", " "),
+                    r"\s+",
+                    " ",
+                )
+            ).alias("text"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("text").orderBy("record_id")
+    kept = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    out = str(tmp_path / "wet")
+    manifest = write_wet(kept, out).collect()
+    n_out = sum(m.n_records for m in manifest)
+    # 3 response-200 pages (0a, dup-of-0a, 1a) -> 2 after dedup
+    assert n_out == 2
+    import glob as g
+
+    recs = []
+    for f in sorted(g.glob(out + "/*.warc.wet")):
+        recs.extend(parse_warc_bytes(open(f, "rb").read(), f))
+    texts = sorted(r["payload"].decode() for r in recs)
+    assert texts == ["hello world 0", "hello world 1"]
