@@ -244,3 +244,72 @@ def make_playwright_fetcher(
     return PlaywrightFetcher(
         timeout_s=timeout_s, wait_until=wait_until, browser=browser
     )
+
+
+# ------------------------------------------------------------- robots parsing
+
+
+def parse_robots_rules(txt: str, agent: str = "*") -> list[str]:
+    """Disallow prefixes for ``agent`` from one robots.txt body — the
+    simple-prefix subset ``operators/textstats.py::robots_filter``
+    consumes (no wildcards, no Allow longest-match override; a prefix
+    containing ``*`` or ``$`` is skipped rather than misread as a
+    literal). Group semantics per the robots exclusion standard: a
+    record is one or more ``User-agent`` lines followed by rules; the
+    most specific matching record wins, falling back to ``*``;
+    comments strip at ``#``; an empty Disallow value means
+    "allow everything" and contributes no prefix."""
+    groups: list[tuple[list[str], list[str]]] = []
+    cur_agents: list[str] = []
+    cur_dis: list[str] = []
+    in_rules = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, _, val = line.partition(":")
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules and cur_agents:
+                groups.append((cur_agents, cur_dis))
+                cur_agents, cur_dis = [], []
+                in_rules = False
+            cur_agents.append(val.lower())
+        elif key == "disallow":
+            in_rules = True
+            if val and "*" not in val and "$" not in val:
+                cur_dis.append(val)
+        elif key in ("allow", "crawl-delay", "sitemap"):
+            in_rules = True  # rules section continues; subset ignores these
+    if cur_agents:
+        groups.append((cur_agents, cur_dis))
+    agent = agent.lower()
+    exact = [d for a, d in groups if agent != "*" and agent in a]
+    if exact:
+        return exact[0]
+    wild = [d for a, d in groups if "*" in a]
+    return wild[0] if wild else []
+
+
+def robots_rules_table(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """(host, dis array<string>) rules from fetched robots.txt bodies —
+    the real-input twin of robots_filter's synthesized rule table,
+    broadcast-ready (host cardinality, KBs for millions of hosts).
+    Input frame: (host string, body string)."""
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "host": pdf["host"],
+                    "dis": [
+                        parse_robots_rules("" if b is None else b, agent)
+                        for b in pdf["body"]
+                    ],
+                }
+            )
+
+    return robots.select("host", "body").mapInPandas(
+        _parse, schema="host string, dis array<string>"
+    )

@@ -252,3 +252,81 @@ def test_fetchers_reject_non_http_schemes(tmp_path):
     pf = PlaywrightFetcher()
     with pytest.raises(ValueError, match="non-http"):
         pf(f"file://{secret}")
+
+
+# ------------------------------------------------------------- robots parsing
+
+
+def test_parse_robots_rules_groups_and_fallback():
+    from oil_wells_data_wrangling_spark.sources.fetch import parse_robots_rules
+
+    txt = (
+        "# crawler policy\n"
+        "User-agent: googlebot\n"
+        "Disallow: /google-only/\n"
+        "\n"
+        "User-agent: mybot\n"
+        "User-agent: otherbot\n"
+        "Disallow: /private/\n"
+        "Disallow:   /tmp/   # trailing comment\n"
+        "Disallow:\n"          # empty = allow all, no prefix
+        "Allow: /tmp/public\n"  # subset ignores Allow
+        "Disallow: /a*b\n"      # wildcard prefix skipped, not literal
+        "\n"
+        "User-agent: *\n"
+        "Crawl-delay: 2\n"
+        "Disallow: /default/\n"
+    )
+    assert parse_robots_rules(txt, "mybot") == ["/private/", "/tmp/"]
+    assert parse_robots_rules(txt, "OtherBot") == ["/private/", "/tmp/"]
+    assert parse_robots_rules(txt, "unknown") == ["/default/"]
+    assert parse_robots_rules(txt) == ["/default/"]
+    assert parse_robots_rules(txt, "googlebot") == ["/google-only/"]
+    assert parse_robots_rules("", "mybot") == []
+    # a new User-agent line AFTER rules starts a new record
+    txt2 = "User-agent: a\nDisallow: /x/\nUser-agent: b\nDisallow: /y/\n"
+    assert parse_robots_rules(txt2, "b") == ["/y/"]
+
+
+def test_robots_rules_table_feeds_frontier_filter(spark):
+    """The parsed (host, dis) table slots into robots_filter's
+    broadcast-exists frontier flagging unchanged."""
+    from pyspark.sql import functions as F
+
+    from oil_wells_data_wrangling_spark.sources.fetch import robots_rules_table
+
+    robots = spark.createDataFrame(
+        [
+            ("a.com", "User-agent: *\nDisallow: /private/\nDisallow: /tmp/\n"),
+            ("b.com", "User-agent: *\nDisallow:\n"),
+            ("c.com", None),
+        ],
+        "host string, body string",
+    )
+    rules = robots_rules_table(robots)
+    got = {r.host: list(r.dis) for r in rules.collect()}
+    assert got == {"a.com": ["/private/", "/tmp/"], "b.com": [], "c.com": []}
+
+    frontier = spark.createDataFrame(
+        [
+            ("a.com", "/private/x"),
+            ("a.com", "/page1"),
+            ("b.com", "/private/x"),
+            ("c.com", "/tmp/y"),
+        ],
+        "host string, path string",
+    )
+    flagged = frontier.join(F.broadcast(rules), "host", "left").select(
+        "host",
+        "path",
+        F.coalesce(
+            F.expr("exists(dis, p -> startswith(path, p))"), F.lit(False)
+        ).alias("blocked"),
+    )
+    out = {(r.host, r.path): r.blocked for r in flagged.collect()}
+    assert out == {
+        ("a.com", "/private/x"): True,
+        ("a.com", "/page1"): False,
+        ("b.com", "/private/x"): False,
+        ("c.com", "/tmp/y"): False,
+    }
