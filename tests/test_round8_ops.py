@@ -752,3 +752,81 @@ def test_corpus_shuffle_one_exchange_no_global_sort(spark, sf_dir):
     )
     assert "SinglePartition" not in plan
     assert plan.count("Exchange") <= 1
+
+
+# -------------------------------------------------------- lm_quality_buckets
+
+
+def test_lm_quality_buckets_matches_python_recompute(spark, sf_dir):
+    """Full re-derivation: train the digit-width bigram LM on the
+    reference domain in Python, score every doc, bucket, roll up —
+    pins the minsup floor, the unseen-bigram max cost, and the integer
+    ppm/bucket arithmetic."""
+    import collections
+
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _LM_MINSUP,
+        _LM_REF_SOURCE,
+        lm_quality_buckets,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "source", "text"
+    ).collect()
+    counts = collections.Counter()
+    for r in docs:
+        if r.source != _LM_REF_SOURCE:
+            continue
+        w = r.text.split(" ")
+        counts.update(f"{a} {b}" for a, b in zip(w, w[1:]))
+    lm = {
+        bg: len(str(n)) for bg, n in counts.items() if n >= _LM_MINSUP
+    }
+    maxd = max(lm.values())
+    exp = collections.defaultdict(lambda: [0, 0])
+    for r in docs:
+        w = r.text.split(" ")
+        bgs = [f"{a} {b}" for a, b in zip(w, w[1:])]
+        if not bgs:
+            continue
+        cost = sum(maxd - lm.get(bg, 0) for bg in bgs)
+        ppm = 1000000 * cost // (len(bgs) * maxd)
+        e = exp[(r.source, ppm // 100000)]
+        e[0] += 1
+        e[1] += ppm
+    got = {
+        (r.source, r.bucket): (r.n_docs, r.sum_ppm)
+        for r in lm_quality_buckets(spark, sf_dir).collect()
+    }
+    assert got == {k: tuple(v) for k, v in exp.items()}
+
+
+def test_lm_quality_buckets_broadcasts_lm_table(spark, sf_dir):
+    """The LM table must broadcast (the doc-side bigram stream never
+    shuffles on the bigram key) and the per-doc agg must partial-agg
+    before its exchange."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        lm_quality_buckets,
+    )
+
+    plan = (
+        lm_quality_buckets(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin [bg" in plan
+    import re
+
+    bg_exchanges = {
+        m.group(1)
+        for m in re.finditer(r"hashpartitioning\((bg[^,)]*)", plan)
+    }
+    # only the reference-slice LM construction (count agg + its maxd
+    # input; one expr id when the cached table is reused) may shuffle
+    # on the bigram key — never the corpus stream (distinct expr ids,
+    # not occurrences: InMemoryRelation reprints its subtree per
+    # consumer site)
+    assert len(bg_exchanges) <= 2, bg_exchanges
+    assert re.search(r"hashpartitioning\(doc_id#\d+L, source#\d+", plan)
