@@ -1184,3 +1184,115 @@ def corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("order_checksum"),
     )
+
+
+# ----------------------------------------------------------- chunk_dedup_rewrite
+
+# Non-overlapping 40-word segments: a rewrite must partition the doc
+# (the 10-word overlap text_chunks/chunk_dedup use would duplicate
+# words at the seams when segments are re-joined).
+_RW_SEG = 40
+
+_CHUNK_RW_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+),
+tok AS (SELECT doc_id, string_split(text, ' ') AS words FROM base),
+segs AS (
+  SELECT doc_id,
+         CAST((s - 1) // {_RW_SEG} AS INTEGER) AS seg_id,
+         array_to_string(list_slice(words, s, s + {_RW_SEG - 1}), ' ')
+           AS seg_text
+  FROM tok, UNNEST(range(1, len(words) + 1, {_RW_SEG})) AS u(s)
+),
+ranked AS (
+  SELECT doc_id, seg_id, seg_text,
+         row_number() OVER (PARTITION BY md5(seg_text)
+                            ORDER BY doc_id, seg_id) AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       md5(string_agg(CASE WHEN rn = 1 THEN seg_text END,
+                      ' ' ORDER BY seg_id)) AS new_fp
+FROM ranked GROUP BY doc_id
+"""
+
+
+@register("chunk_dedup_rewrite", oracle=_CHUNK_RW_ORACLE)
+def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup as a REWRITE, not just an audit: the
+    C4/RefinedWeb-style pass that actually drops repeated segments from
+    the corpus. Docs split into non-overlapping 40-word segments; each
+    distinct segment keeps exactly one canonical copy (global
+    first-occurrence by (doc_id, seg_id)); every doc is re-assembled
+    from its surviving segments in original order. Output per doc:
+    segment counts and the md5 fingerprint of the rewritten text — a
+    doc whose every segment is absorbed elsewhere fingerprints NULL
+    (the all-dropped case string_agg-over-no-rows defines; the same
+    guard boilerplate_lines needed). ``chunk_dedup`` reports what WOULD
+    be removed; this operator removes it.
+
+    Scale shape: the dedup decision shuffles (16-byte hash, doc_id,
+    seg_id) only — segment TEXT never rides the hash exchange. The
+    keep-list collapses to one (doc_id, int array) row per doc before
+    the single doc-keyed join back to the corpus, where segments are
+    re-derived in-scan from the original text and filtered by id; so
+    text moves exactly once (the unavoidable doc-keyed join that
+    produces a text-derived output), and everything else is scalar.
+    Planted duplication (every 3rd doc re-issued under a new id, as in
+    chunk_dedup) guarantees the rewrite path has real work: every
+    planted copy re-assembles to NULL."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    docs2 = base.unionAll(
+        base.filter(F.col("doc_id") % 3 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    )
+    seg_arr = F.expr(
+        f"transform(sequence(1, size(words), {_RW_SEG}), "
+        f"s -> struct(cast((s - 1) div {_RW_SEG} as int) as seg_id, "
+        f"array_join(slice(words, s, {_RW_SEG}), ' ') as seg_text))"
+    )
+    tok = docs2.select("doc_id", F.split("text", " ").alias("words"))
+    segs = tok.select("doc_id", F.explode(seg_arr).alias("s")).select(
+        "doc_id", "s.seg_id", F.md5("s.seg_text").alias("h")
+    )
+    keepers = segs.groupBy("h").agg(
+        F.min(F.struct("doc_id", "seg_id")).alias("k")
+    )
+    kept_ids = (
+        keepers.select(F.col("k.doc_id").alias("doc_id"), F.col("k.seg_id"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("seg_id")).alias("kept"))
+    )
+    rebuilt = (
+        tok.join(kept_ids, "doc_id", "left")
+        .withColumn("segs", seg_arr)
+        .select(
+            "doc_id",
+            F.size("segs").cast("bigint").alias("n_segs"),
+            F.coalesce(F.size("kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.expr(
+                "filter(segs, s -> array_contains(coalesce(kept, array()), "
+                "s.seg_id))"
+            ).alias("keep_segs"),
+        )
+    )
+    return rebuilt.select(
+        "doc_id",
+        "n_segs",
+        "n_kept",
+        F.when(
+            F.size("keep_segs") > 0,
+            F.md5(
+                F.array_join(
+                    F.expr("transform(keep_segs, s -> s.seg_text)"), " "
+                )
+            ),
+        ).alias("new_fp"),
+    )

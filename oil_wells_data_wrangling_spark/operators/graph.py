@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
@@ -472,4 +473,119 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("host"),
         F.col("r").alias("rank_fp"),
         F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+    )
+
+
+# ----------------------------------------------------------- anchor_text_stats
+
+# Page synthesis for the anchor-text signal: each doc links out to two
+# hosts with doc-DERIVED anchor text (its first two words) plus a fixed
+# "see also" anchor — so target hosts accumulate a real distribution of
+# anchors. A relative nav link exercises the parser's drop path.
+_AT_PAGE_SPARK = (
+    "concat('<html><body><a href=\"/home\">home</a>',"
+    " '<a href=\"https://site', cast((doc_id * 31 + 7) % 20 as string),"
+    " '.example.com/p', cast(doc_id as string), '\">',"
+    " array_join(slice(split(text, ' '), 1, 2), ' '), '</a>',"
+    " case when doc_id % 2 = 0 then concat('<a href=\"https://site',"
+    " cast(doc_id % 4 as string), '.example.com/q\">see also</a>')"
+    " else '' end,"
+    " '<p>', text, '</p></body></html>')"
+)
+
+_AT_PAGE_DUCK = """
+    '<html><body><a href="/home">home</a>'
+    || '<a href="https://site' || CAST((doc_id * 31 + 7) % 20 AS VARCHAR)
+    || '.example.com/p' || CAST(doc_id AS VARCHAR) || '">'
+    || array_to_string(list_slice(string_split(text, ' '), 1, 2), ' ')
+    || '</a>'
+    || CASE WHEN doc_id % 2 = 0 THEN '<a href="https://site'
+         || CAST(doc_id % 4 AS VARCHAR) || '.example.com/q">see also</a>'
+       ELSE '' END
+    || '<p>' || text || '</p></body></html>'
+"""
+
+_AT_TAG = '<a href="https://[^"]*"[^>]*>[^<]*</a>'
+_AT_HOST = '<a href="https://([^/"]+)'
+_AT_ANCHOR = '>([^<]*)</a>'
+
+_ANCHOR_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, {_AT_PAGE_DUCK} AS html FROM documents
+),
+tags AS (
+  SELECT unnest(regexp_extract_all(html, '{_AT_TAG}')) AS tag FROM pages
+),
+links AS (
+  SELECT regexp_extract(tag, '{_AT_HOST}', 1) AS host,
+         regexp_extract(tag, '{_AT_ANCHOR}', 1) AS anchor
+  FROM tags
+),
+counts AS (
+  SELECT host, anchor, CAST(COUNT(*) AS BIGINT) AS n
+  FROM links GROUP BY host, anchor
+),
+ranked AS (
+  SELECT host, anchor, n,
+         row_number() OVER (PARTITION BY host ORDER BY n DESC, anchor) AS rk,
+         CAST(SUM(n) OVER (PARTITION BY host) AS BIGINT) AS n_links,
+         CAST(COUNT(*) OVER (PARTITION BY host) AS BIGINT) AS n_anchors
+  FROM counts
+)
+SELECT host, n_links, n_anchors, anchor AS top_anchor, n AS top_anchor_n
+FROM ranked WHERE rk = 1
+"""
+
+
+@register("anchor_text_stats", oracle=_ANCHOR_ORACLE)
+def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation per target host — the classic web-corpus
+    training signal (anchor text describes the TARGET page; search and
+    retrieval pretraining mine it as weak query-document pairs). Pages
+    synthesize in-scan with doc-derived anchors; real ``<a ...>...</a>``
+    parsing extracts (target host, anchor text) pairs; per host the
+    report gives total in-links, distinct anchor count, and the modal
+    anchor (count-desc, text-asc tie-break). Relative links have no
+    host and fall out of the tag regex, exercising the drop path.
+
+    Scale shape: tag extraction and both regexp group pulls live in the
+    scan stage (one narrow explode of matched tags — never the full
+    page); the single corpus-sized exchange carries (host, anchor)
+    pairs, partial-aggregated map-side. The per-host top-1 runs on the
+    already-tiny (host, anchor) count table via a rank-1 window that
+    Catalyst rewrites to a WindowGroupLimit partial top-k, and the
+    host rollups reuse the same window partitioning — no second
+    corpus pass. On a real crawl the page synthesis is replaced by the
+    WARC body column, exactly as link_graph_pagerank documents."""
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(F.expr(_AT_PAGE_SPARK).alias("html"))
+    tags = pages.select(
+        F.explode(
+            F.expr(f"regexp_extract_all(html, '{_AT_TAG}', 0)")
+        ).alias("tag")
+    )
+    links = tags.select(
+        F.regexp_extract("tag", _AT_HOST, 1).alias("host"),
+        F.regexp_extract("tag", _AT_ANCHOR, 1).alias("anchor"),
+    )
+    counts = links.groupBy("host", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("host")
+    ranked = counts.select(
+        "host",
+        "anchor",
+        "n",
+        F.row_number()
+        .over(w.orderBy(F.col("n").desc(), "anchor"))
+        .alias("rk"),
+        F.sum("n").over(w).alias("n_links"),
+        F.count(F.lit(1)).over(w).alias("n_anchors"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "host",
+        "n_links",
+        "n_anchors",
+        F.col("anchor").alias("top_anchor"),
+        F.col("n").alias("top_anchor_n"),
     )

@@ -1062,3 +1062,192 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("cast(bit_count(pa ^ pb) as bigint)").alias("hamming"),
     ).filter(F.col("hamming") <= _PH_HAMMING_MAX)
+
+
+# ---------------------------------------------------------- mm_audio_neardup
+
+# Audio near-dup by loudness ENVELOPE fingerprint: 64 per-chunk levels
+# reduce to 63 sign-of-delta bits (bit i = level[i+1] > level[i]) — the
+# shape-of-the-waveform signature that is invariant under uniform gain
+# (scaling every level preserves every comparison), the property real
+# audio dedup needs (same clip, different mastering volume). Banded
+# exactly like mm_phash_neardup: 4 bands × 16 bits, pigeonhole
+# guarantees recall at Hamming ≤ 3, exact popcount filter keeps ≤ 6.
+_AE_LEVELS = 64
+_AE_BITS = _AE_LEVELS - 1
+_AE_BANDS = 4
+_AE_BAND_BITS = 16
+_AE_HAMMING_MAX = 6
+# planted near-copies: every level bumped +3 mod 256 — a gain offset
+# whose mod-256 wrap flips a delta bit only where a level sits in
+# {253,254,255}, so true distances land small but nonzero.
+_AE_GAIN = 3
+
+_AUDIO_ND_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, 0 AS gain,
+         md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+           AS hx
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 0 AS gain,
+         md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+           AS hx
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, {_AE_GAIN} AS gain,
+         md5(text) || md5(text || 'a') || md5(text || 'b') || md5(text || 'c')
+           AS hx
+  FROM documents WHERE doc_id % 7 = 0
+),
+lv AS (
+  SELECT doc_id,
+         list_transform(range(0, {_AE_LEVELS}),
+           i -> (CAST('0x' || substr(hx, 2 * i + 1, 2) AS INTEGER) + gain)
+                % 256) AS l
+  FROM m
+),
+fp AS (
+  SELECT doc_id,
+         CAST(list_sum(list_transform(range(0, {_AE_BITS}),
+           i -> CASE WHEN l[i + 2] > l[i + 1]
+                     THEN CAST(1 AS BIGINT) << i ELSE CAST(0 AS BIGINT) END))
+           AS BIGINT) AS fp
+  FROM lv
+),
+bands AS (
+  SELECT doc_id, fp, r.range AS band_id,
+         (fp >> (r.range * {_AE_BAND_BITS})) & {(1 << _AE_BAND_BITS) - 1}
+           AS bb
+  FROM fp, range(0, {_AE_BANDS}) r
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.fp AS fa, b.fp AS fb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.bb = b.bb AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= {_AE_HAMMING_MAX}
+"""
+
+
+def envelope_bits(levels: "list[int]") -> int:
+    """63-bit sign-of-delta envelope from 64 integer levels — shared by
+    the registered stub path and the real-WAV twin so both speak the
+    same fingerprint language. Gain-invariant: any strictly increasing
+    transform of the level scale leaves every bit unchanged."""
+    fp = 0
+    for i in range(len(levels) - 1):
+        if levels[i + 1] > levels[i]:
+            fp |= 1 << i
+    return fp
+
+
+def audio_envelope_fp(df: DataFrame, gain_col: str = "gain") -> DataFrame:
+    """(doc_id, fp) envelope fingerprints from (doc_id, payload, gain)
+    rows whose payload is a {_AE_LEVELS}-byte level sequence — the
+    Arrow-batched 'decoder' stage. numpy does the per-batch work: one
+    frombuffer view per payload, vectorized delta-compare, one
+    packbits-style fold; no per-sample Python."""
+    import numpy as np
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = (1 << np.arange(_AE_BITS, dtype=np.int64))
+        for pdf in it:
+            fps = []
+            for payload, gain in zip(pdf["payload"], pdf[gain_col]):
+                arr = (
+                    np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                        np.int64
+                    )
+                    + int(gain)
+                ) % 256
+                bits = (arr[1:] > arr[:-1]).astype(np.int64)
+                fps.append(int((bits * weights).sum()))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "fp": pd.Series(fps, dtype="int64")}
+            )
+
+    return df.mapInPandas(_batches, schema="doc_id long, fp long")
+
+
+@register("mm_audio_neardup", oracle=_AUDIO_ND_ORACLE)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate audio by banded envelope fingerprint — the audio
+    member of the near-dup family (text: dedup_minhash; image:
+    mm_phash_neardup): clips whose loudness envelope has the same
+    shape are the same recording. The registered demo synthesizes
+    64-byte level payloads, plants exact copies (every 10th doc,
+    distance 0) and gain-bumped near-copies (every 7th doc, +3 mod 256
+    — wrap flips a bit only where a level sits at the top of the
+    range, so true distances are small but honest); genuine PCM WAV
+    bytes — including a 2× amplitude remaster fingerprinting
+    IDENTICALLY — run through the real ``decode_wav`` path in
+    tests/test_multimodal_real.py.
+
+    Scale shape: identical to mm_phash_neardup's — fingerprinting is
+    map-only Arrow (bytes never shuffle), the exchange carries
+    (16-bit band value, doc_id, 8-byte fp) scalars, candidates are
+    band-collision-bounded (2^16 buckets per band keeps random
+    collisions ~n²/65536 per band — negligible until n approaches the
+    band space, when production widens the bands), and the Hamming
+    filter is xor + bit_count on the pair row."""
+    t = load_tables(spark, sf_dir)
+    payload = F.unhex(
+        F.concat(
+            F.md5("text"),
+            F.md5(F.concat(F.col("text"), F.lit("a"))),
+            F.md5(F.concat(F.col("text"), F.lit("b"))),
+            F.md5(F.concat(F.col("text"), F.lit("c"))),
+        )
+    )
+    base = t.documents.select(
+        "doc_id", F.lit(0).alias("gain"), payload.alias("payload")
+    )
+    copies = t.documents.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.lit(0).alias("gain"),
+        payload.alias("payload"),
+    )
+    nears = t.documents.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.lit(_AE_GAIN).alias("gain"),
+        payload.alias("payload"),
+    )
+    fps = audio_envelope_fp(base.unionAll(copies).unionAll(nears))
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(*[F.lit(b) for b in range(_AE_BANDS)])
+        ).alias("band_id"),
+    ).withColumn(
+        "bb",
+        F.expr(
+            f"(fp >> (band_id * {_AE_BAND_BITS}))"
+            f" & {(1 << _AE_BAND_BITS) - 1}"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bb") == F.col("b.bb"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.fp").alias("fa"),
+            F.col("b.fp").alias("fb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("cast(bit_count(fa ^ fb) as bigint)").alias("hamming"),
+    ).filter(F.col("hamming") <= _AE_HAMMING_MAX)

@@ -295,27 +295,17 @@ def shingle_hashes(docs: DataFrame) -> DataFrame:
     return docs.mapInPandas(run, "doc_id long, h long")
 
 
-@register("decontaminate", oracle=_DECON_ORACLE, headline=True)
-def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Test-set decontamination: flag training docs sharing any word
-    8-gram with the eval split (doc_id % 11). Deterministic injection
-    plants real contamination (doc_id % 13 training docs get an eval
-    doc's leading 8 words appended) so the flag has positives to find.
-
-    Scale shape: eval shingle hashes are a broadcast set; the training
-    side explodes (doc_id, 31-bit hash) pairs only — text never leaves
-    the scan stage. The 8-gram array is built from 8 shifted slices of
-    one split (each slice references the word array exactly once), so
-    Catalyst's project collapsing inlines split(text) a constant 8
-    times per row — never once per shingle — and no cache barrier (or
-    its leaked storage) is needed. The injection scaffold picks each
-    train doc's snippet donor arithmetically (eval ids are the 11-strided
-    ``11*j`` by the split rule, so ``e.doc_id = 11 * (t.doc_id % k)`` is
-    a direct key join) — no row_number() over a global order, so the
-    whole plan is free of unbounded single-partition stages (pinned by
-    the sweep in tests/test_plan_shapes.py)."""
-    t = load_tables(spark, sf_dir)
-    base = t.documents.select("doc_id", "text")
+def _contamination_corpus(
+    documents: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """The shared (evals, train, train2) scaffold for the contamination
+    family: eval split = doc_id % 11; deterministic injection plants
+    real contamination (doc_id % 13 training docs get an eval doc's
+    leading 8 words appended) so the flags have positives to find.
+    Factored out so ``decontaminate`` (train-side flags) and
+    ``eval_leakage_report`` (eval-side attribution) audit the SAME
+    corpus."""
+    base = documents.select("doc_id", "text")
     evals = base.filter(F.col("doc_id") % 11 == 0)
     train = base.filter(F.col("doc_id") % 11 != 0)
 
@@ -347,6 +337,30 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)
+    return evals, train, train2
+
+
+@register("decontaminate", oracle=_DECON_ORACLE, headline=True)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: flag training docs sharing any word
+    8-gram with the eval split (doc_id % 11). Deterministic injection
+    plants real contamination (doc_id % 13 training docs get an eval
+    doc's leading 8 words appended) so the flag has positives to find.
+
+    Scale shape: eval shingle hashes are a broadcast set; the training
+    side explodes (doc_id, 31-bit hash) pairs only — text never leaves
+    the scan stage. The 8-gram array is built from 8 shifted slices of
+    one split (each slice references the word array exactly once), so
+    Catalyst's project collapsing inlines split(text) a constant 8
+    times per row — never once per shingle — and no cache barrier (or
+    its leaked storage) is needed. The injection scaffold picks each
+    train doc's snippet donor arithmetically (eval ids are the 11-strided
+    ``11*j`` by the split rule, so ``e.doc_id = 11 * (t.doc_id % k)`` is
+    a direct key join) — no row_number() over a global order, so the
+    whole plan is free of unbounded single-partition stages (pinned by
+    the sweep in tests/test_plan_shapes.py)."""
+    t = load_tables(spark, sf_dir)
+    evals, train, train2 = _contamination_corpus(t.documents)
 
     eval_set = shingle_hashes(evals).select("h").distinct()
     overlap = (
@@ -457,6 +471,142 @@ def contamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_contaminated * {_CONTAM_SCALE}) div n_docs").alias(
                 "rate_ppm"
             ),
+        )
+    )
+
+
+# -------------------------------------------------------- eval_leakage_report
+
+# df-cap: shingles shared by more than this many distinct TRAIN docs
+# are dropped before the pair join (stopword-like 8-grams would
+# otherwise fan out quadratically on a hot key). Natural text never
+# reaches the cap at test scale, so exact oracle parity holds while the
+# production guard stays live in the plan.
+_LEAK_DF_CAP = 100
+
+_LEAK_ORACLE = f"""
+WITH evals AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+),
+kc AS (SELECT count(*) AS k FROM evals),
+train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 0
+),
+train2 AS (
+  SELECT t.doc_id,
+         CASE WHEN e.doc_id IS NULL THEN t.text
+              ELSE t.text || ' ' ||
+                   array_to_string((string_split(e.text, ' '))[1:{_NGRAM}], ' ')
+         END AS text
+  FROM train t CROSS JOIN kc
+  LEFT JOIN evals e ON e.doc_id = 11 * (t.doc_id % kc.k)
+  WHERE t.doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, text FROM train WHERE doc_id % 13 <> 0
+),
+tw AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> {_H32_DUCK.format(s='x')}) AS hw
+  FROM train2
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+),
+tsh AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(hw) - {_NGRAM - 1}),
+    i -> {_poly_duck()}
+  )) AS h
+  FROM tw
+),
+tpairs AS (SELECT DISTINCT doc_id, h FROM tsh),
+ok AS (
+  SELECT h FROM tpairs GROUP BY h HAVING count(*) <= {_LEAK_DF_CAP}
+),
+ew AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        x -> {_H32_DUCK.format(s='x')}) AS hw
+  FROM evals
+  WHERE len(string_split(text, ' ')) >= {_NGRAM}
+),
+esh AS (
+  SELECT doc_id, unnest(list_transform(
+    generate_series(1, len(hw) - {_NGRAM - 1}),
+    i -> {_poly_duck()}
+  )) AS h
+  FROM ew
+),
+epairs AS (SELECT DISTINCT doc_id, h FROM esh),
+hits AS (
+  SELECT e.doc_id AS eval_id, t.doc_id AS train_id, e.h
+  FROM epairs e
+  JOIN ok USING (h)
+  JOIN tpairs t USING (h)
+),
+agg AS (
+  SELECT eval_id,
+         count(DISTINCT train_id) AS n_train_docs,
+         count(DISTINCT h) AS n_shared
+  FROM hits GROUP BY eval_id
+)
+SELECT ev.doc_id,
+       CAST(COALESCE(a.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+       CAST(COALESCE(a.n_shared, 0) AS BIGINT) AS n_shared,
+       COALESCE(a.n_shared, 0) > 0 AS leaked
+FROM evals ev LEFT JOIN agg a ON a.eval_id = ev.doc_id
+"""
+
+
+@register("eval_leakage_report", oracle=_LEAK_ORACLE)
+def eval_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REVERSE direction of ``decontaminate``: per EVAL document,
+    which benchmark items are compromised and how badly — the table a
+    benchmark owner publishes (n distinct training docs sharing any
+    word 8-gram, n distinct shared shingles, leaked flag), over the
+    same injected corpus, so both reports audit one ground truth.
+
+    Scale shape: where decontaminate broadcasts the eval shingle SET
+    (per-train attribution needs no eval ids), per-eval attribution
+    needs (h → eval_id) — and a full benchmark suite's shingle multimap
+    is too big to broadcast at production scale — so this is the
+    honest SHUFFLE-path twin: both sides reduce to DISTINCT (doc_id,
+    31-bit h) scalar pairs, the join keys on h, and a train-df cap
+    (HAVING count ≤ {_LEAK_DF_CAP}) bounds the per-key fan-out before
+    any pair materializes — the same df-capped-join guard
+    winnow_dup_spans uses, so a stopword-like hot shingle cannot go
+    quadratic. Text never leaves the scan stage on either side."""
+    t = load_tables(spark, sf_dir)
+    evals, _train, train2 = _contamination_corpus(t.documents)
+
+    tpairs = shingle_hashes(train2).distinct()
+    ok = (
+        tpairs.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _LEAK_DF_CAP)
+        .select("h")
+    )
+    epairs = (
+        shingle_hashes(evals)
+        .distinct()
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    hits = epairs.join(ok, "h").join(
+        tpairs.withColumnRenamed("doc_id", "train_id"), "h"
+    )
+    agg = hits.groupBy("eval_id").agg(
+        F.count_distinct("train_id").alias("n_train_docs"),
+        F.count_distinct("h").alias("n_shared"),
+    )
+    return (
+        evals.select("doc_id")
+        .join(agg, F.col("doc_id") == F.col("eval_id"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_train_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_train_docs"),
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("leaked"),
         )
     )
 

@@ -85,6 +85,10 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "eval_leakage_report",
+    "chunk_dedup_rewrite",
+    "anchor_text_stats",
+    "mm_audio_neardup",
     "lm_quality_buckets",
     "corpus_shuffle",
     "link_graph_pagerank",
@@ -128,10 +132,11 @@ _WINDOW_PRIORITY = [
     "salted_agg_join",
     "semi_anti_join",
     "skew_report",
-    "spatial_bbox",
-    "vector_quantize",
-    "window_lag_delta",
-    "winsorize",
+    # (spatial_bbox, vector_quantize, window_lag_delta, winsorize —
+    # the alphabetical tail of the r4 backlog — yielded their slots to
+    # the four late-r8 additions above, which would otherwise have NO
+    # row at all; all four hold green r4 rows plus local parity and
+    # lead the r9 rotation.)
     # -- implementation or oracle touched in round 8
     # (hll_persist_incremental was also touched in r8, but only by
     # extracting state_dir parameters — the registered demo's plan and

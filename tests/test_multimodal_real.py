@@ -176,6 +176,38 @@ def test_wav_chunk_features_decodes_real_wav_distributed(spark):
     assert got == expect
 
 
+def test_audio_envelope_gain_invariant_on_real_wav(spark):
+    """The mm_audio_neardup claim on GENUINE bytes: a 2x-amplitude
+    remaster of the same recording — re-encoded as real PCM WAV and
+    decoded with the stdlib ``wave`` path — produces the IDENTICAL
+    envelope fingerprint, while a different recording does not. Levels
+    are per-window integer mean-abs amplitude (wav_chunk_features'
+    arithmetic at envelope granularity)."""
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        decode_wav,
+        envelope_bits,
+    )
+
+    sr, n = 8000, 8000
+    orig = [((i * 131 + 17) % 2001) - 1000 for i in range(n)]
+    loud = [max(-32768, min(32767, 2 * x)) for x in orig]
+    other = [((i * 997 + 5) % 2001) - 1000 for i in range(n)]
+
+    def fp(samples: list[int]) -> int:
+        dec = decode_wav(encode_wav(sr, samples))
+        assert dec is not None
+        s = dec["samples"]
+        win = max(1, len(s) // 64)
+        levels = [
+            sum(abs(x) for x in s[i * win : (i + 1) * win]) // win
+            for i in range(64)
+        ]
+        return envelope_bits(levels)
+
+    assert fp(orig) == fp(loud), "gain must not change the envelope"
+    assert fp(orig) != fp(other), "different audio must fingerprint apart"
+
+
 # ------------------------------------------------------ property round-trips
 
 from hypothesis import given, settings, strategies as st  # noqa: E402

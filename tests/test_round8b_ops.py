@@ -1,0 +1,128 @@
+"""Semantic checks for the late-round-8 operators (chunk_dedup_rewrite,
+eval_leakage_report, anchor_text_stats, mm_audio_neardup). Exact DuckDB
+parity is covered by test_oracle_parity.py; these assert the properties
+each operator exists to deliver."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.operators.corpus import chunk_dedup_rewrite
+from oil_wells_data_wrangling_spark.operators.graph import anchor_text_stats
+from oil_wells_data_wrangling_spark.operators.multimodal import (
+    envelope_bits,
+    mm_audio_neardup,
+)
+from oil_wells_data_wrangling_spark.operators.privacy import (
+    decontaminate,
+    eval_leakage_report,
+)
+from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+
+# ---------------------------------------------------------- chunk_dedup_rewrite
+
+
+def test_rewrite_absorbs_every_planted_copy(spark, sf_dir):
+    """Every planted whole-doc copy (id >= 1M) loses all its segments to
+    the original (lower doc_id wins the struct-min) and fingerprints
+    NULL; every original that keeps all segments re-assembles to its
+    exact original text."""
+    rows = chunk_dedup_rewrite(spark, sf_dir).collect()
+    planted = [r for r in rows if r.doc_id >= 1_000_000]
+    assert planted, "corpus must plant copies"
+    assert all(r.n_kept == 0 and r.new_fp is None for r in planted)
+
+    originals = {r.doc_id: r for r in rows if r.doc_id < 1_000_000}
+    full = [r for r in originals.values() if r.n_kept == r.n_segs]
+    assert full, "some originals must survive intact"
+
+    texts = {
+        r.doc_id: r.text
+        for r in load_tables(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .collect()
+    }
+    sample = full[:10]
+    for r in sample:
+        want = hashlib.md5(texts[r.doc_id].encode()).hexdigest()
+        assert r.new_fp == want, f"doc {r.doc_id} reassembly drifted"
+
+
+# ---------------------------------------------------------- eval_leakage_report
+
+
+def test_leakage_report_two_sided_consistency(spark, sf_dir):
+    """The eval-side report and the train-side decontaminate flags audit
+    the same injected corpus: both must find contamination, leaked eval
+    docs must carry positive attribution counts, and clean ones zero."""
+    ev = eval_leakage_report(spark, sf_dir).collect()
+    assert ev, "eval split must be non-empty"
+    leaked = [r for r in ev if r.leaked]
+    clean = [r for r in ev if not r.leaked]
+    assert leaked, "injection must leak at least one eval doc"
+    assert all(r.n_train_docs >= 1 and r.n_shared >= 1 for r in leaked)
+    assert all(r.n_train_docs == 0 and r.n_shared == 0 for r in clean)
+
+    n_contam = (
+        decontaminate(spark, sf_dir).filter(F.col("contaminated")).count()
+    )
+    assert n_contam > 0
+    # every contaminated train doc hits >=1 eval doc, so total eval-side
+    # attributed train docs is at least the train-side flag count
+    assert sum(r.n_train_docs for r in leaked) >= n_contam
+
+
+# ------------------------------------------------------------ anchor_text_stats
+
+
+def test_anchor_stats_modal_anchor_and_drop_path(spark, sf_dir):
+    """Relative nav links must not create a host; the concentrated
+    'see also' anchor (every even doc -> site(doc_id%4)) must be the
+    modal anchor on site0/site2, beating the diverse doc-derived
+    anchors; per-host counts are internally consistent."""
+    rows = anchor_text_stats(spark, sf_dir).collect()
+    by_host = {r.host: r for r in rows}
+    assert all(h.endswith(".example.com") for h in by_host)
+    for h in ("site0.example.com", "site2.example.com"):
+        assert by_host[h].top_anchor == "see also", by_host[h]
+    n_docs = load_tables(spark, sf_dir).documents.count()
+    # out1 contributes one link per doc; 'see also' one per even doc
+    assert sum(r.n_links for r in rows) == n_docs + (n_docs + 1) // 2
+    assert all(r.top_anchor_n <= r.n_links for r in rows)
+    assert all(r.n_anchors >= 1 for r in rows)
+
+
+# ------------------------------------------------------------ mm_audio_neardup
+
+
+def test_envelope_is_gain_invariant():
+    """Scaling (or monotone-offsetting) every level preserves every
+    sign-of-delta comparison — the invariance real audio dedup needs."""
+    levels = [10, 50, 30, 30, 90, 10, 77, 76]
+    assert envelope_bits(levels) == envelope_bits([x * 2 for x in levels])
+    assert envelope_bits(levels) == envelope_bits([x + 7 for x in levels])
+
+
+def test_audio_neardup_finds_planted_copies(spark, sf_dir):
+    """Exact copies (+1M ids) must surface at Hamming 0 with probability
+    1 (identical fingerprints collide on every band); gain-bumped
+    near-copies (+2M ids) must be overwhelmingly found (the mod-256
+    wrap flips ~1.5 bits on average, so a rare doc can exceed the
+    threshold — per-doc LSH-style tolerance, not in aggregate)."""
+    pairs = mm_audio_neardup(spark, sf_dir).collect()
+    docs = load_tables(spark, sf_dir).documents.select("doc_id").collect()
+    ids = [r.doc_id for r in docs]
+    exact = {(i, i + 1_000_000) for i in ids if i % 10 == 0}
+    near = {(i, i + 2_000_000) for i in ids if i % 7 == 0}
+
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs}
+    found_exact = [p for p in exact if got.get(p) == 0]
+    assert len(found_exact) == len(exact), "exact copies are guaranteed"
+    found_near = [p for p in near if p in got]
+    assert len(found_near) / len(near) >= 0.9, (
+        f"only {len(found_near)}/{len(near)} near-copies found"
+    )
+    assert all(h <= 6 for h in got.values())
