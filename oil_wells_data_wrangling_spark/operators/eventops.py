@@ -1553,3 +1553,116 @@ def events_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("rev_cents") / F.lit(100.0)).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------------------- events_cms_topk
+
+# Count-Min Sketch: depth 4 md5-derived hash rows x width 1024. The
+# sketch is the fixed-size mergeable summary for heavy hitters over an
+# UNBOUNDED key domain — the counting cousin of hll_union_daily's
+# distinct sketch and approx_percentiles' quantile sketch. Cell-wise
+# sum merges sketches across days/partitions; estimates only ever
+# OVER-count (min over rows bounds the collision error).
+_CMS_D = 4
+_CMS_W = 1024
+_CMS_K = 20
+
+_CMS_BUCKET_SPARK = (
+    "cast(conv(substr(md5(concat('cms', cast({d} as string), '_', "
+    "cast(user_id as string))), 1, 8), 16, 10) as bigint) % " + str(_CMS_W)
+)
+_CMS_BUCKET_DUCK = (
+    "CAST('0x' || substr(md5('cms' || CAST({d} AS VARCHAR) || '_' || "
+    f"CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {_CMS_W}"
+)
+
+_CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT r.range AS d,
+         {_CMS_BUCKET_DUCK.format(d='r.range')} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events CROSS JOIN range(0, {_CMS_D}) r
+  GROUP BY 1, 2
+),
+truec AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM events GROUP BY user_id
+),
+top AS (
+  SELECT user_id, n_true, rk FROM (
+    SELECT user_id, n_true,
+           row_number() OVER (ORDER BY n_true DESC, user_id) AS rk
+    FROM truec
+  ) WHERE rk <= {_CMS_K}
+),
+est AS (
+  SELECT t.user_id, MIN(c.n) AS n_est
+  FROM top t CROSS JOIN range(0, {_CMS_D}) r
+  JOIN cells c
+    ON c.d = r.range
+   AND c.bucket = {_CMS_BUCKET_DUCK.format(d='r.range')}
+  GROUP BY t.user_id
+)
+SELECT CAST(t.rk AS INTEGER) AS rank, t.user_id, t.n_true,
+       CAST(e.n_est AS BIGINT) AS n_est,
+       e.n_est = t.n_true AS exact
+FROM top t JOIN est e USING (user_id)
+"""
+
+
+@register("events_cms_topk", oracle=_CMS_ORACLE)
+def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-Sketch heavy hitters: build the 4×1024 sketch over the
+    event stream, then audit it against the exact top-{_CMS_K} users —
+    per user the true count, the sketch estimate (min over the 4 hash
+    rows), and whether collisions inflated it. The deterministic
+    md5-derived hashes make the sketch itself exactly oracle-checkable,
+    like dp_histogram's derandomized noise; production swaps in faster
+    row hashes, same plan.
+
+    Scale shape: the sketch build is ONE pass — the 4-way explode
+    collapses map-side to at most 4×1024 cells per task before its
+    exchange, so the shuffle carries a FIXED-size summary no matter the
+    event volume, and daily sketches merge by cell-wise sum (the same
+    persisted-aggregate pattern as hll_persist_incremental). The audit
+    side's exact top-k exists to measure the sketch and shuffles
+    (user_id, count) scalars with a WindowGroupLimit rank; the 4096-row
+    cell table broadcasts to the probe join."""
+    t = load_tables(spark, sf_dir)
+    d_col = F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d")
+    cells = (
+        t.events.select("user_id")
+        .select("user_id", d_col)
+        .select("d", F.expr(_CMS_BUCKET_SPARK.format(d="d")).alias("bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    truec = t.events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_true")
+    )
+    w = Window.orderBy(F.col("n_true").desc(), "user_id")
+    top = (
+        truec.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _CMS_K)
+    )
+    probes = top.select(
+        "user_id",
+        "n_true",
+        "rk",
+        F.explode(F.array(*[F.lit(d) for d in range(_CMS_D)])).alias("d"),
+    ).withColumn("bucket", F.expr(_CMS_BUCKET_SPARK.format(d="d")))
+    est = (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("user_id")
+        .agg(F.min("n").alias("n_est"))
+    )
+    return (
+        top.join(est, "user_id")
+        .select(
+            F.col("rk").cast("int").alias("rank"),
+            "user_id",
+            "n_true",
+            F.col("n_est").cast("bigint").alias("n_est"),
+            (F.col("n_est") == F.col("n_true")).alias("exact"),
+        )
+    )

@@ -2247,3 +2247,83 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("ppm").cast("bigint").alias("sum_ppm"),
     )
+
+
+# --------------------------------------------------------------- bpe_pair_counts
+
+# One iteration of BPE tokenizer training at corpus scale: the merge
+# candidate table. Classic formulation (Sennrich et al. 2016): words
+# are symbol sequences ending in an end-of-word marker; the trainer
+# repeatedly merges the most frequent adjacent pair. The expensive,
+# data-sized step is exactly this count — everything after runs on the
+# vocabulary.
+_BPE_TOPK = 30
+_BPE_EOW = "</w>"
+
+_BPE_ORACLE = f"""
+WITH wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> ''
+  GROUP BY word
+),
+pairs AS (
+  SELECT substr(word, i, 1) AS a,
+         CASE WHEN i < length(word) THEN substr(word, i + 1, 1)
+              ELSE '{_BPE_EOW}' END AS b,
+         cnt
+  FROM wf, UNNEST(range(1, length(word) + 1)) u(i)
+),
+totals AS (
+  SELECT a, b, CAST(SUM(cnt) AS BIGINT) AS n_pair
+  FROM pairs GROUP BY a, b
+)
+SELECT CAST(rk AS INTEGER) AS rank, a, b, n_pair FROM (
+  SELECT a, b, n_pair,
+         row_number() OVER (ORDER BY n_pair DESC, a, b) AS rk
+  FROM totals
+) WHERE rk <= {_BPE_TOPK}
+"""
+
+
+@register("bpe_pair_counts", oracle=_BPE_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized step of BPE tokenizer training: adjacent
+    symbol-pair frequencies (with the ``</w>`` end-of-word marker),
+    ranked — the merge-candidate table one induction iteration reads.
+    Training a tokenizer ON the 100 TB corpus it will tokenize is a
+    standard pipeline stage, and this count is the only part that
+    touches all the data.
+
+    Scale shape: the trick production BPE trainers use is pinned in the
+    plan — count WORDS first (one corpus-sized exchange of (word,
+    partial-count) pairs, combined map-side), then explode character
+    pairs over the DISTINCT vocabulary, so the per-character work is
+    vocab-bounded, not corpus-bounded: a 100× corpus with a stable
+    vocabulary pays ~1× for every stage after the word count. The
+    final rank is a WindowGroupLimit top-k over the (symbol, symbol)
+    domain."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_arr = F.expr(
+        "transform(sequence(1, length(word)), i -> struct("
+        "substr(word, i, 1) as a, "
+        f"case when i < length(word) then substr(word, i + 1, 1) "
+        f"else '{_BPE_EOW}' end as b))"
+    )
+    totals = (
+        wf.select(F.explode(pair_arr).alias("p"), "cnt")
+        .groupBy("p.a", "p.b")
+        .agg(F.sum("cnt").alias("n_pair"))
+    )
+    w = Window.orderBy(F.col("n_pair").desc(), "a", "b")
+    return (
+        totals.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _BPE_TOPK)
+        .select("rank", "a", "b", "n_pair")
+    )

@@ -126,3 +126,63 @@ def test_audio_neardup_finds_planted_copies(spark, sf_dir):
         f"only {len(found_near)}/{len(near)} near-copies found"
     )
     assert all(h <= 6 for h in got.values())
+
+
+# ------------------------------------------------------------- events_cms_topk
+
+
+def test_cms_never_undercounts(spark, sf_dir):
+    """The CMS contract: estimates are exact-or-over, never under (min
+    over hash rows bounds collision error from above); ranks are the
+    contiguous exact top-k."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        events_cms_topk,
+    )
+
+    rows = sorted(events_cms_topk(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.n_est >= r.n_true for r in rows)
+    assert all(r.exact == (r.n_est == r.n_true) for r in rows)
+    # true counts non-increasing down the ranks
+    trues = [r.n_true for r in rows]
+    assert trues == sorted(trues, reverse=True)
+
+
+# ------------------------------------------------------------- bpe_pair_counts
+
+
+def test_bpe_pairs_are_single_symbols_and_mass_conserves(spark, sf_dir):
+    """Merge candidates are (char, char-or-EOW) with non-increasing
+    counts; total pair mass over ALL pairs equals sum over tokens of
+    len(token) — each word of length L yields L-1 adjacent pairs plus
+    one end-of-word pair."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        bpe_pair_counts,
+    )
+
+    rows = sorted(bpe_pair_counts(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert rows and [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    counts = [r.n_pair for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert all(len(r.a) == 1 for r in rows)
+    assert all(r.b == "</w>" or len(r.b) == 1 for r in rows)
+
+    docs = load_tables(spark, sf_dir).documents
+    expect_mass = (
+        docs.select(
+            F.explode(F.split("text", " ")).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    # the Spark-side word-frequency reduction conserves mass: summing
+    # len(word)*cnt over the vocabulary equals summing len over tokens
+    wf = (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    got = wf.agg(F.sum(F.length("word") * F.col("cnt"))).collect()[0][0]
+    assert got == expect_mass
