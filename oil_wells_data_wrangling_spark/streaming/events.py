@@ -935,3 +935,121 @@ def stream_topk_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# ------------------------------------------------- windowed CMS sketch (TWS)
+
+class _CmsTWS:
+    """Per-hour Count-Min sketch with FINAL emission: state is the
+    sparse (d, bucket) → count MAP for each open window (≤ depth×width
+    cells regardless of event volume — the fixed-size-summary property
+    that makes the sketch the right streaming aggregate for unbounded
+    key domains), an event-time timer seals the window once and
+    publishes its cells. Downstream stores one sealed sketch per hour
+    and answers heavy-hitter queries by cell-wise min/merge — the
+    streaming half of the batch ``events_cms_topk`` operator, same
+    md5-derived hash rows, so sealed cells are bit-equal to a batch
+    build over the same hour."""
+
+    def __init__(self, fire_after_close_ms: int = 2 * 3600 * 1000) -> None:
+        self._fire_after_close_ms = fire_after_close_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._cells = handle.getMapState(
+            "cells", "d int, bucket bigint", "n bigint"
+        )
+        self._timer = handle.getValueState("timer", "t bigint")
+
+    @staticmethod
+    def _bucket(d: int, user_id: int) -> int:
+        import hashlib
+
+        h = hashlib.md5(f"cms{d}_{user_id}".encode()).hexdigest()
+        return int(h[:8], 16) % _STREAM_CMS_W
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for d in range(_STREAM_CMS_D):
+                buckets = pdf["user_id"].map(
+                    lambda u, _d=d: self._bucket(_d, int(u))
+                )
+                for b, n in buckets.value_counts().items():
+                    mk = (d, int(b))
+                    cur = (
+                        self._cells.getValue(mk)[0]
+                        if self._cells.containsKey(mk)
+                        else 0
+                    )
+                    self._cells.updateValue(mk, (cur + int(n),))
+        if not self._timer.exists():
+            (window_start,) = key
+            close_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            fire_ms = close_ms + 3600 * 1000 + self._fire_after_close_ms
+            self._handle.registerTimer(fire_ms)
+            self._timer.update((fire_ms,))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (window_start,) = key
+        cells = sorted(
+            ((k[0], k[1], self._cells.getValue(k)[0]) for k in self._cells.keys())
+        )
+        self._cells.clear()
+        self._timer.clear()
+        if cells:
+            yield pd.DataFrame(
+                {
+                    "window_start": [window_start] * len(cells),
+                    "d": [c[0] for c in cells],
+                    "bucket": [c[1] for c in cells],
+                    "n": [c[2] for c in cells],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+# match operators/eventops.py::_CMS_D/_CMS_W so sealed streaming cells
+# are bit-equal to a batch sketch over the same hour
+_STREAM_CMS_D = 4
+_STREAM_CMS_W = 1024
+
+_CMS_OUT_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("d", IntegerType()),
+        StructField("bucket", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def stream_cms_tws(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    fire_after_close_ms: int = 2 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming per-hour Count-Min sketch, sealed and published once
+    per window via transformWithStateInPandas (RocksDB provider
+    required). The emitted (window_start, d, bucket, n) rows ARE the
+    mergeable sketch: cell-wise sum unions hours into days, min over
+    the d rows answers point queries — the streaming counterpart of
+    ``events_cms_topk``'s batch build and ``hll_persist_incremental``'s
+    persisted-aggregate pattern. State per open window is bounded by
+    the sketch dimensions (≤ 4×1024 cells), never by event volume."""
+    _require_rocksdb(events)
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        .groupBy("window_start")
+    )
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=_CmsTWS(fire_after_close_ms),
+        outputStructType=_CMS_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -254,3 +254,70 @@ def test_ivf_pq_search_joins_all_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ivf_pq_search")
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_late_round8_operator_plan_shapes(spark, sf_dir):
+    # chunk_dedup_rewrite: the keeper agg must stay HashAggregate — the
+    # min(struct) form regressed to SortAggregate (two full sorts of
+    # the segment table, measured 14.6x on the 10x->100x step)
+    plan = _plan(spark, sf_dir, "chunk_dedup_rewrite")
+    assert "SortAggregate" not in plan, (
+        "chunk_dedup_rewrite: keeper must hash-aggregate"
+    )
+    # ...and the doc-keyed join exchanges must carry raw text, never
+    # pre-split word arrays (fat serialized rows through the shuffle)
+    for m in re.finditer(
+        r"Exchange hashpartitioning\(doc_id#\d+L.*\n(.*)", plan
+    ):
+        assert "split(" not in m.group(1), (
+            "chunk_dedup_rewrite: word arrays riding the doc exchange"
+        )
+    # ...and the segment-hash exchange carries no text column
+    for child in _md5_exchange_children(plan):
+        assert "seg_text" not in child and "text#" not in child, (
+            "chunk_dedup_rewrite: segment text riding the hash exchange"
+        )
+
+    # events_cms_topk: the probe side joins the 4096-row cell table by
+    # broadcast, and the exact top-k pushes a partial limit
+    plan = _plan(spark, sf_dir, "events_cms_topk")
+    assert "BroadcastHashJoin" in plan, "cms: cell probe must broadcast"
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+        "cms: exact top-k not pushed down"
+    )
+
+    # bpe_pair_counts: global top-k over the pair domain is a partial
+    # limit, not a full sort of the pair table
+    plan = _plan(spark, sf_dir, "bpe_pair_counts")
+    assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, (
+        "bpe: rank<=k not pushed down"
+    )
+
+    # eval_leakage_report: the h-keyed contamination join must never be
+    # FORCED to broadcast (the scale contract is that the planner stays
+    # free — at sf0.001 AQE correctly broadcasts the tiny eval side; at
+    # production stats it exceeds the threshold and goes sort-merge).
+    # Pin: the only broadcast HINTS in the analyzed plan are the
+    # injection scaffold's one-row count and snippet frames.
+    df = REGISTRY["eval_leakage_report"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = re.findall(
+        r"ResolvedHint[^\n]*\n((?:.|\n){0,400}?)(?=ResolvedHint|\Z)", analyzed
+    )
+    for body in hints:
+        assert "snippet" in body or "count(1)" in body, (
+            "eval_leakage_report: a shingle side carries a broadcast hint"
+        )
+
+    # anchor_text_stats / mm_audio_neardup: no text/payload bytes on
+    # any exchange (tag pairs and band scalars only)
+    plan = _plan(spark, sf_dir, "anchor_text_stats")
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*\n(.*)", plan):
+        assert "html#" not in m.group(1), (
+            "anchor_text_stats: page html riding an exchange"
+        )
+    plan = _plan(spark, sf_dir, "mm_audio_neardup")
+    for m in re.finditer(r"Exchange hashpartitioning[^\n]*\n(.*)", plan):
+        assert "payload#" not in m.group(1), (
+            "mm_audio_neardup: payload bytes riding an exchange"
+        )

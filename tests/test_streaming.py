@@ -729,3 +729,101 @@ def test_stream_topk_tws_final_emission_matches_batch(spark, sf_dir, tmp_path):
     batch_per_win = collections.Counter(w for (w, _rk) in batch)
     for w, n in per_win.items():
         assert n == batch_per_win[w], (w, n, batch_per_win[w])
+
+
+def test_stream_cms_tws_sealed_cells_match_batch_sketch(spark, sf_dir, tmp_path):
+    """Streaming CMS: every window that fires its timer publishes cells
+    BIT-EQUAL to a batch sketch built over that hour's events (same
+    md5-derived hash rows), and per-window cell counts never exceed the
+    sketch dimensions — the fixed-size-state contract."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        _CMS_BUCKET_SPARK,
+        _CMS_D,
+        _CMS_W,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        load_tables,
+        normalize_event_ts,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import stream_cms_tws
+
+    e = load_tables(spark, sf_dir).events.withColumn("ts_us", F.unix_micros("ts"))
+    mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+    src = tmp_path / "src"
+    e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part0")
+    )
+    e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_available_now(
+            stream_cms_tws(
+                stream, watermark="1 second", fire_after_close_ms=60_000
+            ),
+            "cms_tws",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    emitted = got.collect()
+    assert emitted, "no window fired its timer"
+
+    batch_cells = {
+        (r.window_start, r.d, r.bucket): r.n
+        for r in (
+            load_tables(spark, sf_dir)
+            .events.select(
+                F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+            )
+            .select(
+                "window_start",
+                F.explode(
+                    F.array(*[F.lit(d) for d in range(_CMS_D)])
+                ).alias("d"),
+                "user_id",
+            )
+            .select(
+                "window_start",
+                "d",
+                F.expr(_CMS_BUCKET_SPARK.format(d="d")).alias("bucket"),
+            )
+            .groupBy("window_start", "d", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    fired = set()
+    for r in emitted:
+        fired.add(r.window_start)
+        assert batch_cells[(r.window_start, r.d, r.bucket)] == r.n, (
+            f"cell {(r.window_start, r.d, r.bucket)} diverged from batch"
+        )
+    # fired windows publish their COMPLETE sketch: every batch cell of a
+    # fired window appears, and cell count respects sketch dimensions
+    import collections
+
+    per_win = collections.Counter(r.window_start for r in emitted)
+    for w in fired:
+        want = sum(1 for (bw, _d, _b) in batch_cells if bw == w)
+        assert per_win[w] == want
+        assert per_win[w] <= _CMS_D * _CMS_W
