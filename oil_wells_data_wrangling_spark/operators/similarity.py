@@ -1707,3 +1707,108 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_dropped").alias("n_dropped"),
         F.sum(1 - F.col("is_dropped")).alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------- embedding_outliers
+
+# Distance-to-centroid outlier audit: members sitting far from their
+# own IVF cell's centroid are the OOD/noise tail SemDeDup-style
+# curation prunes before training. All comparisons run in integer
+# micro-units (d = 1e6·(1 − cos), exactly representable after ROUND to
+# an integral double), and the outlier test cross-multiplies instead of
+# dividing — bit-identical on both engines, no FP mean anywhere.
+_EO_CENTROIDS = 16
+_EO_RATIO_NUM = 11  # outlier ⇔ d·10 > avg_d·11, i.e. d > 1.1×cell mean
+_EO_RATIO_DEN = 10
+
+_EO_ORACLE = f"""
+WITH cent AS (
+  SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+  WHERE vec_id < {_EO_CENTROIDS}
+),
+scored AS (
+  SELECT e.vec_id,
+         (1000000 - CAST(ROUND({_cos_duck('e.embedding', 'c.ce')} * 1000000,
+                               0) AS BIGINT)) * 100 + c.centroid_id AS dkey
+  FROM embeddings e CROSS JOIN cent c
+),
+assign AS (
+  SELECT vec_id, MIN(dkey) AS k FROM scored GROUP BY vec_id
+),
+member AS (
+  SELECT vec_id, k % 100 AS centroid_id, k // 100 AS d FROM assign
+),
+stats AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         CAST(SUM(d) AS BIGINT) AS sd
+  FROM member GROUP BY centroid_id
+)
+SELECT s.centroid_id, s.n_members,
+       CAST(s.sd // s.n_members AS BIGINT) AS avg_d,
+       CAST(SUM(CASE WHEN m.d * {_EO_RATIO_DEN} * s.n_members
+                        > s.sd * {_EO_RATIO_NUM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM member m JOIN stats s USING (centroid_id)
+GROUP BY s.centroid_id, s.n_members, s.sd
+"""
+
+
+@register("embedding_outliers", oracle=_EO_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit: assign every vector to its
+    nearest of {_EO_CENTROIDS} centroids (ivf_assign's coarse
+    quantization), then per cell count the members sitting more than
+    1.1× the cell's mean centroid-distance out — the OOD/noise tail a
+    SemDeDup-style curation run prunes before training. Distances are
+    integer micro-units and the threshold is a cross-multiplication,
+    so the audit is exact on both engines (no FP mean, no division).
+
+    Scale shape: centroids broadcast (16 rows) and the nearest-cell
+    pick is min() over ONE encoded bigint (distance·100 + centroid_id
+    — lexicographic (distance, centroid) order), so the per-vector
+    reduction stays HashAggregate in codegen and the only corpus-sized
+    exchange carries (vec_id, bigint) pairs. Cell stats are
+    {_EO_CENTROIDS} rows, broadcast back for the outlier test; the
+    embedding array itself never leaves the scan stage."""
+    t = load_tables(spark, sf_dir)
+    cent = t.embeddings.filter(F.col("vec_id") < _EO_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    dkey = (
+        F.lit(1_000_000)
+        - F.round(cosine("embedding", "ce") * 1_000_000, 0).cast("bigint")
+    ) * 100 + F.col("centroid_id")
+    assign = (
+        t.embeddings.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(cent))
+        .select("vec_id", dkey.alias("dkey"))
+        .groupBy("vec_id")
+        .agg(F.min("dkey").alias("k"))
+        .select(
+            (F.col("k") % 100).alias("centroid_id"),
+            F.expr("k div 100").alias("d"),
+        )
+    )
+    stats = assign.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("d").alias("sd"),
+    )
+    flagged = assign.join(F.broadcast(stats), "centroid_id").select(
+        "centroid_id",
+        "n_members",
+        "sd",
+        (
+            F.col("d") * _EO_RATIO_DEN * F.col("n_members")
+            > F.col("sd") * _EO_RATIO_NUM
+        ).cast("int").alias("is_out"),
+    )
+    return (
+        flagged.groupBy("centroid_id", "n_members", "sd")
+        .agg(F.sum("is_out").cast("bigint").alias("n_outliers"))
+        .select(
+            "centroid_id",
+            "n_members",
+            F.expr("sd div n_members").alias("avg_d"),
+            "n_outliers",
+        )
+    )

@@ -85,6 +85,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "embedding_outliers",
     "events_cms_topk",
     "bpe_pair_counts",
     "eval_leakage_report",
@@ -131,12 +132,11 @@ _WINDOW_PRIORITY = [
     "pseudonymize",
     "range_join",
     "rollup_cube",
-    "salted_agg_join",
-    # (semi_anti_join, skew_report, spatial_bbox, vector_quantize,
+    # (salted_agg_join, semi_anti_join, skew_report, spatial_bbox, vector_quantize,
     # window_lag_delta, winsorize — the alphabetical tail of the r4
-    # backlog — yielded their slots to the six late-r8 additions above,
-    # which would otherwise have NO row at all; all six hold green r4
-    # rows plus local parity and lead the r9 rotation.)
+    # backlog — yielded their slots to the seven late-r8 additions
+    # above, which would otherwise have NO row at all; all seven hold
+    # green r4 rows plus local parity and lead the r9 rotation.)
     # -- implementation or oracle touched in round 8
     # (hll_persist_incremental was also touched in r8, but only by
     # extracting state_dir parameters — the registered demo's plan and

@@ -186,3 +186,23 @@ def test_bpe_pairs_are_single_symbols_and_mass_conserves(spark, sf_dir):
     )
     got = wf.agg(F.sum(F.length("word") * F.col("cnt"))).collect()[0][0]
     assert got == expect_mass
+
+
+# ------------------------------------------------------------ embedding_outliers
+
+
+def test_embedding_outliers_tail_is_live_and_consistent(spark, sf_dir):
+    """The >1.1×-mean tail must actually fire on the corpus (a dead
+    threshold audits nothing), outlier counts stay within membership,
+    and every vector lands in exactly one of the 16 cells."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        embedding_outliers,
+    )
+
+    rows = embedding_outliers(spark, sf_dir).collect()
+    assert len(rows) <= 16
+    assert all(0 <= r.n_outliers <= r.n_members for r in rows)
+    assert sum(r.n_outliers for r in rows) > 0, "outlier tail never fires"
+    n_vecs = load_tables(spark, sf_dir).embeddings.count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert all(r.avg_d >= 0 for r in rows)
