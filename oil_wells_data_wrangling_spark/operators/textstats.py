@@ -2327,3 +2327,136 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _BPE_TOPK)
         .select("rank", "a", "b", "n_pair")
     )
+
+
+# --------------------------------------------------------------- bpe_train_steps
+
+_BPE_STEPS = 3
+
+# Padded spaced-symbol form: ' h e l l o </w> '. Merges apply as PLAIN
+# string replace of ' a b ' with ' ab ' — left-to-right non-overlapping
+# in both engines (verified on runs: ' a a a a ' -> ' aa a a ' in Spark
+# AND DuckDB — adjacent occurrences sharing a boundary space are
+# skipped; classic BPE differs only on runs of identical symbols, a
+# documented nuance of the space-delimited encoding, identical across
+# engines so the oracle stays exact).
+_BPE_SYM_DUCK = (
+    "' ' || array_to_string(list_transform(range(1, length(word) + 1), "
+    "i -> substr(word, i, 1)), ' ') || ' </w> '"
+)
+_BPE_SYM_SPARK = (
+    "concat(' ', array_join(transform(sequence(1, length(word)), "
+    "i -> substr(word, i, 1)), ' '), ' </w> ')"
+)
+
+
+def _bpe_pairs_duck(vocab_cte: str) -> str:
+    """(a, b, n) weighted adjacent-pair counts over a (sym, cnt) CTE."""
+    return f"""
+  SELECT arr[j] AS a, arr[j + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS n
+  FROM (SELECT string_split(trim(sym), ' ') AS arr, cnt FROM {vocab_cte}),
+       UNNEST(range(1, len(arr))) u(j)
+  GROUP BY 1, 2
+"""
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        f"""wf AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY word
+),
+v0 AS (SELECT {_BPE_SYM_DUCK} AS sym, cnt FROM wf)"""
+    ]
+    selects = []
+    for s in range(1, _BPE_STEPS + 1):
+        prev = f"v{s - 1}"
+        ctes.append(f"p{s} AS ({_bpe_pairs_duck(prev)})")
+        ctes.append(
+            f"t{s} AS (SELECT a, b, n FROM p{s} "
+            f"ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        ctes.append(
+            f"v{s} AS (SELECT replace(sym, ' ' || t.a || ' ' || t.b || ' ', "
+            f"' ' || t.a || t.b || ' ') AS sym, cnt "
+            f"FROM {prev} CROSS JOIN t{s} t)"
+        )
+        selects.append(
+            f"SELECT {s} AS step, a, b, n FROM t{s}"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+_BPE_STEPS_ORACLE = _bpe_oracle()
+
+
+@register("bpe_train_steps", oracle=_BPE_STEPS_ORACLE)
+def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, {_BPE_STEPS} full iterations: count
+    adjacent symbol pairs over the weighted vocabulary, select the top
+    merge (count-desc, pair-asc tie-break), APPLY it to every word's
+    symbol sequence, repeat — ``bpe_pair_counts`` is one census; this
+    is the training loop. Output: one row per learned merge.
+
+    Scale shape: the kmeans_iterate pattern for tokenizer induction —
+    the corpus is touched ONCE (the word-frequency count);
+    every iteration runs on the distinct vocabulary (pairs explode
+    from ≤ vocab×word-length symbols, merge application is one
+    in-scan string replace), and the driver round-trip per iteration
+    collects exactly ONE row (the selected merge), exactly like
+    kmeans_iterate's k centroids. Merge application is plain
+    space-padded string replace — left-to-right, non-overlapping,
+    verified bit-identical across engines including on
+    identical-symbol runs."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt")
+    # one vocabulary-sized frame iterates; caching it avoids re-running
+    # the corpus word count every step (kmeans_iterate's persist)
+    vocab = vocab.persist()
+    out_rows = []
+    try:
+        for step in range(1, _BPE_STEPS + 1):
+            arr = F.split(F.trim("sym"), " ")
+            pair_arr = F.expr(
+                "transform(sequence(1, size(arr) - 1), "
+                "j -> struct(element_at(arr, j) as a, "
+                "element_at(arr, j + 1) as b))"
+            )
+            pairs = (
+                vocab.select(arr.alias("arr"), "cnt")
+                .select(F.explode(pair_arr).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+            )
+            top = pairs.orderBy(
+                F.col("n").desc(), "a", "b"
+            ).limit(1).collect()[0]
+            out_rows.append((step, top.a, top.b, top.n))
+            # F.replace with lit() arguments — symbols come from corpus
+            # text, so never string-interpolate them into SQL
+            merged = vocab.select(
+                F.replace(
+                    "sym",
+                    F.lit(f" {top.a} {top.b} "),
+                    F.lit(f" {top.a}{top.b} "),
+                ).alias("sym"),
+                "cnt",
+            )
+            merged = merged.persist()
+            vocab.unpersist()
+            vocab = merged
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        out_rows, "step int, a string, b string, n bigint"
+    )

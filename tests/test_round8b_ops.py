@@ -206,3 +206,27 @@ def test_embedding_outliers_tail_is_live_and_consistent(spark, sf_dir):
     n_vecs = load_tables(spark, sf_dir).embeddings.count()
     assert sum(r.n_members for r in rows) == n_vecs
     assert all(r.avg_d >= 0 for r in rows)
+
+
+# ------------------------------------------------------------- bpe_train_steps
+
+
+def test_bpe_training_loop_consistency(spark, sf_dir):
+    """Step 1's learned merge must equal bpe_pair_counts' rank-1 pair
+    (the loop's first census IS that operator); merges are distinct
+    pairs with positive counts; later merges may reference earlier
+    merged symbols (multi-char tokens are allowed from step 2 on)."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        bpe_pair_counts,
+        bpe_train_steps,
+    )
+
+    steps = sorted(bpe_train_steps(spark, sf_dir).collect(), key=lambda r: r.step)
+    assert [r.step for r in steps] == [1, 2, 3]
+    assert len({(r.a, r.b) for r in steps}) == 3
+    assert all(r.n > 0 for r in steps)
+
+    rank1 = [r for r in bpe_pair_counts(spark, sf_dir).collect() if r.rank == 1][0]
+    assert (steps[0].a, steps[0].b, steps[0].n) == (
+        rank1.a, rank1.b, rank1.n_pair,
+    )
