@@ -1747,3 +1747,170 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_span_pairs",
         )
     )
+
+
+# ------------------------------------------------------ dedup_method_agreement
+
+# One corpus, three detectors, known ground truth: every 10th doc
+# re-issued VERBATIM (+1M ids), every 7th re-issued with the near-dup
+# tail (+2M ids). The agreement table is the methodology audit a
+# curation team runs before picking its dedup stack: exact hashing
+# must find all verbatim copies and no near-copies; MinHash/SimHash
+# must find both; anything outside the planted sets ("other") is
+# either a natural duplicate or banding noise — and the count of it
+# is exactly what distinguishes the methods' precision.
+
+_AGREE_ORACLE = f"""
+WITH docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text
+  FROM documents WHERE doc_id % 10 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+  FROM documents WHERE doc_id % 7 = 0
+),
+x_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM docs2 a JOIN docs2 b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+{minhash_pairs_ctes('docs2')},
+stok AS (
+  SELECT doc_id,
+         list_transform(string_split(text, ' '),
+                        s -> {_H32_DUCK.format(s='s')}) AS harr
+  FROM docs2
+),
+ssim AS (
+  SELECT doc_id, CAST({_simhash_terms_duck()} AS BIGINT) AS simhash
+  FROM stok
+),
+s_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM ssim a JOIN ssim b
+    ON a.simhash // 16777216 = b.simhash // 16777216
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+),
+tagged AS (
+  SELECT 'exact' AS method, doc_a, doc_b FROM x_pairs
+  UNION ALL
+  SELECT 'minhash' AS method, doc_a, doc_b FROM mh_pairs
+  UNION ALL
+  SELECT 'simhash' AS method, doc_a, doc_b FROM s_pairs
+)
+SELECT method,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN doc_a < 1000000
+                      AND doc_b = doc_a + 1000000 AND doc_a % 10 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_truth,
+       CAST(SUM(CASE WHEN doc_a < 1000000
+                      AND doc_b = doc_a + 2000000 AND doc_a % 7 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_near_truth,
+       CAST(SUM(CASE WHEN NOT (doc_a < 1000000
+                      AND doc_b = doc_a + 1000000 AND doc_a % 10 = 0)
+                      AND NOT (doc_a < 1000000
+                      AND doc_b = doc_a + 2000000 AND doc_a % 7 = 0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_other
+FROM tagged GROUP BY method
+"""
+
+
+@register("dedup_method_agreement", oracle=_AGREE_ORACLE)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-comparison audit: exact md5, MinHash-LSH, and SimHash run
+    over ONE corpus with planted verbatim copies (every 10th doc) and
+    near-copies (every 7th, tailed), and each method's pair output is
+    scored against the known truth sets — the table a curation team
+    reads before picking its dedup stack (exact misses every
+    near-copy; the sketch methods catch both but admit banding noise,
+    counted in n_other along with cross-copy pairs like (i+1M, i+2M)).
+
+    Scale shape: the union of the three detectors' plans, each already
+    scale-audited alone — exact's self-join keys on the 16-byte md5,
+    MinHash reuses the Arrow signature + banded buckets, SimHash is
+    in-scan bit votes with high-8-bit blocking; the final agreement
+    rollup reduces pairs to (method, 4 counters) map-side. Nothing
+    all-pairs anywhere."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    docs2 = base.unionAll(
+        base.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionAll(
+        base.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
+        )
+    )
+
+    hashed = docs2.select("doc_id", F.md5("text").alias("h"))
+    ha, hb = hashed.alias("a"), hashed.alias("b")
+    x_pairs = ha.join(
+        hb,
+        (F.col("a.h") == F.col("b.h"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    )
+
+    mh = minhash_pairs(docs2)
+
+    harr = F.expr(
+        "transform(split(text, ' '), s -> " + _H32_SPARK.format(s="s") + ")"
+    )
+    hh = docs2.select("doc_id", harr.alias("harr")).cache()
+    sim = hh.select(
+        "doc_id", F.expr(_simhash_terms_spark()).alias("simhash")
+    )
+    sa, sb = sim.alias("a"), sim.alias("b")
+    s_pairs = (
+        sa.join(
+            sb,
+            (
+                F.expr("a.simhash div 16777216")
+                == F.expr("b.simhash div 16777216")
+            )
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            )
+            <= 6
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+    )
+
+    tagged = (
+        x_pairs.select(F.lit("exact").alias("method"), "doc_a", "doc_b")
+        .unionAll(mh.select(F.lit("minhash").alias("method"), "doc_a", "doc_b"))
+        .unionAll(
+            s_pairs.select(F.lit("simhash").alias("method"), "doc_a", "doc_b")
+        )
+    )
+    # doc_a < 1M pins the pair's left side to an ORIGINAL — without it
+    # a cross-copy pair (i+1M, i+2M) at i % 70 == 0 also satisfies the
+    # +1M/stride arithmetic and inflates the truth count
+    is_exact = (
+        (F.col("doc_a") < 1_000_000)
+        & (F.col("doc_b") == F.col("doc_a") + 1_000_000)
+        & (F.col("doc_a") % 10 == 0)
+    )
+    is_near = (
+        (F.col("doc_a") < 1_000_000)
+        & (F.col("doc_b") == F.col("doc_a") + 2_000_000)
+        & (F.col("doc_a") % 7 == 0)
+    )
+    return tagged.groupBy("method").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(is_exact.cast("int")).cast("bigint").alias("n_exact_truth"),
+        F.sum(is_near.cast("int")).cast("bigint").alias("n_near_truth"),
+        F.sum((~is_exact & ~is_near).cast("int"))
+        .cast("bigint")
+        .alias("n_other"),
+    )
