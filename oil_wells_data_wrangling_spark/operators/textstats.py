@@ -2460,3 +2460,104 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "step int, a string, b string, n bigint"
     )
+
+
+# ------------------------------------------------------------------ code_detect
+
+# Code-vs-prose routing — pipelines split code into its own pipeline
+# (different dedup granularity, different quality rules). Signals are
+# pure character arithmetic (brace/semicolon/paren density per char),
+# integer-exact on both engines. Deterministic injection appends a
+# code-like snippet to every 6th doc so both branches are live.
+# floor chosen under the injected worst case: 4 counted symbol chars
+# over a ~600-char doc ≈ 6600 ppm (≈4000 on the longer word-salted
+# scale replicas); prose has zero braces so the n_braces >= 1 conjunct
+# already excludes it regardless of the floor
+_CODE_PPM_MIN = 3_000  # symbol chars per million text chars
+
+_CODE_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 6 = 0 THEN text
+              || ' var_' || CAST(doc_id AS VARCHAR)
+              || ' = function() {{ return ' || CAST(doc_id AS VARCHAR)
+              || '; }};'
+         ELSE text END AS text
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, '{{', '')) AS BIGINT)
+           AS n_braces,
+         CAST(length(text) - length(replace(text, ';', '')) AS BIGINT)
+           AS n_semis,
+         CAST(length(text) - length(replace(text, '(', '')) AS BIGINT)
+           AS n_parens,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM corpus
+)
+SELECT doc_id, n_braces, n_semis,
+       CAST((n_braces + n_semis + n_parens) * 1000000 // n_chars AS BIGINT)
+         AS sym_ppm,
+       (n_braces >= 1 AND
+        (n_braces + n_semis + n_parens) * 1000000
+          >= {_CODE_PPM_MIN} * n_chars) AS is_code
+FROM sig
+"""
+
+
+@register("code_detect", oracle=_CODE_ORACLE)
+def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing signal: brace/semicolon/paren density per
+    character flags code-bearing documents so a corpus build can send
+    them down the code pipeline (different dedup granularity and
+    quality rules than prose). Integer-exact: counts come from
+    length-difference arithmetic and the threshold cross-multiplies
+    (ppm·n_chars, no division before the compare). Every 6th doc gets
+    a deterministic code snippet appended so both branches are live
+    and test-pinned.
+
+    Scale shape: single scan, zero exchanges — all five outputs are
+    per-row character arithmetic Catalyst keeps inside one
+    WholeStageCodegen projection. The 100 TB cost is the read."""
+    t = load_tables(spark, sf_dir)
+    corpus = t.documents.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 6 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" var_"),
+                F.col("doc_id").cast("string"),
+                F.lit(" = function() { return "),
+                F.col("doc_id").cast("string"),
+                F.lit("; };"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+
+    def _count(ch: str) -> F.Column:
+        return (
+            F.length("text") - F.length(F.replace("text", F.lit(ch)))
+        ).cast("bigint")
+
+    sig = corpus.select(
+        "doc_id",
+        _count("{").alias("n_braces"),
+        _count(";").alias("n_semis"),
+        _count("(").alias("n_parens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    syms = F.col("n_braces") + F.col("n_semis") + F.col("n_parens")
+    return sig.select(
+        "doc_id",
+        "n_braces",
+        "n_semis",
+        F.expr(
+            "(n_braces + n_semis + n_parens) * 1000000 div n_chars"
+        ).alias("sym_ppm"),
+        (
+            (F.col("n_braces") >= 1)
+            & (syms * 1_000_000 >= _CODE_PPM_MIN * F.col("n_chars"))
+        ).alias("is_code"),
+    )

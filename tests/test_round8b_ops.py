@@ -267,3 +267,22 @@ def test_method_agreement_contracts(spark, sf_dir):
             f"{m}: {r.n_near_truth}/{n_near_planted} near-copies found"
         )
     assert rows["minhash"].n_near_truth > rows["exact"].n_near_truth
+
+
+# ----------------------------------------------------------------- code_detect
+
+
+def test_code_detect_flags_injected_code_only(spark, sf_dir):
+    """Every injected doc (id % 6 == 0 gets a brace-bearing snippet)
+    must flag; the word-salted prose corpus must never flag (no braces
+    at all); sym_ppm is internally consistent with the counts."""
+    from oil_wells_data_wrangling_spark.operators.textstats import code_detect
+
+    rows = code_detect(spark, sf_dir).collect()
+    injected = [r for r in rows if r.doc_id % 6 == 0]
+    clean = [r for r in rows if r.doc_id % 6 != 0]
+    assert injected and clean
+    assert all(r.is_code for r in injected), "injected code must flag"
+    assert all(not r.is_code for r in clean), "prose must not flag"
+    assert all(r.n_braces >= 1 for r in injected)
+    assert all(r.sym_ppm >= 0 for r in rows)
