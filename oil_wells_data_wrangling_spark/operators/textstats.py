@@ -2360,7 +2360,11 @@ def _bpe_pairs_duck(vocab_cte: str) -> str:
 """
 
 
-def _bpe_oracle() -> str:
+def _bpe_train_ctes() -> list[str]:
+    """The shared training CTE chain: wf/v0 plus, per step s,
+    pair counts p{s}, the selected merge t{s} (1 row), and the merged
+    vocabulary v{s}. Used by both the training oracle and the
+    tokenize-apply oracle."""
     ctes = [
         f"""wf AS (
   SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2369,7 +2373,6 @@ def _bpe_oracle() -> str:
 ),
 v0 AS (SELECT {_BPE_SYM_DUCK} AS sym, cnt FROM wf)"""
     ]
-    selects = []
     for s in range(1, _BPE_STEPS + 1):
         prev = f"v{s - 1}"
         ctes.append(f"p{s} AS ({_bpe_pairs_duck(prev)})")
@@ -2382,11 +2385,16 @@ v0 AS (SELECT {_BPE_SYM_DUCK} AS sym, cnt FROM wf)"""
             f"' ' || t.a || t.b || ' ') AS sym, cnt "
             f"FROM {prev} CROSS JOIN t{s} t)"
         )
-        selects.append(
-            f"SELECT {s} AS step, a, b, n FROM t{s}"
-        )
+    return ctes
+
+
+def _bpe_oracle() -> str:
+    selects = [
+        f"SELECT {s} AS step, a, b, n FROM t{s}"
+        for s in range(1, _BPE_STEPS + 1)
+    ]
     return (
-        "WITH " + ",\n".join(ctes) + "\n"
+        "WITH " + ",\n".join(_bpe_train_ctes()) + "\n"
         + "\nUNION ALL\n".join(selects)
     )
 
@@ -2420,10 +2428,19 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt")
-    # one vocabulary-sized frame iterates; caching it avoids re-running
-    # the corpus word count every step (kmeans_iterate's persist)
+    return spark.createDataFrame(
+        _bpe_learn_merges(vocab),
+        "step int, a string, b string, n bigint",
+    )
+
+
+def _bpe_learn_merges(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
+    """Run the select-apply-recount loop over a (sym, cnt) vocabulary
+    frame; returns the learned merges. One vocabulary-sized frame
+    iterates; caching it avoids re-running the corpus word count every
+    step (kmeans_iterate's persist)."""
     vocab = vocab.persist()
-    out_rows = []
+    out_rows: list[tuple[int, str, str, int]] = []
     try:
         for step in range(1, _BPE_STEPS + 1):
             arr = F.split(F.trim("sym"), " ")
@@ -2457,9 +2474,7 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             vocab = merged
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(
-        out_rows, "step int, a string, b string, n bigint"
-    )
+    return out_rows
 
 
 # ------------------------------------------------------------------ code_detect
@@ -2560,4 +2575,99 @@ def code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_braces") >= 1)
             & (syms * 1_000_000 >= _CODE_PPM_MIN * F.col("n_chars"))
         ).alias("is_code"),
+    )
+
+
+# ------------------------------------------------------------------ bpe_tokenize
+
+# Document spaced-symbol form: every word char-spaced with its </w>
+# marker, the whole doc one padded symbol stream, so learned merges
+# apply with the exact same padded plain replace as training (a merge
+# can never cross a word boundary: patterns are space-delimited and
+# </w> terminates every word).
+_BPE_DOC_SYM_DUCK = (
+    "' ' || array_to_string(list_transform("
+    "list_filter(string_split(text, ' '), w -> w <> ''), "
+    "w -> array_to_string(list_transform(range(1, length(w) + 1), "
+    "i -> substr(w, i, 1)), ' ') || ' </w>'), ' ') || ' '"
+)
+_BPE_DOC_SYM_SPARK = (
+    "concat(' ', array_join(transform("
+    "filter(split(text, ' '), w -> w != ''), "
+    "w -> concat(array_join(transform(sequence(1, length(w)), "
+    "i -> substr(w, i, 1)), ' '), ' </w>')), ' '), ' ')"
+)
+
+
+def _bpe_tokenize_oracle() -> str:
+    apply_chain = "d0.sym"
+    for s in range(1, _BPE_STEPS + 1):
+        apply_chain = (
+            f"replace({apply_chain}, ' ' || t{s}.a || ' ' || t{s}.b || ' ', "
+            f"' ' || t{s}.a || t{s}.b || ' ')"
+        )
+    crosses = " ".join(f"CROSS JOIN t{s}" for s in range(1, _BPE_STEPS + 1))
+    return (
+        "WITH " + ",\n".join(_bpe_train_ctes()) + f""",
+d0 AS (
+  SELECT doc_id, {_BPE_DOC_SYM_DUCK} AS sym FROM documents
+),
+applied AS (
+  SELECT doc_id,
+         CAST(len(string_split(trim(d0.sym), ' ')) AS BIGINT) AS n_before,
+         CAST(len(string_split(trim({apply_chain}), ' ')) AS BIGINT)
+           AS n_after
+  FROM d0 {crosses}
+)
+SELECT doc_id, n_before, n_after,
+       CAST((n_before - n_after) * 1000000 // n_before AS BIGINT)
+         AS saved_ppm
+FROM applied
+"""
+    )
+
+
+@register("bpe_tokenize", oracle=_bpe_tokenize_oracle())
+def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INFERENCE half of BPE: learn the merge table
+    (``bpe_train_steps``' loop, {_BPE_STEPS} merges), then tokenize the
+    whole corpus with it — per document the symbol count before and
+    after merging, and the exact ppm saved. This is the fertility
+    measurement for a LEARNED tokenizer (tokenizer_fertility measures a
+    fixed regex one), and the pipeline stage that decides whether the
+    merge table is worth shipping.
+
+    Scale shape: training runs on the distinct vocabulary (one corpus
+    word-count exchange, then vocab-bounded iterations, one 1-row
+    collect per merge); application is {_BPE_STEPS} chained in-scan
+    string replaces over the corpus — map-only, no exchange, the same
+    padded plain-replace semantics as training (verified bit-identical
+    across engines, including identical-symbol runs). Symbol counts
+    are size(split(...)), also in-scan."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt")
+    merges = _bpe_learn_merges(vocab)
+
+    sym = F.expr(_BPE_DOC_SYM_SPARK)
+    applied = sym
+    for _step, a, b, _n in merges:
+        applied = F.replace(applied, F.lit(f" {a} {b} "), F.lit(f" {a}{b} "))
+    counted = t.documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(sym), " ")).cast("bigint").alias("n_before"),
+        F.size(F.split(F.trim(applied), " ")).cast("bigint").alias("n_after"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_before",
+        "n_after",
+        F.expr("(n_before - n_after) * 1000000 div n_before").alias(
+            "saved_ppm"
+        ),
     )

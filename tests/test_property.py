@@ -428,3 +428,75 @@ def test_phash_invariant_under_any_integer_upscale(case):
     pb, pu = phash64(base), phash64(up)
     assert pb == pu
     assert -(1 << 63) <= pb < (1 << 63)
+
+
+# ------------------------------------------------- audio envelope properties
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    levels=st.lists(st.integers(0, 255), min_size=2, max_size=64),
+    scale=st.integers(1, 500),
+    offset=st.integers(0, 10_000),
+)
+def test_envelope_invariant_under_any_monotone_transform(levels, scale, offset):
+    """envelope_bits must be invariant under ANY strictly increasing
+    affine transform of the level scale — the property that makes it a
+    loudness-proof audio fingerprint."""
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        envelope_bits,
+    )
+
+    base = envelope_bits(levels)
+    assert envelope_bits([x * scale + offset for x in levels]) == base
+
+
+@settings(max_examples=30, deadline=None)
+@given(payload=st.binary(min_size=64, max_size=64))
+def test_numpy_envelope_matches_pure_python(payload):
+    """The Arrow/numpy fingerprint path must agree bit-for-bit with the
+    pure-python reference on arbitrary byte payloads."""
+    import numpy as np
+
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        _AE_BITS,
+        envelope_bits,
+    )
+
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    bits = (arr[1:] > arr[:-1]).astype(np.int64)
+    weights = 1 << np.arange(_AE_BITS, dtype=np.int64)
+    got = int((bits * weights).sum())
+    assert got == envelope_bits(list(arr))
+
+
+# --------------------------------------------- BPE padded-replace semantics
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    syms=st.lists(
+        st.sampled_from(["a", "b", "ab", "</w>"]), min_size=1, max_size=12
+    )
+)
+def test_bpe_merge_replace_agrees_across_engines(spark_prop, syms):
+    """The space-padded plain replace that applies a BPE merge must
+    produce the IDENTICAL string in Spark, DuckDB and python's
+    str.replace (all left-to-right non-overlapping) — including on
+    adversarial runs of identical symbols, where naive regex or
+    re-scanning implementations diverge."""
+    import duckdb
+
+    s = " " + " ".join(syms) + " "
+    pat, rep = " a b ", " ab "
+    expect = s.replace(pat, rep)
+    got_spark = (
+        spark_prop.createDataFrame([(s,)], ["s"])
+        .select(F.replace("s", F.lit(pat), F.lit(rep)).alias("r"))
+        .first()["r"]
+    )
+    got_duck = duckdb.connect().execute(
+        "SELECT replace(?, ?, ?)", [s, pat, rep]
+    ).fetchone()[0]
+    assert got_spark == expect, (s, got_spark, expect)
+    assert got_duck == expect, (s, got_duck, expect)

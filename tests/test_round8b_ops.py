@@ -286,3 +286,32 @@ def test_code_detect_flags_injected_code_only(spark, sf_dir):
     assert all(not r.is_code for r in clean), "prose must not flag"
     assert all(r.n_braces >= 1 for r in injected)
     assert all(r.sym_ppm >= 0 for r in rows)
+
+
+# ---------------------------------------------------------------- bpe_tokenize
+
+
+def test_bpe_tokenize_saves_symbols_and_bounds(spark, sf_dir):
+    """Applying the learned merges can only SHRINK the symbol stream
+    (each replace collapses two symbols into one); the corpus-wide
+    saving must be positive (the top merges were selected for mass);
+    and n_before equals chars + words per doc (each word contributes
+    len(w) symbols plus its end-of-word marker)."""
+    from oil_wells_data_wrangling_spark.operators.textstats import bpe_tokenize
+
+    rows = bpe_tokenize(spark, sf_dir).collect()
+    assert rows
+    assert all(r.n_after <= r.n_before for r in rows)
+    assert all(r.n_before >= 1 for r in rows)
+    assert sum(r.n_before - r.n_after for r in rows) > 0
+    assert all(0 <= r.saved_ppm < 1_000_000 for r in rows)
+
+    docs = {
+        r.doc_id: r.text
+        for r in load_tables(spark, sf_dir)
+        .documents.select("doc_id", "text")
+        .collect()
+    }
+    for r in rows[:20]:
+        words = [w for w in docs[r.doc_id].split(" ") if w]
+        assert r.n_before == sum(len(w) + 1 for w in words)
