@@ -1760,6 +1760,14 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # either a natural duplicate or banding noise — and the count of it
 # is exactly what distinguishes the methods' precision.
 
+# exact-group cap: a pathological duplicate group (one boilerplate doc
+# copied 10M times at 100 TB) would otherwise emit |group|^2/2 pairs
+# from the md5 self-join; groups past the cap are dropped before the
+# join — the same df-capped-join guard eval_leakage_report uses. The
+# planted corpus never exceeds 3, so oracle parity is unaffected while
+# the production guard stays live in the plan.
+_AGREE_GROUP_CAP = 10_000
+
 _AGREE_ORACLE = f"""
 WITH docs2 AS (
   SELECT doc_id, text FROM documents
@@ -1770,10 +1778,14 @@ WITH docs2 AS (
   SELECT doc_id + 2000000 AS doc_id, text || '{_NEAR_TAIL}' AS text
   FROM documents WHERE doc_id % 7 = 0
 ),
+hx AS (SELECT doc_id, md5(text) AS h FROM docs2),
+hok AS (
+  SELECT h FROM hx GROUP BY h HAVING count(*) <= {_AGREE_GROUP_CAP}
+),
 x_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM docs2 a JOIN docs2 b
-    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+  FROM hx a JOIN hok USING (h) JOIN hx b USING (h)
+  WHERE a.doc_id < b.doc_id
 ),
 {minhash_pairs_ctes('docs2')},
 stok AS (
@@ -1828,7 +1840,10 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted in n_other along with cross-copy pairs like (i+1M, i+2M)).
 
     Scale shape: the union of the three detectors' plans, each already
-    scale-audited alone — exact's self-join keys on the 16-byte md5,
+    scale-audited alone — exact's self-join keys on the 16-byte md5
+    behind a group-size cap (a 10M-copy boilerplate group would
+    otherwise go quadratic; past-cap groups drop, the df-capped-join
+    guard again),
     MinHash reuses the Arrow signature + banded buckets, SimHash is
     in-scan bit votes with high-8-bit blocking; the final agreement
     rollup reduces pairs to (method, 4 counters) map-side. Nothing
@@ -1847,7 +1862,14 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     hashed = docs2.select("doc_id", F.md5("text").alias("h"))
-    ha, hb = hashed.alias("a"), hashed.alias("b")
+    hok = (
+        hashed.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("gn"))
+        .filter(F.col("gn") <= _AGREE_GROUP_CAP)
+        .select("h")
+    )
+    capped = hashed.join(hok, "h")
+    ha, hb = capped.alias("a"), capped.alias("b")
     x_pairs = ha.join(
         hb,
         (F.col("a.h") == F.col("b.h"))
