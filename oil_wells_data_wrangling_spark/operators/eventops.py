@@ -1666,3 +1666,87 @@ def events_cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_est") == F.col("n_true")).alias("exact"),
         )
     )
+
+
+# ----------------------------------------------------------- hll_register_sketch
+
+# Own-register HLL (p=8, 256 buckets, 24-bit suffix): bucket = the top
+# 8 bits of a 32-bit md5-derived hash, register = max over observations
+# of rho (position of the suffix's leading 1-bit). Unlike the opaque
+# Datasketches blobs hll_union_daily merges, these registers are PLAIN
+# ROWS — exactly oracle-checkable (rho computes via bin()-string
+# arithmetic, integer-exact on both engines), mergeable by per-bucket
+# MAX across hours/partitions, and the scaled summand 2^(25 - r) lets
+# downstream form the harmonic estimate without any FP inside the
+# engine. The streaming half (stream_hll_tws) seals the same registers
+# once per window.
+_HLLR_P_BUCKETS = 256
+_HLLR_SUFFIX_BITS = 24
+
+_HLLR_RHO_DUCK = f"""
+CASE WHEN sfx = 0 THEN {_HLLR_SUFFIX_BITS + 1}
+     ELSE {_HLLR_SUFFIX_BITS} - (length(ltrim(bin(sfx), '0')) - 1) END
+"""
+_HLLR_RHO_SPARK = (
+    f"CASE WHEN sfx = 0 THEN {_HLLR_SUFFIX_BITS + 1} "
+    f"ELSE {_HLLR_SUFFIX_BITS} - (length(ltrim('0', bin(sfx))) - 1) END"
+)
+
+_HLLR_ORACLE = f"""
+WITH h AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         CAST('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS h32
+  FROM events
+),
+s AS (
+  SELECT window_start, h32 // {1 << _HLLR_SUFFIX_BITS} AS bucket,
+         h32 % {1 << _HLLR_SUFFIX_BITS} AS sfx
+  FROM h
+),
+reg AS (
+  SELECT window_start, bucket,
+         CAST(MAX({_HLLR_RHO_DUCK}) AS BIGINT) AS r
+  FROM s GROUP BY window_start, bucket
+)
+SELECT window_start, CAST(bucket AS BIGINT) AS bucket, r,
+       CAST(1 AS BIGINT) << ({_HLLR_SUFFIX_BITS + 1} - r) AS w2
+FROM reg
+"""
+
+
+@register("hll_register_sketch", oracle=_HLLR_ORACLE)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour HyperLogLog registers as plain rows: bucket = top 8
+    bits of the md5-derived hash, register = max leading-1 position of
+    the 24-bit suffix, plus the integer summand 2^(25−r) downstream
+    divides for the harmonic estimate — the transparent, row-shaped
+    cousin of hll_union_daily's opaque Datasketches blobs. Hours merge
+    by per-bucket MAX; days merge the same way; nothing in the engine
+    touches floating point, so the sketch is exactly oracle-checkable
+    (rho is bin()-string arithmetic, verified identical cross-engine).
+
+    Scale shape: one pass, one partial-agg exchange of (hour, bucket,
+    rho) rows that collapses map-side to ≤ 256 registers per (hour,
+    task) — the fixed-size-summary property, same as events_cms_topk's
+    cells; event volume only changes the scan cost."""
+    t = load_tables(spark, sf_dir)
+    h32 = F.expr(
+        "cast(conv(substr(md5(concat('hll_', cast(user_id as string))), "
+        "1, 8), 16, 10) as bigint)"
+    )
+    s = t.events.select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        (h32 / (1 << _HLLR_SUFFIX_BITS)).cast("bigint").alias("bucket"),
+        (h32 % (1 << _HLLR_SUFFIX_BITS)).alias("sfx"),
+    )
+    reg = s.groupBy("window_start", "bucket").agg(
+        F.expr(f"max({_HLLR_RHO_SPARK})").cast("bigint").alias("r")
+    )
+    return reg.select(
+        "window_start",
+        "bucket",
+        "r",
+        F.expr(f"shiftleft(cast(1 as bigint), {_HLLR_SUFFIX_BITS + 1} - r)")
+        .alias("w2"),
+    )

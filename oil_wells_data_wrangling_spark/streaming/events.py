@@ -1053,3 +1053,120 @@ def stream_cms_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# -------------------------------------------- windowed HLL registers (TWS)
+
+class _HllTWS:
+    """Per-hour HyperLogLog registers with FINAL emission: state is the
+    sparse bucket → max-rho MAP for each open window (≤ 256 registers
+    at ANY event volume), sealed once by the window's event-time timer.
+    Emitted rows are the same (bucket, r) registers the batch
+    ``hll_register_sketch`` computes — bit-equal, because rho is pure
+    integer arithmetic on the same md5-derived hash — so hours merge
+    downstream by per-bucket MAX exactly as the batch docstring
+    promises."""
+
+    def __init__(self, fire_after_close_ms: int = 2 * 3600 * 1000) -> None:
+        self._fire_after_close_ms = fire_after_close_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._regs = handle.getMapState("regs", "bucket bigint", "r bigint")
+        self._timer = handle.getValueState("timer", "t bigint")
+
+    @staticmethod
+    def _bucket_rho(user_id: int) -> tuple[int, int]:
+        import hashlib
+
+        h32 = int(
+            hashlib.md5(f"hll_{user_id}".encode()).hexdigest()[:8], 16
+        )
+        bucket, sfx = h32 >> _STREAM_HLL_SUFFIX_BITS, h32 & (
+            (1 << _STREAM_HLL_SUFFIX_BITS) - 1
+        )
+        rho = (
+            _STREAM_HLL_SUFFIX_BITS + 1
+            if sfx == 0
+            else _STREAM_HLL_SUFFIX_BITS - (sfx.bit_length() - 1)
+        )
+        return bucket, rho
+
+    def handleInputRows(self, key, rows, timerValues):
+        for pdf in rows:
+            for u in pdf["user_id"]:
+                bucket, rho = self._bucket_rho(int(u))
+                mk = (bucket,)
+                cur = (
+                    self._regs.getValue(mk)[0]
+                    if self._regs.containsKey(mk)
+                    else 0
+                )
+                if rho > cur:
+                    self._regs.updateValue(mk, (rho,))
+        if not self._timer.exists():
+            (window_start,) = key
+            close_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            fire_ms = close_ms + 3600 * 1000 + self._fire_after_close_ms
+            self._handle.registerTimer(fire_ms)
+            self._timer.update((fire_ms,))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (window_start,) = key
+        regs = sorted(
+            (k[0], self._regs.getValue(k)[0]) for k in self._regs.keys()
+        )
+        self._regs.clear()
+        self._timer.clear()
+        if regs:
+            yield pd.DataFrame(
+                {
+                    "window_start": [window_start] * len(regs),
+                    "bucket": [g[0] for g in regs],
+                    "r": [g[1] for g in regs],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+# match operators/eventops.py::hll_register_sketch exactly
+_STREAM_HLL_SUFFIX_BITS = 24
+
+_HLL_OUT_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("bucket", LongType()),
+        StructField("r", LongType()),
+    ]
+)
+
+
+def stream_hll_tws(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    fire_after_close_ms: int = 2 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming per-hour HLL registers, sealed and published once per
+    window via transformWithStateInPandas (RocksDB provider required) —
+    the distinct-count member of the sealed-sketch family
+    (stream_cms_tws is the counting member). State per open window is
+    ≤ 256 (bucket, rho) entries regardless of event volume; emitted
+    registers are bit-equal to ``hll_register_sketch``'s batch rows for
+    the same hour and merge downstream by per-bucket MAX."""
+    _require_rocksdb(events)
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(
+            F.date_trunc("hour", "ts").alias("window_start"), "user_id"
+        )
+        .groupBy("window_start")
+    )
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=_HllTWS(fire_after_close_ms),
+        outputStructType=_HLL_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

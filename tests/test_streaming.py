@@ -827,3 +827,77 @@ def test_stream_cms_tws_sealed_cells_match_batch_sketch(spark, sf_dir, tmp_path)
         want = sum(1 for (bw, _d, _b) in batch_cells if bw == w)
         assert per_win[w] == want
         assert per_win[w] <= _CMS_D * _CMS_W
+
+
+def test_stream_hll_tws_sealed_registers_match_batch(spark, sf_dir, tmp_path):
+    """Streaming HLL: every fired window's sealed registers must be
+    BIT-EQUAL to the batch hll_register_sketch rows for that hour, and
+    bounded by the 256-bucket sketch size — state never tracks event
+    volume."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        hll_register_sketch,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        load_tables,
+        normalize_event_ts,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import stream_hll_tws
+
+    e = load_tables(spark, sf_dir).events.withColumn("ts_us", F.unix_micros("ts"))
+    mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+    src = tmp_path / "src"
+    e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part0")
+    )
+    e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_available_now(
+            stream_hll_tws(
+                stream, watermark="1 second", fire_after_close_ms=60_000
+            ),
+            "hll_tws",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    emitted = got.collect()
+    assert emitted, "no window fired its timer"
+
+    batch = {
+        (r.window_start, r.bucket): r.r
+        for r in hll_register_sketch(spark, sf_dir).collect()
+    }
+    fired = set()
+    for r in emitted:
+        fired.add(r.window_start)
+        assert batch[(r.window_start, r.bucket)] == r.r, (
+            f"register {(r.window_start, r.bucket)} diverged from batch"
+        )
+    import collections
+
+    per_win = collections.Counter(r.window_start for r in emitted)
+    for w in fired:
+        want = sum(1 for (bw, _b) in batch if bw == w)
+        assert per_win[w] == want
+        assert per_win[w] <= 256
