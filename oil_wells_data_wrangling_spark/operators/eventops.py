@@ -1750,3 +1750,77 @@ def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"shiftleft(cast(1 as bigint), {_HLLR_SUFFIX_BITS + 1} - r)")
         .alias("w2"),
     )
+
+
+# ----------------------------------------------------------- log_histogram_sketch
+
+# The quantile member of the row-shaped sketch family (events_cms_topk
+# counts, hll_register_sketch distinct-counts): a DDSketch-style
+# log-bucketed histogram with gamma = 2 — bucket = signed
+# 1 + floor(log2(|cents|)), so any quantile reads back within a factor
+# of 2 (exact relative-error contract of the log bucketing), buckets
+# merge across hours/days by count SUM, and everything is integer
+# (cents via ROUND(value·100), floor_log2 via bin()-string length —
+# the same cross-engine-exact arithmetic hll_register_sketch uses).
+_LOGH_CENTS_DUCK = "CAST(ROUND(value * 100, 0) AS BIGINT)"
+_LOGH_CENTS_SPARK = "cast(round(value * 100, 0) as bigint)"
+
+_LOGH_BUCKET_DUCK = """
+CASE WHEN cents = 0 THEN 0
+     WHEN cents > 0 THEN 1 + (length(ltrim(bin(cents), '0')) - 1)
+     ELSE -(1 + (length(ltrim(bin(-cents), '0')) - 1)) END
+"""
+_LOGH_BUCKET_SPARK = (
+    "CASE WHEN cents = 0 THEN 0 "
+    "WHEN cents > 0 THEN 1 + (length(ltrim('0', bin(cents))) - 1) "
+    "ELSE -(1 + (length(ltrim('0', bin(-cents))) - 1)) END"
+)
+
+_LOGH_ORACLE = f"""
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start,
+         {_LOGH_CENTS_DUCK} AS cents
+  FROM events
+),
+b AS (
+  SELECT window_start, CAST({_LOGH_BUCKET_DUCK} AS BIGINT) AS bucket, cents
+  FROM c
+)
+SELECT window_start, bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(MIN(cents) AS BIGINT) AS min_cents,
+       CAST(MAX(cents) AS BIGINT) AS max_cents
+FROM b GROUP BY window_start, bucket
+"""
+
+
+@register("log_histogram_sketch", oracle=_LOGH_ORACLE)
+def log_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour log-bucketed value histogram — the quantile member of
+    the row-shaped mergeable sketch trio (CMS counts, HLL registers,
+    this): DDSketch-style buckets at γ = 2 (signed 1+⌊log₂|cents|⌋)
+    give every quantile a ≤ 2× relative-error read-back, hours and
+    days merge by plain count SUM, and the whole sketch is integer
+    arithmetic (cents, bin()-string floor-log2) so it is exactly
+    oracle-checkable. min/max cents per bucket ride along for exact
+    tail reporting. Production tightens γ by scaling the bucket index
+    arithmetic; the plan is unchanged.
+
+    Scale shape: one pass, one partial-agg exchange collapsing
+    map-side to ≤ (hours × ~100 buckets) rows — volume-independent
+    like the other sketches; the 100 TB cost is the scan."""
+    t = load_tables(spark, sf_dir)
+    c = t.events.select(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        F.expr(_LOGH_CENTS_SPARK).alias("cents"),
+    )
+    b = c.select(
+        "window_start",
+        F.expr(_LOGH_BUCKET_SPARK).cast("bigint").alias("bucket"),
+        "cents",
+    )
+    return b.groupBy("window_start", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )

@@ -315,3 +315,60 @@ def test_bpe_tokenize_saves_symbols_and_bounds(spark, sf_dir):
     for r in rows[:20]:
         words = [w for w in docs[r.doc_id].split(" ") if w]
         assert r.n_before == sum(len(w) + 1 for w in words)
+
+
+# -------------------------------------------------------- log_histogram_sketch
+
+
+def test_log_histogram_quantile_error_bound(spark, sf_dir):
+    """The sketch's contract: reading a quantile back from the bucket
+    histogram lands within the gamma=2 relative-error bound of the
+    exact quantile, and bucket min/max stay inside the bucket's range
+    (2^(b-1) <= |cents| < 2^b for positive buckets)."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        log_histogram_sketch,
+    )
+
+    rows = log_histogram_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.bucket > 0:
+            lo, hi = 1 << (r.bucket - 1), 1 << r.bucket
+            assert lo <= r.min_cents <= r.max_cents < hi, r
+        elif r.bucket == 0:
+            assert r.min_cents == r.max_cents == 0
+
+    # exact LOWER-median per hour vs sketch read-back: walk buckets in
+    # value order until half the mass is covered; the covering bucket
+    # must CONTAIN the exact lower-median order statistic (an
+    # interpolated percentile can fall between buckets on a bimodal
+    # hour, so the order statistic is the right ground truth). Also:
+    # total sketch mass equals the event count.
+    import collections
+
+    events = load_tables(spark, sf_dir).events
+    from pyspark.sql import functions as SF
+
+    cents_rows = events.select(
+        SF.date_trunc("hour", "ts").alias("w"),
+        SF.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+    ).collect()
+    by_w = collections.defaultdict(list)
+    for r in cents_rows:
+        by_w[r.w].append(r.c)
+    assert sum(r.n for r in rows) == len(cents_rows)
+
+    per_win = collections.defaultdict(list)
+    for r in rows:
+        per_win[r.window_start].append(r)
+    for w, bs in per_win.items():
+        bs.sort(key=lambda r: r.bucket)
+        total = sum(r.n for r in bs)
+        acc = 0
+        for r in bs:
+            acc += r.n
+            if acc * 2 >= total:
+                break
+        vals = sorted(by_w[w])
+        true = vals[(len(vals) - 1) // 2]  # exact lower median
+        assert r.min_cents <= true <= r.max_cents, (w, true, r.bucket)
