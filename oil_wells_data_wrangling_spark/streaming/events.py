@@ -1170,3 +1170,119 @@ def stream_hll_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# ----------------------------------------- windowed log-histogram (TWS)
+
+class _LogHistTWS:
+    """Per-hour DDSketch-style log histogram with FINAL emission: state
+    is the sparse bucket → (count, min_cents, max_cents) MAP for each
+    open window (≤ ~100 buckets at any event volume), sealed once by
+    the window's event-time timer. Sealed cells are bit-equal to the
+    batch ``log_histogram_sketch`` rows for the same hour — same
+    integer cents, same signed floor-log2 bucket — completing the
+    sealed-sketch family: counting (stream_cms_tws), distinct
+    (stream_hll_tws), quantile (this)."""
+
+    def __init__(self, fire_after_close_ms: int = 2 * 3600 * 1000) -> None:
+        self._fire_after_close_ms = fire_after_close_ms
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._cells = handle.getMapState(
+            "cells", "bucket bigint", "n bigint, mn bigint, mx bigint"
+        )
+        self._timer = handle.getValueState("timer", "t bigint")
+
+    @staticmethod
+    def _bucket(cents: int) -> int:
+        if cents == 0:
+            return 0
+        mag = cents if cents > 0 else -cents
+        b = 1 + (mag.bit_length() - 1)
+        return b if cents > 0 else -b
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+
+        for pdf in rows:
+            # Spark's round() is HALF_UP (away from zero); pandas
+            # .round() is banker's — replicate HALF_UP explicitly so an
+            # exact-.5 product can never diverge from the batch sketch
+            x = pdf["value"].to_numpy(dtype="float64") * 100.0
+            cents_arr = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(
+                "int64"
+            )
+            for c in cents_arr:
+                c = int(c)
+                mk = (self._bucket(c),)
+                if self._cells.containsKey(mk):
+                    n, mn, mx = self._cells.getValue(mk)
+                    self._cells.updateValue(
+                        mk, (n + 1, min(mn, c), max(mx, c))
+                    )
+                else:
+                    self._cells.updateValue(mk, (1, c, c))
+        if not self._timer.exists():
+            (window_start,) = key
+            close_ms = int(pd.Timestamp(window_start).value // 1_000_000)
+            fire_ms = close_ms + 3600 * 1000 + self._fire_after_close_ms
+            self._handle.registerTimer(fire_ms)
+            self._timer.update((fire_ms,))
+        return iter(())
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        (window_start,) = key
+        cells = sorted(
+            (k[0], *self._cells.getValue(k)) for k in self._cells.keys()
+        )
+        self._cells.clear()
+        self._timer.clear()
+        if cells:
+            yield pd.DataFrame(
+                {
+                    "window_start": [window_start] * len(cells),
+                    "bucket": [c[0] for c in cells],
+                    "n": [c[1] for c in cells],
+                    "min_cents": [c[2] for c in cells],
+                    "max_cents": [c[3] for c in cells],
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+
+_LOGH_OUT_SCHEMA = StructType(
+    [
+        StructField("window_start", TimestampType()),
+        StructField("bucket", LongType()),
+        StructField("n", LongType()),
+        StructField("min_cents", LongType()),
+        StructField("max_cents", LongType()),
+    ]
+)
+
+
+def stream_log_histogram_tws(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    fire_after_close_ms: int = 2 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming per-hour log-bucketed value histogram, sealed once per
+    window via transformWithStateInPandas (RocksDB provider required).
+    The third member of the sealed-sketch family; sealed cells merge
+    downstream by (SUM n, MIN min, MAX max) per bucket and are
+    test-proven bit-equal to the batch ``log_histogram_sketch``."""
+    _require_rocksdb(events)
+    keyed = (
+        events.withWatermark("ts", watermark)
+        .select(F.date_trunc("hour", "ts").alias("window_start"), "value")
+        .groupBy("window_start")
+    )
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=_LogHistTWS(fire_after_close_ms),
+        outputStructType=_LOGH_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )

@@ -901,3 +901,79 @@ def test_stream_hll_tws_sealed_registers_match_batch(spark, sf_dir, tmp_path):
         want = sum(1 for (bw, _b) in batch if bw == w)
         assert per_win[w] == want
         assert per_win[w] <= 256
+
+
+def test_stream_log_histogram_tws_sealed_cells_match_batch(
+    spark, sf_dir, tmp_path
+):
+    """Streaming log histogram: every fired window's sealed cells must
+    be BIT-EQUAL to the batch log_histogram_sketch rows for that hour
+    (same integer cents incl. HALF_UP rounding, same signed floor-log2
+    buckets), completing the sealed-sketch family's streaming side."""
+    from oil_wells_data_wrangling_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip("no protobuf runtime available (installed or bridgeable)")
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        log_histogram_sketch,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import (
+        load_tables,
+        normalize_event_ts,
+    )
+    from oil_wells_data_wrangling_spark.streaming.events import (
+        stream_log_histogram_tws,
+    )
+
+    e = load_tables(spark, sf_dir).events.withColumn("ts_us", F.unix_micros("ts"))
+    mid = e.selectExpr("percentile(ts_us, 0.5) p").first()["p"]
+    src = tmp_path / "src"
+    e.filter(F.col("ts_us") <= mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part0")
+    )
+    e.filter(F.col("ts_us") > mid).drop("ts_us").coalesce(1).write.parquet(
+        str(src / "part1")
+    )
+    stream = normalize_event_ts(
+        spark.readStream.schema(spark.read.parquet(str(src / "part0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "part*"))
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        got = _run_available_now(
+            stream_log_histogram_tws(
+                stream, watermark="1 second", fire_after_close_ms=60_000
+            ),
+            "logh_tws",
+            spark,
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    emitted = got.collect()
+    assert emitted, "no window fired its timer"
+    batch = {
+        (r.window_start, r.bucket): (r.n, r.min_cents, r.max_cents)
+        for r in log_histogram_sketch(spark, sf_dir).collect()
+    }
+    fired = set()
+    for r in emitted:
+        fired.add(r.window_start)
+        assert batch[(r.window_start, r.bucket)] == (
+            r.n, r.min_cents, r.max_cents,
+        ), f"cell {(r.window_start, r.bucket)} diverged from batch"
+    import collections
+
+    per_win = collections.Counter(r.window_start for r in emitted)
+    for w in fired:
+        want = sum(1 for (bw, _b) in batch if bw == w)
+        assert per_win[w] == want
