@@ -321,3 +321,25 @@ def test_late_round8_operator_plan_shapes(spark, sf_dir):
         assert "payload#" not in m.group(1), (
             "mm_audio_neardup: payload bytes riding an exchange"
         )
+
+
+def test_sketch_family_partial_aggregation(spark, sf_dir):
+    """The row-shaped sketches' scale contract is map-side collapse:
+    partial + final HashAggregate around ONE exchange, so the shuffle
+    carries the fixed-size summary, never event volume."""
+    for name in ("hll_register_sketch", "log_histogram_sketch"):
+        plan = _plan(spark, sf_dir, name)
+        assert plan.count("Exchange") == 1, f"{name}: expected one exchange"
+        assert plan.count("HashAggregate") >= 2, (
+            f"{name}: partial aggregation missing"
+        )
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_tokenize_apply_is_map_only(spark, sf_dir):
+    """Learned-merge application must stay in the scan: after training
+    (driver-collected merges), the corpus-side plan is a single
+    projection — no exchange, no Python."""
+    plan = _plan(spark, sf_dir, "bpe_tokenize")
+    assert "Exchange" not in plan, "bpe_tokenize apply must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
