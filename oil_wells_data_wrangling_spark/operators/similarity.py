@@ -1839,3 +1839,169 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --------------------------------------------------------------- bitext_mining
+
+# Margin-based bitext mining (the CCMatrix/LASER recipe, simplified to
+# the forward margin): for every English document, find its nearest
+# non-English neighbor in embedding space and accept the pair only when
+# the top-1 cosine clearly dominates the runner-up field — the margin
+# criterion that separates true translations from generic topical
+# similarity. Candidates come from the hyperplane-LSH bucket plus its
+# 1-bit probes (ann_recall_eval's multiprobe pattern), so no all-pairs
+# stage exists.
+_BT_RUNNERS = 3  # margin denominator = mean cosine of ranks 2..4
+_BT_MARGIN_MIN = 1.05
+
+_BITEXT_ORACLE = f"""
+WITH emb AS (
+  SELECT d.doc_id, d.lang, e.embedding,
+         CAST({_bucket_expr_duck()} AS BIGINT) AS bucket
+  FROM documents d JOIN read_parquet_embeddings e ON e.vec_id = d.doc_id
+),
+q AS (
+  SELECT doc_id AS query_id, embedding AS qe, bucket AS qbucket
+  FROM emb WHERE lang = 'en'
+),
+tgt AS (
+  SELECT doc_id AS cand_id, embedding AS ce, bucket FROM emb
+  WHERE lang <> 'en'
+),
+probes AS (
+  SELECT query_id, qe,
+         unnest([qbucket] || list_transform(range(0, {_N_PLANES}),
+                                            j -> xor(qbucket, 1 << j)))
+           AS pbucket
+  FROM q
+),
+scored AS (
+  SELECT DISTINCT p.query_id, t.cand_id,
+         ROUND({_cos_duck('p.qe', 't.ce')}, 6) AS cos_r
+  FROM probes p JOIN tgt t ON t.bucket = p.pbucket
+),
+ranked AS (
+  SELECT query_id, cand_id, cos_r,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_r DESC, cand_id) AS rk
+  FROM scored
+),
+agg AS (
+  SELECT query_id,
+         MAX(CASE WHEN rk = 1 THEN cand_id END) AS match_id,
+         MAX(CASE WHEN rk = 1 THEN cos_r END) AS cos_top,
+         SUM(CASE WHEN rk BETWEEN 2 AND {1 + _BT_RUNNERS} THEN cos_r END)
+           AS runner_sum,
+         SUM(CASE WHEN rk BETWEEN 2 AND {1 + _BT_RUNNERS} THEN 1 ELSE 0 END)
+           AS n_runners
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, CAST(match_id AS BIGINT) AS match_id, cos_top,
+       CASE WHEN n_runners = {_BT_RUNNERS} AND runner_sum > 0
+            THEN ROUND(cos_top * {_BT_RUNNERS} / runner_sum, 6) END
+         AS margin_r,
+       COALESCE(n_runners = {_BT_RUNNERS} AND runner_sum > 0
+                AND cos_top * {_BT_RUNNERS} / runner_sum > {_BT_MARGIN_MIN},
+                FALSE) AS accepted
+FROM agg
+"""
+
+
+@register(
+    "bitext_mining",
+    oracle=_BITEXT_ORACLE.replace(
+        "read_parquet_embeddings", "embeddings"
+    ),
+)
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (CCMatrix/LASER, forward margin): for
+    every English document, the nearest non-English embedding neighbor,
+    accepted only when the top-1 cosine exceeds {_BT_MARGIN_MIN}× the
+    mean of the next {_BT_RUNNERS} — translation pairs stand out from
+    the topical background by margin, not raw similarity. Queries with
+    fewer than {_BT_RUNNERS} runners report NULL margin and are never
+    accepted (no margin evidence, no pair).
+
+    Scale shape: multiprobe LSH (own bucket + {_N_PLANES} 1-bit
+    flips) bounds candidates per query — no all-pairs stage; the
+    bucket join's exchange carries (bucket, id, embedding) rows
+    exactly as ann_lsh's does, the per-query rank is a
+    WindowGroupLimit-eligible row_number, and the margin arithmetic
+    runs on the ≤4 surviving rows per query. The FIXED 8-plane space
+    (256 buckets) is sized for the test SF where the oracle is exact;
+    candidates grow ~n²/256 under it (measured 6.5× at 10×), so
+    production grows the plane count ~log₂(n) — the same n-scaled
+    blocking semdedup_pipeline adopted for its cells — and shards the
+    en side by bucket, where mining is embarrassingly parallel."""
+    t = load_tables(spark, sf_dir)
+    emb = (
+        t.documents.select("doc_id", "lang")
+        .join(
+            t.embeddings.select(
+                F.col("vec_id").alias("doc_id"), "embedding"
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "embedding",
+            F.expr(_bucket_expr_spark()).cast("bigint").alias("bucket"),
+        )
+    )
+    q = emb.filter(F.col("lang") == "en").select(
+        F.col("doc_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    tgt = emb.filter(F.col("lang") != "en").select(
+        F.col("doc_id").alias("cand_id"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    probes = q.select(
+        "query_id",
+        "qe",
+        F.explode(
+            F.expr(
+                f"array(qbucket) || transform(sequence(0, {_N_PLANES - 1}), "
+                "j -> qbucket ^ shiftleft(1L, j))"
+            )
+        ).alias("pbucket"),
+    )
+    scored = (
+        probes.join(tgt, probes.pbucket == tgt.bucket)
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine("qe", "ce"), 6).alias("cos_r"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), "cand_id"
+    )
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= 1 + _BT_RUNNERS
+    )
+    agg = ranked.groupBy("query_id").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("cand_id"))).alias("match_id"),
+        F.max(F.when(F.col("rk") == 1, F.col("cos_r"))).alias("cos_top"),
+        F.sum(
+            F.when(F.col("rk") >= 2, F.col("cos_r"))
+        ).alias("runner_sum"),
+        F.sum(F.when(F.col("rk") >= 2, F.lit(1)).otherwise(F.lit(0))).alias(
+            "n_runners"
+        ),
+    )
+    full = (F.col("n_runners") == _BT_RUNNERS) & (F.col("runner_sum") > 0)
+    margin = F.col("cos_top") * _BT_RUNNERS / F.col("runner_sum")
+    return agg.select(
+        "query_id",
+        F.col("match_id").cast("bigint").alias("match_id"),
+        "cos_top",
+        F.when(full, F.round(margin, 6)).alias("margin_r"),
+        F.coalesce(
+            full & (margin > _BT_MARGIN_MIN), F.lit(False)
+        ).alias("accepted"),
+    )

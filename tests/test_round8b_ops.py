@@ -372,3 +372,32 @@ def test_log_histogram_quantile_error_bound(spark, sf_dir):
         vals = sorted(by_w[w])
         true = vals[(len(vals) - 1) // 2]  # exact lower median
         assert r.min_cents <= true <= r.max_cents, (w, true, r.bucket)
+
+
+# --------------------------------------------------------------- bitext_mining
+
+
+def test_bitext_margin_semantics(spark, sf_dir):
+    """Every English doc with a full runner field gets a margin; every
+    accepted pair's margin clears the threshold; matches are always
+    non-English; a query with fewer than 3 runners is never accepted."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        bitext_mining,
+    )
+
+    rows = bitext_mining(spark, sf_dir).collect()
+    assert rows
+    langs = {
+        r.doc_id: r.lang
+        for r in load_tables(spark, sf_dir)
+        .documents.select("doc_id", "lang")
+        .collect()
+    }
+    for r in rows:
+        assert langs[r.query_id] == "en"
+        if r.match_id is not None:
+            assert langs[r.match_id] != "en"
+        if r.accepted:
+            assert r.margin_r is not None and r.margin_r > 1.05
+        if r.margin_r is None:
+            assert not r.accepted
