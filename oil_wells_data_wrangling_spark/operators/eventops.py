@@ -1824,3 +1824,44 @@ def log_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+def log_histogram_quantile(cells: DataFrame, q_ppm: int) -> DataFrame:
+    """Distributed quantile READ-BACK from log_histogram_sketch cells:
+    per window, walk buckets in value order until q‰ of the mass is
+    covered and report that bucket's exact [min_cents, max_cents]
+    envelope — the γ-bounded answer a sketch store serves without ever
+    re-reading events. All-integer (q as parts-per-million,
+    cross-multiplied cumulative compare), and distributed: the
+    cumulative walk is a window over (window_start) ordered by bucket —
+    per-window cell counts are ≤ ~100, so the partition is trivially
+    bounded. Works identically on merged cells (SUM n, MIN/MAX cents
+    across hours/days), which is the point of the row-shaped sketch."""
+    w = (
+        Window.partitionBy("window_start")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("window_start")
+    cum = cells.select(
+        "window_start",
+        "bucket",
+        "min_cents",
+        "max_cents",
+        F.sum("n").over(w).alias("cum_n"),
+        F.sum("n").over(tot).alias("total_n"),
+    )
+    hit = cum.filter(
+        F.col("cum_n") * 1_000_000 >= F.lit(q_ppm) * F.col("total_n")
+    )
+    pick = Window.partitionBy("window_start").orderBy("bucket")
+    return (
+        hit.withColumn("rk", F.row_number().over(pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "window_start",
+            F.col("bucket").alias("q_bucket"),
+            "min_cents",
+            "max_cents",
+        )
+    )

@@ -401,3 +401,46 @@ def test_bitext_margin_semantics(spark, sf_dir):
             assert r.margin_r is not None and r.margin_r > 1.05
         if r.margin_r is None:
             assert not r.accepted
+
+
+def test_log_histogram_merge_and_readback(spark, sf_dir):
+    """The sketch's raison d'être, end to end: per-hour cells MERGE
+    into daily cells by (SUM n, MIN/MAX cents), and the quantile
+    read-back from the MERGED sketch brackets the exact daily median —
+    no event re-read anywhere."""
+    from oil_wells_data_wrangling_spark.operators.eventops import (
+        log_histogram_quantile,
+        log_histogram_sketch,
+    )
+
+    hourly = log_histogram_sketch(spark, sf_dir)
+    daily = (
+        hourly.groupBy(
+            F.date_trunc("day", "window_start").alias("window_start"),
+            "bucket",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+        )
+    )
+    got = {
+        r.window_start: (r.min_cents, r.max_cents)
+        for r in log_histogram_quantile(daily, 500_000).collect()
+    }
+    assert got
+
+    events = load_tables(spark, sf_dir).events
+    import collections
+
+    by_day = collections.defaultdict(list)
+    for r in events.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.expr("cast(round(value * 100, 0) as bigint)").alias("c"),
+    ).collect():
+        by_day[r.d].append(r.c)
+    for d, (lo, hi) in got.items():
+        vals = sorted(by_day[d])
+        true = vals[(len(vals) - 1) // 2]
+        assert lo <= true <= hi, (d, true, lo, hi)
