@@ -2005,3 +2005,159 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             full & (margin > _BT_MARGIN_MIN), F.lit(False)
         ).alias("accepted"),
     )
+
+
+# --------------------------------------------------------------- knn_label_eval
+
+# Intrinsic embedding-quality eval: leave-one-out kNN classification
+# over the labeled vectors — if k nearest neighbors vote the right
+# label, the space is good enough to drive semantic dedup / retrieval.
+# ann_recall_eval measures the INDEX (LSH recall vs brute force); this
+# measures the EMBEDDING (do neighborhoods respect labels at all).
+_KNN_K = 3
+# evals run on a FIXED query panel: an eval set does not grow with the
+# corpus (a fixed FRACTION still does, and measured quadratic — the
+# candidate volume is queries × n/buckets, so only a constant query
+# count makes the whole plan linear in n under fixed planes)
+_KNN_QUERY_PANEL = 512
+
+_KNN_ORACLE = f"""
+WITH emb AS (
+  SELECT vec_id, label, embedding,
+         CAST({_bucket_expr_duck()} AS BIGINT) AS bucket
+  FROM embeddings
+),
+probes AS (
+  SELECT vec_id AS query_id, label AS true_label, embedding AS qe,
+         unnest([bucket] || list_transform(range(0, {_N_PLANES}),
+                                           j -> xor(bucket, 1 << j)))
+           AS pbucket
+  FROM emb WHERE vec_id < {_KNN_QUERY_PANEL}
+),
+scored AS (
+  SELECT DISTINCT p.query_id, p.true_label, e.vec_id AS cand_id,
+         e.label AS cand_label,
+         ROUND({_cos_duck('p.qe', 'e.embedding')}, 6) AS cos_r
+  FROM probes p JOIN emb e
+    ON e.bucket = p.pbucket AND e.vec_id <> p.query_id
+),
+topk AS (
+  SELECT query_id, true_label, cand_label FROM (
+    SELECT query_id, true_label, cand_label,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_r DESC, cand_id) AS rk
+    FROM scored
+  ) WHERE rk <= {_KNN_K}
+),
+votes AS (
+  SELECT query_id, true_label, cand_label,
+         CAST(COUNT(*) AS BIGINT) AS v
+  FROM topk GROUP BY query_id, true_label, cand_label
+),
+pred AS (
+  SELECT query_id, true_label, cand_label AS pred_label FROM (
+    SELECT query_id, true_label, cand_label, v,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY v DESC, cand_label) AS rk
+    FROM votes
+  ) WHERE rk = 1
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS acc_ppm
+FROM pred GROUP BY true_label
+"""
+
+
+@register("knn_label_eval", oracle=_KNN_ORACLE)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out {_KNN_K}-NN label accuracy per class — the
+    intrinsic embedding-quality eval run before trusting a space for
+    semantic dedup or retrieval (``ann_recall_eval`` measures the
+    INDEX against brute force; this measures whether neighborhoods
+    respect labels at all). Neighbors come from the multiprobe LSH
+    buckets, votes break ties by label, accuracy is an exact integer
+    ppm. Queries whose probes surface no candidates simply drop from
+    the denominator (no vote, no claim). The query side is a FIXED
+    {_KNN_QUERY_PANEL}-vector panel — an eval set does not grow with
+    the corpus; both every-vector-queries and a fixed FRACTION were
+    measured quadratic under fixed planes (candidates = queries ×
+    n/buckets), while a constant panel keeps the whole plan linear
+    in n.
+
+    Scale shape: the ann_lsh candidate plan (bucket + {_N_PLANES}
+    1-bit probes — no all-pairs), two WindowGroupLimit-eligible
+    rank-1/rank-k windows keyed per query, and a |labels|-row
+    rollup."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.expr(_bucket_expr_spark()).cast("bigint").alias("bucket"),
+    )
+    probes = emb.filter(
+        F.col("vec_id") < _KNN_QUERY_PANEL
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qe"),
+        F.explode(
+            F.expr(
+                f"array(bucket) || transform(sequence(0, {_N_PLANES - 1}), "
+                "j -> bucket ^ shiftleft(1L, j))"
+            )
+        ).alias("pbucket"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("ce"),
+        "bucket",
+    )
+    scored = (
+        probes.join(
+            cand,
+            (probes.pbucket == cand.bucket)
+            & (F.col("cand_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "true_label",
+            "cand_id",
+            "cand_label",
+            F.round(cosine("qe", "ce"), 6).alias("cos_r"),
+        )
+        .distinct()
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), "cand_id"
+    )
+    topk = scored.withColumn("rk", F.row_number().over(wk)).filter(
+        F.col("rk") <= _KNN_K
+    )
+    votes = topk.groupBy("query_id", "true_label", "cand_label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("v").desc(), "cand_label"
+    )
+    pred = (
+        votes.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") == 1)
+        .select("query_id", "true_label", F.col("cand_label").alias("pred"))
+    )
+    return pred.groupBy(F.col("true_label").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.sum((F.col("pred") == F.col("true_label")).cast("int"))
+        .cast("bigint")
+        .alias("n_correct"),
+    ).select(
+        "label",
+        "n_queries",
+        "n_correct",
+        F.expr("n_correct * 1000000 div n_queries").alias("acc_ppm"),
+    )

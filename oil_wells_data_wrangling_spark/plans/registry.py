@@ -85,6 +85,7 @@ def _load_all() -> None:
 # fails loudly (KeyError) rather than silently shrinking the window.
 _WINDOW_PRIORITY = [
     # -- new in round 8 (never driver-checked; first rows this round)
+    "knn_label_eval",
     "bitext_mining",
     "log_histogram_sketch",
     "hll_register_sketch",
@@ -131,11 +132,10 @@ _WINDOW_PRIORITY = [
     "events_funnel",
     "geo_bucket",
     "grouping_sets",
-    "integrity_report",
-    # (kmeans_step, length_histogram, pii_redact, pivot_status, pseudonymize, range_join, rollup_cube, salted_agg_join, semi_anti_join, skew_report, spatial_bbox, vector_quantize,
+    # (integrity_report, kmeans_step, length_histogram, pii_redact, pivot_status, pseudonymize, range_join, rollup_cube, salted_agg_join, semi_anti_join, skew_report, spatial_bbox, vector_quantize,
     # window_lag_delta, winsorize — the alphabetical tail of the r4
-    # backlog — yielded their slots to the fourteen late-r8 additions
-    # above, which would otherwise have NO row at all; all fourteen hold
+    # backlog — yielded their slots to the fifteen late-r8 additions
+    # above, which would otherwise have NO row at all; all fifteen hold
     # green r4 rows plus local parity and lead the r9 rotation.)
     # -- implementation or oracle touched in round 8
     # (hll_persist_incremental was also touched in r8, but only by

@@ -90,7 +90,8 @@ def test_driver_window_covers_required_queries():
         "supplier_part_scope", "large_volume_customers",
         "waiting_supplier_report", "min_cost_supplier",
         # the full r4-stale backlog (r7 verdict item 1: retire to <=r5)
-        # (kmeans_step, length_histogram, pii_redact, pivot_status, pseudonymize,
+        # (integrity_report, kmeans_step, length_histogram, pii_redact,
+        # pivot_status, pseudonymize,
         # range_join, rollup_cube, salted_agg_join,
         # semi_anti_join, skew_report, spatial_bbox, vector_quantize,
         # window_lag_delta, winsorize —
@@ -100,7 +101,7 @@ def test_driver_window_covers_required_queries():
         # r9 rotation)
         "agg_pricing_summary", "ann_recall_eval", "bucket_quantiles",
         "domain_cap", "events_anomaly", "events_funnel", "geo_bucket",
-        "grouping_sets", "integrity_report",
+        "grouping_sets",
         # implementation or oracle touched in round 8
         # (hll_persist_incremental yielded its slot to the late-r8
         # lm_quality_buckets: its r8 change only extracted state_dir
@@ -114,7 +115,7 @@ def test_driver_window_covers_required_queries():
         "mm_audio_neardup", "events_cms_topk", "bpe_pair_counts",
         "embedding_outliers", "bpe_train_steps", "dedup_method_agreement",
         "code_detect", "bpe_tokenize", "hll_register_sketch",
-        "log_histogram_sketch", "bitext_mining",
+        "log_histogram_sketch", "bitext_mining", "knn_label_eval",
     }
     missing = required - set(window)
     assert not missing, f"driver window misses: {sorted(missing)}"

@@ -444,3 +444,31 @@ def test_log_histogram_merge_and_readback(spark, sf_dir):
         vals = sorted(by_day[d])
         true = vals[(len(vals) - 1) // 2]
         assert lo <= true <= hi, (d, true, lo, hi)
+
+
+# -------------------------------------------------------------- knn_label_eval
+
+
+def test_knn_label_eval_bounds_and_coverage(spark, sf_dir):
+    """Accuracy stays within [0, 1e6] ppm and is internally consistent
+    with the counts; every label class present in the embeddings that
+    produced predictions appears in the report."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        knn_label_eval,
+    )
+
+    rows = knn_label_eval(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_queries
+        assert r.acc_ppm == r.n_correct * 1_000_000 // r.n_queries
+    total_q = sum(r.n_queries for r in rows)
+    n_sample = (
+        load_tables(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") < 512)
+        .count()
+    )
+    # candidate-starved queries may drop, but the vast majority of the
+    # sampled queries must receive a prediction for the eval to mean
+    # anything
+    assert total_q >= 0.9 * n_sample, f"only {total_q}/{n_sample} predicted"
