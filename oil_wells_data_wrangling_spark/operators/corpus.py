@@ -1292,9 +1292,14 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size("segs").cast("bigint").alias("n_segs"),
             F.coalesce(F.size("kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            # positional rebuild: segs[i] has seg_id == i-1 by
+            # construction and kept is sort_array'd, so indexing by
+            # kept is O(n_kept) and preserves original order — a
+            # filter(segs, array_contains(kept, ...)) scan would be
+            # O(n_segs * n_kept), quadratic in document length
             F.expr(
-                "filter(segs, s -> array_contains(coalesce(kept, array()), "
-                "s.seg_id))"
+                "transform(coalesce(kept, array()), "
+                "sid -> element_at(segs, sid + 1))"
             ).alias("keep_segs"),
         )
     )

@@ -1828,7 +1828,7 @@ def log_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def log_histogram_quantile(cells: DataFrame, q_ppm: int) -> DataFrame:
     """Distributed quantile READ-BACK from log_histogram_sketch cells:
-    per window, walk buckets in value order until q‰ of the mass is
+    per window, walk buckets in value order until q ppm of the mass is
     covered and report that bucket's exact [min_cents, max_cents]
     envelope — the γ-bounded answer a sketch store serves without ever
     re-reading events. All-integer (q as parts-per-million,

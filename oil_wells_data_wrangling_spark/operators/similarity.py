@@ -49,8 +49,11 @@ def _dot_spark_unrolled(a: str, b: str) -> Column:
     faster on embedding_outliers' 16-centroid argmin scan, but NOT
     faster on ann_topk's window-rank shape (the 3×64-term expression
     there neutralizes the win), so callers opt in per operator rather
-    than globally. Fixed {_DIM} dims assumed, like ``_dot_duck``; a
-    short array turns the sum NULL rather than silently truncating."""
+    than globally. Fixed {_DIM} dims assumed, like ``_dot_duck``; under
+    Spark 4's default ANSI mode a short array fails loudly
+    (INVALID_ARRAY_INDEX from element_at) rather than silently
+    truncating — the HOF form would instead null the sum via
+    zip_with's null padding."""
     terms = " + ".join(
         f"cast(element_at({a}, {i}) as double)"
         f" * cast(element_at({b}, {i}) as double)"
@@ -1601,9 +1604,11 @@ def _semp_bucketed(emb2: DataFrame) -> DataFrame:
     Featurization runs as ONE Arrow-batched ``mapInPandas`` pass that
     replicates ``_semp_bucketed_sql``'s arithmetic bit-for-bit:
 
-    - xi: ``v = double(e)·XS`` then half-away-from-zero rounding
-      (``floor(v+0.5)`` / ``ceil(v−0.5)`` by sign — the semantics both
-      Spark's and DuckDB's ``round(double)`` implement);
+    - xi: ``v = double(e)·XS`` then half-away-from-zero rounding via
+      an EXACT fraction compare (``|v|-floor(|v|) >= 0.5`` — the
+      semantics both Spark's BigDecimal HALF_UP ``round(double)`` and
+      DuckDB's ``std::round`` implement; ``floor(v+0.5)`` would carry
+      values just below a .5 boundary over it);
     - plane dots: a sequential fold over dimensions, vectorized across
       rows (``acc += double(E[:,i])·p_i`` from acc=0), which is the
       SAME IEEE operation sequence as the SQL fold — not ``np.sum``,
@@ -1627,9 +1632,14 @@ def _semp_bucketed(emb2: DataFrame) -> DataFrame:
         for pdf in batches:
             e = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             v = e * xs
-            xi = np.where(v >= 0, np.floor(v + 0.5), np.ceil(v - 0.5)).astype(
-                np.int64
-            )
+            # half-away-from-zero via exact fraction compare: |v| -
+            # floor(|v|) is exact for doubles, so this matches BOTH
+            # Spark's BigDecimal HALF_UP round() and DuckDB's
+            # std::round on every double — floor(v+0.5) would not
+            # (0.49999999999999994 + 0.5 == 1.0 in fp)
+            av = np.abs(v)
+            flv = np.floor(av)
+            xi = (np.sign(v) * (flv + (av - flv >= 0.5))).astype(np.int64)
             n2 = (xi * xi).sum(axis=1)
             bucket = np.zeros(len(e), dtype=np.int64)
             for j, plane in enumerate(planes):

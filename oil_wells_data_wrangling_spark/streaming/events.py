@@ -49,6 +49,26 @@ from oil_wells_data_wrangling_spark.functions.exact import dsum
 from oil_wells_data_wrangling_spark.sources.readers import normalize_event_ts
 
 
+def half_up_cents(values) -> "Any":
+    """Vectorized HALF_UP cents matching Spark's ``round(v * 100.0)``
+    exactly on every double. NOT ``floor(|x|+0.5)``: adding 0.5 can
+    carry a value just below a .5 boundary over it
+    (0.49999999999999994 + 0.5 == 1.0 in fp, but Spark rounds it to
+    0). ``|x| - floor(|x|)`` is EXACT for doubles (Sterbenz for
+    |x|>=1, trivial below), so comparing that fraction against 0.5
+    reproduces BigDecimal HALF_UP: shortest-repr (what
+    BigDecimal.valueOf sees) and the exact binary value can never
+    straddle a representable k+0.5 boundary, because any double other
+    than the boundary itself is at least one ulp away while its repr
+    round-trips within half an ulp."""
+    import numpy as np
+
+    x = np.asarray(values, dtype="float64") * 100.0
+    ax = np.abs(x)
+    fl = np.floor(ax)
+    return (np.sign(x) * (fl + (ax - fl >= 0.5))).astype("int64")
+
+
 def read_event_stream(spark: SparkSession, source_dir: str) -> DataFrame:
     """File-source stream over an events parquet directory, ``ts``
     normalized by the SAME ``normalize_event_ts`` as the batch reader.
@@ -332,9 +352,12 @@ class _RunningTotals:
             n += len(pdf)
             # HALF_UP (away from zero), matching Spark's ROUND and the
             # batch twin's dsum contract — pandas/numpy round() is
-            # half-to-even and would diverge on exact .5 values.
-            v = pdf["value"].astype("float64").to_numpy() * 100
-            sv += int(np.copysign(np.floor(np.abs(v) + 0.5), v).sum())
+            # half-to-even and would diverge on exact .5 values, and
+            # floor(|v|+0.5) would carry values just below a .5
+            # boundary over it (see half_up_cents)
+            sv += int(
+                half_up_cents(pdf["value"].astype("float64").to_numpy()).sum()
+            )
         self._state.update((n, sv))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "sv": [sv]}
@@ -1207,12 +1230,10 @@ class _LogHistTWS:
 
         for pdf in rows:
             # Spark's round() is HALF_UP (away from zero); pandas
-            # .round() is banker's — replicate HALF_UP explicitly so an
-            # exact-.5 product can never diverge from the batch sketch
-            x = pdf["value"].to_numpy(dtype="float64") * 100.0
-            cents_arr = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(
-                "int64"
-            )
+            # .round() is banker's — half_up_cents reproduces
+            # BigDecimal HALF_UP exactly (see its docstring for why
+            # floor(|x|+0.5) would not)
+            cents_arr = half_up_cents(pdf["value"].to_numpy(dtype="float64"))
             for c in cents_arr:
                 c = int(c)
                 mk = (self._bucket(c),)

@@ -977,3 +977,37 @@ def test_stream_log_histogram_tws_sealed_cells_match_batch(
     for w in fired:
         want = sum(1 for (bw, _b) in batch if bw == w)
         assert per_win[w] == want
+
+
+def test_half_up_cents_matches_spark_round_on_adversarial_doubles(spark):
+    """half_up_cents must equal Spark's round(v*100) on every double,
+    including values one ulp below a .5 boundary where the naive
+    floor(|x|+0.5) kernel carries over (0.0049999999999999994*100 + 0.5
+    == 1.0 in fp while BigDecimal HALF_UP yields 0)."""
+    import math
+
+    from oil_wells_data_wrangling_spark.streaming.events import half_up_cents
+
+    vals = [
+        0.0049999999999999994,  # *100 -> 0.49999999999999994: carry trap
+        -0.0049999999999999994,
+        0.005,  # exact .5 boundary after *100
+        -0.005,
+        math.nextafter(0.005, 0.0),
+        math.nextafter(0.005, 1.0),
+        1.005,  # *100 = 100.49999999999999 in fp -> 100
+        -1.005,
+        2.675,
+        0.0,
+        123.456,
+        -123.455,
+        1e12 + 0.0049999999999999994,
+    ]
+    got = half_up_cents(vals)
+    want = [
+        r.c
+        for r in spark.createDataFrame([(v,) for v in vals], "v double")
+        .selectExpr("cast(round(v * 100.0, 0) as bigint) as c")
+        .collect()
+    ]
+    assert list(got) == want, list(zip(vals, got, want))
