@@ -257,9 +257,9 @@ def _bucket_expr_spark(n_planes: int = _N_PLANES) -> str:
     return " + ".join(cols)
 
 
-def _bucket_expr_duck() -> str:
+def _bucket_expr_duck(n_planes: int = _N_PLANES) -> str:
     bits = []
-    for j, row in enumerate(_planes()):
+    for j, row in enumerate(_planes(n_planes)):
         arr = "[" + ", ".join(repr(v) for v in row) + "]"
         bits.append(
             f"(CASE WHEN {_dot_duck('embedding', arr)} > 0 THEN {1 << j} ELSE 0 END)"
@@ -1863,15 +1863,38 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stage exists.
 _BT_RUNNERS = 3  # margin denominator = mean cosine of ranks 2..4
 _BT_MARGIN_MIN = 1.05
+# n-scaled LSH space (the semdedup_pipeline treatment): the plane
+# count u grows with the TARGET side so candidates per query stay
+# ~constant instead of ~n/2^8. u = bitlen(max(n_tgt // 2, 1)) keeps
+# u=8 at the shipped test SFs (bucket identical to the historical
+# fixed-8 space there, planes being prefix-stable) and reaches the
+# _BT_W=20 cap at n_tgt ≈ 2^20·2 ≈ 2M non-English docs per shard.
+_BT_W = 20
+_BT_TARGET = 2
+
+
+def _bt_u(n_tgt: int) -> int:
+    """Planes-per-corpus knob — same shape as ``_semp_u``; the oracle
+    computes the identical value via ``length(bin(greatest(...)))``."""
+    return min(max(n_tgt // _BT_TARGET, 1).bit_length(), _BT_W)
+
 
 _BITEXT_ORACLE = f"""
-WITH emb AS (
-  SELECT d.doc_id, d.lang, e.embedding,
-         CAST({_bucket_expr_duck()} AS BIGINT) AS bucket
+WITH params AS (
+  SELECT LEAST(LENGTH(BIN(GREATEST(CAST(COUNT(*) AS BIGINT) // {_BT_TARGET},
+                                   1))), {_BT_W}) AS u
   FROM documents d JOIN read_parquet_embeddings e ON e.vec_id = d.doc_id
+  WHERE d.lang <> 'en'
+),
+emb AS (
+  SELECT d.doc_id, d.lang, e.embedding, p.u,
+         CAST({_bucket_expr_duck(_BT_W)} AS BIGINT)
+           & ((CAST(1 AS BIGINT) << p.u) - 1) AS bucket
+  FROM documents d JOIN read_parquet_embeddings e ON e.vec_id = d.doc_id
+  CROSS JOIN params p
 ),
 q AS (
-  SELECT doc_id AS query_id, embedding AS qe, bucket AS qbucket
+  SELECT doc_id AS query_id, embedding AS qe, bucket AS qbucket, u
   FROM emb WHERE lang = 'en'
 ),
 tgt AS (
@@ -1880,7 +1903,7 @@ tgt AS (
 ),
 probes AS (
   SELECT query_id, qe,
-         unnest([qbucket] || list_transform(range(0, {_N_PLANES}),
+         unnest([qbucket] || list_transform(range(0, u),
                                             j -> xor(qbucket, 1 << j)))
            AS pbucket
   FROM q
@@ -1932,32 +1955,50 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     fewer than {_BT_RUNNERS} runners report NULL margin and are never
     accepted (no margin evidence, no pair).
 
-    Scale shape: multiprobe LSH (own bucket + {_N_PLANES} 1-bit
-    flips) bounds candidates per query — no all-pairs stage; the
-    bucket join's exchange carries (bucket, id, embedding) rows
-    exactly as ann_lsh's does, the per-query rank is a
-    WindowGroupLimit-eligible row_number, and the margin arithmetic
-    runs on the ≤4 surviving rows per query. The FIXED 8-plane space
-    (256 buckets) is sized for the test SF where the oracle is exact;
-    candidates grow ~n²/256 under it (measured 6.5× at 10×), so
-    production grows the plane count ~log₂(n) — the same n-scaled
-    blocking semdedup_pipeline adopted for its cells — and shards the
-    en side by bucket, where mining is embarrassingly parallel."""
+    Scale shape: multiprobe LSH (own bucket + u 1-bit flips) bounds
+    candidates per query — no all-pairs stage; the bucket join's
+    exchange carries (bucket, id, embedding) rows exactly as
+    ann_lsh's does, the per-query rank is a WindowGroupLimit-eligible
+    row_number, and the margin arithmetic runs on the ≤4 surviving
+    rows per query. The plane count u is sized DRIVER-SIDE from one
+    count() of the non-English side — u = bitlen(max(n_tgt/2, 1)),
+    capped at {_BT_W} — so the bucket space grows with the corpus and
+    candidates per query stay ~constant: a fixed 8-plane space would
+    grow candidate pairs ~n²/256 (measured 6.5× at 10× before this
+    sizing; the n-scaled space measures ~linear — see
+    test_bitext_candidates_scale_linearly). The oracle computes the
+    identical u in SQL (length(bin(greatest(n//2,1)))) and masks a
+    {_BT_W}-bit bucket down to u bits — bit-equal to summing the
+    first u plane terms, planes being prefix-stable."""
     t = load_tables(spark, sf_dir)
-    emb = (
-        t.documents.select("doc_id", "lang")
-        .join(
-            t.embeddings.select(
-                F.col("vec_id").alias("doc_id"), "embedding"
-            ),
-            "doc_id",
-        )
-        .select(
-            "doc_id",
-            "lang",
-            "embedding",
-            F.expr(_bucket_expr_spark()).cast("bigint").alias("bucket"),
-        )
+    joined = t.documents.select("doc_id", "lang").join(
+        t.embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    return _bt_mine(joined)
+
+
+def _bt_mine(joined: DataFrame) -> DataFrame:
+    """Mining core over (doc_id, lang, embedding) — split out so the
+    scale test can feed a replicated corpus through the exact
+    production path."""
+    n_tgt = joined.filter(F.col("lang") != "en").count()
+    u = _bt_u(n_tgt)
+    scored = _bt_scored(joined, u)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), "cand_id"
+    )
+    return _bt_margin(scored, w)
+
+
+def _bt_scored(joined: DataFrame, u: int) -> DataFrame:
+    """Candidate generation + cosine scoring under a u-plane space:
+    the stage whose row count the linear-scaling test pins."""
+    emb = joined.select(
+        "doc_id",
+        "lang",
+        "embedding",
+        F.expr(_bucket_expr_spark(u)).cast("bigint").alias("bucket"),
     )
     q = emb.filter(F.col("lang") == "en").select(
         F.col("doc_id").alias("query_id"),
@@ -1974,12 +2015,12 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qe",
         F.explode(
             F.expr(
-                f"array(qbucket) || transform(sequence(0, {_N_PLANES - 1}), "
+                f"array(qbucket) || transform(sequence(0, {u - 1}), "
                 "j -> qbucket ^ shiftleft(1L, j))"
             )
         ).alias("pbucket"),
     )
-    scored = (
+    return (
         probes.join(tgt, probes.pbucket == tgt.bucket)
         .select(
             "query_id",
@@ -1988,9 +2029,9 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_r").desc(), "cand_id"
-    )
+
+
+def _bt_margin(scored: DataFrame, w) -> DataFrame:
     ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
         F.col("rk") <= 1 + _BT_RUNNERS
     )

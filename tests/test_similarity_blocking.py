@@ -167,3 +167,48 @@ def test_semp_numpy_featurization_matches_sql_spec(spark, sf_dir):
     }
     assert len(fast) == len(spec) > 0
     assert fast == spec
+
+
+def test_bitext_candidates_scale_linearly(spark, sf_dir):
+    """bitext_mining's LSH space must GROW with the target corpus: an
+    8x corpus of distinct (cyclically shifted) vectors raises u from
+    bitlen(n/2) and candidate pairs stay ~linear. Under the historical
+    fixed 8-plane space the same setup measures ~n^2/256 (~64x)."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _bt_scored,
+        _bt_u,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    j1 = t.documents.select("doc_id", "lang").join(
+        t.embeddings.select(F.col("vec_id").alias("doc_id"), "embedding"),
+        "doc_id",
+    )
+    replicas = [j1]
+    for r in range(1, 8):
+        replicas.append(
+            j1.select(
+                (F.col("doc_id") + 1_000_000 * r).alias("doc_id"),
+                "lang",
+                F.expr(
+                    f"concat(slice(embedding, {r + 1}, {64 - r}), "
+                    f"slice(embedding, 1, {r}))"
+                ).alias("embedding"),
+            )
+        )
+    j8 = replicas[0]
+    for rep in replicas[1:]:
+        j8 = j8.unionAll(rep)
+
+    n1 = j1.filter(F.col("lang") != "en").count()
+    n8 = j8.filter(F.col("lang") != "en").count()
+    assert n8 == 8 * n1
+    u1, u8 = _bt_u(n1), _bt_u(n8)
+    assert u8 >= u1 + 2, (u1, u8)
+    c1 = _bt_scored(j1, u1).count()
+    c8 = _bt_scored(j8, u8).count()
+    # linear target is 8x; allow skew slack but stay far below the
+    # fixed-space ~64x signature
+    assert c8 <= 24 * c1, (c1, c8)
+    assert c8 >= 2 * c1, (c1, c8)
