@@ -152,6 +152,64 @@ def read_warc(
     return raw.mapInPandas(_batches, schema=WARC_SCHEMA)
 
 
+def write_warc(
+    df: DataFrame,
+    out_dir: str,
+    uri_col: str = "target_uri",
+    html_col: str = "html",
+    date: str = "1970-01-01T00:00:00Z",
+) -> DataFrame:
+    """Export pages as WARC/1.0 **response** records — full HTTP
+    envelope (status line + Content-Type) ahead of the body, i.e. the
+    exact shape CommonCrawl archives and ``read_warc`` re-parses.
+    ``write_wet``'s executor-local file-per-partition layout (no
+    driver collect, no shuffle); returns the (warc_out_file,
+    n_records) manifest — an action on it performs the write.
+
+    Primary use: archiving a fetched page table; also lets the
+    registered ``warc_pipeline`` round-trip the crawl front door
+    end-to-end (write → read_warc → envelope split → html_to_text)
+    without an external fixture."""
+    import os
+
+    from pyspark import TaskContext
+
+    def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        n = 0
+        buf: list[bytes] = []
+        for pdf in it:
+            for uri, html in zip(pdf[uri_col], pdf[html_col]):
+                body = ("" if html is None else str(html)).encode("utf-8")
+                http = (
+                    "HTTP/1.1 200 OK\r\n"
+                    "Content-Type: text/html\r\n"
+                    f"Content-Length: {len(body)}\r\n\r\n"
+                ).encode()
+                block = http + body
+                hdr = (
+                    "WARC/1.0\r\n"
+                    "WARC-Type: response\r\n"
+                    f"WARC-Record-ID: <urn:warc:{pid}:{n}>\r\n"
+                    f"WARC-Target-URI: {'' if uri is None else uri}\r\n"
+                    f"WARC-Date: {date}\r\n"
+                    "Content-Type: application/http; msgtype=response\r\n"
+                    f"Content-Length: {len(block)}\r\n\r\n"
+                ).encode()
+                buf.append(hdr + block + b"\r\n\r\n")
+                n += 1
+        if n:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(path, "wb") as f:
+                f.write(b"".join(buf))
+            yield pd.DataFrame({"warc_out_file": [path], "n_records": [n]})
+
+    return df.select(uri_col, html_col).mapInPandas(
+        _write, schema="warc_out_file string, n_records long"
+    )
+
+
 def write_wet(
     df: DataFrame,
     out_dir: str,

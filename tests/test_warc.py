@@ -216,3 +216,32 @@ def test_warc_to_wet_corpus_loop(spark, tmp_path):
         recs.extend(parse_warc_bytes(open(f, "rb").read(), f))
     texts = sorted(r["payload"].decode() for r in recs)
     assert texts == ["hello world 0", "hello world 1"]
+
+
+def test_write_warc_response_roundtrip(spark, tmp_path):
+    """write_warc must emit genuine WARC/1.0 response records: read_warc
+    re-parses them with the HTTP envelope split (status + Content-Type
+    promoted, body recovered byte-exact), including a body containing
+    CRLF-CRLF and a 'WARC/' lookalike line."""
+    from oil_wells_data_wrangling_spark.sources.warc import write_warc
+
+    tricky = '<html><body>a\r\n\r\nWARC/1.0 looks like a header\r\nb</body></html>'
+    pages = spark.createDataFrame(
+        [(f"https://x.example/d/{i}", f"<html><body>page {i}</body></html>")
+         for i in range(3)] + [("https://x.example/tricky", tricky)],
+        "target_uri string, html string",
+    ).repartition(2)
+    out = str(tmp_path / "arch")
+    manifest = write_warc(pages, out).collect()
+    assert sum(m.n_records for m in manifest) == 4
+    back = read_warc(spark, out).collect()
+    assert len(back) == 4
+    by_uri = {r.target_uri: r for r in back}
+    for r in back:
+        assert r.warc_type == "response"
+        assert r.http_status == 200
+        assert r.content_type == "text/html"
+    assert bytes(by_uri["https://x.example/tricky"].payload).decode() == tricky
+    assert bytes(by_uri["https://x.example/d/1"].payload).decode() == (
+        "<html><body>page 1</body></html>"
+    )
