@@ -2419,7 +2419,14 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmeans_iterate's k centroids. Merge application is plain
     space-padded string replace — left-to-right, non-overlapping,
     verified bit-identical across engines including on
-    identical-symbol runs."""
+    identical-symbol runs.
+
+    Scope bound: the loop collects ONE row per merge, so it is sized
+    for small merge counts ({_BPE_STEPS} here) — exact sequential BPE
+    as the spec. A production 32k-merge train must batch merges per
+    round-trip instead; that is ``bpe_train_batched`` ({_BPEB_K}
+    symbol-disjoint merges per collect), registered alongside this
+    operator."""
     t = load_tables(spark, sf_dir)
     wf = (
         t.documents.select(F.explode(F.split("text", " ")).alias("word"))
@@ -2475,6 +2482,130 @@ def _bpe_learn_merges(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
     finally:
         vocab.unpersist()
     return out_rows
+
+
+# ------------------------------------------------------------ bpe_train_batched
+
+# Production-merge-count BPE: one driver round-trip per ROUND of k
+# merges, not per merge — the answer to bpe_train_steps' documented
+# scope bound (32k merges can't pay 32k collects). Per round the top
+# k pairs by (n desc, a, b) are all accepted and applied as ONE
+# sequential fold of space-padded replaces in rank order — both
+# engines fold identically (nested F.replace / DuckDB list_reduce),
+# and the space-delimited patterns are token-boundary-safe: a merge
+# glues its symbols with no internal space, so no later pattern can
+# falsely match inside an earlier merge's output. The documented
+# trade vs merge-at-a-time BPE: counts are one round stale for merges
+# 2..k of a batch (a lower-ranked merge may find fewer — or zero —
+# occurrences after the earlier replaces land), so the merge LIST can
+# differ from bpe_train_steps' — both stay registered, the sequential
+# loop as the spec and this as the scale path. (A symbol-disjointness
+# filter — classic conflict-free batching — was measured to starve on
+# small alphabets: on this corpus only 2 of the top 8 pairs survive,
+# because nearly every frequent pair shares a letter with a
+# higher-ranked one. Rank-order folding needs no filter to stay
+# deterministic.)
+_BPEB_ROUNDS = 2
+_BPEB_K = 8
+
+
+def _bpeb_oracle() -> str:
+    ctes = [_bpe_train_ctes()[0]]
+    for r in range(1, _BPEB_ROUNDS + 1):
+        prev = f"bv{r - 1}" if r > 1 else "v0"
+        ctes.append(f"bp{r} AS ({_bpe_pairs_duck(prev)})")
+        ctes.append(f"""bacc{r} AS (
+  SELECT a, b, n, CAST(ark AS INT) AS ark FROM (
+    SELECT a, b, n,
+           row_number() OVER (ORDER BY n DESC, a, b) AS ark
+    FROM bp{r}
+  ) WHERE ark <= {_BPEB_K}
+)""")
+        ctes.append(
+            f"bm{r} AS (SELECT list(a || ' ' || b ORDER BY ark) AS ms "
+            f"FROM bacc{r})"
+        )
+        ctes.append(f"""bv{r} AS (
+  SELECT list_reduce(list_prepend(sym, m.ms),
+    (acc, x) -> replace(acc,
+      ' ' || split_part(x, ' ', 1) || ' ' || split_part(x, ' ', 2) || ' ',
+      ' ' || split_part(x, ' ', 1) || split_part(x, ' ', 2) || ' ')) AS sym,
+    cnt
+  FROM {prev} CROSS JOIN bm{r} m
+)""")
+    selects = [
+        f"SELECT CAST({r} AS INT) AS rnd, ark, a, b, n FROM bacc{r}"
+        for r in range(1, _BPEB_ROUNDS + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+_BPEB_ORACLE = _bpeb_oracle()
+
+
+@register("bpe_train_batched", oracle=_BPEB_ORACLE)
+def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training at production merge counts: {_BPEB_ROUNDS} rounds ×
+    {_BPEB_K} merges per round — {_BPEB_ROUNDS × _BPEB_K} merges for
+    {_BPEB_ROUNDS} driver round-trips, where ``bpe_train_steps`` pays
+    one collect PER merge (its documented scope bound). Each round's
+    top-k pairs apply as one sequential fold of space-padded replaces
+    in rank order; counts are one round stale for merges 2..k (the
+    standard batched-trainer trade, see the module comment). Output:
+    (rnd, ark, a, b, n) per learned merge.
+
+    Scale shape: identical to bpe_train_steps — corpus touched once
+    (the word count), every round runs on the distinct vocabulary —
+    but the driver loop is rounds-deep, not merges-deep: 32k merges
+    at k=256 is 125 round-trips of k tiny rows, each applying its
+    batch as one in-scan replace chain."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt").persist()
+    out_rows: list[tuple[int, int, str, str, int]] = []
+    try:
+        for rnd in range(1, _BPEB_ROUNDS + 1):
+            arr = F.split(F.trim("sym"), " ")
+            pair_arr = F.expr(
+                "transform(sequence(1, size(arr) - 1), "
+                "j -> struct(element_at(arr, j) as a, "
+                "element_at(arr, j + 1) as b))"
+            )
+            pairs = (
+                vocab.select(arr.alias("arr"), "cnt")
+                .select(F.explode(pair_arr).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+            )
+            accepted = [
+                (r.a, r.b, r.n)
+                for r in pairs.orderBy(F.col("n").desc(), "a", "b")
+                .limit(_BPEB_K)
+                .collect()
+            ]
+            for ark, (a, b, n) in enumerate(accepted, start=1):
+                out_rows.append((rnd, ark, a, b, n))
+            col = F.col("sym")
+            for a, b, _n in accepted:
+                # fold in rank order (matches the oracle's list_reduce);
+                # F.replace with lit() arguments — symbols come from
+                # corpus text, never string-interpolated into SQL
+                col = F.replace(
+                    col, F.lit(f" {a} {b} "), F.lit(f" {a}{b} ")
+                )
+            merged = vocab.select(col.alias("sym"), "cnt").persist()
+            vocab.unpersist()
+            vocab = merged
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        out_rows, "rnd int, ark int, a string, b string, n bigint"
+    )
 
 
 # ------------------------------------------------------------------ code_detect

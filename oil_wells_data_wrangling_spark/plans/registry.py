@@ -76,7 +76,8 @@ def _load_all() -> None:
 # left over (shard_stats, simhash_pairs, sql_serving,
 # stratified_sample, text_chunks, tfidf_topk, token_count,
 # train_val_split, url_canonical, url_stats, vector_normalize,
-# vocab_topk, zorder_stats) rotate in r10. Everything past 50 keeps
+# vocab_topk, zorder_stats — plus sample_corpus, which yielded its
+# slot to the late-r9 bpe_train_batched) rotate in r10. Everything past 50 keeps
 # its old green row and stays covered by the identical local
 # comparison in tests/test_oracle_parity.py. A name listed here but
 # not registered fails loudly (KeyError) rather than silently
@@ -84,6 +85,7 @@ def _load_all() -> None:
 _WINDOW_PRIORITY = [
     # -- new in round 9 (never driver-checked)
     "warc_pipeline",
+    "bpe_train_batched",
     # -- implementation touched in round 9
     "bitext_mining",
     "chunk_dedup_rewrite",
@@ -136,7 +138,6 @@ _WINDOW_PRIORITY = [
     "promo_revenue",
     "quality_score",
     "repetition_filter",
-    "sample_corpus",
 ]
 
 
