@@ -2212,3 +2212,201 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_correct",
         F.expr("n_correct * 1000000 div n_queries").alias("acc_ppm"),
     )
+
+
+# -------------------------------------------------------------------- pq_train
+
+# Trained PQ codebooks — the production upgrade over ann_pq's
+# first-16-vectors stand-in: per SUBSPACE k-means (8 independent
+# 8-dim Lloyd runs, one per PQ slice) minimizing the same squared-L2
+# the encoder uses. All 8 runs execute as ONE subspace-keyed frame —
+# (sub, vec_id, sv) rows assign against a broadcast (sub, code, cd)
+# codebook joined on sub — so the iteration cost is kmeans_iterate's
+# (one broadcast + one (sub, code, pos)-keyed partial-agg shuffle per
+# step), not 8×. Centroids quantize to 1e-6 between steps
+# (kmeans_iterate's floor/scaled-int64/exact-sum walk), making the
+# whole training trajectory bit-identical across engines and
+# partitionings — which is what lets a trained-FP-algorithm output be
+# oracle-checked exactly.
+_PQT_ITERS = 2
+_PQT_SCALE = 1_000_000
+
+
+def _pqt_quant(x: str) -> str:
+    return (
+        f"cast(floor({x} * {_PQT_SCALE}) as double) / {_PQT_SCALE}.0D"
+    )
+
+
+_PQT_L2_SPARK = (
+    "aggregate(zip_with(sv, cd, (x, y) -> (x - y) * (x - y)), 0D,"
+    " (acc, v) -> acc + v)"
+)
+_PQT_L2_DUCK = (
+    f"list_sum(list_transform(range(1, {_PQ_DSUB + 1}),"
+    " i -> (s.sv[i] - c.cd[i]) * (s.sv[i] - c.cd[i])))"
+)
+
+
+def _pqt_sub_rows(emb: DataFrame) -> DataFrame:
+    """(vec_id, sub, sv double[8]): every vector split into its 8 PQ
+    slices — one exploded frame so all 8 trainings share each pass."""
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"explode(transform(sequence(0, {_PQ_M - 1}), m -> struct("
+            f"m as sub, transform(slice(embedding, m * {_PQ_DSUB} + 1,"
+            f" {_PQ_DSUB}), x -> cast(x as double)) as sv)))"
+        ).alias("e"),
+    ).select("vec_id", "e.sub", "e.sv")
+
+
+def _pqt_assign(sub_rows: DataFrame, cb: DataFrame) -> DataFrame:
+    """Argmin squared-L2 against the broadcast codebook, per subspace;
+    ties break to the lowest code id (the encoder's rule)."""
+    w = Window.partitionBy("sub", "vec_id").orderBy("d_r", "code")
+    return (
+        sub_rows.join(F.broadcast(cb.select("sub", "code", "cd")), "sub")
+        .select(
+            "vec_id",
+            "sub",
+            "sv",
+            "code",
+            F.round(F.expr(_PQT_L2_SPARK), 6).alias("d_r"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "sv", "code")
+    )
+
+
+def _pqt_update(assigned: DataFrame) -> DataFrame:
+    """Exact quantized centroid re-estimation: floor to scaled int64,
+    bigint partial-agg sum per (sub, code, pos), one double division."""
+    per_dim = (
+        assigned.select(
+            "sub", "code", F.posexplode("sv").alias("pos", "x")
+        )
+        .select(
+            "sub",
+            "code",
+            "pos",
+            F.floor(F.col("x") * _PQT_SCALE).cast("bigint").alias("svq"),
+        )
+        .groupBy("sub", "code", "pos")
+        .agg(
+            (
+                F.sum("svq").cast("double")
+                / (F.count(F.lit(1)) * float(_PQT_SCALE))
+            ).alias("dval"),
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        )
+    )
+    return per_dim.groupBy("sub", "code").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(pos, dval))),"
+            " s -> s.dval)"
+        ).alias("cd"),
+        F.min("cnt").alias("n"),
+    )
+
+
+def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the PQ codebooks; returns (sub, code, cd double[8], n) —
+    the frame ``ann_pq``-style encoders consume in place of the
+    first-16-vectors stand-in. Init is those same 16 slices
+    (quantized), so iteration 0 reproduces the stand-in exactly and
+    every Lloyd step strictly improves the encoder's own objective."""
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    sub_rows = _pqt_sub_rows(emb).persist()
+    cb = _pqt_sub_rows(emb.filter(F.col("vec_id") < _PQ_K)).select(
+        "sub",
+        F.col("vec_id").alias("code"),
+        F.expr(f"transform(sv, x -> {_pqt_quant('x')})").alias("cd"),
+        F.lit(1).cast("bigint").alias("n"),
+    )
+    for _ in range(_PQT_ITERS):
+        cb = _pqt_update(_pqt_assign(sub_rows, cb)).localCheckpoint(
+            eager=True
+        )
+    sub_rows.unpersist()
+    return cb
+
+
+def _pqt_ctes() -> str:
+    """Unrolled per-subspace Lloyd chain for the DuckDB oracle:
+    pqsub (slices), pqcb0 (quantized init), pa{i}/pqcb{i} per step."""
+    ctes = [
+        f"""pqsub AS (
+  SELECT e.vec_id, u.m AS sub,
+         list_transform(range(1, {_PQ_DSUB + 1}),
+           i -> CAST(e.embedding[u.m * {_PQ_DSUB} + i] AS DOUBLE)) AS sv
+  FROM embeddings e, UNNEST(range(0, {_PQ_M})) AS u(m)
+)""",
+        f"""pqcb0 AS (
+  SELECT sub, vec_id AS code,
+         list_transform(sv,
+           x -> floor(x * {_PQT_SCALE}) / {_PQT_SCALE}.0) AS cd
+  FROM pqsub WHERE vec_id < {_PQ_K}
+)""",
+    ]
+    for i in range(1, _PQT_ITERS + 1):
+        ctes.append(
+            f"""pa{i} AS (
+  SELECT vec_id, sub, sv, code FROM (
+    SELECT s.vec_id, s.sub, s.sv, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.sub, s.vec_id
+             ORDER BY ROUND({_PQT_L2_DUCK}, 6), c.code) AS rk
+    FROM pqsub s JOIN pqcb{i - 1} c ON c.sub = s.sub
+  ) WHERE rk = 1
+)"""
+        )
+        ctes.append(
+            f"""pqcb{i} AS (
+  SELECT sub, code, list(dval ORDER BY pos) AS cd, MIN(cnt) AS n FROM (
+    SELECT sub, code, pos,
+           CAST(SUM(svq) AS DOUBLE) / (COUNT(*) * {_PQT_SCALE}.0) AS dval,
+           CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM (
+      SELECT a.sub, a.code, u.pos,
+             CAST(floor(a.sv[u.pos + 1] * {_PQT_SCALE}) AS BIGINT) AS svq
+      FROM pa{i} a, UNNEST(range(0, {_PQ_DSUB})) AS u(pos)
+    ) GROUP BY sub, code, pos
+  ) GROUP BY sub, code
+)"""
+        )
+    return ",\n".join(ctes)
+
+
+_PQT_ORACLE = f"""
+WITH {_pqt_ctes()}
+SELECT CAST(sub AS INTEGER) AS sub, CAST(code AS INTEGER) AS code,
+       n AS n_members, ROUND(cd[1], 6) AS dim1_mean
+FROM pqcb{_PQT_ITERS}
+"""
+
+
+@register("pq_train", oracle=_PQT_ORACLE)
+def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING — per-subspace k-means ({_PQ_M} subspaces ×
+    {_PQ_K} codes, {_PQT_ITERS} Lloyd steps) minimizing the encoder's
+    own squared-L2, replacing ``ann_pq``'s first-16-vectors stand-in
+    with real centroids. Per surviving code: member count and the
+    centroid's first coordinate (the oracle replays the identical
+    quantized walk).
+
+    Scale shape: one exploded (sub, vec_id, slice) frame carries all
+    {_PQ_M} trainings together; each step is one broadcast
+    ({_PQ_M}×{_PQ_K} rows) + one (sub, code, pos)-keyed partial-agg
+    shuffle — kmeans_iterate's per-step cost, NOT {_PQ_M}× it; the
+    per-step frame localCheckpoints so the plan stays constant-size.
+    Slices are 8 doubles: the corpus-sized exchange carries
+    (sub, code, pos, int64) scalars only."""
+    cb = pq_train_codebook(spark, sf_dir)
+    return cb.select(
+        F.col("sub").cast("int").alias("sub"),
+        F.col("code").cast("int").alias("code"),
+        F.col("n").alias("n_members"),
+        F.round(F.element_at("cd", 1), 6).alias("dim1_mean"),
+    )

@@ -2425,7 +2425,7 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for small merge counts ({_BPE_STEPS} here) — exact sequential BPE
     as the spec. A production 32k-merge train must batch merges per
     round-trip instead; that is ``bpe_train_batched`` ({_BPEB_K}
-    symbol-disjoint merges per collect), registered alongside this
+    rank-order-folded merges per collect), registered alongside this
     operator."""
     t = load_tables(spark, sf_dir)
     wf = (
@@ -2458,13 +2458,21 @@ def _bpe_learn_merges(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
             )
             pairs = (
                 vocab.select(arr.alias("arr"), "cnt")
+                # a fully-merged (single-symbol) word contributes no
+                # pairs — and without this guard sequence(1, 0) yields
+                # the DESCENDING [1, 0] in Spark, so element_at(arr, 0)
+                # errors; the oracle's range(1, len) is simply empty
+                .filter(F.size("arr") >= 2)
                 .select(F.explode(pair_arr).alias("p"), "cnt")
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").alias("n"))
             )
-            top = pairs.orderBy(
+            top_rows = pairs.orderBy(
                 F.col("n").desc(), "a", "b"
-            ).limit(1).collect()[0]
+            ).limit(1).collect()
+            if not top_rows:
+                break  # every word fully collapsed — nothing to merge
+            top = top_rows[0]
             out_rows.append((step, top.a, top.b, top.n))
             # F.replace with lit() arguments — symbols come from corpus
             # text, so never string-interpolate them into SQL
@@ -2566,10 +2574,26 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt").persist()
+    vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt")
+    out_rows = _bpe_train_batched_loop(vocab, _BPEB_ROUNDS, _BPEB_K)
+    return spark.createDataFrame(
+        out_rows, "rnd int, ark int, a string, b string, n bigint"
+    )
+
+
+def _bpe_train_batched_loop(
+    vocab: DataFrame, rounds: int, k: int
+) -> list[tuple[int, int, str, str, int]]:
+    """The batched select-apply loop over a (sym, cnt) vocabulary:
+    exactly ONE collect (of ≤ k tiny rows) per round — rounds-deep,
+    never merges-deep — each batch folded as a chain of space-padded
+    replaces in rank order. Stops early when a round finds no pairs
+    (every word fully collapsed). Parameterized so tests can exercise
+    production depth (e.g. 8 rounds × k=32) on a small vocabulary."""
+    vocab = vocab.persist()
     out_rows: list[tuple[int, int, str, str, int]] = []
     try:
-        for rnd in range(1, _BPEB_ROUNDS + 1):
+        for rnd in range(1, rounds + 1):
             arr = F.split(F.trim("sym"), " ")
             pair_arr = F.expr(
                 "transform(sequence(1, size(arr) - 1), "
@@ -2578,6 +2602,12 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             pairs = (
                 vocab.select(arr.alias("arr"), "cnt")
+                # fully-merged single-symbol words contribute no pairs;
+                # without the guard sequence(1, 0) = [1, 0] (descending)
+                # makes element_at(arr, 0) error — at production depth
+                # (32k merges) full-word collapse is guaranteed, so this
+                # is the difference between finishing and crashing
+                .filter(F.size("arr") >= 2)
                 .select(F.explode(pair_arr).alias("p"), "cnt")
                 .groupBy("p.a", "p.b")
                 .agg(F.sum("cnt").alias("n"))
@@ -2585,9 +2615,11 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             accepted = [
                 (r.a, r.b, r.n)
                 for r in pairs.orderBy(F.col("n").desc(), "a", "b")
-                .limit(_BPEB_K)
+                .limit(k)
                 .collect()
             ]
+            if not accepted:
+                break
             for ark, (a, b, n) in enumerate(accepted, start=1):
                 out_rows.append((rnd, ark, a, b, n))
             col = F.col("sym")
@@ -2603,9 +2635,7 @@ def bpe_train_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             vocab = merged
     finally:
         vocab.unpersist()
-    return spark.createDataFrame(
-        out_rows, "rnd int, ark int, a string, b string, n bigint"
-    )
+    return out_rows
 
 
 # ------------------------------------------------------------------ code_detect

@@ -260,7 +260,12 @@ def warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     Demo-harness caveat (the ``neardup_index_probe`` pattern): the
     registered query wires the archive to a driver-local tempdir and
     writes it eagerly at plan construction; production passes a shared
-    URI and reads crawls it didn't write."""
+    URI and reads crawls it didn't write. The tempdir is deleted right
+    after an eager ``localCheckpoint`` materializes the result, which
+    TRUNCATES LINEAGE: if a checkpointed block is later evicted or an
+    executor is lost, the result is unrecoverable (the source files
+    are gone). Acceptable for the demo's one-session read; production
+    keeps the archive and skips the checkpoint."""
     import os
     import shutil
     import tempfile
@@ -325,6 +330,165 @@ def warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_links"),
             F.length("clean").cast("bigint").alias("n_chars"),
             F.md5("clean").alias("clean_fp"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out
+
+
+# -------------------------------------------------------------- crawl_to_corpus
+
+# The composed crawl-to-corpus flagship: the WARC front door
+# (warc_pipeline's write → read_warc → envelope split → strip chain)
+# feeding corpus_pipeline's back end (quality filter → exact dedup →
+# per-language stats) in ONE plan. A quarter of the pages are archived
+# TWICE under a ?ref=dup URI — the same page fetched at two URLs, the
+# crawl dup the dedup stage exists for — so every stage is live.
+_CRAWL_CORPUS_ORACLE = rf"""
+WITH pages AS (
+  SELECT doc_id, {_H2T_PAGE_DUCK} AS html FROM documents
+),
+crawl AS (
+  SELECT doc_id, html FROM pages
+  UNION ALL
+  SELECT doc_id, html FROM pages WHERE doc_id % 4 = 0
+),
+stripped AS (
+  SELECT doc_id,
+    trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+      '<[^>]+>', ' ', 'g'),
+      '\s+', ' ', 'g')) AS clean
+  FROM crawl
+),
+enriched AS (
+  SELECT s.doc_id, s.clean, d.lang
+  FROM stripped s JOIN documents d USING (doc_id)
+),
+quality AS (
+  SELECT * FROM enriched
+  WHERE len(string_split(clean, ' ')) >= 20
+    AND len(list_distinct(string_split(clean, ' ')))
+        / len(string_split(clean, ' ')) >= 0.4
+),
+deduped AS (
+  SELECT md5(clean) AS h, MIN(lang) AS lang,
+         MIN(len(string_split(clean, ' '))) AS n_tokens,
+         COUNT(*) AS n_copies
+  FROM quality GROUP BY 1
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_copies - 1) AS BIGINT) AS dups_removed
+FROM deduped GROUP BY lang
+"""
+
+
+@register("crawl_to_corpus", oracle=_CRAWL_CORPUS_ORACLE)
+def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl → corpus END-TO-END: pages archive as real WARC/1.0
+    records (a quarter of them twice, under a second URI — the
+    same-page-two-URLs dup every crawl contains), ``read_warc`` parses
+    the archive back, the strip chain extracts clean text, a broadcast
+    metadata join recovers the language sidecar, and corpus_pipeline's
+    back end (quality filter → exact dedup → per-language stats) runs
+    over text that genuinely round-tripped ISO 28500. The oracle
+    replays page synthesis + dup union + strip + the same back end
+    directly over ``documents`` — exact because the archive hop is
+    content-preserving by construction (warc_pipeline's argument).
+
+    Scale shape: the round trip itself is shuffle-free (file-per-
+    partition write, file-inventory read); downstream, the dedup
+    exchange carries (md5, lang, n_tokens) scalars only — payload
+    bytes never leave the scan that strips them; the lang sidecar
+    broadcasts. Same demo-harness tempdir + eager-localCheckpoint
+    caveats as ``warc_pipeline`` (production passes a shared URI and
+    keeps the archive)."""
+    import os
+    import shutil
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example.com/d/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.expr(_H2T_PAGE_SPARK).alias("html"),
+    )
+    crawl = pages.unionAll(
+        pages.filter(F.col("doc_id") % 4 == 0).select(
+            "doc_id",
+            F.concat("target_uri", F.lit("?ref=dup")).alias("target_uri"),
+            "html",
+        )
+    )
+    work = tempfile.mkdtemp(prefix="crawl_corpus_")
+    arch = os.path.join(work, "crawl")
+    write_warc(crawl, arch).collect()
+    resp = read_warc(spark, arch).filter(
+        (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+    )
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.col("payload").cast("string"),
+                        r"(?s)<script[^>]*>.*?</script>",
+                        " ",
+                    ),
+                    r"(?s)<style[^>]*>.*?</style>",
+                    " ",
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+    stripped = resp.select(
+        F.regexp_extract("target_uri", r"/d/(\d+)", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        clean.alias("clean"),
+    )
+    enriched = stripped.join(
+        F.broadcast(t.documents.select("doc_id", "lang")), "doc_id"
+    )
+    words = F.split("clean", " ")
+    quality = enriched.filter(
+        (F.size(words) >= 20)
+        & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
+    )
+    deduped = (
+        quality.select(
+            F.md5("clean").alias("h"),
+            "lang",
+            F.size(F.split("clean", " ")).alias("n_tokens"),
+        )
+        .groupBy("h")
+        .agg(
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    out = (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(F.col("n_copies") - 1).alias("dups_removed"),
         )
         .localCheckpoint(eager=True)
     )

@@ -63,81 +63,79 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-9 window, per the r8 verdict's top item: (1) operators new or
-# touched this round lead (warc_pipeline is new; bitext_mining's LSH
-# space became n-scaled, chunk_dedup_rewrite's segment rebuild became
-# positional, semdedup_pipeline's featurizer rounding kernel changed
-# to the exact-fraction HALF_UP compare); (2) the FIFTEEN operators
-# whose newest driver row is still round 4 — they yielded their r8
-# slots to the fifteen late-r8 additions and must retire now, closing
-# the r6/r7 "min(latest driver round) >= 5" criterion; (3) the
-# remaining slots drain the r5 backlog, the r8 verdict's named
-# eventops/ann/dedup families first, then alphabetical. The r5 names
-# left over (shard_stats, simhash_pairs, sql_serving,
-# stratified_sample, text_chunks, tfidf_topk, token_count,
-# train_val_split, url_canonical, url_stats, vector_normalize,
-# vocab_topk, zorder_stats — plus sample_corpus, which yielded its
-# slot to the late-r9 bpe_train_batched) rotate in r10. Everything past 50 keeps
-# its old green row and stays covered by the identical local
-# comparison in tests/test_oracle_parity.py. A name listed here but
-# not registered fails loudly (KeyError) rather than silently
-# shrinking the window.
+# Round-10 window: (1) operators new this round lead (crawl_to_corpus,
+# pq_train — never driver-checked); (2) operators whose implementation
+# changed this round (both BPE trainers gained the single-symbol
+# collapse guard + empty-vocabulary early-stop; warc_pipeline's write
+# path gained the temp-plus-rename commit protocol); (3) the FOURTEEN
+# operators whose newest driver row is still round 5 — the set the r9
+# comment scheduled for r10 — retiring the last pre-r6 rows and
+# closing the r8 verdict's "min(latest driver round) >= 6" criterion;
+# (4) the remaining slots start draining the 48-name r6 backlog
+# alphabetically (the leftover 17, lang_mismatch_matrix onward, rotate
+# in r11). Everything past 50 keeps its old green row and stays
+# covered by the identical local comparison in
+# tests/test_oracle_parity.py. A name listed here but not registered
+# fails loudly (KeyError) rather than silently shrinking the window;
+# tests/test_plans.py asserts the rotation INVARIANTS (never-checked
+# names in-window, no registrant's latest row older than 4 rounds)
+# from the committed CORRECTNESS_r*.json history, so a future rotation
+# cannot silently strand either rule.
 _WINDOW_PRIORITY = [
-    # -- new in round 9 (never driver-checked)
-    "warc_pipeline",
+    # -- new in round 10 (never driver-checked)
+    "crawl_to_corpus",
+    "pq_train",
+    # -- implementation touched in round 10
     "bpe_train_batched",
-    # -- implementation touched in round 9
-    "bitext_mining",
-    "chunk_dedup_rewrite",
-    "semdedup_pipeline",
-    # -- last driver row is round 4 (oldest backlog, retired here)
-    "integrity_report",
-    "kmeans_step",
-    "length_histogram",
-    "pii_redact",
-    "pivot_status",
-    "pseudonymize",
-    "range_join",
-    "rollup_cube",
-    "salted_agg_join",
-    "semi_anti_join",
-    "skew_report",
-    "spatial_bbox",
-    "vector_quantize",
-    "window_lag_delta",
-    "winsorize",
-    # -- r5 backlog: the r8 verdict's named families first
-    "events_retention",
-    "events_rolling",
-    "events_sliding_agg",
-    "events_dedup",
-    "events_gap_fill",
-    "events_sessionize",
-    "events_sessionize_native",
-    "fingerprint",
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_topk",
-    "ann_lsh",
-    "ann_pipeline",
-    "anomaly_mad",
-    # -- r5 backlog, alphabetical fill to 50
-    "asof_join",
-    "cdc_apply",
-    "chunk_dedup",
-    "dedup_exact",
-    "dedup_minhash",
-    "ivf_assign",
-    "ivf_recluster",
-    "kmeans_iterate",
-    "lang_id",
-    "ngram_counts",
-    "ngram_jaccard",
-    "pack_sequences",
-    "percentiles",
-    "promo_revenue",
-    "quality_score",
-    "repetition_filter",
+    "bpe_train_steps",
+    "warc_pipeline",
+    # -- last driver row is round 5 (the final pre-r6 backlog)
+    "sample_corpus",
+    "shard_stats",
+    "simhash_pairs",
+    "sql_serving",
+    "stratified_sample",
+    "text_chunks",
+    "tfidf_topk",
+    "token_count",
+    "train_val_split",
+    "url_canonical",
+    "url_stats",
+    "vector_normalize",
+    "vocab_topk",
+    "zorder_stats",
+    # -- r6 backlog, alphabetical fill to 50
+    "approx_distinct",
+    "approx_percentiles",
+    "bigram_lift",
+    "blocklist_filter",
+    "bm25_topk",
+    "contamination_report",
+    "correlated_avg_filter",
+    "custdist",
+    "dataset_card_stats",
+    "dedup_cross",
+    "disjunctive_filter_revenue",
+    "distinct_count",
+    "domain_pagerank",
+    "dup_ngram_fraction",
+    "events_attribution",
+    "events_distinct_windowed",
+    "events_enrich",
+    "events_rate_limit",
+    "events_topk",
+    "events_transitions",
+    "events_window_agg",
+    "fingerprint_diff",
+    "group_split",
+    "hll_persist_incremental",
+    "hll_union_daily",
+    "html_table",
+    "idle_rich_customers",
+    "incremental_rollup",
+    "join_region_rollup",
+    "join_revenue_topn",
+    "json_props",
 ]
 
 

@@ -175,7 +175,8 @@ def write_warc(
     from pyspark import TaskContext
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc")
         n = 0
         buf: list[bytes] = []
@@ -201,8 +202,14 @@ def write_warc(
                 n += 1
         if n:
             os.makedirs(out_dir, exist_ok=True)
-            with open(path, "wb") as f:
+            # temp-plus-rename commit: a retried or speculative attempt
+            # writes its own attempt-suffixed file, then atomically
+            # renames over the final path — concurrent attempts can
+            # never interleave bytes, the last completed attempt wins
+            tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(b"".join(buf))
+            os.replace(tmp, path)
             yield pd.DataFrame({"warc_out_file": [path], "n_records": [n]})
 
     return df.select(uri_col, html_col).mapInPandas(
@@ -234,7 +241,8 @@ def write_wet(
     from pyspark import TaskContext
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet")
         n = 0
         buf: list[bytes] = []
@@ -254,8 +262,11 @@ def write_wet(
                 n += 1
         if n:
             os.makedirs(out_dir, exist_ok=True)
-            with open(path, "wb") as f:
+            # same temp-plus-rename commit protocol as write_warc
+            tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
+            with open(tmp, "wb") as f:
                 f.write(b"".join(buf))
+            os.replace(tmp, path)
             yield pd.DataFrame({"wet_file": [path], "n_records": [n]})
 
     return df.select(uri_col, text_col).mapInPandas(

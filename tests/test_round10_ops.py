@@ -1,0 +1,129 @@
+"""Round-10 additions: production-depth BPE batching, the
+single-symbol collapse guard, and the WARC write commit protocol."""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _word_vocab(spark, words: dict[str, int]) -> DataFrame:
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _BPE_SYM_SPARK,
+    )
+
+    wf = spark.createDataFrame(
+        [(w, c) for w, c in words.items()], "word string, cnt bigint"
+    )
+    return wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt")
+
+
+def test_bpe_batched_survives_full_word_collapse(spark):
+    """A one-letter word collapses to a SINGLE symbol the moment its
+    (char, '</w>') merge is accepted; the next round's pair extraction
+    must skip it (sequence(1, 0) = [1, 0] in Spark would make
+    element_at(arr, 0) error) — the r9 ADVICE crash."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _bpe_train_batched_loop,
+    )
+
+    # 'i' is by far the most frequent word, so (i, </w>) is an early
+    # merge and round 2 sees a size-1 symbol row
+    vocab = _word_vocab(spark, {"i": 1000, "it": 30, "in": 20, "is": 10})
+    rows = _bpe_train_batched_loop(vocab, rounds=3, k=4)
+    assert rows, "trainer learned nothing"
+    merged = {(a, b) for _rnd, _ark, a, b, _n in rows}
+    assert ("i", "</w>") in merged  # the collapsing merge WAS accepted
+    assert max(r[0] for r in rows) >= 2  # and a later round still ran
+
+
+def test_bpe_batched_production_depth_collect_accounting(spark, monkeypatch):
+    """8 rounds x k=32: the driver loop must stay ROUNDS-deep — exactly
+    one collect per executed round, never one per merge — and the
+    merge table must stay rank-ordered and bounded by rounds*k."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _bpe_train_batched_loop,
+    )
+
+    # a vocabulary rich enough that several rounds accept full batches:
+    # 120 distinct 4-6 letter words over a 12-letter alphabet
+    alpha = "abcdefghijkl"
+    words: dict[str, int] = {}
+    for i in range(120):
+        w = "".join(
+            alpha[(i * 7 + j * 5 + (i * j) % 11) % len(alpha)]
+            for j in range(4 + i % 3)
+        )
+        words[w] = words.get(w, 0) + 10 + i % 17
+    words["a"] = 5000  # force an early full-word collapse too
+    vocab = _word_vocab(spark, words)
+
+    n_collects = 0
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        nonlocal n_collects
+        n_collects += 1
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    rows = _bpe_train_batched_loop(vocab, rounds=8, k=32)
+
+    rounds_run = max(r[0] for r in rows)
+    # one collect per executed round (+1 if an extra empty round probed
+    # before early-stop) — NEVER merges-deep
+    assert n_collects <= rounds_run + 1, (n_collects, rounds_run)
+    assert len(rows) <= 8 * 32
+    assert len(rows) >= 64, f"only {len(rows)} merges learned"
+    # rank order within each round is 1..m contiguous
+    by_round: dict[int, list[int]] = {}
+    for rnd, ark, _a, _b, _n in rows:
+        by_round.setdefault(rnd, []).append(ark)
+    for rnd, arks in by_round.items():
+        assert sorted(arks) == list(range(1, len(arks) + 1)), rnd
+    # counts never increase within a round's rank order... not required
+    # (staleness trade) — but counts must be positive
+    assert all(n > 0 for *_x, n in rows)
+
+
+def test_bpe_sequential_loop_survives_collapse(spark):
+    """Same guard in the merge-at-a-time trainer (_bpe_learn_merges):
+    enough steps that the one-letter word fully collapses."""
+    from oil_wells_data_wrangling_spark.operators import textstats as ts
+
+    vocab = _word_vocab(spark, {"i": 1000, "on": 3, "no": 2})
+    old = ts._BPE_STEPS
+    try:
+        ts._BPE_STEPS = 6
+        rows = ts._bpe_learn_merges(vocab)
+    finally:
+        ts._BPE_STEPS = old
+    assert ("i", "</w>") in {(a, b) for _s, a, b, _n in rows}
+
+
+def test_write_warc_commits_via_rename(spark, tmp_path):
+    """The archive writer must leave NO attempt-temp files behind and
+    the final part files must be complete, parseable archives (the
+    temp-plus-rename commit protocol)."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        parse_warc_bytes,
+        read_warc,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://example.com/{i}", f"<html><b>doc {i}</b></html>") for i in range(20)],
+        "target_uri string, html string",
+    ).repartition(4)
+    out = str(tmp_path / "crawl")
+    manifest = write_warc(pages, out).collect()
+    assert sum(r.n_records for r in manifest) == 20
+    names = sorted(os.listdir(out))
+    assert all(n.endswith(".warc") for n in names), names  # no .tmp leftovers
+    for n in names:
+        with open(os.path.join(out, n), "rb") as f:
+            recs = parse_warc_bytes(f.read(), n)
+        assert recs and all(r["warc_type"] == "response" for r in recs)
+    assert read_warc(spark, out).count() == 20
