@@ -1788,24 +1788,10 @@ GROUP BY s.centroid_id, s.n_members, s.sd
 """
 
 
-@register("embedding_outliers", oracle=_EO_ORACLE)
-def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-space quality audit: assign every vector to its
-    nearest of {_EO_CENTROIDS} centroids (ivf_assign's coarse
-    quantization), then per cell count the members sitting more than
-    1.1× the cell's mean centroid-distance out — the OOD/noise tail a
-    SemDeDup-style curation run prunes before training. Distances are
-    integer micro-units and the threshold is a cross-multiplication,
-    so the audit is exact on both engines (no FP mean, no division).
-
-    Scale shape: centroids broadcast (16 rows) and the nearest-cell
-    pick is min() over ONE encoded bigint (distance·100 + centroid_id
-    — lexicographic (distance, centroid) order), so the per-vector
-    reduction stays HashAggregate in codegen and the only corpus-sized
-    exchange carries (vec_id, bigint) pairs. Cell stats are
-    {_EO_CENTROIDS} rows, broadcast back for the outlier test; the
-    embedding array itself never leaves the scan stage."""
-    t = load_tables(spark, sf_dir)
+def _eo_assign_sql(t) -> DataFrame:
+    """The SPEC assignment: broadcast crossJoin + unrolled-cosine dkey
+    + groupBy-min — retained for bit-equality pinning against the
+    shipped Arrow form (the minhash_signature_sql pattern)."""
     cent = t.embeddings.filter(F.col("vec_id") < _EO_CENTROIDS).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
     )
@@ -1815,7 +1801,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             cosine_unrolled("embedding", "ce") * 1_000_000, 0
         ).cast("bigint")
     ) * 100 + F.col("centroid_id")
-    assign = (
+    return (
         t.embeddings.select("vec_id", "embedding")
         .crossJoin(F.broadcast(cent))
         .select("vec_id", dkey.alias("dkey"))
@@ -1826,6 +1812,57 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("k div 100").alias("d"),
         )
     )
+
+
+def _eo_assign_arrow(spark: SparkSession, t) -> DataFrame:
+    """The shipped assignment: the 16×64 cosine argmin as ONE BLAS
+    matmul per Arrow batch — measured 85% of the op was this argmin
+    arithmetic at 10×/100× and the twin removes almost all of it
+    (BASELINE.md round-10 profile; bit-equality vs _eo_assign_sql is
+    test-pinned). Faithful to the spec's arithmetic: cos =
+    dot/(‖x‖·‖c‖) with the same operand structure, and the micro-unit
+    rounding is HALF_UP away from zero (Spark/DuckDB ROUND — numpy's
+    banker's rounding would diverge at exact .5 boundaries)."""
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = (
+        t.embeddings.filter(F.col("vec_id") < _EO_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r.vec_id)
+    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
+    nc = np.sqrt((C * C).sum(axis=1))
+    bc = spark.sparkContext.broadcast((C, nc))
+
+    def _batches(it):
+        C_, nc_ = bc.value
+        n_cent = len(C_)
+        cid = np.arange(n_cent, dtype=np.int64)
+        for pdf in it:
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            nx = np.sqrt((X * X).sum(axis=1))
+            cos = (X @ C_.T) / (nx[:, None] * nc_[None, :])
+            scaled = cos * 1_000_000
+            # HALF_UP away from zero == Spark/DuckDB ROUND(x, 0)
+            r = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
+                np.int64
+            )
+            dk = (1_000_000 - r) * 100 + cid[None, :]
+            k = dk.min(axis=1)
+            yield pd.DataFrame(
+                {"centroid_id": k % 100, "d": k // 100}
+            )
+
+    return t.embeddings.select("embedding").mapInPandas(
+        _batches, schema="centroid_id long, d long"
+    )
+
+
+def _eo_report(assign: DataFrame) -> DataFrame:
+    """Shared tail: per-cell exact stats + cross-multiplied outlier
+    test over a (centroid_id, d) assignment."""
     stats = assign.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.sum("d").alias("sd"),
@@ -1849,6 +1886,27 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register("embedding_outliers", oracle=_EO_ORACLE)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality audit: assign every vector to its
+    nearest of {_EO_CENTROIDS} centroids (ivf_assign's coarse
+    quantization), then per cell count the members sitting more than
+    1.1× the cell's mean centroid-distance out — the OOD/noise tail a
+    SemDeDup-style curation run prunes before training. Distances are
+    integer micro-units and the threshold is a cross-multiplication,
+    so the audit is exact on both engines (no FP mean, no division).
+
+    Scale shape: centroids broadcast (16 rows); the assignment is the
+    Arrow matmul argmin (``_eo_assign_arrow`` — one BLAS (n,64)@(64,16)
+    per batch, 3.4× the whole op at 100×, bit-equal to the retained
+    SQL spec ``_eo_assign_sql``, both test-pinned); the only
+    corpus-sized exchange carries (centroid_id, bigint) pairs. Cell
+    stats are {_EO_CENTROIDS} rows, broadcast back for the outlier
+    test; the embedding array never leaves the Arrow scan stage."""
+    t = load_tables(spark, sf_dir)
+    return _eo_report(_eo_assign_arrow(spark, t))
 
 
 # --------------------------------------------------------------- bitext_mining
@@ -2409,4 +2467,71 @@ def pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").cast("int").alias("code"),
         F.col("n").alias("n_members"),
         F.round(F.element_at("cd", 1), 6).alias("dim1_mean"),
+    )
+
+
+def pq_standin_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ann_pq's untrained stand-in as a codebook frame — the first 16
+    vectors' slices, (sub, code, cd) — so encoders and evaluations can
+    swap it against ``pq_train_codebook`` output directly."""
+    t = load_tables(spark, sf_dir)
+    return _pqt_sub_rows(
+        t.embeddings.filter(F.col("vec_id") < _PQ_K)
+    ).select("sub", F.col("vec_id").alias("code"), F.col("sv").alias("cd"))
+
+
+def pq_encode(emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Encode vectors against a (sub, code, cd) codebook: (vec_id, sub,
+    code) — the squared-L2 argmin per slice, lowest-code tie-break
+    (identical to ann_pq's rule). Codebook broadcasts; one scan."""
+    return _pqt_assign(_pqt_sub_rows(emb), cb).select(
+        "vec_id", "sub", "code"
+    )
+
+
+# --------------------------------------------------------------- ann_pq_trained
+
+def _pq_trained_oracle() -> str:
+    """Train (the pq_train CTE chain) then encode EVERY vector against
+    the trained codebooks — the same argmin/tie-break as ann_pq."""
+    return f"""
+WITH {_pqt_ctes()},
+enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT s.vec_id, s.sub, c.code,
+           ROW_NUMBER() OVER (PARTITION BY s.sub, s.vec_id
+             ORDER BY ROUND({_PQT_L2_DUCK}, 6), c.code) AS rk
+    FROM pqsub s JOIN pqcb{_PQT_ITERS} c ON c.sub = s.sub
+  ) WHERE rk = 1
+)
+SELECT vec_id,
+       CAST(MIN(CASE WHEN sub = 0 THEN code END) AS BIGINT) AS code_first,
+       CAST(SUM(code) AS BIGINT) AS code_sum
+FROM enc GROUP BY vec_id
+"""
+
+
+@register("ann_pq_trained", oracle=_pq_trained_oracle())
+def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode with TRAINED codebooks — ``ann_pq``
+    fed by ``pq_train`` instead of the first-16-vectors stand-in: the
+    production IVFPQ write path end-to-end (train → encode in one
+    plan). Same checkable scalars as ann_pq (first code + code sum);
+    measured recall impact of the trained codebooks is in BASELINE.md
+    (§ round-10 pq_train recall evidence: +31-44% relative recall@5
+    at identical index size).
+
+    Scale shape: training is pq_train's ({_PQT_ITERS} broadcast +
+    partial-agg rounds over the exploded slice frame); encode is one
+    more broadcast argmin pass — the codebook is {_PQ_M}×{_PQ_K} rows
+    however big the corpus, and the encode exchange carries
+    (vec_id, sub, code) scalars only."""
+    t = load_tables(spark, sf_dir)
+    cb = pq_train_codebook(spark, sf_dir)
+    enc = pq_encode(t.embeddings.select("vec_id", "embedding"), cb)
+    return enc.groupBy("vec_id").agg(
+        F.min(F.when(F.col("sub") == 0, F.col("code")))
+        .cast("bigint")
+        .alias("code_first"),
+        F.sum("code").cast("bigint").alias("code_sum"),
     )

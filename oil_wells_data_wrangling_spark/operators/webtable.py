@@ -387,7 +387,7 @@ FROM deduped GROUP BY lang
 """
 
 
-@register("crawl_to_corpus", oracle=_CRAWL_CORPUS_ORACLE)
+@register("crawl_to_corpus", oracle=_CRAWL_CORPUS_ORACLE, headline=True)
 def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl → corpus END-TO-END: pages archive as real WARC/1.0
     records (a quarter of them twice, under a second URI — the

@@ -64,7 +64,7 @@ def _load_all() -> None:
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
 # Round-10 window: (1) operators new this round lead (crawl_to_corpus,
-# pq_train — never driver-checked); (2) operators whose implementation
+# pq_train, ann_pq_trained — never driver-checked); (2) operators whose implementation
 # changed this round (both BPE trainers gained the single-symbol
 # collapse guard + empty-vocabulary early-stop; warc_pipeline's write
 # path gained the temp-plus-rename commit protocol); (3) the FOURTEEN
@@ -85,6 +85,7 @@ _WINDOW_PRIORITY = [
     # -- new in round 10 (never driver-checked)
     "crawl_to_corpus",
     "pq_train",
+    "ann_pq_trained",
     # -- implementation touched in round 10
     "bpe_train_batched",
     "bpe_train_steps",
@@ -135,7 +136,6 @@ _WINDOW_PRIORITY = [
     "incremental_rollup",
     "join_region_rollup",
     "join_revenue_topn",
-    "json_props",
 ]
 
 

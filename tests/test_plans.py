@@ -167,7 +167,7 @@ def test_headline_set_is_pinned():
         "events_window_agg", "dedup_minhash", "corpus_pipeline_full",
         "corpus_pipeline", "agg_pricing_summary", "join_revenue_topn",
         "join_region_rollup", "well_pipeline", "ann_topk", "decontaminate",
-        "semdedup_pipeline", "domain_pagerank",
+        "semdedup_pipeline", "domain_pagerank", "crawl_to_corpus",
     }
     # every headliner must also carry an exact oracle
     assert all(REGISTRY[n].oracle for n in headliners)

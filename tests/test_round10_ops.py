@@ -127,3 +127,101 @@ def test_write_warc_commits_via_rename(spark, tmp_path):
             recs = parse_warc_bytes(f.read(), n)
         assert recs and all(r["warc_type"] == "response" for r in recs)
     assert read_warc(spark, out).count() == 20
+
+
+def _pq_recall(spark, sf_dir, cb_df) -> float:
+    """Recall@5 of full-scan PQ asymmetric-distance ranking vs exact
+    squared-L2, over the ivf_pq_search query panel (vec_ids 100-131).
+    Codes come from the ENGINE's encode path; the tiny collected
+    arrays (<=2000x64 floats) are ranked in numpy as ground truth."""
+    import numpy as np
+
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _PQ_DSUB,
+        _PQ_M,
+        pq_encode,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    emb_rows = t.embeddings.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb_rows])
+    X = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+
+    cb_rows = cb_df.collect()
+    cb = {}  # (sub, code) -> centroid slice
+    for r in cb_rows:
+        cb[(r.sub, r.code)] = np.array(r.cd, dtype=np.float64)
+
+    code_rows = pq_encode(
+        t.embeddings.select("vec_id", "embedding"), cb_df
+    ).collect()
+    codes: dict[int, dict[int, int]] = {}
+    for r in code_rows:
+        codes.setdefault(r.vec_id, {})[r.sub] = r.code
+
+    q_ids = [int(i) for i in ids if 100 <= i <= 131]
+    hits, total = 0, 0
+    for q in q_ids:
+        qv = X[ids == q][0]
+        # exact ground truth: squared-L2 top-5, excluding self
+        d = ((X - qv) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        gt = set(ids[np.argsort(d)[:5]].tolist())
+        # PQ asymmetric distance: sum over subspaces of ||q_m - c_m||^2
+        adist = np.zeros(len(ids))
+        for j, vid in enumerate(ids):
+            if vid == q:
+                adist[j] = np.inf
+                continue
+            s = 0.0
+            for m in range(_PQ_M):
+                c = cb[(m, codes[int(vid)][m])]
+                qs = qv[m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                s += ((qs - c) ** 2).sum()
+            adist[j] = s
+        got = set(ids[np.argsort(adist)[:5]].tolist())
+        hits += len(gt & got)
+        total += 5
+    return hits / total
+
+
+def test_pq_train_improves_recall(spark, sf_dir):
+    """The trained codebooks must encode at least as faithfully as the
+    first-16-vectors stand-in: full-scan PQ recall@5 with trained
+    centroids >= stand-in recall (strictly better on this data — the
+    measured values are recorded in BASELINE.md)."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        pq_standin_codebook,
+        pq_train_codebook,
+    )
+
+    r_standin = _pq_recall(spark, sf_dir, pq_standin_codebook(spark, sf_dir))
+    r_trained = _pq_recall(spark, sf_dir, pq_train_codebook(spark, sf_dir))
+    print(f"PQ recall@5 stand-in={r_standin:.4f} trained={r_trained:.4f}")
+    assert r_trained >= r_standin, (r_trained, r_standin)
+
+
+def test_embedding_outliers_arrow_equals_sql_spec(spark, sf_dir):
+    """The shipped Arrow matmul argmin must be BIT-EQUAL to the
+    retained SQL spec (crossJoin + unrolled cosine + groupBy-min) —
+    the minhash_signature_sql pattern. Covers the HALF_UP-vs-banker's
+    rounding trap: Spark ROUND goes away from zero at .5, numpy's
+    np.round would not."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _eo_assign_arrow,
+        _eo_assign_sql,
+        _eo_report,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    fast = sorted(map(tuple, _eo_report(_eo_assign_arrow(spark, t)).collect()))
+    spec = sorted(map(tuple, _eo_report(_eo_assign_sql(t)).collect()))
+    assert fast == spec
+    # and the raw assignments, not just the report
+    fa = sorted(map(tuple, _eo_assign_arrow(spark, t).collect()))
+    sa = sorted(map(tuple, _eo_assign_sql(t).select("centroid_id", "d").collect()))
+    assert fa == sa
