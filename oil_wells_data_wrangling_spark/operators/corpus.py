@@ -1316,3 +1316,89 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("new_fp"),
     )
+
+
+# ---------------------------------------------------------------- mix_schedule
+
+# Multi-phase mixture ANNEALING: modern pretraining runs change the
+# sampling temperature over training (natural mixture for bulk
+# warm-up, progressively flatter — low-resource-up-weighted — toward
+# the end). Each phase p has a token budget and an alpha in
+# {1, 1/2, 1/4}; per-source weights are w_i = floor(n_i^alpha),
+# computed as iterated integer sqrt so both engines agree exactly
+# (binary64 sqrt is correctly rounded and n <= 2^52 — the
+# mix_temperature argument, applied twice for alpha = 1/4). Token
+# allocations are integer cross-multiplications of the phase budget —
+# no FP division anywhere.
+_MIX_SCHED = [  # (phase, alpha_halvings, token_budget)
+    (1, 0, 10_000_000),  # warm-up: natural mixture
+    (2, 1, 6_000_000),   # mid: alpha = 1/2
+    (3, 2, 2_000_000),   # anneal: alpha = 1/4
+]
+
+
+def _mix_sched_oracle() -> str:
+    w_cases = []
+    for phase, halvings, budget in _MIX_SCHED:
+        expr = "n"
+        for _ in range(halvings):
+            expr = f"CAST(FLOOR(SQRT({expr})) AS BIGINT)"
+        w_cases.append(
+            f"SELECT {phase} AS phase, CAST({budget} AS BIGINT) AS budget,"
+            f" lang, n, {expr} AS w FROM c"
+        )
+    return f"""
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY lang
+),
+w AS (
+  {" UNION ALL ".join(w_cases)}
+),
+s AS (
+  SELECT phase, CAST(SUM(w) AS BIGINT) AS sw FROM w GROUP BY phase
+)
+SELECT w.phase, w.lang, w.n AS n_docs,
+       CAST(w.w * 1000000 // s.sw AS BIGINT) AS share_ppm,
+       CAST(w.budget * w.w // s.sw AS BIGINT) AS tok_alloc
+FROM w JOIN s USING (phase)
+"""
+
+
+@register("mix_schedule", oracle=_mix_sched_oracle())
+def mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-phase mixture annealing schedule: per (phase, source) the
+    sampling share and token allocation for a 3-phase train — natural
+    mixture for warm-up, alpha=1/2 mid-train, alpha=1/4 for the
+    anneal (the temperature-over-time schedule modern pretraining data
+    cards publish; ``mix_temperature`` is one phase of it). Weights
+    are iterated integer sqrt (exact cross-engine), allocations are
+    integer cross-multiplications of each phase's token budget.
+
+    Scale shape: ONE corpus exchange (the per-source count partial
+    agg); everything after runs on |sources| x |phases| rows. The
+    schedule table is what the training loader consumes — documents
+    themselves never move."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    phases = spark.createDataFrame(
+        [(p, h, b) for p, h, b in _MIX_SCHED],
+        "phase int, halvings int, budget bigint",
+    )
+    w_expr = F.when(F.col("halvings") == 0, F.col("n"))
+    expr = "n"
+    for h in (1, 2):
+        expr = f"cast(floor(sqrt({expr})) as bigint)"
+        w_expr = w_expr.when(F.col("halvings") == h, F.expr(expr))
+    w = c.crossJoin(F.broadcast(phases)).select(
+        "phase", "budget", "lang", "n", w_expr.alias("w")
+    )
+    s = w.groupBy("phase").agg(F.sum("w").cast("bigint").alias("sw"))
+    return w.join(F.broadcast(s), "phase").select(
+        "phase",
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.expr("w * 1000000 div sw").cast("bigint").alias("share_ppm"),
+        F.expr("budget * w div sw").cast("bigint").alias("tok_alloc"),
+    )

@@ -158,6 +158,7 @@ def write_warc(
     uri_col: str = "target_uri",
     html_col: str = "html",
     date: str = "1970-01-01T00:00:00Z",
+    compress: bool = False,
 ) -> DataFrame:
     """Export pages as WARC/1.0 **response** records — full HTTP
     envelope (status line + Content-Type) ahead of the body, i.e. the
@@ -166,10 +167,17 @@ def write_warc(
     driver collect, no shuffle); returns the (warc_out_file,
     n_records) manifest — an action on it performs the write.
 
+    ``compress=True`` writes ``.warc.gz`` in CommonCrawl's
+    MEMBER-PER-RECORD gzip layout (each record its own gzip member,
+    concatenated) — the layout that lets an indexed reader seek to a
+    record's byte offset and decompress just that member;
+    ``read_warc``'s multi-member gunzip consumes it directly.
+
     Primary use: archiving a fetched page table; also lets the
     registered ``warc_pipeline`` round-trip the crawl front door
     end-to-end (write → read_warc → envelope split → html_to_text)
     without an external fixture."""
+    import gzip
     import os
 
     from pyspark import TaskContext
@@ -177,7 +185,8 @@ def write_warc(
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId()
-        path = os.path.join(out_dir, f"part-{pid:05d}.warc")
+        ext = "warc.gz" if compress else "warc"
+        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
         n = 0
         buf: list[bytes] = []
         for pdf in it:
@@ -198,7 +207,12 @@ def write_warc(
                     "Content-Type: application/http; msgtype=response\r\n"
                     f"Content-Length: {len(block)}\r\n\r\n"
                 ).encode()
-                buf.append(hdr + block + b"\r\n\r\n")
+                rec = hdr + block + b"\r\n\r\n"
+                if compress:
+                    # one gzip member per record (CommonCrawl layout);
+                    # mtime pinned so archives are byte-deterministic
+                    rec = gzip.compress(rec, mtime=0)
+                buf.append(rec)
                 n += 1
         if n:
             os.makedirs(out_dir, exist_ok=True)

@@ -225,3 +225,72 @@ def test_embedding_outliers_arrow_equals_sql_spec(spark, sf_dir):
     fa = sorted(map(tuple, _eo_assign_arrow(spark, t).collect()))
     sa = sorted(map(tuple, _eo_assign_sql(t).select("centroid_id", "d").collect()))
     assert fa == sa
+
+
+def test_write_warc_gzip_member_per_record_roundtrip(spark, tmp_path):
+    """compress=True writes CommonCrawl's member-per-record gzip
+    layout; read_warc's multi-member gunzip must recover every record
+    byte-exactly, and each member must be independently decodable
+    (the property that makes offset-indexed record seeks work)."""
+    import gzip
+    import zlib
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://example.com/{i}", f"<html><i>gz doc {i}</i></html>") for i in range(12)],
+        "target_uri string, html string",
+    ).repartition(3)
+    out = str(tmp_path / "gzcrawl")
+    manifest = write_warc(pages, out, compress=True).collect()
+    assert sum(r.n_records for r in manifest) == 12
+    assert all(r.warc_out_file.endswith(".warc.gz") for r in manifest)
+
+    # every member independently decodable = record-level seekability
+    fname = manifest[0].warc_out_file
+    with open(fname, "rb") as f:
+        data = f.read()
+    members = 0
+    while data:
+        d = zlib.decompressobj(wbits=31)
+        blob = d.decompress(data)
+        assert blob.startswith(b"WARC/1.0\r\n")
+        members += 1
+        data = d.unused_data
+    assert members == manifest[0].n_records
+
+    got = read_warc(spark, out).filter(F.col("warc_type") == "response")
+    rows = {r.target_uri: bytes(r.payload).decode() for r in got.collect()}
+    assert len(rows) == 12
+    for i in range(12):
+        assert rows[f"https://example.com/{i}"] == f"<html><i>gz doc {i}</i></html>"
+    # determinism: gzip mtime pinned, so a rewrite is byte-identical
+    out2 = str(tmp_path / "gzcrawl2")
+    write_warc(pages, out2, compress=True).collect()
+    with open(fname, "rb") as f:
+        a = f.read()
+    with open(fname.replace("gzcrawl", "gzcrawl2"), "rb") as f:
+        b = f.read()
+    assert a == b
+
+
+def test_pq_train_output_bounded_and_broadcast(spark, sf_dir):
+    """The trainer's output is codebook-sized (<= 8x16 rows) however
+    big the corpus, and the encode path joins the codebook broadcast —
+    never a shuffled or nested-loop join."""
+    from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    rows = REGISTRY["pq_train"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 8 * 16
+    assert all(0 <= r.sub < 8 and 0 <= r.code < 16 for r in rows)
+    plan = (
+        REGISTRY["ann_pq_trained"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
