@@ -93,6 +93,11 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> list[dict]:
         except ValueError:
             break
         block = data[hdr_end + 4 : hdr_end + 4 + clen]
+        if len(block) < clen:
+            # truncated tail: a partial payload must NOT surface as a
+            # (silently shortened) record — damaged text would flow
+            # into the corpus looking valid. Keep the intact prefix.
+            break
         pos = hdr_end + 4 + clen
         status: int | None = None
         ctype = headers.get("content-type", "")

@@ -500,3 +500,56 @@ def test_bpe_merge_replace_agrees_across_engines(spark_prop, syms):
     ).fetchone()[0]
     assert got_spark == expect, (s, got_spark, expect)
     assert got_duck == expect, (s, got_duck, expect)
+
+
+# ------------------------------------------------------ WARC truncation fuzz
+
+@st.composite
+def _warc_archive(draw):
+    """A valid multi-record archive with adversarial bodies (CRLFs,
+    'WARC/' lookalikes, binary bytes) plus its per-record payloads."""
+    bodies = draw(
+        st.lists(
+            st.binary(min_size=0, max_size=120), min_size=1, max_size=5
+        )
+    )
+    spice = draw(st.sampled_from([b"", b"\r\n\r\n", b"WARC/1.0\r\n", b"\x00\xff"]))
+    recs = []
+    for i, body in enumerate(bodies):
+        body = body + spice
+        hdr = (
+            "WARC/1.0\r\n"
+            "WARC-Type: resource\r\n"
+            f"WARC-Record-ID: <urn:fuzz:{i}>\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        recs.append(hdr + body + b"\r\n\r\n")
+    return recs, [b + spice for b in bodies]
+
+
+@settings(max_examples=60, deadline=None)
+@given(case=_warc_archive(), cut=st.integers(0, 1_000))
+def test_warc_parser_truncation_never_raises_never_fabricates(case, cut):
+    """Cut a valid archive at ANY byte offset: the parser must not
+    raise, must return only records that were fully contained in the
+    kept bytes, and every returned payload must be byte-exact — a
+    silently shortened payload would flow into the corpus as damaged
+    text that looks valid."""
+    from oil_wells_data_wrangling_spark.sources.warc import parse_warc_bytes
+
+    recs, payloads = case
+    full = b"".join(recs)
+    data = full[: min(cut, len(full))]
+    out = parse_warc_bytes(data, "fuzz.warc")
+    assert len(out) <= len(payloads)
+    # records parse as an intact prefix, byte-exact
+    for got, want in zip(out, payloads):
+        assert bytes(got["payload"]) == want
+    # and every record whose bytes are FULLY present must be returned
+    offset = 0
+    fully_contained = 0
+    for r in recs:
+        offset += len(r)
+        if offset <= len(data):
+            fully_contained += 1
+    assert len(out) >= fully_contained
