@@ -2369,22 +2369,30 @@ def _pqt_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def pq_train_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pq_train_codebook(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    iters: int = _PQT_ITERS,
+) -> DataFrame:
     """Train the PQ codebooks; returns (sub, code, cd double[8], n) —
     the frame ``ann_pq``-style encoders consume in place of the
-    first-16-vectors stand-in. Init is those same 16 slices
+    first-16-vectors stand-in. Init is the first ``k`` vectors' slices
     (quantized), so iteration 0 reproduces the stand-in exactly and
-    every Lloyd step strictly improves the encoder's own objective."""
+    every Lloyd step strictly improves the encoder's own objective.
+    ``k``/``iters`` parameterize production settings (K=256 is one
+    more code bit — the plan per step is IDENTICAL: one k·{_PQ_M}-row
+    broadcast + one (sub, code, pos)-keyed partial-agg shuffle)."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
     sub_rows = _pqt_sub_rows(emb).persist()
-    cb = _pqt_sub_rows(emb.filter(F.col("vec_id") < _PQ_K)).select(
+    cb = _pqt_sub_rows(emb.filter(F.col("vec_id") < k)).select(
         "sub",
         F.col("vec_id").alias("code"),
         F.expr(f"transform(sv, x -> {_pqt_quant('x')})").alias("cd"),
         F.lit(1).cast("bigint").alias("n"),
     )
-    for _ in range(_PQT_ITERS):
+    for _ in range(iters):
         cb = _pqt_update(_pqt_assign(sub_rows, cb)).localCheckpoint(
             eager=True
         )

