@@ -1374,6 +1374,13 @@ def mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     are iterated integer sqrt (exact cross-engine), allocations are
     integer cross-multiplications of each phase's token budget.
 
+    Domain bound: the ``w * 1e6`` and ``budget * w`` intermediates
+    live in int64, so the schedule is valid while every per-source
+    weight stays under ~9.2e12 (phase 1's weight is the raw doc
+    count; that is ~10^3 × the public web per source). Past that,
+    promote the two products to DECIMAL(38,0)/HUGEINT — the sqrt
+    exactness argument itself holds to 2^52.
+
     Scale shape: ONE corpus exchange (the per-source count partial
     agg); everything after runs on |sources| x |phases| rows. The
     schedule table is what the training loader consumes — documents

@@ -1819,10 +1819,22 @@ def _eo_assign_arrow(spark: SparkSession, t) -> DataFrame:
     matmul per Arrow batch — measured 85% of the op was this argmin
     arithmetic at 10×/100× and the twin removes almost all of it
     (BASELINE.md round-10 profile; bit-equality vs _eo_assign_sql is
-    test-pinned). Faithful to the spec's arithmetic: cos =
-    dot/(‖x‖·‖c‖) with the same operand structure, and the micro-unit
-    rounding is HALF_UP away from zero (Spark/DuckDB ROUND — numpy's
-    banker's rounding would diverge at exact .5 boundaries)."""
+    test-pinned at every SF and the 200k-vector replica).
+
+    Equality with the spec is engineered, not hoped for:
+
+    - rounding is the exact-fraction HALF_UP kernel
+      (streaming/events.py::half_up_cents' argument — ``|x|-floor(|x|)``
+      is exact for doubles, so comparing the fraction against 0.5
+      reproduces BigDecimal HALF_UP; ``floor(|x|+0.5)`` would carry
+      values just below a boundary over it);
+    - BLAS accumulation order differs from the spec's left-to-right
+      fold by ulps, so any entry whose scaled fraction lands within
+      1e-7 of the .5 boundary is RECOMPUTED with the spec's exact
+      sequential fold before rounding (the window is ~100× wider than
+      the worst ulp drift; the recompute set is empty on real data);
+    - zero-norm embeddings are out-of-domain and raise, matching the
+      SQL spec, whose NaN micro-unit cast errors under ANSI."""
     import numpy as np
     import pandas as pd
 
@@ -1836,19 +1848,42 @@ def _eo_assign_arrow(spark: SparkSession, t) -> DataFrame:
     nc = np.sqrt((C * C).sum(axis=1))
     bc = spark.sparkContext.broadcast((C, nc))
 
+    def _seq_scaled(x, c) -> float:
+        """cos(x, c)·1e6 in the SPEC's exact operand order: three
+        left-to-right 64-term folds, dot/(sqrt·sqrt), one multiply."""
+        dot = na = nb = 0.0
+        for i in range(len(x)):
+            dot += x[i] * c[i]
+            na += x[i] * x[i]
+            nb += c[i] * c[i]
+        return (dot / (np.sqrt(na) * np.sqrt(nb))) * 1_000_000.0
+
     def _batches(it):
         C_, nc_ = bc.value
         n_cent = len(C_)
         cid = np.arange(n_cent, dtype=np.int64)
         for pdf in it:
+            if len(pdf) == 0:  # an empty Arrow batch has no axis-1
+                continue
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             nx = np.sqrt((X * X).sum(axis=1))
-            cos = (X @ C_.T) / (nx[:, None] * nc_[None, :])
-            scaled = cos * 1_000_000
-            # HALF_UP away from zero == Spark/DuckDB ROUND(x, 0)
-            r = (np.sign(scaled) * np.floor(np.abs(scaled) + 0.5)).astype(
-                np.int64
-            )
+            if (nx == 0).any():
+                raise ValueError(
+                    "embedding_outliers: zero-norm embedding is "
+                    "out-of-domain (the SQL spec's NaN cast errors too)"
+                )
+            scaled = (X @ C_.T) / (nx[:, None] * nc_[None, :]) * 1_000_000.0
+            ax = np.abs(scaled)
+            fl = np.floor(ax)
+            frac = ax - fl  # exact for doubles
+            risky = np.abs(frac - 0.5) < 1e-7
+            for i, j in np.argwhere(risky):
+                s2 = _seq_scaled(X[i], C_[j])
+                scaled[i, j] = s2
+                ax[i, j] = abs(s2)
+                fl[i, j] = np.floor(abs(s2))
+                frac[i, j] = ax[i, j] - fl[i, j]
+            r = (np.sign(scaled) * (fl + (frac >= 0.5))).astype(np.int64)
             dk = (1_000_000 - r) * 100 + cid[None, :]
             k = dk.min(axis=1)
             yield pd.DataFrame(

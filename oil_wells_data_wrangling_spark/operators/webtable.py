@@ -10,7 +10,7 @@ DuckDB oracle replays the identical generation + RE2-compatible parse.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from oil_wells_data_wrangling_spark.plans.registry import register
@@ -161,6 +161,43 @@ FROM stripped
 """
 
 
+def _synth_pages(t) -> DataFrame:
+    """(doc_id, target_uri, html): the deterministic page-per-document
+    synthesis every crawl-front-door operator shares (html_to_text,
+    warc_pipeline, crawl_to_corpus, stream_warc_ingest) — ONE Spark
+    copy so a markup change cannot desynchronize the operators."""
+    return t.documents.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://example.com/d/"), F.col("doc_id").cast("string")
+        ).alias("target_uri"),
+        F.expr(_H2T_PAGE_SPARK).alias("html"),
+    )
+
+
+def _strip_html(col: Column) -> Column:
+    """The WET strip chain: drop script/style blocks wholesale, strip
+    remaining tags to spaces, collapse whitespace, trim — the single
+    Spark copy of the chain the oracles replay in DuckDB."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        col, r"(?s)<script[^>]*>.*?</script>", " "
+                    ),
+                    r"(?s)<style[^>]*>.*?</style>",
+                    " ",
+                ),
+                r"<[^>]+>",
+                " ",
+            ),
+            r"\s+",
+            " ",
+        )
+    )
+
+
 @register("html_to_text", oracle=_H2T_ORACLE)
 def html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction over a synthesized page per document
@@ -179,27 +216,10 @@ def html_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python); the only exchange is whatever the consumer adds. Pages
     stay in the scan — the output is 5 scalars/doc."""
     t = load_tables(spark, sf_dir)
-    pages = t.documents.select(
-        "doc_id", F.expr(_H2T_PAGE_SPARK).alias("html")
+    pages = _synth_pages(t).select("doc_id", "html")
+    stripped = pages.select(
+        "doc_id", "html", _strip_html(F.col("html")).alias("clean")
     )
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "
-                    ),
-                    r"(?s)<style[^>]*>.*?</style>",
-                    " ",
-                ),
-                r"<[^>]+>",
-                " ",
-            ),
-            r"\s+",
-            " ",
-        )
-    )
-    stripped = pages.select("doc_id", "html", clean.alias("clean"))
     return stripped.select(
         "doc_id",
         F.regexp_extract("html", r"<title>([^<]*)</title>", 1).alias("title"),
@@ -276,13 +296,7 @@ def warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    pages = t.documents.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://example.com/d/"), F.col("doc_id").cast("string")
-        ).alias("target_uri"),
-        F.expr(_H2T_PAGE_SPARK).alias("html"),
-    )
+    pages = _synth_pages(t)
     work = tempfile.mkdtemp(prefix="warc_pipe_")
     arch = os.path.join(work, "crawl")
     write_warc(pages, arch).collect()
@@ -297,26 +311,13 @@ def warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_type",
         F.col("payload").cast("string").alias("html"),
     )
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("html"), r"(?s)<script[^>]*>.*?</script>", " "
-                    ),
-                    r"(?s)<style[^>]*>.*?</style>",
-                    " ",
-                ),
-                r"<[^>]+>",
-                " ",
-            ),
-            r"\s+",
-            " ",
-        )
-    )
     out = (
         page2.select(
-            "doc_id", "http_status", "content_type", "html", clean.alias("clean")
+            "doc_id",
+            "http_status",
+            "content_type",
+            "html",
+            _strip_html(F.col("html")).alias("clean"),
         )
         .select(
             "doc_id",
@@ -417,13 +418,7 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    pages = t.documents.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://example.com/d/"), F.col("doc_id").cast("string")
-        ).alias("target_uri"),
-        F.expr(_H2T_PAGE_SPARK).alias("html"),
-    )
+    pages = _synth_pages(t)
     crawl = pages.unionAll(
         pages.filter(F.col("doc_id") % 4 == 0).select(
             "doc_id",
@@ -437,30 +432,11 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     resp = read_warc(spark, arch).filter(
         (F.col("warc_type") == "response") & (F.col("http_status") == 200)
     )
-    clean = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(
-                        F.col("payload").cast("string"),
-                        r"(?s)<script[^>]*>.*?</script>",
-                        " ",
-                    ),
-                    r"(?s)<style[^>]*>.*?</style>",
-                    " ",
-                ),
-                r"<[^>]+>",
-                " ",
-            ),
-            r"\s+",
-            " ",
-        )
-    )
     stripped = resp.select(
         F.regexp_extract("target_uri", r"/d/(\d+)", 1)
         .cast("bigint")
         .alias("doc_id"),
-        clean.alias("clean"),
+        _strip_html(F.col("payload").cast("string")).alias("clean"),
     )
     enriched = stripped.join(
         F.broadcast(t.documents.select("doc_id", "lang")), "doc_id"
@@ -548,13 +524,7 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load_tables(spark, sf_dir)
-    pages = t.documents.select(
-        "doc_id",
-        F.concat(
-            F.lit("https://example.com/d/"), F.col("doc_id").cast("string")
-        ).alias("target_uri"),
-        F.expr(_H2T_PAGE_SPARK).alias("html"),
-    )
+    pages = _synth_pages(t)
     work = tempfile.mkdtemp(prefix="stream_warc_")
     arch = os.path.join(work, "crawl")
     sink = os.path.join(work, "ingested")

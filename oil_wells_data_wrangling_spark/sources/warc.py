@@ -255,7 +255,15 @@ def write_warc(
             # writes its own attempt-suffixed file, then atomically
             # renames over the final path — concurrent attempts can
             # never interleave bytes, the last completed attempt wins
-            tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
+            # DOT-PREFIXED temp name: Spark's file listing skips names
+            # starting with '.' or '_', so a leftover temp from a
+            # killed attempt can never be ingested as an archive (a
+            # plain "<path>.attempt-N.tmp" would match the reader's
+            # default '*.warc*' glob)
+            tmp = os.path.join(
+                out_dir,
+                f".{os.path.basename(path)}.attempt-{ctx.taskAttemptId()}.tmp",
+            )
             with open(tmp, "wb") as f:
                 f.write(b"".join(buf))
             os.replace(tmp, path)
@@ -312,7 +320,15 @@ def write_wet(
         if n:
             os.makedirs(out_dir, exist_ok=True)
             # same temp-plus-rename commit protocol as write_warc
-            tmp = f"{path}.attempt-{ctx.taskAttemptId()}.tmp"
+            # DOT-PREFIXED temp name: Spark's file listing skips names
+            # starting with '.' or '_', so a leftover temp from a
+            # killed attempt can never be ingested as an archive (a
+            # plain "<path>.attempt-N.tmp" would match the reader's
+            # default '*.warc*' glob)
+            tmp = os.path.join(
+                out_dir,
+                f".{os.path.basename(path)}.attempt-{ctx.taskAttemptId()}.tmp",
+            )
             with open(tmp, "wb") as f:
                 f.write(b"".join(buf))
             os.replace(tmp, path)

@@ -103,72 +103,15 @@ def eo_skeleton(spark, sf_dir):
 
 
 def eo_arrow(spark, sf_dir):
-    """Arrow twin: the 16x64 cosine argmin as one numpy matmul per
-    batch inside mapInPandas — (vec_id, centroid_id, d) out, then the
-    same exact stats."""
-    import numpy as np
-    import pandas as pd
-
+    """The SHIPPED Arrow twin (operators/similarity.py) — one numpy
+    matmul per batch + the exact-fraction HALF_UP kernel."""
     from oil_wells_data_wrangling_spark.operators.similarity import (
-        _EO_CENTROIDS,
-        _EO_RATIO_DEN,
-        _EO_RATIO_NUM,
+        _eo_assign_arrow,
+        _eo_report,
     )
 
     t = load_tables(spark, sf_dir)
-    cent_rows = (
-        t.embeddings.filter(F.col("vec_id") < _EO_CENTROIDS)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    cent_rows.sort(key=lambda r: r.vec_id)
-    C = np.array([r.embedding for r in cent_rows], dtype=np.float64)
-    Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast(Cn)
-
-    def _batches(it):
-        Cn_ = bc.value
-        for pdf in it:
-            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            norms = np.linalg.norm(X, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            cos = (X / norms) @ Cn_.T  # (n, 16)
-            dk = (
-                1_000_000 - np.round(cos * 1_000_000)
-            ).astype(np.int64) * 100 + np.arange(len(Cn_), dtype=np.int64)
-            k = dk.min(axis=1)
-            yield pd.DataFrame(
-                {
-                    "centroid_id": k % 100,
-                    "d": k // 100,
-                }
-            )
-
-    assign = t.embeddings.select("vec_id", "embedding").mapInPandas(
-        _batches, schema="centroid_id long, d long"
-    )
-    stats = assign.groupBy("centroid_id").agg(
-        F.count(F.lit(1)).alias("n_members"), F.sum("d").alias("sd")
-    )
-    flagged = assign.join(F.broadcast(stats), "centroid_id").select(
-        "centroid_id",
-        "n_members",
-        "sd",
-        (
-            F.col("d") * _EO_RATIO_DEN * F.col("n_members")
-            > F.col("sd") * _EO_RATIO_NUM
-        ).cast("int").alias("is_out"),
-    )
-    return (
-        flagged.groupBy("centroid_id", "n_members", "sd")
-        .agg(F.sum("is_out").cast("bigint").alias("n_outliers"))
-        .select(
-            "centroid_id",
-            "n_members",
-            F.expr("sd div n_members").alias("avg_d"),
-            "n_outliers",
-        )
-    )
+    return _eo_report(_eo_assign_arrow(spark, t))
 
 
 def main() -> None:

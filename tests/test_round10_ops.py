@@ -318,3 +318,31 @@ def test_pq_train_k64_same_plan_shape(spark, sf_dir):
     per_vec = enc.groupBy("vec_id").count().collect()
     assert len(per_vec) == n_vec
     assert all(r["count"] == 8 for r in per_vec)
+
+
+def test_read_warc_ignores_stale_attempt_temp_files(spark, tmp_path):
+    """A killed attempt's leftover temp must be INVISIBLE to readers:
+    the temp name is dot-prefixed (Spark's listing skips '.'/'_'
+    names), so a crash between write and rename can never double- or
+    partially-ingest an archive."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://example.com/{i}", f"<p>doc {i}</p>") for i in range(6)],
+        "target_uri string, html string",
+    ).coalesce(1)
+    out = str(tmp_path / "crawl")
+    write_warc(pages, out).collect()
+    # simulate a killed attempt: a stale temp holding a full copy AND
+    # a truncated copy of the committed archive
+    committed = os.path.join(out, sorted(os.listdir(out))[0])
+    with open(committed, "rb") as f:
+        blob = f.read()
+    with open(os.path.join(out, ".part-00000.warc.attempt-7.tmp"), "wb") as f:
+        f.write(blob)
+    with open(os.path.join(out, ".part-00000.warc.attempt-8.tmp"), "wb") as f:
+        f.write(blob[: len(blob) // 2])
+    assert read_warc(spark, out).count() == 6  # not 12+, not 6+partial
