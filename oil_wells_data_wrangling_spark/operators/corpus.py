@@ -1409,3 +1409,110 @@ def mix_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("w * 1000000 div sw").cast("bigint").alias("share_ppm"),
         F.expr("budget * w div sw").cast("bigint").alias("tok_alloc"),
     )
+
+
+# -------------------------------------------------------------------- sft_pack
+
+# Instruction-tuning data prep: documents become chat-formatted
+# (prompt, response) examples — prompt = the first min(16, n/2) words,
+# response = the rest, plus 4 special tokens (<|system|>, <|user|>,
+# <|assistant|>, <|end|>) — packed into 2048-token bins with the
+# offset-based streaming packer pack_sequences uses, and the LOSS MASK
+# accounted per bin: only response tokens and the final <|end|> train;
+# prompt/template tokens are masked. The trained-fraction per bin is
+# the number every SFT data card reports (and the knob batch-shaping
+# tunes); all arithmetic is integer word counts, exact on both engines.
+_SFT_BUDGET = 2048
+_SFT_SHARD = 100
+_SFT_SPECIALS = 4   # system, user, assistant, end markers
+_SFT_PROMPT_CAP = 16
+
+_SFT_ORACLE = f"""
+WITH ex AS (
+  SELECT doc_id, doc_id // {_SFT_SHARD} AS shard,
+         GREATEST(1, LEAST({_SFT_PROMPT_CAP},
+                           len(string_split(text, ' ')) // 2)) AS n_prompt,
+         len(string_split(text, ' ')) AS n_words
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, shard, n_prompt,
+         n_words - n_prompt AS n_resp,
+         n_words + {_SFT_SPECIALS} AS total,
+         n_words - n_prompt + 1 AS trained
+  FROM ex
+),
+binned AS (
+  SELECT shard, total, trained,
+         CAST((SUM(total) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - total)
+              // {_SFT_BUDGET} AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_examples,
+       CAST(SUM(total) AS BIGINT) AS total_tokens,
+       CAST(SUM(trained) AS BIGINT) AS trained_tokens,
+       CAST(SUM(trained) * 1000000 // SUM(total) AS BIGINT) AS trained_ppm
+FROM binned GROUP BY shard, bin_id
+"""
+
+
+@register("sft_pack", oracle=_SFT_ORACLE)
+def sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT example packing with loss-mask accounting: documents become
+    chat-formatted (prompt, response) examples (prompt = first
+    min({_SFT_PROMPT_CAP}, n/2) words + {_SFT_SPECIALS} template
+    specials), packed into {_SFT_BUDGET}-token bins by the streaming
+    offset packer (``pack_sequences``' shape), and per bin the MASK
+    arithmetic every SFT data card reports: total vs trained tokens
+    (response + the final end marker train; prompt/template mask out)
+    and the trained fraction in ppm.
+
+    Scale shape: identical to pack_sequences — per-example scalars
+    come out of the scan, packing runs WITHIN contiguous doc_id
+    shards (one (shard)-keyed exchange, window inside the shard), and
+    the bin rollup is a partial agg; text never leaves the scan."""
+    t = load_tables(spark, sf_dir)
+    n_words = F.size(F.split("text", " "))
+    sized = t.documents.select(
+        "doc_id",
+        F.expr(f"doc_id div {_SFT_SHARD}").alias("shard"),
+        F.greatest(
+            F.lit(1), F.least(F.lit(_SFT_PROMPT_CAP), n_words / 2)
+        ).cast("int").alias("n_prompt"),
+        n_words.alias("n_words"),
+    ).select(
+        "doc_id",
+        "shard",
+        (F.col("n_words") + _SFT_SPECIALS).alias("total"),
+        (F.col("n_words") - F.col("n_prompt") + 1).alias("trained"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.select(
+        "shard",
+        "total",
+        "trained",
+        F.expr(f"(sum(total) over (partition by shard order by doc_id"
+               f" rows between unbounded preceding and current row)"
+               f" - total) div {_SFT_BUDGET}").alias("bin_id"),
+    )
+    return binned.groupBy("shard", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_examples"),
+        F.sum("total").cast("bigint").alias("total_tokens"),
+        F.sum("trained").cast("bigint").alias("trained_tokens"),
+        F.expr("sum(trained) * 1000000 div sum(total)")
+        .cast("bigint")
+        .alias("trained_ppm"),
+    ).select(
+        F.col("shard").cast("bigint").alias("shard"),
+        "bin_id",
+        "n_examples",
+        "total_tokens",
+        "trained_tokens",
+        "trained_ppm",
+    )

@@ -64,8 +64,8 @@ def _load_all() -> None:
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
 # Round-10 window: (1) operators new this round lead (crawl_to_corpus,
-# pq_train, ann_pq_trained, mix_schedule, stream_warc_ingest — never
-# driver-checked); (2) operators whose implementation
+# pq_train, ann_pq_trained, mix_schedule, stream_warc_ingest,
+# sft_pack — never driver-checked); (2) operators whose implementation
 # changed this round (both BPE trainers gained the single-symbol
 # collapse guard + empty-vocabulary early-stop; warc_pipeline's write
 # path gained the temp-plus-rename commit protocol); (3) the FOURTEEN
@@ -73,9 +73,9 @@ def _load_all() -> None:
 # comment scheduled for r10 — retiring the last pre-r6 rows and
 # closing the r8 verdict's "min(latest driver round) >= 6" criterion;
 # (4) the remaining slots start draining the 48-name r6 backlog
-# alphabetically (the leftover 19 — join_region_rollup,
-# join_revenue_topn, then lang_mismatch_matrix onward — rotate in
-# r11). Everything past 50 keeps its old green row and stays
+# alphabetically (the leftover 20 — incremental_rollup,
+# join_region_rollup, join_revenue_topn, then lang_mismatch_matrix
+# onward — rotate in r11). Everything past 50 keeps its old green row and stays
 # covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window;
@@ -90,6 +90,7 @@ _WINDOW_PRIORITY = [
     "ann_pq_trained",
     "mix_schedule",
     "stream_warc_ingest",
+    "sft_pack",
     # -- implementation touched in round 10
     "bpe_train_batched",
     "bpe_train_steps",
@@ -137,7 +138,6 @@ _WINDOW_PRIORITY = [
     "hll_union_daily",
     "html_table",
     "idle_rich_customers",
-    "incremental_rollup",
 ]
 
 
