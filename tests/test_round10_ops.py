@@ -346,3 +346,38 @@ def test_read_warc_ignores_stale_attempt_temp_files(spark, tmp_path):
     with open(os.path.join(out, ".part-00000.warc.attempt-8.tmp"), "wb") as f:
         f.write(blob[: len(blob) // 2])
     assert read_warc(spark, out).count() == 6  # not 12+, not 6+partial
+
+
+def _executed_plan(spark, sf_dir, name: str) -> str:
+    from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    return (
+        REGISTRY[name]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_mix_schedule_prunes_to_lang_only(spark, sf_dir):
+    """The schedule needs only per-source counts: the documents scan
+    must read the lang column alone — text reaching the scan would
+    make the one corpus exchange carry documents, not counts."""
+    plan = _executed_plan(spark, sf_dir, "mix_schedule")
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "lang" in scan and "text" not in scan and "doc_id" not in scan
+    assert plan.count("HashAggregate") >= 2  # map-side partial count
+
+
+def test_sft_pack_scan_reads_only_needed_columns(spark, sf_dir):
+    """Packing consumes (doc_id, text) scalars computed in-scan; the
+    exchange feeding the shard window must carry token counts, never
+    the text column."""
+    plan = _executed_plan(spark, sf_dir, "sft_pack")
+    scan = plan[plan.index("ReadSchema") :].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan and "lang" not in scan
+    # the shard-window exchange carries computed scalars only
+    import re
+
+    for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan):
+        assert "text" not in m.group(0)
