@@ -2584,16 +2584,106 @@ def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     at identical index size).
 
     Scale shape: training is pq_train's ({_PQT_ITERS} broadcast +
-    partial-agg rounds over the exploded slice frame); encode is one
-    more broadcast argmin pass — the codebook is {_PQ_M}×{_PQ_K} rows
-    however big the corpus, and the encode exchange carries
-    (vec_id, sub, code) scalars only."""
+    partial-agg rounds over the exploded slice frame; production
+    bounds it with ``sample_n`` — the faiss practice); encode is the
+    Arrow matmul twin ``pq_encode_arrow`` (one vectorized argmin per
+    batch×subspace, bit-equal to the SQL spec ``pq_encode``,
+    test-pinned — 128 interpreted-HOF distances per vector measured
+    3.5× the whole op at 100×, BASELINE.md round-10 rows); the
+    codebook is {_PQ_M}×{_PQ_K} rows however big the corpus, and the
+    encode exchange carries (vec_id, sub, code) scalars only."""
     t = load_tables(spark, sf_dir)
-    cb = pq_train_codebook(spark, sf_dir)
-    enc = pq_encode(t.embeddings.select("vec_id", "embedding"), cb)
+    cb = pq_train_codebook(spark, sf_dir).localCheckpoint(eager=True)
+    enc = pq_encode_arrow(
+        spark, t.embeddings.select("vec_id", "embedding"), cb
+    )
     return enc.groupBy("vec_id").agg(
         F.min(F.when(F.col("sub") == 0, F.col("code")))
         .cast("bigint")
         .alias("code_first"),
         F.sum("code").cast("bigint").alias("code_sum"),
+    )
+
+
+def pq_encode_arrow(spark: SparkSession, emb: DataFrame, cb: DataFrame) -> DataFrame:
+    """Arrow twin of ``pq_encode`` — the corpus-bounded encode pass as
+    one vectorized squared-diff argmin per (batch, subspace) instead of
+    128 interpreted-HOF distances per vector (the embedding_outliers
+    recipe). Equality with the SQL spec is engineered the same way:
+
+    - distances use the spec's (x-c)² diff form (not the cancellation-
+      prone ‖x‖²+‖c‖²-2x·c expansion), scaled to 1e-6 units with the
+      exact-fraction HALF_UP kernel;
+    - the spec rounds to 6 DECIMALS (``round(l2, 6)``), i.e. BigDecimal
+      of the double's shortest repr setScale(6, HALF_UP) — so entries
+      within 1e-7 of the .5 boundary recompute the spec's left-to-right
+      fold and round via Decimal(repr(x)).quantize (Python's repr is
+      the same shortest round-trip string BigDecimal.valueOf sees);
+      argmin over the scaled int64s equals argmin over the rounded
+      doubles because distinct 6dp decimals stay distinct as doubles;
+    - codebook rows sort by code per subspace, and argmin takes the
+      FIRST minimum — the spec's lowest-code tie-break.
+
+    The codebook (≤ k·8 tiny rows) collects once and broadcasts."""
+    import numpy as np
+    import pandas as pd
+
+    rows = cb.select("sub", "code", "cd").collect()
+    by_sub: dict[int, list] = {}
+    for r in rows:
+        by_sub.setdefault(int(r.sub), []).append(
+            (int(r.code), np.array(r.cd, dtype=np.float64))
+        )
+    packed = {
+        m: (
+            np.array([c for c, _ in sorted(v)], dtype=np.int64),
+            np.stack([a for _, a in sorted(v)]),
+        )
+        for m, v in by_sub.items()
+    }
+    bc = spark.sparkContext.broadcast(packed)
+
+    def _batches(it):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        P = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            vids = pdf["vec_id"].to_numpy()
+            out = []
+            for m, (codes, M) in sorted(P.items()):
+                Xs = X[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                diff = Xs[:, None, :] - M[None, :, :]
+                scaled = (diff * diff).sum(axis=2) * 1_000_000.0
+                fl = np.floor(scaled)
+                frac = scaled - fl  # exact for doubles (scaled >= 0)
+                r = (fl + (frac >= 0.5)).astype(np.int64)
+                for i, j in np.argwhere(np.abs(frac - 0.5) < 1e-7):
+                    x, c = Xs[i], M[j]
+                    s2 = 0.0
+                    for d in range(len(x)):  # the spec's fold order
+                        dd = x[d] - c[d]
+                        s2 += dd * dd
+                    r[i, j] = int(
+                        Decimal(repr(s2)).quantize(
+                            Decimal("0.000001"), rounding=ROUND_HALF_UP
+                        )
+                        * 1_000_000
+                    )
+                jmin = r.argmin(axis=1)  # first min = lowest code
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": vids,
+                            "sub": np.full(len(vids), m, dtype=np.int32),
+                            "code": codes[jmin],
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _batches, schema="vec_id long, sub int, code long"
     )

@@ -407,3 +407,31 @@ def test_pq_train_sample_bounded_training(spark, sf_dir):
     emb = t.embeddings.select("vec_id", "embedding")
     enc = pq_encode(emb, cb)
     assert enc.groupBy("vec_id").count().count() == emb.count()
+
+
+def test_pq_encode_arrow_equals_sql(spark, sf_dir):
+    """The Arrow encode twin must be BIT-EQUAL to the SQL spec
+    (pq_encode) — on both the trained and the stand-in codebooks."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        pq_encode,
+        pq_encode_arrow,
+        pq_standin_codebook,
+        pq_train_codebook,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    for cb in (
+        pq_train_codebook(spark, sf_dir),
+        pq_standin_codebook(spark, sf_dir),
+    ):
+        cb = cb.localCheckpoint(eager=True)
+        sql_rows = sorted(
+            (r.vec_id, r.sub, r.code) for r in pq_encode(emb, cb).collect()
+        )
+        arrow_rows = sorted(
+            (r.vec_id, r.sub, r.code)
+            for r in pq_encode_arrow(spark, emb, cb).collect()
+        )
+        assert arrow_rows == sql_rows
