@@ -68,14 +68,16 @@ def _load_all() -> None:
 # sft_pack — never driver-checked); (2) operators whose implementation
 # changed this round (both BPE trainers gained the single-symbol
 # collapse guard + empty-vocabulary early-stop; warc_pipeline's write
-# path gained the temp-plus-rename commit protocol); (3) the FOURTEEN
+# path gained the temp-plus-rename commit protocol; embedding_outliers
+# landed the Arrow BLAS argmin; html_to_text moved to the shared
+# _synth_pages/_strip_html helpers); (3) the FOURTEEN
 # operators whose newest driver row is still round 5 — the set the r9
 # comment scheduled for r10 — retiring the last pre-r6 rows and
 # closing the r8 verdict's "min(latest driver round) >= 6" criterion;
 # (4) the remaining slots start draining the 48-name r6 backlog
-# alphabetically (the leftover 20 — incremental_rollup,
-# join_region_rollup, join_revenue_topn, then lang_mismatch_matrix
-# onward — rotate in r11). Everything past 50 keeps its old green row and stays
+# alphabetically (the leftover 22 — html_table, idle_rich_customers,
+# incremental_rollup, join_region_rollup, join_revenue_topn, then
+# lang_mismatch_matrix onward — rotate in r11). Everything past 50 keeps its old green row and stays
 # covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window;
@@ -95,6 +97,8 @@ _WINDOW_PRIORITY = [
     "bpe_train_batched",
     "bpe_train_steps",
     "warc_pipeline",
+    "embedding_outliers",
+    "html_to_text",
     # -- last driver row is round 5 (the final pre-r6 backlog)
     "sample_corpus",
     "shard_stats",
@@ -136,8 +140,6 @@ _WINDOW_PRIORITY = [
     "group_split",
     "hll_persist_incremental",
     "hll_union_daily",
-    "html_table",
-    "idle_rich_customers",
 ]
 
 
