@@ -1516,3 +1516,89 @@ def sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "trained_tokens",
         "trained_ppm",
     )
+
+
+# ------------------------------------------------------------- span_corruption
+
+# Span-corruption (T5/UL2-style) objective prep: the pipeline stage
+# that decides WHICH token spans mask before examples are written.
+# Deterministic variant on a 3-token grid: grid cell c of a document
+# masks its 3 tokens iff md5('span_v1_<doc_id>_<c>') % 20 < 3 — a 15%
+# expected corruption rate in mean-3 spans, non-overlapping by
+# construction (the grid), reproducible across engines and runs (the
+# mix_balance salted-hash rule; no RNG). The tail cell masks only the
+# tokens that exist.
+_SPAN_GRID = 3
+_SPAN_SEL_NUM = 3    # cells selected per
+_SPAN_SEL_DEN = 20   # ... 20 -> 15% token corruption
+
+_SPAN_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_words FROM documents
+),
+cells AS (
+  SELECT doc_id, n_words, u.c,
+         LEAST({_SPAN_GRID}, n_words - u.c * {_SPAN_GRID}) AS cell_len,
+         (CAST('0x' || substr(md5('span_v1_' || CAST(doc_id AS VARCHAR)
+             || '_' || CAST(u.c AS VARCHAR)), 1, 8) AS BIGINT)
+          % {_SPAN_SEL_DEN}) < {_SPAN_SEL_NUM} AS sel
+  FROM tok,
+       UNNEST(range(0, CAST(ceil(n_words / {_SPAN_GRID}.0) AS BIGINT))) AS u(c)
+)
+SELECT doc_id,
+       CAST(MIN(n_words) AS BIGINT) AS n_words,
+       CAST(SUM(CASE WHEN sel THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN sel THEN cell_len ELSE 0 END) AS BIGINT)
+         AS n_masked,
+       CAST(SUM(CASE WHEN sel THEN cell_len ELSE 0 END) * 1000000
+            // MIN(n_words) AS BIGINT) AS mask_ppm
+FROM cells GROUP BY doc_id
+"""
+
+
+@register("span_corruption", oracle=_SPAN_ORACLE)
+def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption objective prep (T5/UL2): per document, the
+    deterministic mask plan — how many mean-{_SPAN_GRID} spans and
+    tokens will corrupt at the {_SPAN_SEL_NUM}/{_SPAN_SEL_DEN} cell
+    rate (15% expected) — the accounting a span-denoising example
+    writer needs before emitting sentinel-delimited pairs. Selection
+    is a salted md5 per (doc, grid-cell): reproducible across engines,
+    runs, and partitionings; spans never overlap (grid construction).
+
+    Scale shape: one scan, zero exchanges before the per-doc result —
+    the grid explodes to n/{_SPAN_GRID} cells per doc INSIDE the scan
+    (array transform + aggregate, no join), and only 5 scalars leave
+    per document. The 100 TB cost is the read plus one md5 per 3
+    tokens — the dsir_weights/eval_leakage per-token-hash class."""
+    t = load_tables(spark, sf_dir)
+    n_words = F.size(F.split("text", " "))
+    cells = F.expr(
+        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) /"
+        f" {_SPAN_GRID}.0D) as int) - 1), c -> struct("
+        f"least({_SPAN_GRID}, size(split(text, ' ')) - c * {_SPAN_GRID})"
+        f" as cell_len,"
+        f" (cast(conv(substr(md5(concat('span_v1_', cast(doc_id as string),"
+        f" '_', cast(c as string))), 1, 8), 16, 10) as bigint)"
+        f" % {_SPAN_SEL_DEN}) < {_SPAN_SEL_NUM} as sel))"
+    )
+    per_doc = t.documents.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        cells.alias("cells"),
+    ).select(
+        "doc_id",
+        "n_words",
+        F.expr("size(filter(cells, x -> x.sel))").cast("bigint").alias("n_spans"),
+        F.expr(
+            "aggregate(filter(cells, x -> x.sel), 0L,"
+            " (acc, x) -> acc + x.cell_len)"
+        ).alias("n_masked"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_words",
+        "n_spans",
+        "n_masked",
+        F.expr("n_masked * 1000000 div n_words").alias("mask_ppm"),
+    )
