@@ -1602,3 +1602,87 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_masked",
         F.expr("n_masked * 1000000 div n_words").alias("mask_ppm"),
     )
+
+
+# ------------------------------------------------------------------- dpo_pairs
+
+# Preference-pair construction (DPO/RLHF data prep): candidate
+# responses pair up and an automated quality signal picks chosen vs
+# rejected — the bootstrap that builds synthetic preference sets
+# before human labels exist. Deterministic form: within a language,
+# adjacent documents (doc_id order) pair; the quality signal is the
+# integer distinct-word ppm (quality_score's lexical-diversity core);
+# ties DROP (a preference pair with no margin teaches nothing — the
+# standard filter). Margins stay integer ppm end to end.
+_DPO_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+),
+paired AS (
+  SELECT lang, q,
+         LEAD(q) OVER (PARTITION BY lang ORDER BY doc_id) AS q2
+  FROM q
+)
+SELECT lang,
+       CAST(SUM(CASE WHEN q <> q2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN q = q2 THEN 1 ELSE 0 END) AS BIGINT) AS n_ties,
+       CAST(SUM(CASE WHEN q <> q2 THEN abs(q - q2) ELSE 0 END) AS BIGINT)
+         AS sum_margin,
+       CAST(CASE WHEN SUM(CASE WHEN q <> q2 THEN 1 ELSE 0 END) = 0 THEN 0
+            ELSE SUM(CASE WHEN q <> q2 THEN abs(q - q2) ELSE 0 END)
+                 // SUM(CASE WHEN q <> q2 THEN 1 ELSE 0 END) END AS BIGINT)
+         AS mean_margin
+FROM paired WHERE q2 IS NOT NULL
+GROUP BY lang
+"""
+
+
+@register("dpo_pairs", oracle=_DPO_ORACLE)
+def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction audit (DPO/RLHF data prep): within
+    each language, adjacent documents pair and the integer
+    lexical-diversity signal (distinct-word ppm) picks chosen vs
+    rejected; zero-margin ties drop (they teach nothing). Per
+    language: usable pairs, dropped ties, and the total/mean quality
+    margin — the distribution a preference-data card reports and the
+    filter knob (min-margin) tunes.
+
+    Scale shape: the quality scalar computes in-scan (text never
+    leaves); pairing is one lang-keyed window over (lang, q) scalar
+    rows; the rollup is a |langs|-group partial agg. Integer ppm
+    arithmetic end to end — exact on both engines."""
+    t = load_tables(spark, sf_dir)
+    words = F.split("text", " ")
+    q = t.documents.select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' '))"
+        ).cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = q.select(
+        "lang", "q", F.lead("q").over(w).alias("q2")
+    ).filter(F.col("q2").isNotNull())
+    tie = F.col("q") == F.col("q2")
+    agg = paired.groupBy("lang").agg(
+        F.sum((~tie).cast("int")).cast("bigint").alias("n_pairs"),
+        F.sum(tie.cast("int")).cast("bigint").alias("n_ties"),
+        F.sum(
+            F.when(~tie, F.abs(F.col("q") - F.col("q2"))).otherwise(F.lit(0))
+        ).cast("bigint").alias("sum_margin"),
+    )
+    return agg.select(
+        "lang",
+        "n_pairs",
+        "n_ties",
+        "sum_margin",
+        F.when(F.col("n_pairs") == 0, F.lit(0))
+        .otherwise(F.expr("sum_margin div n_pairs"))
+        .cast("bigint")
+        .alias("mean_margin"),
+    )
