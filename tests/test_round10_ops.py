@@ -279,21 +279,36 @@ def test_write_warc_gzip_member_per_record_roundtrip(spark, tmp_path):
 
 def test_pq_train_output_bounded_and_broadcast(spark, sf_dir):
     """The trainer's output is codebook-sized (<= 8x16 rows) however
-    big the corpus, and the encode path joins the codebook broadcast —
-    never a shuffled or nested-loop join."""
+    big the corpus. The SQL-spec encode path (pq_encode) joins the
+    codebook broadcast — never shuffled or nested-loop; the REGISTERED
+    ann_pq_trained encodes via the Arrow twin, so its plan is a
+    join-free MapInPandas scan feeding the final aggregate."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebook,
+    )
     from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
     _load_all()
     rows = REGISTRY["pq_train"].fn(spark, sf_dir).collect()
     assert 0 < len(rows) <= 8 * 16
     assert all(0 <= r.sub < 8 and 0 <= r.code < 16 for r in rows)
-    plan = (
+    t = load_tables(spark, sf_dir)
+    cb = pq_train_codebook(spark, sf_dir).localCheckpoint(eager=True)
+    spec_plan = (
+        pq_encode(t.embeddings.select("vec_id", "embedding"), cb)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in spec_plan
+    assert "NestedLoop" not in spec_plan and "CartesianProduct" not in spec_plan
+    reg_plan = (
         REGISTRY["ann_pq_trained"]
         .fn(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastHashJoin" in plan
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    assert "MapInPandas" in reg_plan
+    assert "Join" not in reg_plan  # encode is join-free by design
 
 
 def test_pq_train_k64_same_plan_shape(spark, sf_dir):
