@@ -1488,11 +1488,6 @@ def sft_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_words") + _SFT_SPECIALS).alias("total"),
         (F.col("n_words") - F.col("n_prompt") + 1).alias("trained"),
     )
-    w = (
-        Window.partitionBy("shard")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     binned = sized.select(
         "shard",
         "total",
@@ -1572,11 +1567,15 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document. The 100 TB cost is the read plus one md5 per 3
     tokens — the dsir_weights/eval_leakage per-token-hash class."""
     t = load_tables(spark, sf_dir)
-    n_words = F.size(F.split("text", " "))
+    # n_words projects FIRST so the per-cell lambda references the
+    # scalar, not size(split(text)) — Catalyst does not hoist
+    # loop-invariant subexpressions out of HOF lambdas, and re-splitting
+    # the text per grid cell would make the kernel O(W^2) per document
+    # (the oracle's tok CTE has the same shape)
     cells = F.expr(
-        f"transform(sequence(0, cast(ceil(size(split(text, ' ')) /"
+        f"transform(sequence(0, cast(ceil(n_words /"
         f" {_SPAN_GRID}.0D) as int) - 1), c -> struct("
-        f"least({_SPAN_GRID}, size(split(text, ' ')) - c * {_SPAN_GRID})"
+        f"least({_SPAN_GRID}L, n_words - c * {_SPAN_GRID})"
         f" as cell_len,"
         f" (cast(conv(substr(md5(concat('span_v1_', cast(doc_id as string),"
         f" '_', cast(c as string))), 1, 8), 16, 10) as bigint)"
@@ -1584,7 +1583,10 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     per_doc = t.documents.select(
         "doc_id",
-        n_words.cast("bigint").alias("n_words"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_words"),
+    ).select(
+        "doc_id",
+        "n_words",
         cells.alias("cells"),
     ).select(
         "doc_id",
@@ -1610,7 +1612,10 @@ def span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
 # responses pair up and an automated quality signal picks chosen vs
 # rejected — the bootstrap that builds synthetic preference sets
 # before human labels exist. Deterministic form: within a language,
-# adjacent documents (doc_id order) pair; the quality signal is the
+# DISJOINT adjacent documents pair — (1st,2nd), (3rd,4th), ... in
+# doc_id order, so no document is chosen in one pair and rejected in
+# the next (sliding pairs would double-count every interior doc and
+# inflate the margin distribution); the quality signal is the
 # integer distinct-word ppm (quality_score's lexical-diversity core);
 # ties DROP (a preference pair with no margin teaches nothing — the
 # standard filter). Margins stay integer ppm end to end.
@@ -1622,9 +1627,12 @@ WITH q AS (
   FROM documents
 ),
 paired AS (
-  SELECT lang, q,
-         LEAD(q) OVER (PARTITION BY lang ORDER BY doc_id) AS q2
-  FROM q
+  SELECT lang, q, q2 FROM (
+    SELECT lang, q,
+           LEAD(q) OVER (PARTITION BY lang ORDER BY doc_id) AS q2,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM q
+  ) WHERE rn % 2 = 1
 )
 SELECT lang,
        CAST(SUM(CASE WHEN q <> q2 THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs,
@@ -1643,7 +1651,8 @@ GROUP BY lang
 @register("dpo_pairs", oracle=_DPO_ORACLE)
 def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Preference-pair construction audit (DPO/RLHF data prep): within
-    each language, adjacent documents pair and the integer
+    each language, DISJOINT adjacent documents pair ((1st,2nd),
+    (3rd,4th), ... — no doc appears in two pairs) and the integer
     lexical-diversity signal (distinct-word ppm) picks chosen vs
     rejected; zero-margin ties drop (they teach nothing). Per
     language: usable pairs, dropped ties, and the total/mean quality
@@ -1655,7 +1664,6 @@ def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows; the rollup is a |langs|-group partial agg. Integer ppm
     arithmetic end to end — exact on both engines."""
     t = load_tables(spark, sf_dir)
-    words = F.split("text", " ")
     q = t.documents.select(
         "doc_id",
         "lang",
@@ -1665,9 +1673,16 @@ def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("q"),
     )
     w = Window.partitionBy("lang").orderBy("doc_id")
-    paired = q.select(
-        "lang", "q", F.lead("q").over(w).alias("q2")
-    ).filter(F.col("q2").isNotNull())
+    paired = (
+        q.select(
+            "lang",
+            "q",
+            F.lead("q").over(w).alias("q2"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter((F.col("rn") % 2 == 1) & F.col("q2").isNotNull())
+        .select("lang", "q", "q2")
+    )
     tie = F.col("q") == F.col("q2")
     agg = paired.groupBy("lang").agg(
         F.sum((~tie).cast("int")).cast("bigint").alias("n_pairs"),

@@ -2660,7 +2660,13 @@ def pq_encode_arrow(spark: SparkSession, emb: DataFrame, cb: DataFrame) -> DataF
                 fl = np.floor(scaled)
                 frac = scaled - fl  # exact for doubles (scaled >= 0)
                 r = (fl + (frac >= 0.5)).astype(np.int64)
-                for i, j in np.argwhere(np.abs(frac - 0.5) < 1e-7):
+                # the recompute window must scale with MAGNITUDE: the
+                # numpy-vs-spec drift is ~scaled·1e-15 (pairwise vs
+                # left fold, ~8 terms), so a fixed window would stop
+                # covering it once scaled > ~1e8; 1e-12·scaled keeps a
+                # ~500× margin at every magnitude
+                window = np.maximum(1e-7, scaled * 1e-12)
+                for i, j in np.argwhere(np.abs(frac - 0.5) < window):
                     x, c = Xs[i], M[j]
                     s2 = 0.0
                     for d in range(len(x)):  # the spec's fold order

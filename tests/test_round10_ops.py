@@ -364,14 +364,12 @@ def test_read_warc_ignores_stale_attempt_temp_files(spark, tmp_path):
 
 
 def _executed_plan(spark, sf_dir, name: str) -> str:
-    from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+    # the shared plan-string helper lives in test_plans; reuse it so a
+    # future change to plan extraction (e.g. AQE final-plan handling)
+    # lands in one place
+    from test_plans import _plan
 
-    _load_all()
-    return (
-        REGISTRY[name]
-        .fn(spark, sf_dir)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    return _plan(spark, sf_dir, name)
 
 
 def test_mix_schedule_prunes_to_lang_only(spark, sf_dir):
@@ -387,15 +385,24 @@ def test_mix_schedule_prunes_to_lang_only(spark, sf_dir):
 def test_sft_pack_scan_reads_only_needed_columns(spark, sf_dir):
     """Packing consumes (doc_id, text) scalars computed in-scan; the
     exchange feeding the shard window must carry token counts, never
-    the text column."""
+    the text column — asserted on each exchange's CHILD output line
+    (the rows that actually shuffle), not on the partition-key list,
+    where text could never appear anyway."""
+    import re
+
     plan = _executed_plan(spark, sf_dir, "sft_pack")
     scan = plan[plan.index("ReadSchema") :].splitlines()[0]
     assert "doc_id" in scan and "text" in scan and "lang" not in scan
-    # the shard-window exchange carries computed scalars only
-    import re
-
-    for m in re.finditer(r"Exchange hashpartitioning\([^)]*\)", plan):
-        assert "text" not in m.group(0)
+    lines = plan.splitlines()
+    children = [
+        lines[i + 1]
+        for i, line in enumerate(lines)
+        if re.search(r"Exchange hashpartitioning\(", line)
+        and i + 1 < len(lines)
+    ]
+    assert children, "expected the shard-window exchange"
+    for child in children:
+        assert "text#" not in child, f"text rides the exchange: {child}"
 
 
 def test_pq_train_sample_bounded_training(spark, sf_dir):
