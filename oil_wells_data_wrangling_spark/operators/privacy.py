@@ -789,3 +789,70 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_records"),
         F.countDistinct("gkey").cast("bigint").alias("n_groups"),
     )
+
+
+# --------------------------------------------------------- l_diversity_report
+
+# l-diversity (Machanavajjhala et al. 2007): k-anonymity's companion
+# audit — an equivalence class can reach k rows yet still leak the
+# sensitive attribute if every row SHARES it (the homogeneity attack).
+# Quasi-identifiers here are (nation, $1000 balance bucket) — the
+# k_anonymity_report scheme minus the segment, which becomes the
+# SENSITIVE attribute: per class, l = distinct segments; the report
+# histograms classes and records by l, the distribution a release
+# audit reads before deciding the generalization ladder.
+_LDIV_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
+         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000
+          - ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 100000
+             + 100000) % 100000) // 100000 AS bal_b
+  FROM customer
+),
+cls AS (
+  SELECT nat, bal_b,
+         CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT seg) AS BIGINT) AS l
+  FROM c GROUP BY nat, bal_b
+)
+SELECT l,
+       CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(SUM(n_rows) AS BIGINT) AS n_records
+FROM cls GROUP BY l
+"""
+
+
+@register("l_diversity_report", oracle=_LDIV_ORACLE)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — k-anonymity's companion: a quasi-identifier
+    class can reach k records yet still leak the sensitive attribute
+    if every record shares it (the homogeneity attack). Per
+    (nation, $1000 balance bucket) class, l = distinct market
+    segments; the report histograms classes and records by l — the
+    distribution a release audit reads before choosing the
+    generalization ladder (classes at l=1 are the leak).
+
+    Scale shape: one (nat, bal_b)-keyed partial agg with a distinct
+    count bounded by the segment DOMAIN (5 values), then an l-keyed
+    rollup over class-count rows — records cross one exchange, the
+    class table is QI-domain-bounded. The balance bucketing is
+    k_anonymity_report's explicit floor-division-on-offset-cents form
+    (truncate-vs-floor engine differences cannot move bucket edges)."""
+    t = load_tables(spark, sf_dir)
+    c = t.customer.select(
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.expr(
+            "(cast(round(c_acctbal * 100) as bigint) + 100000"
+            " - ((cast(round(c_acctbal * 100) as bigint) + 100000) % 100000"
+            "    + 100000) % 100000) div 100000"
+        ).alias("bal_b"),
+    )
+    cls = c.groupBy("nat", "bal_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("seg").cast("bigint").alias("l"),
+    )
+    return cls.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("n_rows").cast("bigint").alias("n_records"),
+    )
