@@ -2832,3 +2832,118 @@ def bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "saved_ppm"
         ),
     )
+
+
+# ------------------------------------------------------- tokenizer_vocab_prune
+
+# Which learned merges EARN their vocabulary slot: a merge selected by
+# raw pair count can end up applying rarely once earlier merges
+# restructure the corpus (its occurrences get absorbed), and shipping
+# it wastes a vocab id. Per training step, the corpus-weighted number
+# of actual applications falls out of conservation: every padded
+# replace removes exactly one symbol per application, so
+# n_applied(s) = S(s-1) - S(s) where S = Σ cnt·symbols over the
+# vocabulary — no per-row bookkeeping, just one weighted-total agg per
+# step. Merges below the floor are flagged for pruning.
+_VPRUNE_FLOOR = 50
+
+
+def _vprune_oracle() -> str:
+    sym_total = (
+        "SELECT CAST(SUM(cnt * len(string_split(trim(sym), ' '))) AS BIGINT)"
+        " AS s FROM v{i}"
+    )
+    ctes = _bpe_train_ctes()
+    for i in range(0, _BPE_STEPS + 1):
+        ctes.append(f"sy{i} AS ({sym_total.format(i=i)})")
+    selects = [
+        f"SELECT {s} AS step, t{s}.a, t{s}.b, t{s}.n,"
+        f" sy{s - 1}.s - sy{s}.s AS n_applied,"
+        f" (sy{s - 1}.s - sy{s}.s) >= {_VPRUNE_FLOOR} AS kept"
+        f" FROM t{s}, sy{s - 1}, sy{s}"
+        for s in range(1, _BPE_STEPS + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+    )
+
+
+@register("tokenizer_vocab_prune", oracle=_vprune_oracle())
+def tokenizer_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-slot audit for a learned BPE table: per merge, the
+    corpus-weighted number of times it ACTUALLY applied — which can be
+    far below its selection-time pair count once earlier merges absorb
+    its occurrences — and the prune flag (applied < {_VPRUNE_FLOOR}).
+    The application count needs NO per-row bookkeeping: every padded
+    replace removes exactly one symbol per application, so it is the
+    drop in the weighted symbol total between steps (conservation).
+
+    Scale shape: bpe_train_steps' loop (corpus touched once for the
+    word count, vocab-bounded iterations) plus ONE extra tiny agg per
+    step (the weighted symbol total — a 1-row collect alongside the
+    1-row merge collect); everything stays rounds-deep."""
+    t = load_tables(spark, sf_dir)
+    wf = (
+        t.documents.select(F.explode(F.split("text", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = wf.select(
+        F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt"
+    ).persist()
+
+    def sym_total(v: DataFrame) -> int:
+        return v.select(
+            F.sum(
+                F.col("cnt") * F.size(F.split(F.trim("sym"), " "))
+            ).cast("bigint").alias("s")
+        ).collect()[0].s
+
+    out_rows: list[tuple[int, str, str, int, int, bool]] = []
+    prev_total = sym_total(vocab)
+    try:
+        for step in range(1, _BPE_STEPS + 1):
+            arr = F.split(F.trim("sym"), " ")
+            pair_arr = F.expr(
+                "transform(sequence(1, size(arr) - 1), "
+                "j -> struct(element_at(arr, j) as a, "
+                "element_at(arr, j + 1) as b))"
+            )
+            pairs = (
+                vocab.select(arr.alias("arr"), "cnt")
+                .filter(F.size("arr") >= 2)
+                .select(F.explode(pair_arr).alias("p"), "cnt")
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("cnt").alias("n"))
+            )
+            top_rows = pairs.orderBy(
+                F.col("n").desc(), "a", "b"
+            ).limit(1).collect()
+            if not top_rows:
+                break
+            top = top_rows[0]
+            merged = vocab.select(
+                F.replace(
+                    "sym",
+                    F.lit(f" {top.a} {top.b} "),
+                    F.lit(f" {top.a}{top.b} "),
+                ).alias("sym"),
+                "cnt",
+            ).persist()
+            vocab.unpersist()
+            vocab = merged
+            total = sym_total(vocab)
+            applied = prev_total - total
+            out_rows.append(
+                (step, top.a, top.b, top.n, applied,
+                 applied >= _VPRUNE_FLOOR)
+            )
+            prev_total = total
+    finally:
+        vocab.unpersist()
+    return spark.createDataFrame(
+        out_rows,
+        "step int, a string, b string, n bigint, n_applied bigint,"
+        " kept boolean",
+    )
