@@ -589,3 +589,186 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("anchor").alias("top_anchor"),
         F.col("n").alias("top_anchor_n"),
     )
+
+
+# ------------------------------------------------------------------- link_hits
+
+# HITS (Kleinberg 1999) over the same href-parsed host graph as
+# link_graph_pagerank: hubs point AT good pages, authorities are
+# pointed at BY good hubs — the complementary centrality crawl
+# schedulers use next to PageRank (a high-hub host is a good frontier
+# seed even when its own authority is low). Bit-exact fixed point:
+# scores live in 1e6-scaled int64 and every iteration MAX-normalizes
+# by integer floor division (score·SCALE // max), so both engines walk
+# identical integers — the domain_pagerank determinism recipe with
+# normalization instead of damping. Two rounds (a1 → h1 → a2).
+# int64 headroom: a-raw ≤ SCALE · Σw ≤ 1e6·1e6 at the 100× replica,
+# ×SCALE in the normalizer = ~1e18 < 2^63.
+
+
+def _hits_normalize(scores: DataFrame, col: str) -> DataFrame:
+    """score·SCALE // max(score) — the max broadcasts as one row; a
+    zero max (edgeless graph) maps everything to 0 instead of dividing
+    by zero."""
+    mx = scores.agg(F.max(col).alias("mx"))
+    return scores.crossJoin(F.broadcast(mx)).select(
+        "node",
+        F.when(F.col("mx") == 0, F.lit(0).cast("bigint"))
+        .otherwise(F.expr(f"({col} * {_PR_SCALE}) div mx"))
+        .alias(col),
+    )
+
+
+_LINK_HITS_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
+         {_LG_PAGE_DUCK} AS html
+  FROM documents
+),
+links AS (
+  SELECT src, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
+  FROM pages
+),
+edges AS (
+  SELECT src, regexp_extract(url, '^https://([^/]+)/', 1) AS dst,
+         CAST(COUNT(*) AS BIGINT) AS w
+  FROM links
+  WHERE regexp_extract(url, '^https://([^/]+)/', 1) <> ''
+    AND regexp_extract(url, '^https://([^/]+)/', 1) <> src
+  GROUP BY src, dst
+),
+nodes AS (
+  SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
+    AS node
+  FROM documents
+),
+a1r AS (
+  SELECT nodes.node,
+         CAST(COALESCE(SUM({_PR_SCALE} * e.w), 0) AS BIGINT) AS a
+  FROM nodes LEFT JOIN edges e ON e.dst = nodes.node
+  GROUP BY nodes.node
+),
+a1 AS (
+  SELECT node, CASE WHEN (SELECT MAX(a) FROM a1r) = 0 THEN 0
+    ELSE (a * {_PR_SCALE}) // (SELECT MAX(a) FROM a1r) END AS a
+  FROM a1r
+),
+h1r AS (
+  SELECT nodes.node,
+         CAST(COALESCE(SUM(a1.a * e.w), 0) AS BIGINT) AS h
+  FROM nodes LEFT JOIN edges e ON e.src = nodes.node
+  LEFT JOIN a1 ON a1.node = e.dst
+  GROUP BY nodes.node
+),
+h1 AS (
+  SELECT node, CASE WHEN (SELECT MAX(h) FROM h1r) = 0 THEN 0
+    ELSE (h * {_PR_SCALE}) // (SELECT MAX(h) FROM h1r) END AS h
+  FROM h1r
+),
+a2r AS (
+  SELECT nodes.node,
+         CAST(COALESCE(SUM(h1.h * e.w), 0) AS BIGINT) AS a
+  FROM nodes LEFT JOIN edges e ON e.dst = nodes.node
+  LEFT JOIN h1 ON h1.node = e.src
+  GROUP BY nodes.node
+),
+a2 AS (
+  SELECT node, CASE WHEN (SELECT MAX(a) FROM a2r) = 0 THEN 0
+    ELSE (a * {_PR_SCALE}) // (SELECT MAX(a) FROM a2r) END AS a
+  FROM a2r
+)
+SELECT a2.node AS host, CAST(h1.h AS BIGINT) AS hub_fp,
+       CAST(a2.a AS BIGINT) AS auth_fp,
+       COALESCE(od.out_edges, 0) AS out_edges,
+       COALESCE(id.in_edges, 0) AS in_edges
+FROM a2
+JOIN h1 ON h1.node = a2.node
+LEFT JOIN (SELECT src, CAST(COUNT(*) AS BIGINT) AS out_edges
+           FROM edges GROUP BY src) od ON od.src = a2.node
+LEFT JOIN (SELECT dst, CAST(COUNT(*) AS BIGINT) AS in_edges
+           FROM edges GROUP BY dst) id ON id.dst = a2.node
+"""
+
+
+@register("link_hits", oracle=_LINK_HITS_ORACLE)
+def link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs/authorities over the href-parsed host graph — the
+    complementary centrality to ``link_graph_pagerank`` a crawl
+    scheduler reads (a high-hub host is a frontier seed even at low
+    authority). Two max-normalized rounds (a1 → h1 → a2) in 1e6-scaled
+    int64 with integer floor-division normalization — both engines
+    walk identical integers, the domain_pagerank recipe with
+    normalization instead of damping.
+
+    Scale shape: edges come from ``link_edges`` (one scan, narrow
+    explode, one (src, dst)-pair exchange — text never moves); every
+    HITS round is one host-bounded agg plus a 1-row broadcast max;
+    node/edge tables are host-bounded, so iteration cost is
+    independent of corpus size after the edge build."""
+    t = load_tables(spark, sf_dir)
+    pages = t.documents.select(
+        F.concat(
+            F.lit("site"),
+            (F.col("doc_id") % 20).cast("string"),
+            F.lit(".example.com"),
+        ).alias("src"),
+        F.expr(_LG_PAGE_SPARK).alias("html"),
+    )
+    # cache-free like link_graph_pagerank: AQE reuses the edge-build
+    # shuffle stage across the consumers, and nothing leaks into storage
+    edges = link_edges(pages)
+    nodes = (
+        t.documents.select(
+            F.concat(
+                F.lit("site"),
+                (F.col("doc_id") % 20).cast("string"),
+                F.lit(".example.com"),
+            ).alias("node")
+        )
+        .distinct()
+    )
+
+    def gather(scores: DataFrame, score_col: str, edge_key: str,
+               other_key: str, out_col: str) -> DataFrame:
+        """out(node) = Σ score(other)·w over edges touching node."""
+        e = edges.join(
+            scores.withColumnRenamed("node", other_key), other_key
+        )
+        raw = (
+            nodes.join(e, nodes.node == e[edge_key], "left")
+            .groupBy("node")
+            .agg(
+                F.coalesce(
+                    F.sum(F.col(score_col) * F.col("w")), F.lit(0)
+                ).cast("bigint").alias(out_col)
+            )
+        )
+        return raw
+
+    h0 = nodes.select(
+        "node", F.lit(_PR_SCALE).cast("bigint").alias("h")
+    )
+    a1 = _hits_normalize(
+        gather(h0, "h", "dst", "src", "a"), "a"
+    )
+    h1 = _hits_normalize(
+        gather(a1, "a", "src", "dst", "h"), "h"
+    )
+    a2 = _hits_normalize(
+        gather(h1, "h", "dst", "src", "a"), "a"
+    )
+    outd = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_edges"))
+    ind = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
+    res = (
+        a2.join(h1, "node")
+        .join(outd, a2.node == outd.src, "left")
+        .join(ind, a2.node == ind.dst, "left")
+        .select(
+            F.col("node").alias("host"),
+            F.col("h").alias("hub_fp"),
+            F.col("a").alias("auth_fp"),
+            F.coalesce("out_edges", F.lit(0)).cast("bigint").alias("out_edges"),
+            F.coalesce("in_edges", F.lit(0)).cast("bigint").alias("in_edges"),
+        )
+    )
+    return res

@@ -66,7 +66,7 @@ def _load_all() -> None:
 # Round-10 window: (1) operators new this round lead (crawl_to_corpus,
 # pq_train, ann_pq_trained, mix_schedule, stream_warc_ingest,
 # sft_pack, span_corruption, dpo_pairs, l_diversity_report,
-# tokenizer_vocab_prune — never driver-checked); (2) operators whose implementation
+# tokenizer_vocab_prune, link_hits — never driver-checked); (2) operators whose implementation
 # changed this round (both BPE trainers gained the single-symbol
 # collapse guard + empty-vocabulary early-stop; warc_pipeline's write
 # path gained the temp-plus-rename commit protocol; embedding_outliers
@@ -76,7 +76,8 @@ def _load_all() -> None:
 # comment scheduled for r10 — retiring the last pre-r6 rows and
 # closing the r8 verdict's "min(latest driver round) >= 6" criterion;
 # (4) the remaining slots start draining the 48-name r6 backlog
-# alphabetically (the leftover 26 — fingerprint_diff, group_split,
+# alphabetically (the leftover 27 — events_window_agg,
+# fingerprint_diff, group_split,
 # hll_persist_incremental, hll_union_daily, html_table,
 # idle_rich_customers, incremental_rollup, join_region_rollup,
 # join_revenue_topn, then lang_mismatch_matrix onward — rotate in
@@ -100,6 +101,7 @@ _WINDOW_PRIORITY = [
     "dpo_pairs",
     "l_diversity_report",
     "tokenizer_vocab_prune",
+    "link_hits",
     # -- implementation touched in round 10
     "bpe_train_batched",
     "bpe_train_steps",
@@ -142,7 +144,6 @@ _WINDOW_PRIORITY = [
     "events_rate_limit",
     "events_topk",
     "events_transitions",
-    "events_window_agg",
 ]
 
 
