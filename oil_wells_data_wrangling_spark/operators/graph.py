@@ -330,8 +330,11 @@ _LG_PAGE_DUCK = """
     || '<p>' || text || '</p></body></html>'
 """
 
-_LINK_PR_ORACLE = f"""
-WITH pages AS (
+# Shared graph-build block for the link-analysis operators
+# (link_graph_pagerank + link_hits): ONE copy of the host scheme, the
+# synthesized pages, the href-parsed edge CTEs, and the node set per
+# engine, so the two centralities can never diverge on the graph.
+_LG_GRAPH_CTES_DUCK = f"""pages AS (
   SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
          {_LG_PAGE_DUCK} AS html
   FROM documents
@@ -348,13 +351,34 @@ edges AS (
     AND regexp_extract(url, '^https://([^/]+)/', 1) <> src
   GROUP BY src, dst
 ),
-outw AS (
-  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
-),
 nodes AS (
   SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
     AS node
   FROM documents
+)"""
+
+
+def _lg_host(col: str = "doc_id") -> "F.Column":
+    return F.concat(
+        F.lit("site"), (F.col(col) % 20).cast("string"), F.lit(".example.com")
+    )
+
+
+def _lg_pages(t) -> DataFrame:
+    """(src, html): the synthesized link-bearing page per document."""
+    return t.documents.select(
+        _lg_host().alias("src"), F.expr(_LG_PAGE_SPARK).alias("html")
+    )
+
+
+def _lg_nodes(t) -> DataFrame:
+    return t.documents.select(_lg_host().alias("node")).distinct()
+
+
+_LINK_PR_ORACLE = f"""
+WITH {_LG_GRAPH_CTES_DUCK},
+outw AS (
+  SELECT src, CAST(SUM(w) AS BIGINT) AS out_w FROM edges GROUP BY src
 ),
 r0 AS (
   SELECT node, CAST({_PR_SCALE} AS BIGINT) AS r FROM nodes
@@ -444,27 +468,10 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     `read_warc` payloads: swap the page synthesis for the WARC body
     column and nothing else changes."""
     t = load_tables(spark, sf_dir)
-    pages = t.documents.select(
-        F.concat(
-            F.lit("site"),
-            (F.col("doc_id") % 20).cast("string"),
-            F.lit(".example.com"),
-        ).alias("src"),
-        F.expr(_LG_PAGE_SPARK).alias("html"),
-    )
-    edges = link_edges(pages)
+    edges = link_edges(_lg_pages(t))
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
     ew = edges.join(outw, "src")
-    nodes = (
-        t.documents.select(
-            F.concat(
-                F.lit("site"),
-                (F.col("doc_id") % 20).cast("string"),
-                F.lit(".example.com"),
-            ).alias("node")
-        )
-        .distinct()
-    )
+    nodes = _lg_nodes(t)
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
     for _ in range(3):
         ranks = _pr_iteration(nodes, ew, ranks)
@@ -620,28 +627,7 @@ def _hits_normalize(scores: DataFrame, col: str) -> DataFrame:
 
 
 _LINK_HITS_ORACLE = f"""
-WITH pages AS (
-  SELECT doc_id, 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com' AS src,
-         {_LG_PAGE_DUCK} AS html
-  FROM documents
-),
-links AS (
-  SELECT src, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS url
-  FROM pages
-),
-edges AS (
-  SELECT src, regexp_extract(url, '^https://([^/]+)/', 1) AS dst,
-         CAST(COUNT(*) AS BIGINT) AS w
-  FROM links
-  WHERE regexp_extract(url, '^https://([^/]+)/', 1) <> ''
-    AND regexp_extract(url, '^https://([^/]+)/', 1) <> src
-  GROUP BY src, dst
-),
-nodes AS (
-  SELECT DISTINCT 'site' || CAST(doc_id % 20 AS VARCHAR) || '.example.com'
-    AS node
-  FROM documents
-),
+WITH {_LG_GRAPH_CTES_DUCK},
 a1r AS (
   SELECT nodes.node,
          CAST(COALESCE(SUM({_PR_SCALE} * e.w), 0) AS BIGINT) AS a
@@ -706,27 +692,10 @@ def link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     node/edge tables are host-bounded, so iteration cost is
     independent of corpus size after the edge build."""
     t = load_tables(spark, sf_dir)
-    pages = t.documents.select(
-        F.concat(
-            F.lit("site"),
-            (F.col("doc_id") % 20).cast("string"),
-            F.lit(".example.com"),
-        ).alias("src"),
-        F.expr(_LG_PAGE_SPARK).alias("html"),
-    )
     # cache-free like link_graph_pagerank: AQE reuses the edge-build
     # shuffle stage across the consumers, and nothing leaks into storage
-    edges = link_edges(pages)
-    nodes = (
-        t.documents.select(
-            F.concat(
-                F.lit("site"),
-                (F.col("doc_id") % 20).cast("string"),
-                F.lit(".example.com"),
-            ).alias("node")
-        )
-        .distinct()
-    )
+    edges = link_edges(_lg_pages(t))
+    nodes = _lg_nodes(t)
 
     def gather(scores: DataFrame, score_col: str, edge_key: str,
                other_key: str, out_col: str) -> DataFrame:

@@ -680,6 +680,25 @@ def dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Shared $1000 balance bucketing for the release audits
+# (k_anonymity_report + l_diversity_report): explicit FLOOR division
+# (subtract pmod first) on offset cents — Spark `div` and DuckDB `//`
+# both truncate toward zero today, but truncation vs floor is an
+# engine-version detail; this form buckets negative offset-cents
+# identically everywhere, with no assumed acctbal range. ONE copy per
+# engine so the two companion audits can never disagree on class edges.
+_BAL_BUCKET_SPARK = (
+    "(cast(round(c_acctbal * 100) as bigint) + 100000"
+    " - pmod(cast(round(c_acctbal * 100) as bigint) + 100000, 100000))"
+    " div 100000"
+)
+_BAL_BUCKET_DUCK = (
+    "(CAST(round(c_acctbal * 100) AS BIGINT) + 100000"
+    " - ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 100000"
+    "    + 100000) % 100000) // 100000"
+)
+
+
 # --------------------------------------------------------- k_anonymity_report
 
 _KANON_K = 8
@@ -687,9 +706,7 @@ _KANON_K = 8
 _KANON_ORACLE = f"""
 WITH c AS (
   SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
-         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-          - ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 100000
-             + 100000) % 100000) // 100000 AS bal_b
+         {_BAL_BUCKET_DUCK} AS bal_b
   FROM customer
 ),
 g0 AS (SELECT nat, seg, bal_b, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -745,16 +762,7 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
-        # explicit FLOOR division (subtract pmod first): Spark `div` and
-        # DuckDB `//` both truncate toward zero today, but truncation vs
-        # floor is an engine-version detail — this form buckets negative
-        # offset-cents identically everywhere, with no assumed acctbal
-        # range.
-        F.expr(
-            "(cast(round(c_acctbal * 100) as bigint) + 100000"
-            " - pmod(cast(round(c_acctbal * 100) as bigint) + 100000, 100000))"
-            " div 100000"
-        ).alias("bal_b"),
+        F.expr(_BAL_BUCKET_SPARK).alias("bal_b"),
     )
     g0 = c.groupBy("nat", "seg", "bal_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt0")
@@ -801,12 +809,10 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SENSITIVE attribute: per class, l = distinct segments; the report
 # histograms classes and records by l, the distribution a release
 # audit reads before deciding the generalization ladder.
-_LDIV_ORACLE = """
+_LDIV_ORACLE = f"""
 WITH c AS (
   SELECT c_custkey, c_nationkey AS nat, c_mktsegment AS seg,
-         (CAST(round(c_acctbal * 100) AS BIGINT) + 100000
-          - ((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) % 100000
-             + 100000) % 100000) // 100000 AS bal_b
+         {_BAL_BUCKET_DUCK} AS bal_b
   FROM customer
 ),
 cls AS (
@@ -842,11 +848,7 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.customer.select(
         F.col("c_nationkey").alias("nat"),
         F.col("c_mktsegment").alias("seg"),
-        F.expr(
-            "(cast(round(c_acctbal * 100) as bigint) + 100000"
-            " - ((cast(round(c_acctbal * 100) as bigint) + 100000) % 100000"
-            "    + 100000) % 100000) div 100000"
-        ).alias("bal_b"),
+        F.expr(_BAL_BUCKET_SPARK).alias("bal_b"),
     )
     cls = c.groupBy("nat", "bal_b").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),

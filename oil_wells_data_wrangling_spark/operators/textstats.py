@@ -2441,13 +2441,23 @@ def bpe_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_learn_merges(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
+def _bpe_learn_merges(
+    vocab: DataFrame, observe=None
+) -> list[tuple[int, str, str, int]]:
     """Run the select-apply-recount loop over a (sym, cnt) vocabulary
     frame; returns the learned merges. One vocabulary-sized frame
     iterates; caching it avoids re-running the corpus word count every
-    step (kmeans_iterate's persist)."""
+    step (kmeans_iterate's persist). ``observe(vocab_df)``, when given,
+    is called on the INITIAL vocabulary and again after every applied
+    merge, appending its return to the ``observations`` list the
+    caller passed in as ``observe.sink`` — the hook tokenizer_vocab_prune
+    uses to read the weighted symbol total without duplicating this
+    loop (the single copy of the size(arr)>=2 collapse guard, the
+    tie-break, and the padded-replace application)."""
     vocab = vocab.persist()
     out_rows: list[tuple[int, str, str, int]] = []
+    if observe is not None:
+        observe.sink.append(observe(vocab))
     try:
         for step in range(1, _BPE_STEPS + 1):
             arr = F.split(F.trim("sym"), " ")
@@ -2487,6 +2497,8 @@ def _bpe_learn_merges(vocab: DataFrame) -> list[tuple[int, str, str, int]]:
             merged = merged.persist()
             vocab.unpersist()
             vocab = merged
+            if observe is not None:
+                observe.sink.append(observe(vocab))
     finally:
         vocab.unpersist()
     return out_rows
@@ -2889,9 +2901,7 @@ def tokenizer_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    vocab = wf.select(
-        F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt"
-    ).persist()
+    vocab = wf.select(F.expr(_BPE_SYM_SPARK).alias("sym"), "cnt")
 
     def sym_total(v: DataFrame) -> int:
         return v.select(
@@ -2900,48 +2910,20 @@ def tokenizer_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("s")
         ).collect()[0].s
 
-    out_rows: list[tuple[int, str, str, int, int, bool]] = []
-    prev_total = sym_total(vocab)
-    try:
-        for step in range(1, _BPE_STEPS + 1):
-            arr = F.split(F.trim("sym"), " ")
-            pair_arr = F.expr(
-                "transform(sequence(1, size(arr) - 1), "
-                "j -> struct(element_at(arr, j) as a, "
-                "element_at(arr, j + 1) as b))"
-            )
-            pairs = (
-                vocab.select(arr.alias("arr"), "cnt")
-                .filter(F.size("arr") >= 2)
-                .select(F.explode(pair_arr).alias("p"), "cnt")
-                .groupBy("p.a", "p.b")
-                .agg(F.sum("cnt").alias("n"))
-            )
-            top_rows = pairs.orderBy(
-                F.col("n").desc(), "a", "b"
-            ).limit(1).collect()
-            if not top_rows:
-                break
-            top = top_rows[0]
-            merged = vocab.select(
-                F.replace(
-                    "sym",
-                    F.lit(f" {top.a} {top.b} "),
-                    F.lit(f" {top.a}{top.b} "),
-                ).alias("sym"),
-                "cnt",
-            ).persist()
-            vocab.unpersist()
-            vocab = merged
-            total = sym_total(vocab)
-            applied = prev_total - total
-            out_rows.append(
-                (step, top.a, top.b, top.n, applied,
-                 applied >= _VPRUNE_FLOOR)
-            )
-            prev_total = total
-    finally:
-        vocab.unpersist()
+    sym_total.sink = []
+    merges = _bpe_learn_merges(vocab, observe=sym_total)
+    totals = sym_total.sink  # totals[0] = initial, totals[i] = after merge i
+    out_rows = [
+        (
+            step,
+            a,
+            b,
+            n,
+            totals[i] - totals[i + 1],
+            (totals[i] - totals[i + 1]) >= _VPRUNE_FLOOR,
+        )
+        for i, (step, a, b, n) in enumerate(merges)
+    ]
     return spark.createDataFrame(
         out_rows,
         "step int, a string, b string, n bigint, n_applied bigint,"
