@@ -609,19 +609,30 @@ def anchor_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # by integer floor division (score·SCALE // max), so both engines walk
 # identical integers — the domain_pagerank determinism recipe with
 # normalization instead of damping. Two rounds (a1 → h1 → a2).
-# int64 headroom: a-raw ≤ SCALE · Σw ≤ 1e6·1e6 at the 100× replica,
-# ×SCALE in the normalizer = ~1e18 < 2^63.
+# Headroom: raw gathers stay int64 (score ≤ SCALE after normalization,
+# so raw ≤ SCALE·Σw — overflow only at Σw > ~9.2e12 weighted links
+# into ONE host); the normalizer's ·SCALE product is computed in
+# 38-digit decimal (Spark) / HUGEINT (DuckDB), so it can NEVER
+# overflow — a fix for the r10 advice item where score·SCALE wrapped
+# int64 once a host's weighted in-degree passed ~9.2e6.
 
 
 def _hits_normalize(scores: DataFrame, col: str) -> DataFrame:
     """score·SCALE // max(score) — the max broadcasts as one row; a
     zero max (edgeless graph) maps everything to 0 instead of dividing
-    by zero."""
+    by zero. The product runs in decimal(38,0) so score·SCALE cannot
+    wrap int64; `div` truncates toward zero = floor on these
+    non-negative values, matching DuckDB's HUGEINT `//`."""
     mx = scores.agg(F.max(col).alias("mx"))
     return scores.crossJoin(F.broadcast(mx)).select(
         "node",
         F.when(F.col("mx") == 0, F.lit(0).cast("bigint"))
-        .otherwise(F.expr(f"({col} * {_PR_SCALE}) div mx"))
+        .otherwise(
+            F.expr(
+                f"cast((cast({col} as decimal(38,0)) * {_PR_SCALE})"
+                " div mx as bigint)"
+            )
+        )
         .alias(col),
     )
 
@@ -636,7 +647,7 @@ a1r AS (
 ),
 a1 AS (
   SELECT node, CASE WHEN (SELECT MAX(a) FROM a1r) = 0 THEN 0
-    ELSE (a * {_PR_SCALE}) // (SELECT MAX(a) FROM a1r) END AS a
+    ELSE (CAST(a AS HUGEINT) * {_PR_SCALE}) // (SELECT MAX(a) FROM a1r) END AS a
   FROM a1r
 ),
 h1r AS (
@@ -648,7 +659,7 @@ h1r AS (
 ),
 h1 AS (
   SELECT node, CASE WHEN (SELECT MAX(h) FROM h1r) = 0 THEN 0
-    ELSE (h * {_PR_SCALE}) // (SELECT MAX(h) FROM h1r) END AS h
+    ELSE (CAST(h AS HUGEINT) * {_PR_SCALE}) // (SELECT MAX(h) FROM h1r) END AS h
   FROM h1r
 ),
 a2r AS (
@@ -660,7 +671,7 @@ a2r AS (
 ),
 a2 AS (
   SELECT node, CASE WHEN (SELECT MAX(a) FROM a2r) = 0 THEN 0
-    ELSE (a * {_PR_SCALE}) // (SELECT MAX(a) FROM a2r) END AS a
+    ELSE (CAST(a AS HUGEINT) * {_PR_SCALE}) // (SELECT MAX(a) FROM a2r) END AS a
   FROM a2r
 )
 SELECT a2.node AS host, CAST(h1.h AS BIGINT) AS hub_fp,

@@ -1830,9 +1830,13 @@ def _eo_assign_arrow(spark: SparkSession, t) -> DataFrame:
       values just below a boundary over it);
     - BLAS accumulation order differs from the spec's left-to-right
       fold by ulps, so any entry whose scaled fraction lands within
-      1e-7 of the .5 boundary is RECOMPUTED with the spec's exact
-      sequential fold before rounding (the window is ~100× wider than
-      the worst ulp drift; the recompute set is empty on real data);
+      ``max(1e-7, |scaled|·1e-12)`` of the .5 boundary is RECOMPUTED
+      with the spec's exact sequential fold before rounding — the
+      magnitude-scaled window pq_encode_arrow uses (a fixed 1e-7 is
+      only a ~14× margin at |scaled| = 1e6, where 64-term BLAS-vs-fold
+      drift reaches ~64·eps·1e6 ≈ 7e-9; scaling by |scaled| keeps the
+      margin ≥ ~1e4× at every magnitude; the recompute set is empty on
+      real data);
     - zero-norm embeddings are out-of-domain and raise, matching the
       SQL spec, whose NaN micro-unit cast errors under ANSI."""
     import numpy as np
@@ -1876,7 +1880,7 @@ def _eo_assign_arrow(spark: SparkSession, t) -> DataFrame:
             ax = np.abs(scaled)
             fl = np.floor(ax)
             frac = ax - fl  # exact for doubles
-            risky = np.abs(frac - 0.5) < 1e-7
+            risky = np.abs(frac - 0.5) < np.maximum(1e-7, ax * 1e-12)
             for i, j in np.argwhere(risky):
                 s2 = _seq_scaled(X[i], C_[j])
                 scaled[i, j] = s2
@@ -2320,7 +2324,15 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (kmeans_iterate's floor/scaled-int64/exact-sum walk), making the
 # whole training trajectory bit-identical across engines and
 # partitionings — which is what lets a trained-FP-algorithm output be
-# oracle-checked exactly.
+# oracle-checked exactly. One residual ulp-edge assumption (r10
+# advice): the ASSIGNMENT tie-break orders by ROUND(l2, 6), and Spark
+# rounds via BigDecimal on the shortest decimal repr while DuckDB
+# rounds the binary double — an l2 within an ulp of a .xxxxxx5
+# decimal boundary could round differently across engines. Distances
+# here are sums of ≤8 exactly-representable (q/1e6) differences
+# squared, so boundary hits are measure-zero and none occur at any
+# tested SF; the fully-closed form would compare cross-multiplied
+# integer micro-units as embedding_outliers does.
 _PQT_ITERS = 2
 _PQT_SCALE = 1_000_000
 

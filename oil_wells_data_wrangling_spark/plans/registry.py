@@ -63,87 +63,82 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-10 window: (1) operators new this round lead (crawl_to_corpus,
-# pq_train, ann_pq_trained, mix_schedule, stream_warc_ingest,
-# sft_pack, span_corruption, dpo_pairs, l_diversity_report,
-# tokenizer_vocab_prune, link_hits — never driver-checked); (2) operators whose implementation
-# changed this round (both BPE trainers gained the single-symbol
-# collapse guard + empty-vocabulary early-stop; warc_pipeline's write
-# path gained the temp-plus-rename commit protocol; embedding_outliers
-# landed the Arrow BLAS argmin; html_to_text moved to the shared
-# _synth_pages/_strip_html helpers); (3) the FOURTEEN
-# operators whose newest driver row is still round 5 — the set the r9
-# comment scheduled for r10 — retiring the last pre-r6 rows and
-# closing the r8 verdict's "min(latest driver round) >= 6" criterion;
-# (4) the remaining slots start draining the 48-name r6 backlog
-# alphabetically (the leftover 27 — events_window_agg,
-# fingerprint_diff, group_split,
-# hll_persist_incremental, hll_union_daily, html_table,
-# idle_rich_customers, incremental_rollup, join_region_rollup,
-# join_revenue_topn, then lang_mismatch_matrix onward — rotate in
-# r11). Everything past 50 keeps its old green row and stays
-# covered by the identical local comparison in
+# Round-11 window: (1) new-this-round operators lead (never
+# driver-checked names MUST be in-window the round they land), plus
+# operators whose implementation changed this round (embedding_outliers
+# gained the magnitude-scaled boundary-recompute window; link_hits'
+# normalizer moved to decimal/HUGEINT products — both r10 advice
+# items); (2) the TWENTY-EIGHT operators whose newest driver row is round 6 —
+# the exact stale set the r10 verdict enumerated (latest < R-4 with
+# R = 11) — rotate in and retire the last r6 rows; (3) the remaining
+# slots start draining the 47-name r7 cohort alphabetically (ann_pq
+# .. important_parts here; the leftover 27 — late_arrival_audit,
+# local_supplier_volume, mix_report, normalize_keys, ... — rotate
+# in r12 alongside
+# that round's new operators). Everything past 50 keeps its old
+# green row and stays covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window;
 # tests/test_plans.py asserts the rotation INVARIANTS (never-checked
-# names in-window, no registrant's latest row older than 4 rounds)
-# from the committed CORRECTNESS_r*.json history, so a future rotation
-# cannot silently strand either rule.
+# names in-window, no registrant's latest green row older than R-5)
+# from the committed CORRECTNESS_r*.json history. The bound is R-5,
+# not R-4, so that committing round N's own CORRECTNESS file (which
+# bumps R before the N+1 rotation lands) cannot red the suite — the
+# r10 round ended with exactly that one red, by design but noisily.
 _WINDOW_PRIORITY = [
-    # -- new in round 10 (never driver-checked)
-    "crawl_to_corpus",
-    "pq_train",
-    "ann_pq_trained",
-    "mix_schedule",
-    "stream_warc_ingest",
-    "sft_pack",
-    "span_corruption",
-    "dpo_pairs",
-    "l_diversity_report",
-    "tokenizer_vocab_prune",
-    "link_hits",
-    # -- implementation touched in round 10
-    "bpe_train_batched",
-    "bpe_train_steps",
-    "warc_pipeline",
+    # -- implementation touched in round 11 (r10 advice fixes)
     "embedding_outliers",
-    "html_to_text",
-    # -- last driver row is round 5 (the final pre-r6 backlog)
-    "sample_corpus",
-    "shard_stats",
-    "simhash_pairs",
-    "sql_serving",
-    "stratified_sample",
-    "text_chunks",
-    "tfidf_topk",
-    "token_count",
-    "train_val_split",
-    "url_canonical",
-    "url_stats",
-    "vector_normalize",
-    "vocab_topk",
-    "zorder_stats",
-    # -- r6 backlog, alphabetical fill to 50
-    "approx_distinct",
-    "approx_percentiles",
-    "bigram_lift",
-    "blocklist_filter",
-    "bm25_topk",
-    "contamination_report",
-    "correlated_avg_filter",
-    "custdist",
-    "dataset_card_stats",
-    "dedup_cross",
-    "disjunctive_filter_revenue",
-    "distinct_count",
-    "domain_pagerank",
-    "dup_ngram_fraction",
-    "events_attribution",
-    "events_distinct_windowed",
-    "events_enrich",
-    "events_rate_limit",
-    "events_topk",
-    "events_transitions",
+    "link_hits",
+    # -- last driver row is round 6 (the full r10-verdict stale set)
+    "events_window_agg",
+    "fingerprint_diff",
+    "group_split",
+    "hll_persist_incremental",
+    "hll_union_daily",
+    "html_table",
+    "idle_rich_customers",
+    "incremental_rollup",
+    "join_region_rollup",
+    "join_revenue_topn",
+    "json_props",
+    "lang_mismatch_matrix",
+    "late_shipment_priority",
+    "mix_balance",
+    "mm_audio_chunks",
+    "mm_frame_sample",
+    "mm_meta",
+    "mm_resize",
+    "neardup_incremental",
+    "pca_top_component",
+    "rarity_score",
+    "scd2_apply",
+    "scd2_attribution",
+    "semdedup_clusters",
+    "top_supplier_revenue",
+    "vocab_coverage",
+    "window_rank",
+    "window_running",
+    # -- r7 cohort, alphabetical fill to 50
+    "ann_pq",
+    "api_canonical",
+    "bad_rows",
+    "basket_lift",
+    "corpus_pipeline",
+    "corpus_pipeline_full",
+    "csv_repair",
+    "dp_histogram",
+    "dsir_weights",
+    "embed_neardup",
+    "enrich_join",
+    "events_ab_lift",
+    "events_burst",
+    "excess_inventory_suppliers",
+    "extract_fields",
+    "extract_repeated",
+    "extract_stim",
+    "forecast_revenue",
+    "fuzzy_match_names",
+    "important_parts",
 ]
 
 
