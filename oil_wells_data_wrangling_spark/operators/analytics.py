@@ -2458,3 +2458,93 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name", "n_name")
         .orderBy("s_name")
     )
+
+
+# ------------------------------------------------------------ stream_cdc_apply
+
+
+@register("stream_cdc_apply", oracle=_CDC_ORACLE)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of ``cdc_apply``, driven end-to-end: the change
+    log arrives as THREE micro-batches (one per version wave — CDC
+    shipping order) and ``foreachBatch`` maintains a parquet snapshot
+    store by merging each batch against the previous snapshot
+    (latest version per key wins, tombstones retained in-store so a
+    later version can resurrect a deleted key, filtered only at read
+    time). After the last batch the live snapshot must equal batch
+    ``cdc_apply``'s — the same oracle checks both, which is the
+    exactly-incremental property (max-version merge is
+    order-insensitive, so late batches cannot corrupt the snapshot).
+
+    Scale shape: each merge is one key-ranked window over
+    |snapshot| + |batch| rows of 4 scalars (documents-free); the
+    store rewrite per batch is the plain-parquet stand-in for a
+    lakehouse MERGE (Delta/Iceberg make the same plan incremental
+    with deletion vectors — plan shape identical, rewrite cost
+    drops); snapshot state is one row per live key, never the log
+    history."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    log = t.orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.explode(
+            F.sequence(F.lit(1), (F.col("o_orderkey") % 3 + 1).cast("int"))
+        ).alias("version"),
+    ).withColumn(
+        "op",
+        F.when((F.col("key") + F.col("version")) % 11 == 0, "D").otherwise("U"),
+    )
+    work = tempfile.mkdtemp(prefix="stream_cdc_")
+    src = os.path.join(work, "src")
+    for v in (1, 2, 3):
+        log.filter(F.col("version") == v).coalesce(1).write.parquet(
+            os.path.join(src, f"batch{v}")
+        )
+    state = {"cur": None, "gen": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        merged = batch_df
+        if state["cur"] is not None:
+            merged = batch_df.unionByName(sp.read.parquet(state["cur"]))
+        w = Window.partitionBy("key").orderBy(F.col("version").desc())
+        latest = (
+            merged.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .drop("rk")
+        )
+        state["gen"] += 1
+        out = os.path.join(work, f"snapshot_v{state['gen']}")
+        latest.write.parquet(out)
+        old, state["cur"] = state["cur"], out
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "batch1")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "batch*"))
+    )
+    q = (
+        stream.writeStream.foreachBatch(_merge)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    live = spark.read.parquet(state["cur"]).filter(F.col("op") != "D")
+    res = (
+        live.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_live"),
+            F.sum("version").cast("bigint").alias("version_sum"),
+        )
+        .localCheckpoint(eager=True)  # sever lineage so the dir can go
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return res

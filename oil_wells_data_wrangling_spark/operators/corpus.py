@@ -1701,3 +1701,395 @@ def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("mean_margin"),
     )
+
+
+# --------------------------------------------------------- importance_resample
+
+# DSIR's second half (Xie et al. 2023): dsir_weights ESTIMATES per-doc
+# importance; this op MATERIALIZES the resample — a deterministic
+# Bernoulli accept with probability proportional to the weight, via
+# md5(doc_id) % 1e6 < weight_ppm (the mix_temperature accept recipe,
+# per-DOC instead of per-group). The stand-in weight is the integer
+# lexical-diversity ppm (dpo_pairs' quality signal); a production run
+# plugs dsir_score through the identical accept gate.
+_IMP_RESAMPLE_ORACLE = """
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+),
+acc AS (
+  SELECT lang, q,
+         CASE WHEN CAST('0x' || substr(md5('imprs_v1_' ||
+                CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000 < q
+              THEN 1 ELSE 0 END AS kept
+  FROM q
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(q) AS BIGINT) AS sum_q_ppm,
+       CAST(SUM(kept * q) AS BIGINT) AS sum_q_kept_ppm,
+       CAST(SUM(kept) * 1000000 // COUNT(*) AS BIGINT) AS kept_ppm
+FROM acc GROUP BY lang
+"""
+
+
+@register("importance_resample", oracle=_IMP_RESAMPLE_ORACLE)
+def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-resampling materialization (DSIR, Xie et al. 2023):
+    accept each document with probability proportional to its
+    importance weight, via the deterministic gate ``md5(doc_id) % 1e6
+    < weight_ppm`` — reproducible across engines, runs, and
+    partitionings, and embarrassingly parallel (no sort, no global
+    state — the property that makes weighted selection feasible at
+    100 TB, unlike quota-based top-k selection which needs a global
+    order). Per-language audit: docs, kept docs, total and kept
+    importance mass, and the realized keep rate — kept mean quality
+    should exceed the population mean, which the two sums expose.
+
+    Scale shape: the weight and the accept bit both compute in-scan
+    (one md5 per doc; text never leaves the scan); the only exchange
+    is the |langs|-group rollup of 4 int64 partials."""
+    t = load_tables(spark, sf_dir)
+    q = F.expr(
+        "size(array_distinct(split(text, ' '))) * 1000000"
+        " div size(split(text, ' '))"
+    ).cast("bigint")
+    h = F.expr(
+        "cast(conv(substr(md5(concat('imprs_v1_',"
+        " cast(doc_id as string))), 1, 8), 16, 10) as bigint) % 1000000"
+    )
+    acc = t.documents.select(
+        "lang", q.alias("q"), (h < q).cast("int").alias("kept")
+    )
+    return acc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.sum("q").cast("bigint").alias("sum_q_ppm"),
+        F.sum(F.col("kept") * F.col("q")).cast("bigint").alias("sum_q_kept_ppm"),
+    ).select(
+        "lang",
+        "n_docs",
+        "n_kept",
+        "sum_q_ppm",
+        "sum_q_kept_ppm",
+        F.expr("n_kept * 1000000 div n_docs").alias("kept_ppm"),
+    )
+
+
+# ------------------------------------------------------------------- fim_plan
+
+# Fill-in-the-middle transform plan (Bavarian et al. 2022, "Efficient
+# Training of Language Models to Fill in the Middle"): per document,
+# two deterministic cut points split tokens into prefix/middle/suffix;
+# 90% of docs transform (the paper's FIM rate), half PSM / half SPM
+# order. Like span_corruption, this op emits the per-source ACCOUNTING
+# of the rearrangement (the example writer consumes the same cuts).
+_FIM_RATE_NUM, _FIM_RATE_DEN = 9, 10
+
+
+def _fim_h(salt: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{salt}',"
+        " cast(doc_id as string))), 1, 8), 16, 10) as bigint)"
+    )
+
+
+_FIM_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+         CAST('0x' || substr(md5('fim_a_' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS ha,
+         CAST('0x' || substr(md5('fim_b_' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hb,
+         CAST('0x' || substr(md5('fim_m_' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hm,
+         CAST('0x' || substr(md5('fim_r_' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) AS hr
+  FROM documents
+),
+cuts AS (
+  SELECT source, n,
+         CASE WHEN hr % {_FIM_RATE_DEN} < {_FIM_RATE_NUM} THEN 1 ELSE 0 END
+           AS fim,
+         hm % 2 AS spm,
+         LEAST(ha % (n + 1), hb % (n + 1)) AS lo,
+         GREATEST(ha % (n + 1), hb % (n + 1)) AS hi
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(fim) AS BIGINT) AS n_fim,
+       CAST(SUM(CASE WHEN fim = 1 AND spm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_psm,
+       CAST(SUM(CASE WHEN fim = 1 AND spm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_spm,
+       CAST(SUM(CASE WHEN fim = 1 THEN (hi - lo) * 1000000 // n
+                     ELSE 0 END) AS BIGINT) AS sum_middle_ppm
+FROM cuts GROUP BY source
+"""
+
+
+@register("fim_plan", oracle=_FIM_ORACLE)
+def fim_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transform plan (Bavarian et al. 2022): two
+    md5-derived cut points per document split tokens into
+    prefix/middle/suffix; {_FIM_RATE_NUM * 10}% of docs transform,
+    an independent md5 bit picks PSM vs SPM ordering. Per source:
+    docs, transformed docs, PSM/SPM split, and the total
+    middle-fraction mass (ppm) — the accounting the example writer
+    and the data card both need, reproducible across engines and
+    partitionings (span_corruption's salted-hash determinism recipe,
+    applied to the code-model FIM objective).
+
+    Scale shape: four md5s and the cut arithmetic run inside the
+    scan; only 5 int64 scalars leave per document and the single
+    exchange is the |sources|-group rollup."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "source",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n"),
+        F.expr(_fim_h("fim_a_")).alias("ha"),
+        F.expr(_fim_h("fim_b_")).alias("hb"),
+        (F.expr(_fim_h("fim_m_")) % 2).alias("spm"),
+        (
+            F.expr(_fim_h("fim_r_")) % _FIM_RATE_DEN < _FIM_RATE_NUM
+        ).cast("int").alias("fim"),
+    )
+    cuts = base.select(
+        "source",
+        "n",
+        "fim",
+        "spm",
+        F.least(F.expr("ha % (n + 1)"), F.expr("hb % (n + 1)")).alias("lo"),
+        F.greatest(F.expr("ha % (n + 1)"), F.expr("hb % (n + 1)")).alias("hi"),
+    )
+    return cuts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("fim").cast("bigint").alias("n_fim"),
+        F.sum(
+            F.when((F.col("fim") == 1) & (F.col("spm") == 0), 1).otherwise(0)
+        ).cast("bigint").alias("n_psm"),
+        F.sum(
+            F.when((F.col("fim") == 1) & (F.col("spm") == 1), 1).otherwise(0)
+        ).cast("bigint").alias("n_spm"),
+        F.sum(
+            F.when(
+                F.col("fim") == 1, F.expr("(hi - lo) * 1000000 div n")
+            ).otherwise(F.lit(0))
+        ).cast("bigint").alias("sum_middle_ppm"),
+    )
+
+
+# -------------------------------------------------------------- preference_bt
+
+# Bradley-Terry preference-strength fitting (Hunter 2004's MM update)
+# over dpo_pairs' synthetic preference games, aggregated to the SOURCE
+# level: each decided pair is a game where the higher-quality doc's
+# source beats the other's — the model RLHF reward pipelines fit to
+# turn pairwise win counts into per-competitor strengths (and the
+# Chatbot-Arena-style leaderboard estimator). Two MM iterations in
+# 1e6-scaled integers: pi'_i = W_i / sum_j n_ij/(pi_i + pi_j), every
+# division an integer floor, every product widened to decimal/HUGEINT
+# (the link_hits normalizer recipe — no int64 ceiling), then
+# max-normalized so both engines walk identical integers. A floor of
+# 1 keeps zero-win sources from zeroing later denominators (the
+# connected-comparison-graph assumption BT needs, enforced cheaply).
+_BT_S = 1_000_000
+_BT_S2 = _BT_S * _BT_S
+
+_BT_GAMES_SQL = """
+qd AS (
+  SELECT doc_id, lang, source,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+),
+paired AS (
+  SELECT q, q2, source, source2 FROM (
+    SELECT q, source,
+           LEAD(q) OVER (PARTITION BY lang ORDER BY doc_id) AS q2,
+           LEAD(source) OVER (PARTITION BY lang ORDER BY doc_id) AS source2,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM qd
+  ) WHERE rn % 2 = 1
+),
+g AS (
+  SELECT CASE WHEN q > q2 THEN source ELSE source2 END AS w,
+         CASE WHEN q > q2 THEN source2 ELSE source END AS l
+  FROM paired
+  WHERE q2 IS NOT NULL AND q <> q2 AND source <> source2
+),
+nodes AS (SELECT DISTINCT w AS s FROM g UNION SELECT DISTINCT l FROM g),
+wins AS (
+  SELECT nodes.s, CAST(COUNT(g.w) AS BIGINT) AS wn
+  FROM nodes LEFT JOIN g ON g.w = nodes.s GROUP BY nodes.s
+),
+edges AS (
+  SELECT s, o, CAST(COUNT(*) AS BIGINT) AS n FROM (
+    SELECT w AS s, l AS o FROM g UNION ALL SELECT l AS s, w AS l FROM g
+  ) GROUP BY s, o
+)"""
+
+
+def _bt_iter_sql(i: int, prev: str) -> str:
+    return f"""d{i} AS (
+  SELECT e.s,
+         SUM((CAST(e.n AS HUGEINT) * {_BT_S2}) // (a.pi + b.pi)) AS den
+  FROM edges e
+  JOIN {prev} a ON a.s = e.s
+  JOIN {prev} b ON b.s = e.o
+  GROUP BY e.s
+),
+r{i} AS (
+  SELECT d{i}.s,
+         GREATEST(CAST(1 AS BIGINT),
+           CAST((CAST(w.wn AS HUGEINT) * {_BT_S2}) // d{i}.den AS BIGINT))
+           AS pi
+  FROM d{i} JOIN wins w ON w.s = d{i}.s
+),
+n{i} AS (
+  SELECT s, CAST((CAST(pi AS HUGEINT) * {_BT_S})
+                 // (SELECT MAX(pi) FROM r{i}) AS BIGINT) AS pi
+  FROM r{i}
+)"""
+
+
+_BT_ORACLE = f"""
+WITH {_BT_GAMES_SQL},
+pi0 AS (SELECT s, CAST({_BT_S} AS BIGINT) AS pi FROM nodes),
+{_bt_iter_sql(1, 'pi0')},
+{_bt_iter_sql(2, 'n1')},
+games AS (SELECT s, CAST(SUM(n) AS BIGINT) AS ng FROM edges GROUP BY s)
+SELECT n2.s AS source, w.wn AS n_wins, games.ng AS n_games,
+       n2.pi AS bt_fp
+FROM n2 JOIN wins w ON w.s = n2.s JOIN games ON games.s = n2.s
+"""
+
+
+@register("preference_bt", oracle=_BT_ORACLE)
+def preference_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strength fitting over pairwise preference games
+    (Hunter 2004 MM; the Chatbot-Arena / reward-data leaderboard
+    estimator): dpo_pairs' adjacent-doc games roll up to source-level
+    win counts, then two MM iterations in 1e6-scaled integer
+    arithmetic (floor divisions, decimal/HUGEINT-widened products,
+    max-normalization) produce per-source strengths identical across
+    engines. Output per source: wins, games, and the fitted strength
+    — the ranking a preference-data card reports with margins
+    attached.
+
+    Scale shape: the ONE corpus-sized stage is the lang-keyed pairing
+    window over (lang, q, source) scalars (text never leaves the
+    scan); everything after — the win matrix (≤|sources|² rows), both
+    MM iterations, the normalizing max — lives on broadcast-sized
+    frames, so fitting cost is independent of corpus size, exactly
+    like link_hits' iterations over the bounded host graph."""
+    t = load_tables(spark, sf_dir)
+    qd = t.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' '))"
+        ).cast("bigint").alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = (
+        qd.select(
+            "q",
+            "source",
+            F.lead("q").over(w).alias("q2"),
+            F.lead("source").over(w).alias("source2"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(
+            (F.col("rn") % 2 == 1)
+            & F.col("q2").isNotNull()
+            & (F.col("q") != F.col("q2"))
+            & (F.col("source") != F.col("source2"))
+        )
+    )
+    g = paired.select(
+        F.when(F.col("q") > F.col("q2"), F.col("source"))
+        .otherwise(F.col("source2"))
+        .alias("w"),
+        F.when(F.col("q") > F.col("q2"), F.col("source2"))
+        .otherwise(F.col("source"))
+        .alias("l"),
+    )
+    # bounded frames from here on: cache g's rollups via persist-free
+    # reuse (each is one partial agg over the scalar game rows)
+    nodes = g.select(F.col("w").alias("s")).union(
+        g.select(F.col("l").alias("s"))
+    ).distinct()
+    wins = (
+        nodes.join(g, nodes.s == g.w, "left")
+        .groupBy("s")
+        .agg(F.count("w").cast("bigint").alias("wn"))
+    )
+    edges = (
+        g.select(F.col("w").alias("s"), F.col("l").alias("o"))
+        .unionAll(g.select(F.col("l").alias("s"), F.col("w").alias("o")))
+        .groupBy("s", "o")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ).persist()
+
+    pi = nodes.select("s", F.lit(_BT_S).cast("bigint").alias("pi"))
+    for _ in range(2):
+        den = (
+            edges.join(
+                F.broadcast(pi.withColumnRenamed("pi", "pi_s")), "s"
+            )
+            .join(
+                F.broadcast(
+                    pi.withColumnRenamed("s", "o").withColumnRenamed(
+                        "pi", "pi_o"
+                    )
+                ),
+                "o",
+            )
+            .select(
+                "s",
+                F.expr(
+                    f"cast((cast(n as decimal(38,0)) * {_BT_S2})"
+                    " div (pi_s + pi_o) as decimal(38,0))"
+                ).alias("term"),
+            )
+            .groupBy("s")
+            .agg(F.sum("term").alias("den"))
+        )
+        r = den.join(F.broadcast(wins), "s").select(
+            "s",
+            F.greatest(
+                F.lit(1).cast("bigint"),
+                F.expr(
+                    f"cast((cast(wn as decimal(38,0)) * {_BT_S2})"
+                    " div den as bigint)"
+                ),
+            ).alias("pi"),
+        )
+        mx = r.agg(F.max("pi").alias("mx"))
+        pi = r.crossJoin(F.broadcast(mx)).select(
+            "s",
+            F.expr(
+                f"cast((cast(pi as decimal(38,0)) * {_BT_S}) div mx"
+                " as bigint)"
+            ).alias("pi"),
+        )
+    games = edges.groupBy("s").agg(F.sum("n").cast("bigint").alias("ng"))
+    res = (
+        pi.join(F.broadcast(wins), "s")
+        .join(F.broadcast(games), "s")
+        .select(
+            F.col("s").alias("source"),
+            F.col("wn").alias("n_wins"),
+            F.col("ng").alias("n_games"),
+            F.col("pi").alias("bt_fp"),
+        )
+    )
+    return res

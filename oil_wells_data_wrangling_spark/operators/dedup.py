@@ -1936,3 +1936,81 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_other"),
     )
+
+
+# --------------------------------------------------------- soft_dedup_weights
+
+# SoftDeDup (He et al. 2024, "SoftDedup: an Efficient Data Reweighting
+# Method for Speeding Up Language Model Pretraining"): instead of
+# DROPPING duplicates, keep every copy and downweight it by its
+# cluster's commonness — w(doc) = 1/n_copies — so the sampled token
+# distribution matches the deduplicated one without losing coverage.
+# The per-source rollup is the report a mixture designer reads: how
+# much effective mass each source retains after reweighting.
+_SOFT_DEDUP_ORACLE = """
+WITH docs2 AS (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, source, text
+  FROM documents WHERE doc_id % 4 = 0
+),
+hashed AS (SELECT source, md5(text) AS h FROM docs2),
+c AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM hashed GROUP BY h)
+SELECT hashed.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(SUM(1000000 // c.n_copies) AS BIGINT) AS sum_weight_ppm,
+       CAST(SUM(1000000 // c.n_copies) // COUNT(*) AS BIGINT) AS eff_ppm
+FROM hashed JOIN c ON c.h = hashed.h
+GROUP BY hashed.source
+"""
+
+
+@register("soft_dedup_weights", oracle=_SOFT_DEDUP_ORACLE)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup reweighting (He et al. 2024): every document keeps a
+    sampling weight ``1e6 // n_copies`` of its exact-content cluster
+    instead of being dropped — the reweighted corpus matches the
+    deduplicated token distribution while keeping full coverage.
+    Per-source report: docs, duplicated docs, total retained mass
+    (ppm-weighted), and the effective retention ratio — the numbers
+    that decide whether a source is mostly mirrors before any
+    mixture weight is assigned. Dup synthesis mirrors dedup_exact
+    (every 4th doc re-appears under a shifted id).
+
+    Scale shape: text reduces to md5 inside the scan, so the
+    cluster-count shuffle and the count-back join carry (hash, source)
+    scalars only — the dedup_exact exchange run twice (once to count,
+    once to look up), both AQE-planned on the same key; the rollup is
+    a |sources|-group partial agg. Weights are integer ppm, exact on
+    both engines."""
+    base = load_tables(spark, sf_dir).documents.select(
+        "doc_id", "source", "text"
+    )
+    docs2 = base.unionAll(
+        base.filter(F.col("doc_id") % 4 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "source", "text"
+        )
+    )
+    hashed = docs2.select("source", F.md5("text").alias("h"))
+    c = hashed.groupBy("h").agg(F.count(F.lit(1)).alias("n_copies"))
+    w_ppm = F.expr("1000000 div n_copies")
+    return (
+        hashed.join(c, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum((F.col("n_copies") > 1).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_docs"),
+            F.sum(w_ppm).cast("bigint").alias("sum_weight_ppm"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_dup_docs",
+            "sum_weight_ppm",
+            F.expr("sum_weight_ppm div n_docs").alias("eff_ppm"),
+        )
+    )

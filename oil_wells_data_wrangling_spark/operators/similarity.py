@@ -2705,3 +2705,120 @@ def pq_encode_arrow(spark: SparkSession, emb: DataFrame, cb: DataFrame) -> DataF
     return emb.select("vec_id", "embedding").mapInPandas(
         _batches, schema="vec_id long, sub int, code long"
     )
+
+
+# ------------------------------------------------------------- kcenter_select
+
+# Greedy k-center coreset selection (Gonzalez 1985; the "diverse
+# subset" selector embedding-curation pipelines run to seed balanced
+# fine-tuning sets): start from the lowest vec_id, then repeatedly
+# take the point FARTHEST from everything already selected. The
+# selection radius sequence is the 2-approximation certificate of the
+# optimal k-center cost. Distances are squared L2 over 1e3-quantized
+# integer coordinates (the _SEM_XS recipe: round(e·1000) half-away-
+# from-zero agrees across engines), so the entire greedy trajectory
+# is bit-identical and oracle-checkable — no FP argmax ties to drift.
+_KC_XS = 1000
+_KC_PICKS = 4  # greedy picks after the seed
+
+_KC_XI_SPARK = (
+    f"transform(embedding, e -> cast(round(cast(e as double) * {_KC_XS})"
+    " as bigint))"
+)
+_KC_XI_DUCK = (
+    f"list_transform(embedding, e -> CAST(round(CAST(e AS DOUBLE) * {_KC_XS})"
+    " AS BIGINT))"
+)
+
+
+def _kc_oracle() -> str:
+    dist = (
+        f"CAST(list_sum(list_transform(range(1, {_DIM + 1}),"
+        " i -> ({a}.xi[i] - {b}.xi[i]) * ({a}.xi[i] - {b}.xi[i])))"
+        " AS BIGINT)"
+    )
+    ctes = [
+        f"q AS (SELECT vec_id, {_KC_XI_DUCK} AS xi FROM embeddings)",
+        "p0 AS (SELECT vec_id, xi FROM q ORDER BY vec_id LIMIT 1)",
+        f"""d0 AS (
+  SELECT q.vec_id, q.xi, {dist.format(a='q', b='p')} AS dmin
+  FROM q CROSS JOIN p0 p
+)""",
+    ]
+    for s in range(1, _KC_PICKS + 1):
+        ctes.append(
+            f"""p{s} AS (
+  SELECT vec_id, xi, dmin FROM d{s - 1}
+  ORDER BY dmin DESC, vec_id LIMIT 1
+)"""
+        )
+        if s < _KC_PICKS:
+            ctes.append(
+                f"""d{s} AS (
+  SELECT d.vec_id, d.xi,
+         LEAST(d.dmin, {dist.format(a='d', b='p')}) AS dmin
+  FROM d{s - 1} d CROSS JOIN p{s} p
+)"""
+            )
+    tail = ["SELECT CAST(0 AS INTEGER) AS pick, vec_id,"
+            " CAST(0 AS BIGINT) AS radius_sq FROM p0"]
+    for s in range(1, _KC_PICKS + 1):
+        tail.append(
+            f"SELECT CAST({s} AS INTEGER) AS pick, vec_id,"
+            f" dmin AS radius_sq FROM p{s}"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(tail)
+
+
+@register("kcenter_select", oracle=_kc_oracle())
+def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (Gonzalez 1985) over the
+    embedding table: seed = lowest vec_id, then _KC_PICKS rounds of
+    "take the point farthest (max-min squared L2) from the selected
+    set", ties to the lower vec_id. Output is the selection
+    trajectory — (pick order, vec_id, selection radius) — whose
+    radius column is the classic 2-approximation certificate and the
+    diminishing-returns curve a curation run reads to choose k.
+    Integer-quantized coordinates make the greedy argmax exact on
+    both engines.
+
+    Scale shape: each round is ONE distance-update projection against
+    the latest pick (inlined as a 64-literal constant — broadcast of
+    a 1-row table degenerated to codegen) plus one TakeOrdered(1) —
+    no shuffle except the single-row argmax reduction; the quantized
+    frame persists across rounds so the corpus scans once. Driver
+    state is k rows of 64 ints (the kmeans-centroid collect class).
+    k-center at a real 1e9-vector scale runs the identical plan —
+    cost is k corpus passes, the known lower bound for exact greedy
+    (approximations like k-center++ subsample between rounds; same
+    plan shape on a sampled frame)."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.select(
+        "vec_id", F.expr(_KC_XI_SPARK).alias("xi")
+    ).persist()
+    seed = q.orderBy("vec_id").limit(1).collect()[0]
+    picks = [(0, int(seed.vec_id), 0)]
+
+    def dist_to(xs: list) -> str:
+        arr = "array(" + ", ".join(f"{int(v)}L" for v in xs) + ")"
+        return (
+            f"aggregate(zip_with(xi, {arr}, (a, b) -> (a - b) * (a - b)),"
+            " 0L, (acc, v) -> acc + v)"
+        )
+
+    cur = q.select("vec_id", "xi", F.expr(dist_to(seed.xi)).alias("dmin"))
+    for s in range(1, _KC_PICKS + 1):
+        far = (
+            cur.orderBy(F.desc("dmin"), F.asc("vec_id")).limit(1).collect()[0]
+        )
+        picks.append((s, int(far.vec_id), int(far.dmin)))
+        if s < _KC_PICKS:
+            cur = cur.select(
+                "vec_id",
+                "xi",
+                F.least(F.col("dmin"), F.expr(dist_to(far.xi))).alias("dmin"),
+            )
+    q.unpersist()
+    return spark.createDataFrame(
+        picks, schema="pick int, vec_id bigint, radius_sq bigint"
+    )

@@ -2929,3 +2929,160 @@ def tokenizer_vocab_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "step int, a string, b string, n bigint, n_applied bigint,"
         " kept boolean",
     )
+
+
+# ------------------------------------------------------------ bloom_blocklist
+
+# Bloom-filter form of the blocklist gate — the 100 TB path when the
+# term list is too large to ship as a literal MAP: the list compresses
+# to a FIXED-size bitset (here a single 32-bit word, sized small on
+# purpose so false positives actually occur and the audit exercises
+# them — ~57% of probed tokens FP at this size, measured below; a
+# production list sizes m ≈ 1.44·n·log2(1/fpr)).
+# Membership is k=3 md5-derived bit probes; Bloom guarantees NO false
+# negatives, so the exact-match column is a strict lower bound and
+# the difference IS the false-positive count — measured, not assumed.
+# Half the terms exist in the synthetic vocabulary (real hits), half
+# don't (pure FP bait) — unlike _BLOCK_CATS, whose terms never occur,
+# so every counter here exercises a live path.
+_BF_TERMS = ("join", "hash", "slow", "error", "spam", "leak")
+_BF_BITS = 32
+_BF_WORD = 32  # bits per word: positions stay positive in int64
+_BF_K = 3
+
+
+def _bf_pos_spark(j: int, s: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('bf{j}_', {s})), 1, 8), 16, 10)"
+        f" as bigint) % {_BF_BITS}"
+    )
+
+
+def _bf_pos_duck(j: int, s: str) -> str:
+    return (
+        f"CAST('0x' || substr(md5('bf{j}_' || {s}), 1, 8) AS BIGINT)"
+        f" % {_BF_BITS}"
+    )
+
+
+def _bf_term_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in _BF_TERMS) + "]"
+
+
+_BLOOM_ORACLE = f"""
+WITH pos AS (
+  SELECT {_bf_pos_duck(0, 'term')} AS p FROM unnest({_bf_term_list()}) t(term)
+  UNION ALL
+  SELECT {_bf_pos_duck(1, 'term')} FROM unnest({_bf_term_list()}) t(term)
+  UNION ALL
+  SELECT {_bf_pos_duck(2, 'term')} FROM unnest({_bf_term_list()}) t(term)
+),
+bits AS (
+  SELECT p // {_BF_WORD} AS widx,
+         bit_or(CAST(1 AS BIGINT) << CAST(p % {_BF_WORD} AS INTEGER)) AS w
+  FROM pos GROUP BY p // {_BF_WORD}
+),
+tok AS (
+  SELECT source, unnest(string_split(text, ' ')) AS word FROM documents
+),
+probe AS (
+  SELECT source, word,
+         {_bf_pos_duck(0, 'word')} AS p0,
+         {_bf_pos_duck(1, 'word')} AS p1,
+         {_bf_pos_duck(2, 'word')} AS p2
+  FROM tok
+),
+h AS (
+  SELECT source,
+         CASE WHEN (COALESCE(b0.w, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p0 % {_BF_WORD} AS INTEGER))) <> 0
+               AND (COALESCE(b1.w, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p1 % {_BF_WORD} AS INTEGER))) <> 0
+               AND (COALESCE(b2.w, 0)
+                    & (CAST(1 AS BIGINT) << CAST(p2 % {_BF_WORD} AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS bloom_hit,
+         CASE WHEN word IN (SELECT term FROM unnest({_bf_term_list()}) t(term))
+              THEN 1 ELSE 0 END AS exact_hit
+  FROM probe
+  LEFT JOIN bits b0 ON b0.widx = p0 // {_BF_WORD}
+  LEFT JOIN bits b1 ON b1.widx = p1 // {_BF_WORD}
+  LEFT JOIN bits b2 ON b2.widx = p2 // {_BF_WORD}
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+       CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_pos
+FROM h GROUP BY source
+"""
+
+
+@register("bloom_blocklist", oracle=_BLOOM_ORACLE)
+def bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter blocklist probe — blocklist_filter's 100 TB form:
+    the term list compresses to a {_BF_BITS}-bit bitset ({_BF_K} md5
+    probes per member), deliberately undersized so false positives
+    occur and get AUDITED — per source: tokens, Bloom hits, exact
+    hits, and their difference (Bloom admits no false negatives, so
+    exact ≤ bloom always; the gap is the measured FP count a
+    production run sizes m against). The bitset builds DISTRIBUTED
+    (explode terms × probes → bit_or partial agg) and collapses to
+    {_BF_BITS // _BF_WORD} int64 words that inline into the probe
+    scan as an array literal — the broadcast degenerates to a
+    constant, so the probe is pure in-scan arithmetic: no join, no
+    exchange carrying tokens.
+
+    Scale shape: build cost is |terms|·{_BF_K} rows (nothing at any
+    corpus size); probe cost is {_BF_K} md5s per token inside the
+    scan; the only shuffle is the |sources|-group rollup of 4 int64
+    partials."""
+    t = load_tables(spark, sf_dir)
+    # distributed bitset build: terms explode against probe index,
+    # bit_or partial-aggs map-side; result is a bounded driver scalar
+    # (<= 4 words) like the kmeans centroid collects
+    terms = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in _BF_TERMS])).alias("term")
+    )
+    pos = terms.select(
+        F.explode(
+            F.array(
+                *[F.expr(_bf_pos_spark(j, "term")) for j in range(_BF_K)]
+            )
+        ).alias("p")
+    )
+    built = (
+        pos.groupBy(F.expr(f"p div {_BF_WORD}").alias("widx"))
+        .agg(F.expr(f"bit_or(shiftleft(1L, cast(p % {_BF_WORD} as int)))").alias("w"))
+        .collect()
+    )
+    words = [0] * (_BF_BITS // _BF_WORD)
+    for r in built:
+        words[int(r.widx)] = int(r.w)
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+
+    tok = t.documents.select(
+        "source", F.explode(F.split("text", " ")).alias("word")
+    ).withColumn("bf", arr)
+    checks = [
+        F.expr(
+            f"(element_at(bf, cast(({_bf_pos_spark(j, 'word')})"
+            f" div {_BF_WORD} as int) + 1)"
+            f" & shiftleft(1L, cast(({_bf_pos_spark(j, 'word')})"
+            f" % {_BF_WORD} as int))) != 0"
+        )
+        for j in range(_BF_K)
+    ]
+    bloom_hit = checks[0] & checks[1] & checks[2]
+    exact_hit = F.col("word").isin(*_BF_TERMS)
+    return tok.select(
+        "source",
+        bloom_hit.cast("int").alias("bloom_hit"),
+        exact_hit.cast("int").alias("exact_hit"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("bloom_hit").cast("bigint").alias("n_bloom_hits"),
+        F.sum("exact_hit").cast("bigint").alias("n_exact_hits"),
+        (F.sum("bloom_hit") - F.sum("exact_hit"))
+        .cast("bigint")
+        .alias("n_false_pos"),
+    )

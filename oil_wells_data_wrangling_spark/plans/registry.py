@@ -72,10 +72,9 @@ def _load_all() -> None:
 # the exact stale set the r10 verdict enumerated (latest < R-4 with
 # R = 11) — rotate in and retire the last r6 rows; (3) the remaining
 # slots start draining the 47-name r7 cohort alphabetically (ann_pq
-# .. important_parts here; the leftover 27 — late_arrival_audit,
-# local_supplier_volume, mix_report, normalize_keys, ... — rotate
-# in r12 alongside
-# that round's new operators). Everything past 50 keeps its old
+# .. events_burst here; the leftover 34 — excess_inventory_suppliers
+# onward alphabetically — rotate in r12 alongside that round's new
+# operators). Everything past 50 keeps its old
 # green row and stays covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
 # fails loudly (KeyError) rather than silently shrinking the window;
@@ -86,6 +85,14 @@ def _load_all() -> None:
 # bumps R before the N+1 rotation lands) cannot red the suite — the
 # r10 round ended with exactly that one red, by design but noisily.
 _WINDOW_PRIORITY = [
+    # -- new in round 11 (never driver-checked)
+    "soft_dedup_weights",
+    "importance_resample",
+    "fim_plan",
+    "bloom_blocklist",
+    "kcenter_select",
+    "preference_bt",
+    "stream_cdc_apply",
     # -- implementation touched in round 11 (r10 advice fixes)
     "embedding_outliers",
     "link_hits",
@@ -132,13 +139,6 @@ _WINDOW_PRIORITY = [
     "enrich_join",
     "events_ab_lift",
     "events_burst",
-    "excess_inventory_suppliers",
-    "extract_fields",
-    "extract_repeated",
-    "extract_stim",
-    "forecast_revenue",
-    "fuzzy_match_names",
-    "important_parts",
 ]
 
 
