@@ -72,8 +72,8 @@ def _load_all() -> None:
 # the exact stale set the r10 verdict enumerated (latest < R-4 with
 # R = 11) — rotate in and retire the last r6 rows; (3) the remaining
 # slots start draining the 47-name r7 cohort alphabetically (ann_pq
-# .. events_burst here; the leftover 34 — excess_inventory_suppliers
-# onward alphabetically — rotate in r12 alongside that round's new
+# .. enrich_join here; the leftover 36 — events_ab_lift onward
+# alphabetically — rotate in r12 alongside that round's new
 # operators). Everything past 50 keeps its old
 # green row and stays covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
@@ -93,9 +93,12 @@ _WINDOW_PRIORITY = [
     "kcenter_select",
     "preference_bt",
     "stream_cdc_apply",
-    # -- implementation touched in round 11 (r10 advice fixes)
+    # -- implementation touched in round 11 (r10 advice fixes + the
+    # sample-bounded registered PQ training, r10 verdict item 2)
     "embedding_outliers",
     "link_hits",
+    "pq_train",
+    "ann_pq_trained",
     # -- last driver row is round 6 (the full r10-verdict stale set)
     "events_window_agg",
     "fingerprint_diff",
@@ -137,8 +140,6 @@ _WINDOW_PRIORITY = [
     "dsir_weights",
     "embed_neardup",
     "enrich_join",
-    "events_ab_lift",
-    "events_burst",
 ]
 
 
