@@ -2439,6 +2439,7 @@ def pq_train_codebook(
     k: int = _PQ_K,
     iters: int = _PQT_ITERS,
     sample_n: int | None = None,
+    emb: DataFrame | None = None,
 ) -> DataFrame:
     """Train the PQ codebooks; returns (sub, code, cd double[8], n) —
     the frame ``ann_pq``-style encoders consume in place of the
@@ -2456,9 +2457,14 @@ def pq_train_codebook(
     corpus-bounded. The registered ``pq_train`` trains sample-bounded
     (sample_n=_PQT_SAMPLE_N — r10 verdict item 2): "first N vec_ids"
     replays exactly in DuckDB, so the oracle checks the identical
-    sampled walk."""
-    t = load_tables(spark, sf_dir)
-    emb = t.embeddings.select("vec_id", "embedding")
+    sampled walk.
+
+    ``emb`` overrides the input frame (vec_id, embedding) — the hook
+    the OPQ/rotation experiments train through (BASELINE.md round-11
+    rotation table); default is the sf_dir embeddings table."""
+    if emb is None:
+        t = load_tables(spark, sf_dir)
+        emb = t.embeddings.select("vec_id", "embedding")
     if sample_n is not None:
         emb = emb.filter(F.col("vec_id") < sample_n)
     sub_rows = _pqt_sub_rows(emb).persist()

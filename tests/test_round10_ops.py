@@ -457,3 +457,21 @@ def test_pq_encode_arrow_equals_sql(spark, sf_dir):
             for r in pq_encode_arrow(spark, emb, cb).collect()
         )
         assert arrow_rows == sql_rows
+
+
+def test_pq_recall_grows_with_k(spark, sf_dir):
+    """The production-K recall claim (r10 verdict item 3): recall@5
+    must not degrade as the codebook widens 16 -> 256 — the measured
+    table (standin 0.081, K=16 0.106, K=64 0.250, K=256 0.338 at
+    sf0.1; scripts/r11_pq_recall.py) lives in BASELINE.md. The fixed
+    signed-permutation rotation (OPQ's RR baseline) measured 0.181 at
+    K=64 vs 0.250 unrotated — rotation hurts here, so no rotation
+    operator landed (BASELINE.md round-11 OPQ decision)."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        pq_train_codebook,
+    )
+
+    r16 = _pq_recall(spark, sf_dir, pq_train_codebook(spark, sf_dir, k=16))
+    r256 = _pq_recall(spark, sf_dir, pq_train_codebook(spark, sf_dir, k=256))
+    print(f"PQ recall@5 K=16={r16:.4f} K=256={r256:.4f}")
+    assert r256 >= r16, (r256, r16)
