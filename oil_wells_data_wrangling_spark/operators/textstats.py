@@ -3086,3 +3086,263 @@ def bloom_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_false_pos"),
     )
+
+
+# ------------------------------------------------------------- ulm_train_steps
+
+# Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer training — the
+# OTHER production tokenizer algorithm next to the BPE family, with
+# the bpe_train_steps loop discipline: the corpus is touched ONCE (the
+# word-frequency count); every EM iteration runs on the DISTINCT
+# vocabulary. Deterministic Viterbi-EM in integer arithmetic:
+#
+# - piece scores are the dsir_weights log surrogate
+#   length(bin(cnt+1)) − length(bin(T+1)) (floor-log2 of the count
+#   minus floor-log2 of the total — an integer log-likelihood, so the
+#   per-piece penalty that makes Viterbi prefer fewer/longer pieces
+#   is exact on both engines, no libm);
+# - the E-step counts a piece instance iff it lies on an OPTIMAL
+#   segmentation: dpF[s] + score + dpB[s+l] == dpF[n], where dpF/dpB
+#   are forward/backward Viterbi prefix/suffix bests — a closed-form
+#   membership test that needs NO backtracking and is tie-stable
+#   (co-optimal paths all count, identically in both engines);
+# - both DP chains unroll as lateral-alias column chains over the
+#   _ULM_CAP-char word prefix (the HITS/pqt unrolled-iteration
+#   recipe, applied to a per-row recurrence).
+_ULM_CAP = 12   # word prefix the DP runs over (chars)
+_ULM_LMAX = 3   # max piece length
+_ULM_ITERS = 2  # EM rounds after the seed count
+_ULM_V = 48     # output vocabulary size
+
+
+def _ulm_max(terms: list[str]) -> str:
+    return terms[0] if len(terms) == 1 else "greatest(" + ", ".join(terms) + ")"
+
+
+def _ulm_level(i: int, lk) -> tuple[str, str]:
+    """The (f_i, g_i) expressions for DP level i, referencing the
+    PREVIOUS levels as real columns — one projection per level, so
+    neither engine's alias substitution can expand the recurrence
+    into a 3^CAP-node expression tree (measured: the flat
+    lateral-alias form cost 13s Spark / 8s DuckDB on a 31-word
+    vocabulary; per-level projections are sub-second)."""
+    f_terms = [
+        f"f{i - l} + {lk(f'substr(word, {i - l + 1}, {l})')}"
+        for l in range(1, min(_ULM_LMAX, i) + 1)
+    ]
+    g_terms = [
+        f"g{i - l} + {lk(f'substr(word, n - {i} + 1, {l})')}"
+        for l in range(1, min(_ULM_LMAX, i) + 1)
+    ]
+    return (
+        f"case when n >= {i} then {_ulm_max(f_terms)} end as f{i}",
+        f"case when n >= {i} then {_ulm_max(g_terms)} end as g{i}",
+    )
+
+
+def _ulm_oracle() -> str:
+    # every CTE is MATERIALIZED: with default per-reference inlining
+    # the round-r tree re-expands round r-1 once per map lookup
+    # (measured: 45s and an OOM risk at sf0.01; materialized: fast)
+    lk = lambda s: f"m[{s}][1]"
+    fa = "[" + ", ".join(f"f{i}" for i in range(_ULM_CAP + 1)) + "]"
+    ga = "[" + ", ".join(f"g{j}" for j in range(_ULM_CAP + 1)) + "]"
+    ctes = [
+        f"""words AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT substr(w, 1, {_ULM_CAP}) AS word FROM (
+      SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  ) GROUP BY word
+)""",
+        f"""inst AS MATERIALIZED (
+  SELECT w.word, w.freq, u.s, v.l, substr(w.word, u.s + 1, v.l) AS piece
+  FROM words w,
+       UNNEST(range(0, length(w.word))) AS u(s),
+       UNNEST([{", ".join(str(l) for l in range(1, _ULM_LMAX + 1))}]) AS v(l)
+  WHERE u.s + v.l <= length(w.word)
+)""",
+        """cnt0 AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS cnt FROM inst GROUP BY piece
+)""",
+    ]
+    prev = "cnt0"
+    for r in range(1, _ULM_ITERS + 1):
+        ctes.append(
+            f"""sc{r - 1} AS MATERIALIZED (
+  SELECT piece, CAST(length(bin(cnt + 1)) -
+    (SELECT length(bin(CAST(SUM(cnt) AS BIGINT) + 1)) FROM {prev})
+    AS BIGINT) AS sc
+  FROM {prev}
+)"""
+        )
+        ctes.append(
+            f"""m{r - 1} AS MATERIALIZED (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := sc))) AS m
+  FROM sc{r - 1}
+)"""
+        )
+        ctes.append(
+            f"""dp{r}l0 AS MATERIALIZED (
+  SELECT w.word, w.freq, length(w.word) AS n, mm.m AS m,
+         CAST(0 AS BIGINT) AS f0, CAST(0 AS BIGINT) AS g0
+  FROM words w CROSS JOIN m{r - 1} mm
+)"""
+        )
+        for i in range(1, _ULM_CAP + 1):
+            fe, ge = _ulm_level(i, lk)
+            ctes.append(
+                f"""dp{r}l{i} AS MATERIALIZED (
+  SELECT *, {fe}, {ge} FROM dp{r}l{i - 1}
+)"""
+            )
+        ctes.append(
+            f"""dp{r} AS MATERIALIZED (
+  SELECT word, freq, n, {fa} AS fa, {ga} AS ga FROM dp{r}l{_ULM_CAP}
+)"""
+        )
+        ctes.append(
+            f"""cnt{r} AS MATERIALIZED (
+  SELECT c.piece, COALESCE(u.c, 0) AS cnt FROM cnt0 c LEFT JOIN (
+    SELECT i.piece, CAST(SUM(i.freq) AS BIGINT) AS c
+    FROM inst i
+    JOIN dp{r} w ON w.word = i.word
+    JOIN sc{r - 1} s ON s.piece = i.piece
+    WHERE w.fa[i.s + 1] + s.sc + w.ga[w.n - i.s - i.l + 1] = w.fa[w.n + 1]
+    GROUP BY i.piece
+  ) u ON u.piece = c.piece
+)"""
+        )
+        prev = f"cnt{r}"
+    ctes.append(
+        f"""scf AS MATERIALIZED (
+  SELECT piece, cnt, CAST(length(bin(cnt + 1)) -
+    (SELECT length(bin(CAST(SUM(cnt) AS BIGINT) + 1)) FROM {prev})
+    AS BIGINT) AS sc
+  FROM {prev}
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT piece, n_used, score_fp FROM (
+  SELECT piece, cnt AS n_used, sc AS score_fp,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+  FROM scf
+) WHERE rn <= {_ULM_V}
+"""
+    )
+
+
+@register("ulm_train_steps", oracle=_ulm_oracle())
+def ulm_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (SentencePiece, Kudo 2018) —
+    Viterbi-EM over the char 1..{_ULM_LMAX}-gram seed vocabulary:
+    each EM round scores every candidate piece with the integer
+    log-likelihood surrogate, Viterbi-segments every DISTINCT word
+    (forward + backward DP as lateral-alias column chains over the
+    {_ULM_CAP}-char prefix), and re-counts pieces that lie on an
+    optimal segmentation (the dpF[s] + sc + dpB[e] == dpF[n]
+    membership test — exact, tie-stable, backtrack-free). Output is
+    the top-{_ULM_V} learned vocabulary with usage counts and final
+    scores — BPE's production sibling, same loop discipline.
+
+    Scale shape: the ONE corpus-sized stage is the word-frequency
+    count (explode + partial agg — vocab_topk's exchange); the seed
+    instance table, both DP frames, and every EM round are bounded by
+    the DISTINCT vocabulary × {_ULM_CAP}×{_ULM_LMAX} instances, and
+    the score table broadcasts as ONE map row (the bpe_train_steps
+    discipline: corpus once, iterations vocab-bounded, no driver
+    loop at all — the EM rounds unroll into the plan)."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t.documents.select(
+            F.explode(F.split("text", " ")).alias("w")
+        )
+        .select(F.expr(f"substr(w, 1, {_ULM_CAP})").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    inst = words.select(
+        "word",
+        "freq",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(0, length(word) - 1),"
+                f" s -> filter(transform(sequence(1, {_ULM_LMAX}),"
+                f" l -> struct(s, l, substr(word, s + 1, l) as piece)),"
+                f" x -> x.s + x.l <= length(word))))"
+            )
+        ).alias("i"),
+    ).select("word", "freq", "i.s", "i.l", "i.piece").persist()
+    cnt = inst.groupBy("piece").agg(F.sum("freq").alias("cnt"))
+
+    lk = lambda s: f"m[{s}]"
+    fa = "array(" + ", ".join(f"f{i}" for i in range(_ULM_CAP + 1)) + ") as fa"
+    ga = "array(" + ", ".join(f"g{j}" for j in range(_ULM_CAP + 1)) + ") as ga"
+    cnt0 = cnt
+    for _ in range(_ULM_ITERS):
+        tot = cnt.agg(
+            F.expr("length(bin(sum(cnt) + 1))").alias("lt")
+        )
+        sc = cnt.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.expr("cast(length(bin(cnt + 1)) - lt as bigint)").alias("sc"),
+        )
+        m = sc.agg(
+            F.expr("map_from_entries(collect_list(struct(piece, sc)))").alias(
+                "m"
+            )
+        )
+        # one projection per DP level (see _ulm_level): a flat
+        # lateral-alias chain re-expands the recurrence exponentially
+        # during alias resolution
+        dp = words.crossJoin(F.broadcast(m)).selectExpr(
+            "word",
+            "freq",
+            "length(word) as n",
+            "m",
+            "cast(0 as bigint) as f0",
+            "cast(0 as bigint) as g0",
+        )
+        for i in range(1, _ULM_CAP + 1):
+            fe, ge = _ulm_level(i, lk)
+            dp = dp.selectExpr("*", fe, ge)
+        dp = dp.selectExpr("word", "n", fa, ga)
+        used = (
+            inst.join(dp, "word")
+            .join(F.broadcast(sc), "piece")
+            .filter(
+                F.expr(
+                    "element_at(fa, s + 1) + sc"
+                    " + element_at(ga, n - s - l + 1)"
+                    " = element_at(fa, n + 1)"
+                )
+            )
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("c"))
+        )
+        # localCheckpoint per EM round (the bpe_train_steps
+        # discipline): each round's broadcast aggs would otherwise
+        # re-optimize the whole prior-round plan per action
+        cnt = cnt0.select("piece").join(used, "piece", "left").select(
+            "piece", F.coalesce("c", F.lit(0)).cast("bigint").alias("cnt")
+        ).localCheckpoint(eager=True)
+    tot = cnt.agg(F.expr("length(bin(sum(cnt) + 1))").alias("lt"))
+    scf = cnt.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.col("cnt").alias("n_used"),
+        F.expr("cast(length(bin(cnt + 1)) - lt as bigint)").alias("score_fp"),
+    )
+    res = (
+        scf.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n_used").desc(), F.col("piece"))
+            ),
+        )
+        .filter(F.col("rn") <= _ULM_V)
+        .select("piece", "n_used", "score_fp")
+    )
+    return res

@@ -1,0 +1,169 @@
+"""Round-11 operator tests: an INDEPENDENT pure-Python reference for
+ulm_train_steps (the strongest depth check — a second implementation,
+not a second run), plus semantic property tests for the new ops that
+oracle parity alone can't express (Bloom's no-false-negative guarantee,
+k-center's monotone radii, BT's win-order sanity)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+
+def _ulm_reference(texts: list[str]):
+    """Pure-Python ulm_train_steps: same integer rules, no Spark."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _ULM_CAP,
+        _ULM_ITERS,
+        _ULM_LMAX,
+        _ULM_V,
+    )
+
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            words[w[:_ULM_CAP]] += 1
+
+    def instances(w):
+        for s in range(len(w)):
+            for l in range(1, _ULM_LMAX + 1):
+                if s + l <= len(w):
+                    yield s, l, w[s : s + l]
+
+    cnt0 = Counter()
+    for w, f in words.items():
+        for _, _, p in instances(w):
+            cnt0[p] += f
+
+    def intlog(x: int) -> int:
+        return len(bin(x + 1)) - 2  # bin() prefixes '0b'
+
+    cnt = dict(cnt0)
+    for _ in range(_ULM_ITERS):
+        lt = intlog(sum(cnt.values()))
+        sc = {p: intlog(c) - lt for p, c in cnt.items()}
+        new = {p: 0 for p in cnt0}
+        for w, f in words.items():
+            n = len(w)
+            dpf = [0] + [None] * n
+            for i in range(1, n + 1):
+                dpf[i] = max(
+                    dpf[i - l] + sc[w[i - l : i]]
+                    for l in range(1, min(_ULM_LMAX, i) + 1)
+                )
+            dpb = [None] * n + [0]
+            for i in range(n - 1, -1, -1):
+                dpb[i] = max(
+                    dpb[i + l] + sc[w[i : i + l]]
+                    for l in range(1, min(_ULM_LMAX, n - i) + 1)
+                )
+            for s, l, p in instances(w):
+                if dpf[s] + sc[p] + dpb[s + l] == dpf[n]:
+                    new[p] += f
+        cnt = new
+    lt = intlog(sum(cnt.values()))
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_ULM_V]
+    return {(p, c, intlog(c) - lt) for p, c in ranked}
+
+
+def test_ulm_matches_pure_python_reference(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        ulm_train_steps,
+    )
+
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    expect = _ulm_reference(texts)
+    got = {
+        (r.piece, r.n_used, r.score_fp)
+        for r in ulm_train_steps(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_ulm_every_word_segmentable(spark, sf_dir):
+    """Single-char pieces are always in the seed vocabulary, so every
+    word must admit a segmentation: the learned vocab's single-char
+    pieces must cover the corpus alphabet."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _ULM_CAP,
+        ulm_train_steps,
+    )
+
+    vocab = {r.piece for r in ulm_train_steps(spark, sf_dir).collect()}
+    alphabet = set()
+    for r in (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ):
+        for w in r.text.split(" "):
+            alphabet |= set(w[:_ULM_CAP])
+    # top-V keeps the heavy pieces; chars used by ANY optimal path
+    # survive EM with nonzero counts — the corpus alphabet is small
+    # enough here that all of it ranks inside V
+    assert alphabet <= {p for p in vocab if len(p) == 1} | {
+        p[i] for p in vocab for i in range(len(p))
+    }
+
+
+def test_bloom_blocklist_no_false_negatives(spark, sf_dir):
+    """Bloom's contract: every exact hit is a bloom hit, per source —
+    n_exact_hits <= n_bloom_hits and n_false_pos = bloom - exact >= 0."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        bloom_blocklist,
+    )
+
+    for r in bloom_blocklist(spark, sf_dir).collect():
+        assert r.n_exact_hits <= r.n_bloom_hits
+        assert r.n_false_pos == r.n_bloom_hits - r.n_exact_hits
+
+
+def test_kcenter_radii_monotone_nonincreasing(spark, sf_dir):
+    """Greedy k-center's selection radius sequence never increases
+    (each pick removes the farthest point): the 2-approx certificate
+    the docstring sells must actually hold."""
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        kcenter_select,
+    )
+
+    rows = sorted(kcenter_select(spark, sf_dir).collect(), key=lambda r: r.pick)
+    radii = [r.radius_sq for r in rows[1:]]  # seed has radius 0 by def
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert len({r.vec_id for r in rows}) == len(rows)  # picks distinct
+
+
+def test_preference_bt_strengths_respect_dominance(spark, sf_dir):
+    """The max-normalized top strength is exactly 1e6, every strength
+    is in [1, 1e6], and a source that never wins sits at the floor."""
+    from oil_wells_data_wrangling_spark.operators.corpus import (
+        preference_bt,
+    )
+
+    rows = preference_bt(spark, sf_dir).collect()
+    assert rows
+    assert max(r.bt_fp for r in rows) == 1_000_000
+    for r in rows:
+        assert 1 <= r.bt_fp <= 1_000_000
+        assert 0 <= r.n_wins <= r.n_games
+        if r.n_wins == 0:
+            assert r.bt_fp == 1
+
+
+def test_stream_cdc_matches_batch(spark, sf_dir):
+    """The streaming snapshot must equal batch cdc_apply row-for-row —
+    the exactly-incremental property, checked engine-side (the oracle
+    checks it against DuckDB; this checks Spark against Spark)."""
+    from oil_wells_data_wrangling_spark.operators.analytics import (
+        cdc_apply,
+        stream_cdc_apply,
+    )
+
+    batch = sorted(map(tuple, cdc_apply(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, stream_cdc_apply(spark, sf_dir).collect()))
+    assert stream == batch
