@@ -1251,3 +1251,170 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_b",
         F.expr("cast(bit_count(fa ^ fb) as bigint)").alias("hamming"),
     ).filter(F.col("hamming") <= _AE_HAMMING_MAX)
+
+
+# ------------------------------------------------------------ mm_caption_align
+
+# Cross-modal pair audit (CLIP-score-shaped): every (image, caption)
+# pair gets an alignment score from deterministic integer stub
+# embeddings — 8×12-bit image features from the decoded bytes, 8×12-bit
+# caption features from salted md5 — and is audited against a
+# MISMATCHED caption (the next doc's, within source): a pair whose
+# mismatched score is no worse than its own caption's is SUSPECT, the
+# signal caption-pair curation drops or re-captions. The comparison is
+# cosine-order-exact WITHOUT sqrt or FP: with one shared image vector,
+# cos_m >= cos_x  <=>  dot_m² · ‖t_x‖² >= dot_x² · ‖t_m‖²  (all dots
+# non-negative here), evaluated in arbitrary-precision ints (Python) /
+# HUGEINT (DuckDB) — the model_score contract: a deterministic stub
+# stands in for the model so the WHOLE path has an exact oracle, and
+# the image-feature function is the single swap point for a real
+# encoder. Real PNG payloads route through decode_png and take their
+# features from DECODED PIXELS (tests/test_round11_ops.py drives
+# genuine PNGs distributed); anything else uses the raw bytes, which
+# is what the md5-payload oracle replays.
+_CA_DIMS = 8
+_CA_MOD = 4096
+
+
+def _ca_img_vec(payload: bytes) -> list[int]:
+    """8×12-bit image features: from decoded pixels when a real
+    decoder claims the payload, else from the raw bytes (the stub/
+    oracle path). Big-endian 16-bit words mod 4096."""
+    img = decode_image(payload)
+    src = img["pixels"] if img and "pixels" in img else payload
+    src = (src + b"\x00" * (2 * _CA_DIMS))[: 2 * _CA_DIMS]
+    return [
+        ((src[2 * d] << 8) | src[2 * d + 1]) % _CA_MOD
+        for d in range(_CA_DIMS)
+    ]
+
+
+def _ca_txt_vec(caption: str) -> list[int]:
+    import hashlib
+
+    return [
+        int(
+            hashlib.md5(f"cap{d}_{caption}".encode()).hexdigest()[:8], 16
+        ) % _CA_MOD
+        for d in range(_CA_DIMS)
+    ]
+
+
+def caption_align_features(pairs: DataFrame) -> DataFrame:
+    """Arrow kernel over (source, payload, caption, caption_x) rows:
+    integer dot products of the image vector against both captions and
+    the exact suspect decision. Pure-int arithmetic — no FP, no
+    rounding mode to drift."""
+
+    def _batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"source": [], "suspect": [], "dot_m": [], "dot_x": []}
+            for src_name, payload, cap, cap_x in zip(
+                pdf["source"], pdf["payload"], pdf["caption"], pdf["caption_x"]
+            ):
+                v = _ca_img_vec(bytes(payload))
+                tm = _ca_txt_vec(cap)
+                tx = _ca_txt_vec(cap_x)
+                dot_m = sum(a * b for a, b in zip(v, tm))
+                dot_x = sum(a * b for a, b in zip(v, tx))
+                nt_m = sum(a * a for a in tm)
+                nt_x = sum(a * a for a in tx)
+                out["source"].append(src_name)
+                out["suspect"].append(
+                    int(dot_x * dot_x * nt_m >= dot_m * dot_m * nt_x)
+                )
+                out["dot_m"].append(dot_m)
+                out["dot_x"].append(dot_x)
+            yield pd.DataFrame(out)
+
+    return pairs.mapInPandas(
+        _batches,
+        schema="source string, suspect int, dot_m long, dot_x long",
+    )
+
+
+def _ca_vec_sql(d: int, cap_expr: str) -> str:
+    return (
+        f"(CAST('0x' || substr(md5('cap{d}_' || {cap_expr}), 1, 8)"
+        f" AS BIGINT) % {_CA_MOD})"
+    )
+
+
+def _ca_img_sql(d: int) -> str:
+    # byte pair (2d, 2d+1) of the md5 digest = hex chars 4d+1 .. 4d+4
+    return (
+        f"(CAST('0x' || substr(md5(text), {4 * d + 1}, 4) AS BIGINT)"
+        f" % {_CA_MOD})"
+    )
+
+
+def _ca_oracle() -> str:
+    dot = lambda vf, tf: " + ".join(
+        f"{vf(d)} * {tf(d)}" for d in range(_CA_DIMS)
+    )
+    nrm = lambda tf: " + ".join(f"{tf(d)} * {tf(d)}" for d in range(_CA_DIMS))
+    tm = lambda d: _ca_vec_sql(d, "text")
+    tx = lambda d: _ca_vec_sql(d, "cap2")
+    return f"""
+WITH p AS (
+  SELECT source, text,
+         LEAD(text) OVER (PARTITION BY source ORDER BY doc_id) AS cap2
+  FROM documents
+),
+v AS (
+  SELECT source,
+         CAST({dot(_ca_img_sql, tm)} AS BIGINT) AS dot_m,
+         CAST({dot(_ca_img_sql, tx)} AS BIGINT) AS dot_x,
+         CAST({nrm(tm)} AS BIGINT) AS nt_m,
+         CAST({nrm(tx)} AS BIGINT) AS nt_x
+  FROM p WHERE cap2 IS NOT NULL
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN CAST(dot_x AS HUGEINT) * dot_x * nt_m
+                       >= CAST(dot_m AS HUGEINT) * dot_m * nt_x
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+       CAST(SUM(dot_m) AS BIGINT) AS sum_dot_m,
+       CAST(SUM(dot_x) AS BIGINT) AS sum_dot_x
+FROM v GROUP BY source
+"""
+
+
+@register("mm_caption_align", oracle=_ca_oracle())
+def mm_caption_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal (image, caption) alignment audit — the CLIP-score
+    gate caption-pair corpora run before training: each image scores
+    against its own caption AND a mismatched one (next doc in-source);
+    pairs where the mismatch wins are SUSPECT. Deterministic integer
+    stub embeddings on both sides (model_score's contract — exact
+    oracle over the whole path, single swap point for real encoders);
+    real PNG payloads take image features from decoded pixels.
+    Per source: pairs, suspects, and both dot-product masses.
+
+    Scale shape: the caption pairing is one source-keyed window over
+    (source, text) rows; the Arrow exchange carries payload bytes +
+    two captions per row (map-only, partition-inherited — no shuffle
+    until the |sources|-group rollup); scoring is integer arithmetic
+    per pair, embarrassingly parallel, and a real encoder slots in at
+    `_ca_img_vec`/`_ca_txt_vec` with batch-amortized dispatch."""
+    t = load_tables(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    pairs = (
+        t.documents.select(
+            "doc_id",
+            "source",
+            F.unhex(F.md5("text")).alias("payload"),
+            F.col("text").alias("caption"),
+        )
+        .withColumn("caption_x", F.lead("caption").over(w))
+        .filter(F.col("caption_x").isNotNull())
+        .select("source", "payload", "caption", "caption_x")
+    )
+    return caption_align_features(pairs).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("suspect").cast("bigint").alias("n_suspect"),
+        F.sum("dot_m").cast("bigint").alias("sum_dot_m"),
+        F.sum("dot_x").cast("bigint").alias("sum_dot_x"),
+    )

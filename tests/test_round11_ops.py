@@ -8,9 +8,6 @@ from __future__ import annotations
 
 from collections import Counter
 
-from pyspark.sql import functions as F
-
-
 def _ulm_reference(texts: list[str]):
     """Pure-Python ulm_train_steps: same integer rules, no Spark."""
     from oil_wells_data_wrangling_spark.operators.textstats import (
@@ -167,3 +164,54 @@ def test_stream_cdc_matches_batch(spark, sf_dir):
     batch = sorted(map(tuple, cdc_apply(spark, sf_dir).collect()))
     stream = sorted(map(tuple, stream_cdc_apply(spark, sf_dir).collect()))
     assert stream == batch
+
+
+def test_caption_align_real_png_uses_decoded_pixels(spark):
+    """Real PNG payloads must take image features from DECODED pixels,
+    not raw file bytes (the decode hook mm_caption_align sells): the
+    same pixels re-compressed at a different zlib level give different
+    FILE bytes but must produce the IDENTICAL feature vector, and that
+    vector must differ from the raw-bytes stub interpretation."""
+    import struct
+    import zlib
+
+    from oil_wells_data_wrangling_spark.operators.multimodal import (
+        _ca_img_vec,
+        caption_align_features,
+    )
+    from tests.test_multimodal_real import _chunk, _gradient, encode_png
+
+    px = _gradient(8, 4)
+    png = encode_png(8, 4, px)
+
+    # rebuild with the IDAT re-compressed at level 1: same pixels,
+    # different bytes
+    raw = b"".join(
+        b"\x00" + px[y * 8 * 3 : (y + 1) * 8 * 3] for y in range(4)
+    )
+    ihdr = struct.pack(">IIBBBBB", 8, 4, 8, 2, 0, 0, 0)
+    png2 = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw, 1))
+        + _chunk(b"IEND", b"")
+    )
+    assert png2 != png
+    v_pixels = _ca_img_vec(png)
+    assert _ca_img_vec(png2) == v_pixels  # features follow pixels, not bytes
+    padded = png + b"\x00" * 16
+    v_raw = [
+        ((padded[2 * d] << 8) | padded[2 * d + 1]) % 4096 for d in range(8)
+    ]
+    assert v_pixels != v_raw  # decode hook actually fired
+
+    rows = [
+        ("srcA", bytearray(png), "a scenic caption", "wrong caption"),
+        ("srcA", bytearray(b"not a png"), "plain caption", "other caption"),
+    ]
+    df = spark.createDataFrame(
+        rows, "source string, payload binary, caption string, caption_x string"
+    ).repartition(2)
+    rows_out = caption_align_features(df).collect()
+    assert len(rows_out) == 2  # one scored row per pair, both paths
+    assert all(r.dot_m >= 0 and r.dot_x >= 0 for r in rows_out)
