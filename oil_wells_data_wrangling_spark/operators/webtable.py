@@ -554,3 +554,117 @@ def stream_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out_rows, "wave int, n_new_records bigint"
     )
+
+
+# ---------------------------------------------------------- stream_crawl_corpus
+
+
+@register("stream_crawl_corpus", oracle=_CRAWL_CORPUS_ORACLE)
+def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl → corpus composition as a STREAM — stream_warc_ingest's
+    exactly-once front door continued through the corpus back end:
+    archives arrive in two delivery waves (even doc_ids first; every
+    4th doc's second-URI crawl dup arrives in wave 2, so HALF the dups
+    cross waves and must hit persisted state, the other half dedup
+    batch-locally), and each micro-batch's ``foreachBatch`` strips,
+    lang-enriches, quality-filters, and MERGES per-hash rows into a
+    persisted md5 dedup state table (min lang / min n_tokens / summed
+    n_copies — associative merges, so arrival order cannot change the
+    fixed point). The final per-language corpus stats must equal batch
+    ``crawl_to_corpus`` over the union — the same oracle checks both,
+    the exactly-incremental property.
+
+    Scale shape: the stream inherits read_warc's zero-shuffle parse;
+    per batch the state merge is one h-keyed agg over |state| + |batch|
+    rows of 4 scalars (payload text never enters the state — the
+    dedup_exact argument, incrementally); the snapshot rewrite per
+    batch is the plain-parquet stand-in for a lakehouse MERGE
+    (stream_cdc_apply's documented trade). Demo-harness caveats as
+    stream_warc_ingest (driver tempdir, waves written at plan time)."""
+    import os
+    import shutil
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc_stream,
+        write_warc,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pages = _synth_pages(t)
+    dups = pages.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id",
+        F.concat("target_uri", F.lit("?ref=dup")).alias("target_uri"),
+        "html",
+    )
+    lang_sidecar = t.documents.select("doc_id", "lang")
+    work = tempfile.mkdtemp(prefix="stream_crawl_")
+    arch = os.path.join(work, "crawl")
+    ckpt = os.path.join(work, "ckpt")
+    state = {"cur": None, "gen": 0}
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        resp = batch_df.filter(
+            (F.col("warc_type") == "response") & (F.col("http_status") == 200)
+        )
+        stripped = resp.select(
+            F.regexp_extract("target_uri", r"/d/(\d+)", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            _strip_html(F.col("payload").cast("string")).alias("clean"),
+        )
+        words = F.split("clean", " ")
+        quality = stripped.join(F.broadcast(lang_sidecar), "doc_id").filter(
+            (F.size(words) >= 20)
+            & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
+        )
+        batch_h = quality.select(
+            F.md5("clean").alias("h"),
+            "lang",
+            F.size(F.split("clean", " ")).alias("n_tokens"),
+        ).groupBy("h").agg(
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        merged = batch_h
+        if state["cur"] is not None:
+            merged = batch_h.unionByName(sp.read.parquet(state["cur"]))
+        merged = merged.groupBy("h").agg(
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.sum("n_copies").alias("n_copies"),
+        )
+        state["gen"] += 1
+        out = os.path.join(work, f"state_v{state['gen']}")
+        merged.write.parquet(out)
+        old, state["cur"] = state["cur"], out
+        if old:
+            shutil.rmtree(old, ignore_errors=True)
+
+    for wave, parity in ((1, 0), (2, 1)):
+        crawl = pages.filter(F.col("doc_id") % 2 == parity)
+        if wave == 2:
+            crawl = crawl.unionAll(dups)
+        write_warc(crawl, os.path.join(arch, f"wave{wave}")).collect()
+        q = (
+            read_warc_stream(spark, arch, recursive=True)
+            .writeStream.foreachBatch(_merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    res = (
+        spark.read.parquet(state["cur"])
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("dups_removed"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return res

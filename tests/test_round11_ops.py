@@ -215,3 +215,17 @@ def test_caption_align_real_png_uses_decoded_pixels(spark):
     rows_out = caption_align_features(df).collect()
     assert len(rows_out) == 2  # one scored row per pair, both paths
     assert all(r.dot_m >= 0 and r.dot_x >= 0 for r in rows_out)
+
+
+def test_stream_crawl_corpus_matches_batch(spark, sf_dir):
+    """The streamed corpus must equal batch crawl_to_corpus row-for-row
+    (Spark vs Spark; the oracle checks both vs DuckDB) — including the
+    cross-wave dups that only a WORKING persisted state table dedups."""
+    from oil_wells_data_wrangling_spark.operators.webtable import (
+        crawl_to_corpus,
+        stream_crawl_corpus,
+    )
+
+    batch = sorted(map(tuple, crawl_to_corpus(spark, sf_dir).collect()))
+    stream = sorted(map(tuple, stream_crawl_corpus(spark, sf_dir).collect()))
+    assert stream == batch
