@@ -3140,10 +3140,13 @@ def _ulm_level(i: int, lk) -> tuple[str, str]:
     )
 
 
-def _ulm_oracle() -> str:
-    # every CTE is MATERIALIZED: with default per-reference inlining
-    # the round-r tree re-expands round r-1 once per map lookup
-    # (measured: 45s and an OOM risk at sf0.01; materialized: fast)
+def _ulm_base_ctes() -> list[str]:
+    """The shared CTE chain through `scf` (final per-piece counts +
+    scores) — ulm_train_steps' oracle selects its top-V from it;
+    ulm_tokenize's oracle appends the inference vocab/DP on top.
+    Every CTE is MATERIALIZED: with default per-reference inlining
+    the round-r tree re-expands round r-1 once per map lookup
+    (measured: 45s and an OOM risk at sf0.01; materialized: fast)."""
     lk = lambda s: f"m[{s}][1]"
     fa = "[" + ", ".join(f"f{i}" for i in range(_ULM_CAP + 1)) + "]"
     ga = "[" + ", ".join(f"g{j}" for j in range(_ULM_CAP + 1)) + "]"
@@ -3221,9 +3224,13 @@ def _ulm_oracle() -> str:
   FROM {prev}
 )"""
     )
+    return ctes
+
+
+def _ulm_oracle() -> str:
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_ulm_base_ctes())
         + f"""
 SELECT piece, n_used, score_fp FROM (
   SELECT piece, cnt AS n_used, sc AS score_fp,
@@ -3254,6 +3261,24 @@ def ulm_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score table broadcasts as ONE map row (the bpe_train_steps
     discipline: corpus once, iterations vocab-bounded, no driver
     loop at all — the EM rounds unroll into the plan)."""
+    words, scf = _ulm_final_scores(spark, sf_dir)
+    res = (
+        scf.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("n_used").desc(), F.col("piece"))
+            ),
+        )
+        .filter(F.col("rn") <= _ULM_V)
+        .select("piece", "n_used", "score_fp")
+    )
+    return res
+
+
+def _ulm_final_scores(spark, sf_dir):
+    """Shared EM pipeline: (words[word, freq], scf[piece, n_used,
+    score_fp]) after _ULM_ITERS Viterbi-EM rounds — training selects
+    its top-V from scf; tokenize builds its inference vocab from it."""
     t = load_tables(spark, sf_dir)
     words = (
         t.documents.select(
@@ -3335,7 +3360,124 @@ def ulm_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").alias("n_used"),
         F.expr("cast(length(bin(cnt + 1)) - lt as bigint)").alias("score_fp"),
     )
-    res = (
+    return words, scf
+
+
+# ---------------------------------------------------------------- ulm_tokenize
+
+# The ULM INFERENCE pass — bpe_tokenize's sibling: segment the corpus
+# with the LEARNED vocabulary (top-V pieces ∪ all single chars, the
+# SentencePiece always-keep-characters rule that guarantees every word
+# segments) and report per-source fertility. Two forward Viterbi
+# chains per word extract BOTH the optimal score S* and the piece
+# count P* without backtracking: chain A maximizes Σsc; chain B
+# maximizes Σ(64·sc − 1), so B* = 64·S* − min{pieces among optimal
+# paths} (scores are integers, so a 1-point score difference always
+# dominates the ≤11-piece length difference) — P* = 64·A* − B*,
+# pure integer arithmetic, deterministic under ties.
+_ULM_EXCL = -1_000_000_000  # out-of-vocab piece sentinel (l=1 always in)
+
+
+def _ulm_tok_levels(lk) -> list[tuple[str, str]]:
+    out = []
+    for i in range(1, _ULM_CAP + 1):
+        a_terms = [
+            f"a{i - l} + {lk(f'substr(word, {i - l + 1}, {l})')}"
+            for l in range(1, min(_ULM_LMAX, i) + 1)
+        ]
+        b_terms = [
+            f"b{i - l} + ({lk(f'substr(word, {i - l + 1}, {l})')} * 64 - 1)"
+            for l in range(1, min(_ULM_LMAX, i) + 1)
+        ]
+        out.append(
+            (
+                f"case when n >= {i} then {_ulm_max(a_terms)} end as a{i}",
+                f"case when n >= {i} then {_ulm_max(b_terms)} end as b{i}",
+            )
+        )
+    return out
+
+
+def _ulm_tok_oracle() -> str:
+    lk = lambda s: f"coalesce(m[{s}][1], {_ULM_EXCL})"
+    aa = "[" + ", ".join(f"a{i}" for i in range(_ULM_CAP + 1)) + "]"
+    ba = "[" + ", ".join(f"b{i}" for i in range(_ULM_CAP + 1)) + "]"
+    levels = _ulm_tok_levels(lk)
+    level_ctes = []
+    prev = "tok0"
+    for i, (ae, be) in enumerate(levels, start=1):
+        level_ctes.append(
+            f"""tok{i} AS MATERIALIZED (
+  SELECT *, {ae}, {be} FROM {prev}
+)"""
+        )
+        prev = f"tok{i}"
+    return (
+        "WITH "
+        + ",\n".join(_ulm_base_ctes())
+        + f""",
+vocab AS MATERIALIZED (
+  SELECT piece, sc FROM (
+    SELECT piece, sc, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+    FROM scf
+  ) WHERE rn <= {_ULM_V}
+  UNION
+  SELECT piece, sc FROM scf WHERE length(piece) = 1
+),
+mt AS MATERIALIZED (
+  SELECT map_from_entries(list(struct_pack(k := piece, v := sc))) AS m
+  FROM vocab
+),
+wsrc AS MATERIALIZED (
+  SELECT source, word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT source, substr(w, 1, {_ULM_CAP}) AS word FROM (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents)
+  ) GROUP BY source, word
+),
+tok0 AS MATERIALIZED (
+  SELECT w.word, length(w.word) AS n, mm.m AS m,
+         CAST(0 AS BIGINT) AS a0, CAST(0 AS BIGINT) AS b0
+  FROM (SELECT DISTINCT word FROM wsrc) w CROSS JOIN mt mm
+),
+{",".join(level_ctes)},
+seg AS MATERIALIZED (
+  SELECT word, {aa}[n + 1] AS sstar,
+         64 * {aa}[n + 1] - {ba}[n + 1] AS pstar,
+         n
+  FROM tok{_ULM_CAP}
+)
+SELECT w.source,
+       CAST(SUM(w.freq) AS BIGINT) AS n_tokens,
+       CAST(SUM(w.freq * s.pstar) AS BIGINT) AS n_pieces,
+       CAST(SUM(w.freq * s.sstar) AS BIGINT) AS score_sum,
+       CAST(SUM(w.freq * s.pstar) * 1000000 // SUM(w.freq) AS BIGINT)
+         AS fertility_ppm
+FROM wsrc w JOIN seg s ON s.word = w.word
+GROUP BY w.source
+"""
+    )
+
+
+@register("ulm_tokenize", oracle=_ulm_tok_oracle())
+def ulm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ULM tokenizer INFERENCE (bpe_tokenize's sibling): segment every
+    corpus word with the vocabulary ulm_train_steps learns (top-{_ULM_V}
+    pieces ∪ all single chars — SentencePiece's always-keep-characters
+    rule, so every word segments) and report per-source token counts,
+    piece counts, optimal-score mass, and fertility (pieces per token,
+    ppm) — the number a tokenizer change is judged by. Piece counts
+    come from a second Viterbi chain maximizing 64·score − pieces, so
+    P* extracts WITHOUT backtracking and ties resolve to the fewest
+    pieces, identically in both engines.
+
+    Scale shape: corpus touched twice ONLY for word counts (the
+    corpus-wide and per-source word frequency aggs — vocab_topk's
+    exchange); training reuses _ulm_final_scores' vocab-bounded EM;
+    inference DP runs once per DISTINCT word (two chains, one
+    projection per level) and joins back to the per-source counts —
+    a |sources × vocab| join, never a per-token pass."""
+    words, scf = _ulm_final_scores(spark, sf_dir)
+    top = (
         scf.withColumn(
             "rn",
             F.row_number().over(
@@ -3343,6 +3485,65 @@ def ulm_train_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rn") <= _ULM_V)
-        .select("piece", "n_used", "score_fp")
+        .select("piece", F.col("score_fp").alias("sc"))
     )
-    return res
+    vocab = top.union(
+        scf.filter(F.length("piece") == 1).select(
+            "piece", F.col("score_fp").alias("sc")
+        )
+    ).distinct()
+    m = vocab.agg(
+        F.expr("map_from_entries(collect_list(struct(piece, sc)))").alias("m")
+    )
+    t = load_tables(spark, sf_dir)
+    wsrc = (
+        t.documents.select(
+            "source", F.explode(F.split("text", " ")).alias("w")
+        )
+        .select("source", F.expr(f"substr(w, 1, {_ULM_CAP})").alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+        .persist()
+    )
+    lk = lambda s: f"coalesce(m[{s}], {_ULM_EXCL}L)"
+    dp = (
+        wsrc.select("word")
+        .distinct()
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "word",
+            "length(word) as n",
+            "m",
+            "cast(0 as bigint) as a0",
+            "cast(0 as bigint) as b0",
+        )
+    )
+    for ae, be in _ulm_tok_levels(lk):
+        dp = dp.selectExpr("*", ae, be)
+    aa = "array(" + ", ".join(f"a{i}" for i in range(_ULM_CAP + 1)) + ")"
+    ba = "array(" + ", ".join(f"b{i}" for i in range(_ULM_CAP + 1)) + ")"
+    seg = dp.selectExpr(
+        "word",
+        f"element_at({aa}, n + 1) as sstar",
+        f"64 * element_at({aa}, n + 1) - element_at({ba}, n + 1) as pstar",
+    )
+    return (
+        wsrc.join(seg, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("freq") * F.col("pstar"))
+            .cast("bigint")
+            .alias("n_pieces"),
+            F.sum(F.col("freq") * F.col("sstar"))
+            .cast("bigint")
+            .alias("score_sum"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_pieces",
+            "score_sum",
+            F.expr("n_pieces * 1000000 div n_tokens").alias("fertility_ppm"),
+        )
+    )

@@ -72,7 +72,7 @@ def _load_all() -> None:
 # the exact stale set the r10 verdict enumerated (latest < R-4 with
 # R = 11) — rotate in and retire the last r6 rows; (3) the remaining
 # slots start draining the 47-name r7 cohort alphabetically (ann_pq
-# .. dp_histogram here; the leftover 39 — dsir_weights onward
+# .. csv_repair here; the leftover 40 — dp_histogram onward
 # alphabetically — rotate in r12 alongside that round's new
 # operators). Everything past 50 keeps its old
 # green row and stays covered by the identical local comparison in
@@ -96,6 +96,7 @@ _WINDOW_PRIORITY = [
     "ulm_train_steps",
     "mm_caption_align",
     "stream_crawl_corpus",
+    "ulm_tokenize",
     # -- implementation touched in round 11 (r10 advice fixes + the
     # sample-bounded registered PQ training, r10 verdict item 2)
     "embedding_outliers",
@@ -139,7 +140,6 @@ _WINDOW_PRIORITY = [
     "corpus_pipeline",
     "corpus_pipeline_full",
     "csv_repair",
-    "dp_histogram",
 ]
 
 

@@ -229,3 +229,104 @@ def test_stream_crawl_corpus_matches_batch(spark, sf_dir):
     batch = sorted(map(tuple, crawl_to_corpus(spark, sf_dir).collect()))
     stream = sorted(map(tuple, stream_crawl_corpus(spark, sf_dir).collect()))
     assert stream == batch
+
+
+def test_ulm_tokenize_matches_pure_python_reference(spark, sf_dir):
+    """Independent Python implementation of the inference pass: same
+    vocab rule (top-V ∪ single chars), same two-chain Viterbi piece
+    extraction — per-source fertility must agree exactly."""
+    from oil_wells_data_wrangling_spark.operators.textstats import (
+        _ULM_CAP,
+        _ULM_EXCL,
+        _ULM_ITERS,
+        _ULM_LMAX,
+        _ULM_V,
+        ulm_tokenize,
+    )
+
+    rows = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    texts = [r.text for r in rows]
+
+    # rebuild final counts with the training reference
+    from collections import Counter
+
+    def intlog(x):
+        return len(bin(x + 1)) - 2
+
+    # reuse the trainer reference up to final counts
+    ref_vocab = _ulm_reference(texts)  # {(piece, cnt, sc)} top-V
+    # final scores for ALL pieces (needed for single-char fill)
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            words[w[:_ULM_CAP]] += 1
+    cnt0 = Counter()
+    for w, f in words.items():
+        for s in range(len(w)):
+            for l in range(1, _ULM_LMAX + 1):
+                if s + l <= len(w):
+                    cnt0[w[s : s + l]] += f
+    cnt = dict(cnt0)
+    for _ in range(_ULM_ITERS):
+        lt = intlog(sum(cnt.values()))
+        sc = {p: intlog(c) - lt for p, c in cnt.items()}
+        new = {p: 0 for p in cnt0}
+        for w, f in words.items():
+            n = len(w)
+            dpf = [0] + [None] * n
+            for i in range(1, n + 1):
+                dpf[i] = max(
+                    dpf[i - l] + sc[w[i - l : i]]
+                    for l in range(1, min(_ULM_LMAX, i) + 1)
+                )
+            dpb = [None] * n + [0]
+            for i in range(n - 1, -1, -1):
+                dpb[i] = max(
+                    dpb[i + l] + sc[w[i : i + l]]
+                    for l in range(1, min(_ULM_LMAX, n - i) + 1)
+                )
+            for s in range(n):
+                for l in range(1, min(_ULM_LMAX, n - s) + 1):
+                    p = w[s : s + l]
+                    if dpf[s] + sc[p] + dpb[s + l] == dpf[n]:
+                        new[p] += f
+        cnt = new
+    lt = intlog(sum(cnt.values()))
+    scf = {p: intlog(c) - lt for p, c in cnt.items()}
+    vocab = {p: scf[p] for p, _, _ in ref_vocab}
+    vocab.update({p: scf[p] for p in scf if len(p) == 1})
+
+    def seg(w):
+        n = len(w)
+        A = [0] + [None] * n
+        B = [0] + [None] * n
+        for i in range(1, n + 1):
+            opts_a, opts_b = [], []
+            for l in range(1, min(_ULM_LMAX, i) + 1):
+                s = vocab.get(w[i - l : i], _ULM_EXCL)
+                opts_a.append(A[i - l] + s)
+                opts_b.append(B[i - l] + (s * 64 - 1))
+            A[i], B[i] = max(opts_a), max(opts_b)
+        return A[n], 64 * A[n] - B[n]
+
+    expect = {}
+    for r in rows:
+        src_ = r.source
+        agg = expect.setdefault(src_, [0, 0, 0])
+        for w in r.text.split(" "):
+            w = w[:_ULM_CAP]
+            sstar, pstar = seg(w)
+            agg[0] += 1
+            agg[1] += pstar
+            agg[2] += sstar
+    got = {
+        r.source: (r.n_tokens, r.n_pieces, r.score_sum, r.fertility_ppm)
+        for r in ulm_tokenize(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for s, (nt, np_, sc_) in expect.items():
+        assert got[s] == (nt, np_, sc_, np_ * 1_000_000 // nt), (s, got[s])
