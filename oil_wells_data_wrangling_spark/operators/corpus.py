@@ -2022,22 +2022,33 @@ def preference_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("source"))
         .alias("l"),
     )
-    # bounded frames from here on: cache g's rollups via persist-free
-    # reuse (each is one partial agg over the scalar game rows)
-    nodes = g.select(F.col("w").alias("s")).union(
-        g.select(F.col("l").alias("s"))
+    # collapse the corpus to the DIRECTED win matrix FIRST and cut the
+    # plan there (eager localCheckpoint on <=|sources|^2 rows): nodes,
+    # wins, edges, and games all re-derive from this bounded frame, so
+    # the corpus-sized pairing window runs exactly ONCE — without the
+    # barrier each consumer replayed it (r11 plan audit: 189 exchanges
+    # collapsed to ~20)
+    gd = (
+        g.groupBy("w", "l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = gd.select(F.col("w").alias("s")).union(
+        gd.select(F.col("l").alias("s"))
     ).distinct()
     wins = (
-        nodes.join(g, nodes.s == g.w, "left")
+        nodes.join(gd, nodes.s == gd.w, "left")
         .groupBy("s")
-        .agg(F.count("w").cast("bigint").alias("wn"))
+        .agg(F.coalesce(F.sum("n"), F.lit(0)).cast("bigint").alias("wn"))
+        .localCheckpoint(eager=True)
     )
     edges = (
-        g.select(F.col("w").alias("s"), F.col("l").alias("o"))
-        .unionAll(g.select(F.col("l").alias("s"), F.col("w").alias("o")))
+        gd.select(F.col("w").alias("s"), F.col("l").alias("o"), "n")
+        .unionAll(gd.select(F.col("l").alias("s"), F.col("w").alias("o"), "n"))
         .groupBy("s", "o")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ).persist()
+        .agg(F.sum("n").cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
 
     pi = nodes.select("s", F.lit(_BT_S).cast("bigint").alias("pi"))
     for _ in range(2):
