@@ -330,3 +330,34 @@ def test_ulm_tokenize_matches_pure_python_reference(spark, sf_dir):
     assert set(got) == set(expect)
     for s, (nt, np_, sc_) in expect.items():
         assert got[s] == (nt, np_, sc_, np_ * 1_000_000 // nt), (s, got[s])
+
+
+def _phys_plan(spark, sf_dir, name):
+    from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    return (
+        REGISTRY[name].fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_round11_in_scan_ops_single_exchange(spark, sf_dir):
+    """importance_resample / fim_plan / bloom_blocklist compute
+    everything inside the scan; the ONLY exchange is the bounded
+    rollup. A second exchange means a probe join or a per-token
+    shuffle crept in."""
+    for name in ("importance_resample", "fim_plan", "bloom_blocklist"):
+        plan = _phys_plan(spark, sf_dir, name)
+        assert plan.count("Exchange") == 1, f"{name} grew an exchange"
+        assert "Join" not in plan, f"{name} grew a join"
+        assert "EvalPython" not in plan, name
+
+
+def test_soft_dedup_no_text_in_exchange(spark, sf_dir):
+    """The dedup shuffles must carry (hash, source) scalars — the text
+    column never leaves the scan (dedup_exact's contract)."""
+    import re
+
+    plan = _phys_plan(spark, sf_dir, "soft_dedup_weights")
+    assert not re.search(r"Exchange hashpartitioning\(text", plan)
+    assert "EvalPython" not in plan
