@@ -2104,3 +2104,112 @@ def preference_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return res
+
+
+# ------------------------------------------------------------ text_augment_plan
+
+# Data-augmentation accounting (EDA, Wei & Zou 2019): per document a
+# deterministic token-DELETION mask (rate 1/10) and a SWAP plan
+# (n/16 position pairs) — the two destructive EDA ops whose budget a
+# data card must state (synonym/insertion need a thesaurus — that
+# lookup table broadcasts into the same plan shape). Like fim_plan
+# and span_corruption, this op emits the per-source ACCOUNTING; the
+# example writer consumes the identical salted-hash plan.
+_AUG_DEL_DEN = 10  # delete 1-in-10 tokens
+_AUG_SWAP_DIV = 16  # one swap pair per 16 tokens
+
+
+def _aug_h(salt: str, extra: str) -> str:
+    return (
+        f"cast(conv(substr(md5(concat('{salt}', cast(doc_id as string),"
+        f" '_', cast({extra} as string))), 1, 8), 16, 10) as bigint)"
+    )
+
+
+_AUG_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+del AS (
+  SELECT doc_id, source, n,
+         CAST((SELECT COUNT(*) FROM UNNEST(range(0, n)) AS u(p)
+               WHERE CAST('0x' || substr(md5('aug_del_' ||
+                       CAST(doc_id AS VARCHAR) || '_' ||
+                       CAST(u.p AS VARCHAR)), 1, 8) AS BIGINT)
+                     % {_AUG_DEL_DEN} = 0) AS BIGINT) AS n_del,
+         CAST((SELECT COUNT(*) FROM UNNEST(range(0, n // {_AUG_SWAP_DIV}))
+               AS v(i)
+               WHERE CAST('0x' || substr(md5('aug_sa_' ||
+                       CAST(doc_id AS VARCHAR) || '_' ||
+                       CAST(v.i AS VARCHAR)), 1, 8) AS BIGINT) % n
+                  <> CAST('0x' || substr(md5('aug_sb_' ||
+                       CAST(doc_id AS VARCHAR) || '_' ||
+                       CAST(v.i AS VARCHAR)), 1, 8) AS BIGINT) % n)
+              AS BIGINT) AS n_swap_eff
+  FROM base
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_del) AS BIGINT) AS n_deleted,
+       CAST(SUM(n_del) * 1000000 // SUM(n) AS BIGINT) AS del_ppm,
+       CAST(SUM(n // {_AUG_SWAP_DIV}) AS BIGINT) AS n_swap_pairs,
+       CAST(SUM(n_swap_eff) AS BIGINT) AS n_swap_effective
+FROM del GROUP BY source
+"""
+
+
+@register("text_augment_plan", oracle=_AUG_ORACLE)
+def text_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDA augmentation plan (Wei & Zou 2019): per document a salted-md5
+    token-deletion mask (1-in-{_AUG_DEL_DEN}) and n/{_AUG_SWAP_DIV}
+    position-swap pairs (a pair is EFFECTIVE when the two sampled
+    positions differ); per source the realized deletion rate and swap
+    budget — reproducible across engines, runs, and partitionings
+    (span_corruption's determinism recipe, applied to the augmentation
+    family). The example writer replays the identical plan.
+
+    Scale shape: both masks evaluate INSIDE the scan as array
+    aggregates over sequence(0, n) — one md5 per token for the mask,
+    two per swap pair, no explode, no exchange before the
+    |sources|-group rollup of 4 int64 partials."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        "source",
+        F.expr("cast(size(split(text, ' ')) as bigint)").alias("n"),
+    )
+    n_del = F.expr(
+        f"size(filter(sequence(0, cast(n as int) - 1),"
+        f" p -> {_aug_h('aug_del_', 'p')} % {_AUG_DEL_DEN} = 0))"
+    ).cast("bigint")
+    # CASE-guarded: Spark's sequence(0, -1) yields a DESCENDING
+    # [0, -1] rather than the empty array DuckDB's range(0, 0) gives,
+    # which silently added two bogus swap checks to every <16-token
+    # doc (caught by the oracle compare, not by eyeballing)
+    n_swap_eff = F.expr(
+        f"case when n >= {_AUG_SWAP_DIV} then"
+        f" size(filter(sequence(0, cast(n div {_AUG_SWAP_DIV} as int) - 1),"
+        f" i -> {_aug_h('aug_sa_', 'i')} % n != {_aug_h('aug_sb_', 'i')} % n))"
+        f" else 0 end"
+    ).cast("bigint")
+    per_doc = base.select(
+        "source",
+        "n",
+        n_del.alias("n_del"),
+        n_swap_eff.alias("n_swap_eff"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("n_tokens"),
+        F.sum("n_del").cast("bigint").alias("n_deleted"),
+        F.expr("cast(sum(n_del) * 1000000 div sum(n) as bigint)").alias(
+            "del_ppm"
+        ),
+        F.sum(F.expr(f"n div {_AUG_SWAP_DIV}")).cast("bigint").alias(
+            "n_swap_pairs"
+        ),
+        F.sum("n_swap_eff").cast("bigint").alias("n_swap_effective"),
+    )

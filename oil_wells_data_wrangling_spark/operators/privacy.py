@@ -858,3 +858,96 @@ def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_classes"),
         F.sum("n_rows").cast("bigint").alias("n_records"),
     )
+
+
+# -------------------------------------------------------------- dp_mean_clipped
+
+# DP mean with per-record CLIPPING — the other half of the disclosure
+# toolkit next to dp_histogram's counts: each record's contribution is
+# clipped to C first (bounding sensitivity to C for the sum and 1 for
+# the count — the DP-SGD / smooth-sensitivity recipe), then both
+# noised sums release only above the suppression threshold. Noise is
+# dp_histogram's deterministic md5 derivation (engine-comparable);
+# production swaps the one expression for calibrated Laplace at the
+# SAME sensitivities — clipping, suppression, and the release schema
+# are what this operator pins. n_at_clip is the calibration readback:
+# how many records the clip actually truncated (too many → C too low,
+# the released mean is biased; none → C wastes privacy budget).
+_DPM_C = 500   # contribution clip (chars)
+_DPM_K = 25    # suppression threshold
+
+_DPM_ORACLE = f"""
+WITH c AS (
+  SELECT lang,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(LEAST(n_chars, {_DPM_C})) AS BIGINT) AS s,
+         CAST(SUM(CASE WHEN n_chars >= {_DPM_C} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_at_clip
+  FROM documents GROUP BY lang
+),
+noised AS (
+  SELECT lang, n, s, n_at_clip,
+         s + CAST('0x' || substr(md5('dpm_s_' || lang), 1, 8) AS BIGINT)
+             % {2 * _DPM_C + 1} - {_DPM_C} AS s_noised,
+         n + CAST('0x' || substr(md5('dpm_n_' || lang), 1, 8) AS BIGINT)
+             % 3 - 1 AS n_noised
+  FROM c
+)
+SELECT lang, n, n_at_clip,
+       CASE WHEN n >= {_DPM_K}
+            THEN GREATEST(s_noised, 0) / GREATEST(n_noised, 1) END
+         AS released_mean,
+       (n < {_DPM_K}) AS suppressed
+FROM noised
+"""
+
+
+@register("dp_mean_clipped", oracle=_DPM_ORACLE)
+def dp_mean_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-releasable clipped mean of document length per language:
+    contributions clip at C (sum sensitivity C, count sensitivity 1 —
+    the DP-SGD bounding recipe), deterministic bounded noise lands on
+    BOTH the sum and the count, small groups suppress, and the
+    released mean divides the clamped noised aggregates. n_at_clip
+    reads back how often the clip bound actually bit — the C-tuning
+    signal. Swap the two md5 expressions for calibrated Laplace
+    samplers and this is the production release; nothing else moves.
+
+    Scale shape: one |langs|-group partial agg (clip applied in-scan);
+    noise, suppression, and the divide are projections over the tiny
+    aggregate — disclosure control composes AFTER aggregation, on
+    |groups| rows, at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    c = t.documents.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.least(F.col("n_chars"), F.lit(_DPM_C)))
+        .cast("bigint")
+        .alias("s"),
+        F.sum((F.col("n_chars") >= _DPM_C).cast("int"))
+        .cast("bigint")
+        .alias("n_at_clip"),
+    )
+    h = lambda salt: F.expr(
+        f"cast(conv(substr(md5(concat('{salt}', lang)), 1, 8), 16, 10)"
+        " as bigint)"
+    )
+    noised = c.select(
+        "lang",
+        "n",
+        "n_at_clip",
+        (F.col("s") + h("dpm_s_") % (2 * _DPM_C + 1) - _DPM_C).alias(
+            "s_noised"
+        ),
+        (F.col("n") + h("dpm_n_") % 3 - 1).alias("n_noised"),
+    )
+    return noised.select(
+        "lang",
+        "n",
+        "n_at_clip",
+        F.when(
+            F.col("n") >= _DPM_K,
+            F.greatest(F.col("s_noised"), F.lit(0))
+            / F.greatest(F.col("n_noised"), F.lit(1)),
+        ).alias("released_mean"),
+        (F.col("n") < _DPM_K).alias("suppressed"),
+    )

@@ -2845,3 +2845,149 @@ def kcenter_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         picks, schema="pick int, vec_id bigint, radius_sq bigint"
     )
+
+
+# -------------------------------------------------------------- mrl_recall_eval
+
+# Matryoshka truncation evaluation (Kusupati et al. 2022, "Matryoshka
+# Representation Learning"): how much recall@5 survives when the ANN
+# index stores only the first d dims of each embedding — the
+# price/recall curve that decides the stored dimensionality (MRL's
+# whole point is that prefixes are usable embeddings; whether THESE
+# embeddings behave that way is an empirical readback). Ground truth
+# is the full-dim ranking; candidates rank by the same rounded-cosine
+# + id rule at each prefix. Brute force over the fixed 32-query panel
+# (ann_topk's documented bound — production evaluates on a sample).
+_MRL_DIMS = (16, 32, 64)
+_MRL_Q_LO, _MRL_Q_HI = 100, 131
+_MRL_K = 5
+
+
+def _dot_spark_d(a: str, b: str, d: int) -> str:
+    return (
+        f"aggregate(zip_with(slice({a}, 1, {d}), slice({b}, 1, {d}),"
+        " (x, y) -> cast(x as double) * cast(y as double)),"
+        " 0D, (acc, v) -> acc + v)"
+    )
+
+
+def _cos_spark_d(a: str, b: str, d: int) -> str:
+    return (
+        f"{_dot_spark_d(a, b, d)} / (sqrt({_dot_spark_d(a, a, d)})"
+        f" * sqrt({_dot_spark_d(b, b, d)}))"
+    )
+
+
+def _dot_duck_d(a: str, b: str, d: int) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {d + 1}),"
+        f" i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _cos_duck_d(a: str, b: str, d: int) -> str:
+    return (
+        f"{_dot_duck_d(a, b, d)} / (sqrt({_dot_duck_d(a, a, d)})"
+        f" * sqrt({_dot_duck_d(b, b, d)}))"
+    )
+
+
+def _mrl_oracle() -> str:
+    tops = []
+    for d in _MRL_DIMS:
+        tops.append(
+            f"""top{d} AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+             ORDER BY ROUND({_cos_duck_d('q.embedding', 'e.embedding', d)}, 6)
+               DESC, e.vec_id) AS rk
+    FROM (SELECT vec_id, embedding FROM embeddings
+          WHERE vec_id BETWEEN {_MRL_Q_LO} AND {_MRL_Q_HI}) q,
+         embeddings e
+    WHERE e.vec_id <> q.vec_id
+  ) WHERE rk <= {_MRL_K}
+)"""
+        )
+    unions = "\nUNION ALL\n".join(
+        f"""SELECT CAST({d} AS INTEGER) AS dim,
+       CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       CAST(SUM(CASE WHEN g.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            * 1000000 // COUNT(*) AS BIGINT) AS recall_ppm
+FROM top{d} t LEFT JOIN top{_MRL_DIMS[-1]} g
+  ON g.query_id = t.query_id AND g.neighbor_id = t.neighbor_id"""
+        for d in _MRL_DIMS
+    )
+    return "WITH " + ",\n".join(tops) + "\n" + unions
+
+
+@register("mrl_recall_eval", oracle=_mrl_oracle())
+def mrl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka dim-truncation recall curve (Kusupati et al. 2022):
+    recall@{_MRL_K} of prefix-dim cosine ranking ({_MRL_DIMS}) against
+    the full-dim ranking over the fixed query panel — the stored-
+    dimensionality decision table for an MRL-style ANN index (store
+    16 of 64 dims = 4× memory/bandwidth back IF the recall row holds).
+    The full-dim row is the =1e6 sanity anchor.
+
+    Scale shape: candidates = panel × corpus with the panel broadcast
+    (ann_topk's documented brute-force bound — this is the EVALUATION,
+    run on a sample in production; the serving path stays ann_lsh/
+    ivf_pq); per-dim ranking is a query-keyed window with rank-limit
+    pushdown (WindowGroupLimit), and the per-dim rollup joins two
+    {_MRL_K}·|panel|-row frames."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(
+        F.col("vec_id").between(_MRL_Q_LO, _MRL_Q_HI)
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    c = (
+        t.embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("embedding").alias("ne"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    tops = {}
+    for d in _MRL_DIMS:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos_r"), F.asc("neighbor_id")
+        )
+        tops[d] = (
+            c.select(
+                "query_id",
+                "neighbor_id",
+                F.round(F.expr(_cos_spark_d("qe", "ne", d)), 6).alias("cos_r"),
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MRL_K)
+            .select("query_id", "neighbor_id")
+        )
+    gt = tops[_MRL_DIMS[-1]].select(
+        F.col("query_id").alias("g_qid"), F.col("neighbor_id").alias("gt_id")
+    )
+    out = None
+    for d in _MRL_DIMS:
+        j = tops[d].join(
+            gt,
+            (tops[d].query_id == gt.g_qid)
+            & (tops[d].neighbor_id == gt.gt_id),
+            "left",
+        )
+        row = (
+            j.agg(
+                F.countDistinct("query_id").cast("bigint").alias("n_queries"),
+                F.sum(F.col("gt_id").isNotNull().cast("int"))
+                .cast("bigint")
+                .alias("n_overlap"),
+                F.count(F.lit(1)).alias("total"),
+            )
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_queries",
+                "n_overlap",
+                F.expr("n_overlap * 1000000 div total").alias("recall_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -72,7 +72,7 @@ def _load_all() -> None:
 # the exact stale set the r10 verdict enumerated (latest < R-4 with
 # R = 11) — rotate in and retire the last r6 rows; (3) the remaining
 # slots start draining the 47-name r7 cohort alphabetically (ann_pq
-# .. csv_repair here; the leftover 40 — dp_histogram onward
+# .. basket_lift here; the leftover 43 — corpus_pipeline onward
 # alphabetically — rotate in r12 alongside that round's new
 # operators). Everything past 50 keeps its old
 # green row and stays covered by the identical local comparison in
@@ -97,6 +97,9 @@ _WINDOW_PRIORITY = [
     "mm_caption_align",
     "stream_crawl_corpus",
     "ulm_tokenize",
+    "dp_mean_clipped",
+    "mrl_recall_eval",
+    "text_augment_plan",
     # -- implementation touched in round 11 (r10 advice fixes + the
     # sample-bounded registered PQ training, r10 verdict item 2)
     "embedding_outliers",
@@ -137,9 +140,6 @@ _WINDOW_PRIORITY = [
     "api_canonical",
     "bad_rows",
     "basket_lift",
-    "corpus_pipeline",
-    "corpus_pipeline_full",
-    "csv_repair",
 ]
 
 
