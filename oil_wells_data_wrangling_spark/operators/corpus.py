@@ -2213,3 +2213,175 @@ def text_augment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_swap_eff").cast("bigint").alias("n_swap_effective"),
     )
+
+
+# ------------------------------------------------------------ license_classify
+
+# License fingerprints a code-corpus curation pass keys on. Each doc
+# gets a deterministic header at doc_id % 4 ∈ {0,1,2} (pii_redact's
+# synthesis pattern — the parquet corpus carries no license text);
+# % 4 == 3 stays headerless and must classify as 'unknown'.
+_LIC_MIT = "SPDX-License-Identifier: MIT"
+_LIC_APACHE = "Licensed under the Apache License, Version 2.0"
+_LIC_GPL = "GNU General Public License"
+
+_LICENSE_ORACLE = f"""
+WITH seeded AS (
+  SELECT source,
+         CASE
+           WHEN doc_id % 4 = 0 THEN '{_LIC_MIT}' || chr(10) || text
+           WHEN doc_id % 4 = 1 THEN '{_LIC_APACHE}' || chr(10) || text
+           WHEN doc_id % 4 = 2 THEN '{_LIC_GPL}' || chr(10) || text
+           ELSE text
+         END AS text
+  FROM documents
+),
+classified AS (
+  SELECT source, len(text) AS n_chars,
+         CASE
+           WHEN contains(text, '{_LIC_MIT}') THEN 'mit'
+           WHEN contains(text, '{_LIC_APACHE}') THEN 'apache-2.0'
+           WHEN contains(text, '{_LIC_GPL}') THEN 'gpl'
+           ELSE 'unknown'
+         END AS license
+  FROM seeded
+),
+per_source AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS src_docs
+  FROM classified GROUP BY source
+)
+SELECT c.source, c.license,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c.n_chars) AS BIGINT) AS n_chars,
+       CAST(COUNT(*) * 1000 // ANY_VALUE(p.src_docs) AS BIGINT)
+         AS share_permille,
+       (c.license IN ('mit', 'apache-2.0')) AS permissive
+FROM classified c JOIN per_source p USING (source)
+GROUP BY c.source, c.license
+"""
+
+
+@register("license_classify", oracle=_LICENSE_ORACLE)
+def license_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License detection + compliance rollup for a code corpus — the
+    pass that decides which files are trainable under a permissive
+    policy (SPDX tags and license-header phrases → license class,
+    then per-source composition shares). Headers are injected
+    deterministically at doc_id % 4 ∈ {0,1,2} since the synthetic
+    corpus is license-free; '%4 == 3' documents grade the 'unknown'
+    fallthrough.
+
+    Scale shape: classification is a JVM-side CASE over ``contains``
+    in the scan projection (first-match-wins order mirrors license
+    scanners' precedence); the rollup partial-aggregates to the
+    bounded source × license grid, and the per-source totals join is
+    a broadcast of the tiny source table back onto that grid — no
+    corpus-sized shuffle anywhere."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    seeded = t.documents.select(
+        "source",
+        F.when(k % 4 == 0, F.concat(F.lit(_LIC_MIT + "\n"), F.col("text")))
+        .when(k % 4 == 1, F.concat(F.lit(_LIC_APACHE + "\n"), F.col("text")))
+        .when(k % 4 == 2, F.concat(F.lit(_LIC_GPL + "\n"), F.col("text")))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    classified = seeded.select(
+        "source",
+        F.length("text").alias("n_chars"),
+        F.when(F.col("text").contains(_LIC_MIT), "mit")
+        .when(F.col("text").contains(_LIC_APACHE), "apache-2.0")
+        .when(F.col("text").contains(_LIC_GPL), "gpl")
+        .otherwise("unknown")
+        .alias("license"),
+    )
+    grid = classified.groupBy("source", "license").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    per_source = classified.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("src_docs")
+    )
+    return grid.join(F.broadcast(per_source), "source").select(
+        "source",
+        "license",
+        "n_docs",
+        "n_chars",
+        F.expr("n_docs * 1000 div src_docs").cast("bigint").alias(
+            "share_permille"
+        ),
+        F.col("license").isin("mit", "apache-2.0").alias("permissive"),
+    )
+
+
+# --------------------------------------------------------- curriculum_schedule
+
+# Power-of-two length buckets double as curriculum phases (short/easy
+# first — the Shortformer / sequence-length-warmup recipe). Shares
+# length_histogram's integer CASE ladder: no log2 doubles at edges.
+from oil_wells_data_wrangling_spark.operators.textstats import _LEN_BUCKET
+
+_CURRICULUM_ORACLE = f"""
+WITH t AS (
+  SELECT len(string_split(text, ' ')) AS n FROM documents
+),
+b AS (
+  SELECT CAST({_LEN_BUCKET.format(n='n')} AS INTEGER) AS phase,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS n_tokens
+  FROM t GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tt FROM b)
+SELECT a.phase, a.n_docs, a.n_tokens,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS cum_tokens,
+       CAST((SUM(c.n_tokens) - a.n_tokens) * 1000 // ANY_VALUE(tot.tt)
+            AS BIGINT) AS start_permille
+FROM b a JOIN b c ON c.phase <= a.phase CROSS JOIN tot
+GROUP BY a.phase, a.n_docs, a.n_tokens
+"""
+
+
+@register("curriculum_schedule", oracle=_CURRICULUM_ORACLE)
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum plan (sequence-length warmup / Shortformer
+    staging): documents grade into power-of-two length phases, shortest
+    first, and each phase reports its token mass, the cumulative tokens
+    once it completes, and the training-progress permille at which it
+    STARTS — the schedule table a curriculum dataloader consumes.
+
+    Scale shape: one scan computes the bucket in-projection; the only
+    corpus-sized exchange is the ≤8-bucket partial agg. The cumulative
+    sum deliberately runs as a self-join over that bounded aggregate
+    (≤64 joined rows) instead of an unpartitioned running-total window
+    — same result, no single-partition window stage, and both engines
+    execute the identical triangular join."""
+    t = load_tables(spark, sf_dir)
+    b = (
+        t.documents.select(
+            F.expr(_LEN_BUCKET.format(n="size(split(text, ' '))"))
+            .cast("int")
+            .alias("phase"),
+            F.size(F.split("text", " ")).alias("n"),
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
+    tot = b.agg(F.sum("n_tokens").cast("bigint").alias("tt"))
+    c = b.select(
+        F.col("phase").alias("c_phase"), F.col("n_tokens").alias("c_tokens")
+    )
+    return (
+        b.join(F.broadcast(c), F.col("c_phase") <= F.col("phase"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy("phase", "n_docs", "n_tokens")
+        .agg(
+            F.sum("c_tokens").cast("bigint").alias("cum_tokens"),
+            F.expr("(sum(c_tokens) - any_value(n_tokens)) * 1000 div any_value(tt)")
+            .cast("bigint")
+            .alias("start_permille"),
+        )
+    )

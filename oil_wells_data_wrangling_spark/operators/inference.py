@@ -25,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -415,4 +416,106 @@ def score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pos",
             "pos_ppm",
         )
+    )
+
+
+# ------------------------------------------------------------- grpo_advantage
+
+# Group size: responses to one "prompt" — documents bucketed by
+# doc_id % _GRPO_GROUPS stand in for the G sampled completions per
+# prompt of an RLVR rollout batch.
+_GRPO_GROUPS = 64
+
+_GRPO_REWARD_SQL_DUCK = f"""
+  {_MODEL_W[0]} + {_MODEL_W[1]} * (len(list_distinct(string_split(text, ' ')))
+      * 1000 // len(string_split(text, ' ')))
+    + {_MODEL_W[2]} * (len(list_filter(string_split(text, ' '),
+        w -> list_contains({_STOP_DUCK}, w))) * 1000
+      // len(string_split(text, ' ')))
+    + {_MODEL_W[3]} * LEAST(len(string_split(text, ' ')), 100)
+"""
+
+_GRPO_ORACLE = f"""
+WITH r AS (
+  SELECT doc_id, doc_id % {_GRPO_GROUPS} AS prompt_id,
+         CAST({_GRPO_REWARD_SQL_DUCK} AS BIGINT) AS reward
+  FROM documents
+),
+g AS (
+  SELECT prompt_id, CAST(COUNT(*) AS BIGINT) AS n_group,
+         CAST(SUM(reward) AS BIGINT) AS s,
+         CAST(SUM(reward * reward) AS BIGINT) AS ss
+  FROM r GROUP BY prompt_id
+),
+rk AS (
+  SELECT r.*, row_number()
+           OVER (PARTITION BY prompt_id ORDER BY reward DESC, doc_id) AS rk
+  FROM r
+)
+SELECT rk.doc_id, rk.prompt_id, rk.reward, g.n_group,
+       g.n_group * rk.reward - g.s AS adv_num,
+       g.n_group * g.ss - g.s * g.s AS var_num,
+       (rk.rk - 1) * 1000 // GREATEST(g.n_group - 1, 1) AS pct_rank_permille
+FROM rk JOIN g USING (prompt_id)
+"""
+
+
+@register("grpo_advantage", oracle=_GRPO_ORACLE)
+def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-relative advantage computation — the reward-normalisation
+    stage of a GRPO/RLOO post-training loop: per prompt group of G
+    sampled responses, center each reward against the group mean (the
+    baseline that replaces a learned critic). Documents bucketed by
+    ``doc_id % 64`` stand in for rollout groups; the reward is the
+    stub quality model's integer score (same features as
+    ``model_score`` — the swap point for a real reward model is the
+    same one function).
+
+    Exactness: the mean-centered advantage is carried as the integer
+    numerator ``n·r − Σr`` (= n × (r − mean)) and the group variance
+    as ``n·Σr² − (Σr)²`` (= n² × σ²) — downstream whitening divides
+    once, at full precision, instead of this stage rounding. This is
+    the Dr. GRPO form (difference only, no σ division baked in), with
+    the σ numerator alongside for the classic scaling; the in-group
+    percentile rank is the exact integer permille. Everything bigint,
+    bit-identical across engines.
+
+    Scale shape: ONE shuffle on prompt_id serves both the group
+    aggregate and the rank window (the aggregate is a broadcast back
+    onto the group-partitioned stream, so rollout batches of any size
+    stream through — group state is 3 bigints per prompt, independent
+    of G). At 100 TB of rollouts this is the map-side-combine +
+    single-exchange shape; no driver collection anywhere."""
+    t = load_tables(spark, sf_dir)
+    r = featurize(t.documents).select(
+        "doc_id",
+        (F.col("doc_id") % _GRPO_GROUPS).alias("prompt_id"),
+        (
+            F.lit(_MODEL_W[0])
+            + F.lit(_MODEL_W[1]) * F.col("distinct_permille")
+            + F.lit(_MODEL_W[2]) * F.col("stop_permille")
+            + F.lit(_MODEL_W[3]) * F.least(F.col("n_words"), F.lit(100))
+        )
+        .cast("bigint")
+        .alias("reward"),
+    )
+    g = r.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_group"),
+        F.sum("reward").cast("bigint").alias("s"),
+        F.sum(F.col("reward") * F.col("reward")).cast("bigint").alias("ss"),
+    )
+    w = Window.partitionBy("prompt_id").orderBy(F.col("reward").desc(), "doc_id")
+    rk = r.withColumn("rk", F.row_number().over(w))
+    return rk.join(F.broadcast(g), "prompt_id").select(
+        "doc_id",
+        "prompt_id",
+        "reward",
+        "n_group",
+        (F.col("n_group") * F.col("reward") - F.col("s")).alias("adv_num"),
+        (F.col("n_group") * F.col("ss") - F.col("s") * F.col("s")).alias(
+            "var_num"
+        ),
+        F.expr("(rk - 1) * 1000 div greatest(n_group - 1, 1)").alias(
+            "pct_rank_permille"
+        ),
     )

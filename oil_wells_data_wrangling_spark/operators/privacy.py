@@ -951,3 +951,131 @@ def dp_mean_clipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("released_mean"),
         (F.col("n") < _DPM_K).alias("suppressed"),
     )
+
+
+# ---------------------------------------------------------------- secrets_scan
+
+# Credential patterns (RE2-safe, replayed verbatim by DuckDB): AWS
+# access-key ids, GitHub personal-access tokens, bare 40-hex secrets
+# (SHA-1-shaped API keys). Mutually disjoint by construction: AWS is
+# uppercase, ghp_ carries a 36-hex tail (too short for the 40-hex
+# rule's \b anchors), so per-pattern counts are independent.
+_AWS_RX = r"\bAKIA[0-9A-F]{16}\b"
+_GHP_RX = r"\bghp_[0-9a-f]{36}\b"
+_HEX40_RX = r"\b[0-9a-f]{40}\b"
+
+# Deterministic secret synthesis — the parquet corpus is secret-free,
+# so (like pii_redact's PII tail) docs at doc_id % 5 ∈ {1,2,3} get one
+# injected credential each, derived from md5(doc_id) so both engines
+# materialize identical bytes.
+_SECRETS_ORACLE = f"""
+WITH seeded AS (
+  SELECT doc_id, source,
+         CASE
+           WHEN doc_id % 5 = 1 THEN text || ' aws_access_key_id=AKIA'
+                || upper(substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+           WHEN doc_id % 5 = 2 THEN text || ' token: ghp_'
+                || substr(md5(CAST(doc_id AS VARCHAR)), 1, 36 - 32)
+                || substr(md5(CAST(doc_id AS VARCHAR) || 'x'), 1, 32)
+           WHEN doc_id % 5 = 3 THEN text || ' api_secret='
+                || substr(md5(CAST(doc_id AS VARCHAR)), 1, 20)
+                || substr(md5(CAST(doc_id AS VARCHAR) || 'y'), 1, 20)
+           ELSE text
+         END AS text
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{_AWS_RX}')) AS c_aws,
+         len(regexp_extract_all(text, '{_GHP_RX}')) AS c_ghp,
+         len(regexp_extract_all(text, '{_HEX40_RX}')) AS c_hex
+  FROM seeded
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(c_aws) AS BIGINT) AS n_aws_keys,
+       CAST(SUM(c_ghp) AS BIGINT) AS n_gh_tokens,
+       CAST(SUM(c_hex) AS BIGINT) AS n_hex_secrets,
+       CAST(SUM(CASE WHEN c_aws + c_ghp + c_hex > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_flagged_docs,
+       CAST(SUM(CASE WHEN c_aws + c_ghp + c_hex > 0 THEN 1 ELSE 0 END) * 1000
+            // COUNT(*) AS BIGINT) AS flagged_permille
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("secrets_scan", oracle=_SECRETS_ORACLE)
+def secrets_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credential-leak audit over a code/web corpus — the
+    secrets-hygiene pass every code-training pipeline runs before
+    release (AWS key ids, GitHub PATs, bare 40-hex API secrets), here
+    as the per-source summary a curation dashboard consumes. The
+    corpus is secret-free, so deterministic credentials are injected
+    at doc_id % 5 ∈ {1,2,3} (pii_redact's synthesis pattern) and the
+    detector is graded on recovering exactly them.
+
+    Scale shape: one scan, all three detectors as JVM-side
+    ``regexp_count`` in the same projection (no Python, no second
+    pass), then a partial-aggregated rollup to the bounded source set
+    — map-side combine makes the shuffle rows-per-source, not
+    rows-per-doc. At 100 TB this is scan-bound, exactly what a
+    secrets sweep should be."""
+    t = load_tables(spark, sf_dir)
+    k = F.col("doc_id")
+    kstr = k.cast("string")
+    seeded = t.documents.select(
+        "source",
+        F.when(
+            k % 5 == 1,
+            F.concat(
+                F.col("text"),
+                F.lit(" aws_access_key_id=AKIA"),
+                F.upper(F.substring(F.md5(kstr), 1, 16)),
+            ),
+        )
+        .when(
+            k % 5 == 2,
+            F.concat(
+                F.col("text"),
+                F.lit(" token: ghp_"),
+                F.substring(F.md5(kstr), 1, 4),
+                F.substring(F.md5(F.concat(kstr, F.lit("x"))), 1, 32),
+            ),
+        )
+        .when(
+            k % 5 == 3,
+            F.concat(
+                F.col("text"),
+                F.lit(" api_secret="),
+                F.substring(F.md5(kstr), 1, 20),
+                F.substring(F.md5(F.concat(kstr, F.lit("y"))), 1, 20),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    txt = F.col("text")
+    per_doc = seeded.select(
+        "source",
+        F.regexp_count(txt, F.lit(_AWS_RX)).alias("c_aws"),
+        F.regexp_count(txt, F.lit(_GHP_RX)).alias("c_ghp"),
+        F.regexp_count(txt, F.lit(_HEX40_RX)).alias("c_hex"),
+    )
+    flagged = (F.col("c_aws") + F.col("c_ghp") + F.col("c_hex") > 0).cast(
+        "int"
+    )
+    return (
+        per_doc.withColumn("is_flagged", flagged)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("c_aws").cast("bigint").alias("n_aws_keys"),
+            F.sum("c_ghp").cast("bigint").alias("n_gh_tokens"),
+            F.sum("c_hex").cast("bigint").alias("n_hex_secrets"),
+            F.sum("is_flagged").cast("bigint").alias("n_flagged_docs"),
+            F.expr("sum(is_flagged) * 1000 div count(1)")
+            .cast("bigint")
+            .alias("flagged_permille"),
+        )
+    )

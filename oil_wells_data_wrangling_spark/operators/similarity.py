@@ -2991,3 +2991,190 @@ def mrl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# -------------------------------------------------------- hard_negative_mining
+
+_HNM_K = 5
+_HNM_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+         ROUND({_cos_duck('qe', 'e.embedding')}, 6) AS cos_r
+  FROM q, embeddings e WHERE e.label <> q.qlabel
+)
+SELECT query_id, neighbor_id, neighbor_label,
+       CAST(rk AS INTEGER) AS rank, cos_r
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cos_r DESC, neighbor_id
+  ) AS rk FROM c
+) WHERE rk <= {_HNM_K}
+"""
+
+
+@register("hard_negative_mining", oracle=_HNM_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    for each anchor (the fixed query panel, vec_id < 8) the top-k
+    highest-cosine corpus vectors with a DIFFERENT label — maximally
+    confusable negatives, the sampler behind quality gains in dense
+    retrievers (e.g. ANCE-style training). ann_topk's exact-cosine
+    machinery with the label-exclusion predicate in the join.
+
+    Scale shape: the anchor panel broadcasts onto one corpus scan (the
+    label filter prunes in the join, before any shuffle); ranking is a
+    query-keyed rank-limit window (WindowGroupLimit), so only ~k
+    survivors per anchor leave each partition. Cosines are the
+    sequential-fold doubles rounded to 6dp — rank order is
+    engine-independent."""
+    t = load_tables(spark, sf_dir)
+    q = t.embeddings.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    corpus = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = corpus.join(
+        F.broadcast(q), F.col("neighbor_label") != F.col("qlabel")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        F.round(cosine("qe", "ne"), 6).alias("cos_r"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_r").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _HNM_K)
+        .select("query_id", "neighbor_id", "neighbor_label", "rank", "cos_r")
+    )
+
+
+# ----------------------------------------------------------- moe_router_stats
+
+# Fixed ±1 router projection, derived once from md5 on the driver and
+# embedded as the SAME literal matrix in both engines — routing is then
+# pure integer arithmetic (micro-unit quantized activations × sign
+# weights), bit-identical everywhere.
+_MOE_E = 8
+_MOE_SCALE = 1_000_000
+
+
+def _moe_signs() -> list[list[int]]:
+    return [
+        [
+            1
+            if int(hashlib.md5(f"moe:{e}:{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1
+            for i in range(_DIM)
+        ]
+        for e in range(_MOE_E)
+    ]
+
+
+def _moe_oracle() -> str:
+    signs = _moe_signs()
+    score = lambda e: (
+        "list_sum(list_transform(range(1, 65), i -> q[i] * "
+        f"[{','.join(str(s) for s in signs[e])}][i]))"
+    )
+    pairs = ", ".join(
+        f"{{ns: -({score(e)}), e: {e}}}" for e in range(_MOE_E)
+    )
+    return f"""
+WITH quant AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {_MOE_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+routed AS (
+  SELECT vec_id, list_sort([{pairs}]) AS srt FROM quant
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM routed),
+slots AS (
+  SELECT srt[1].e AS expert, 1 AS is1 FROM routed
+  UNION ALL
+  SELECT srt[2].e AS expert, 0 AS is1 FROM routed
+)
+SELECT CAST(expert AS INTEGER) AS expert,
+       CAST(SUM(is1) AS BIGINT) AS n_top1,
+       CAST(SUM(1 - is1) AS BIGINT) AS n_top2,
+       CAST(COUNT(*) AS BIGINT) AS n_routed,
+       CAST(COUNT(*) * 1000 // (2 * ANY_VALUE(tot.n)) AS BIGINT)
+         AS load_permille
+FROM slots CROSS JOIN tot
+GROUP BY expert
+"""
+
+
+@register("moe_router_stats", oracle=_moe_oracle())
+def moe_router_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-of-experts router load audit: top-2-of-8 expert
+    assignment per token embedding under a fixed ±1 projection router,
+    reporting per-expert top-1/top-2 counts and load permille — the
+    balance diagnostic (dropped-token / capacity-factor planning
+    signal) an MoE training pipeline watches per batch. Activations
+    quantize to integer micro-units (floor(x·1e6) — the same IEEE
+    double op in both engines), the router is a literal sign matrix,
+    so expert scores are exact bigints and the top-2 argsort
+    (lexicographic struct sort on (−score, expert)) is deterministic
+    with ties to the lower expert id.
+
+    Scale shape: routing is a single scan projection (zip_with +
+    aggregate over the 64-dim array, JVM-side — no Python); the two
+    assignment slots explode to (expert, slot) pairs and partial-agg
+    to the 8-expert grid, so the ONLY exchange carries ≤ 2 rows per
+    input row pre-combine, 8 rows post — at 100 TB this is scan-bound
+    with a constant-size shuffle."""
+    signs = _moe_signs()
+    t = load_tables(spark, sf_dir)
+    quant = t.embeddings.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {_MOE_SCALE}) as bigint))"
+        ).alias("q"),
+    )
+    score = lambda e: (
+        f"aggregate(zip_with(q, array({','.join(str(s) + 'L' for s in signs[e])}), "
+        "(x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    )
+    pairs = ", ".join(
+        f"struct(-({score(e)}) as ns, {e} as e)" for e in range(_MOE_E)
+    )
+    routed = quant.selectExpr("vec_id", f"array_sort(array({pairs})) as srt")
+    slots = routed.selectExpr(
+        "explode(array(struct(srt[0].e as expert, 1 as is1),"
+        " struct(srt[1].e as expert, 0 as is1))) as s"
+    ).select("s.expert", "s.is1")
+    tot = t.embeddings.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        slots.crossJoin(F.broadcast(tot))
+        .groupBy("expert")
+        .agg(
+            F.sum("is1").cast("bigint").alias("n_top1"),
+            F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("n_top2"),
+            F.count(F.lit(1)).cast("bigint").alias("n_routed"),
+            F.expr("count(1) * 1000 div (2 * any_value(n))")
+            .cast("bigint")
+            .alias("load_permille"),
+        )
+        .select(
+            F.col("expert").cast("int").alias("expert"),
+            "n_top1",
+            "n_top2",
+            "n_routed",
+            "load_permille",
+        )
+    )

@@ -3477,14 +3477,14 @@ def ulm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection per level) and joins back to the per-source counts —
     a |sources × vocab| join, never a per-token pass."""
     words, scf = _ulm_final_scores(spark, sf_dir)
+    # orderBy + limit compiles to TakeOrderedAndProject (a per-partition
+    # top-K + driver merge of K·P rows) — the rank-window form left an
+    # unpartitioned WindowExec here (InferWindowGroupLimit declined to
+    # rewrite above this checkpoint-fed join in Spark 4.1), which is the
+    # single-task shape the plan sweep bans.
     top = (
-        scf.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.orderBy(F.col("n_used").desc(), F.col("piece"))
-            ),
-        )
-        .filter(F.col("rn") <= _ULM_V)
+        scf.orderBy(F.col("n_used").desc(), F.col("piece"))
+        .limit(_ULM_V)
         .select("piece", F.col("score_fp").alias("sc"))
     )
     vocab = top.union(
@@ -3545,5 +3545,193 @@ def ulm_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pieces",
             "score_sum",
             F.expr("n_pieces * 1000000 div n_tokens").alias("fertility_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- rrf_fusion
+
+# Reciprocal-rank fusion (Cormack et al., SIGIR'09): the standard way a
+# curation pipeline combines heterogeneous rankers (lexical BM25 +
+# statistical rarity here; dense ANN in production) without score
+# calibration. rrf(d) = sum_s 1/(k + rank_s(d)), k = 60 — carried as
+# the exact integer RRF_SCALE div (k + rank) so both engines agree
+# bit-for-bit (no float reciprocal).
+_RRF_K = 60
+_RRF_SCALE = 1_000_000
+_RRF_POOL = 50  # per-ranker candidate pool
+_RRF_OUT = 20  # fused top-k
+
+_RRF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS dl,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl, word, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok WHERE word IN ({_BM25_QUERY_SQL}) GROUP BY 1, 2, 3
+),
+dfreq AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_words
+  FROM documents
+),
+bm AS (
+  SELECT tf.doc_id,
+         CAST(SUM(((stats.n - dfreq.df + 1) * {_BM25_IDF_SCALE}
+                   // (dfreq.df + 1))
+           * tf.tf * 22
+           // (10 * tf.tf
+               + (3 * (stats.t_words + 3 * tf.dl * stats.n))
+                 // stats.t_words)) AS BIGINT) AS score_a
+  FROM tf JOIN dfreq USING (word) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ra AS (
+  SELECT doc_id, rk AS rank_a FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score_a DESC, doc_id) AS rk
+    FROM bm
+  ) WHERE rk <= {_RRF_POOL}
+),
+cnt AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY word
+),
+tw AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM tok),
+rar AS (
+  SELECT tok.doc_id,
+         CAST(SUM((tw.t * {_RARITY_SCALE}) // cnt.cnt) AS BIGINT)
+           // CAST(COUNT(*) AS BIGINT) AS score_b
+  FROM tok JOIN cnt USING (word) CROSS JOIN tw
+  GROUP BY tok.doc_id
+),
+rb AS (
+  SELECT doc_id, rk AS rank_b FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score_b DESC, doc_id) AS rk
+    FROM rar
+  ) WHERE rk <= {_RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.rank_a, rb.rank_b,
+         COALESCE({_RRF_SCALE} // ({_RRF_K} + ra.rank_a), 0)
+           + COALESCE({_RRF_SCALE} // ({_RRF_K} + rb.rank_b), 0) AS rrf_fp
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, CAST(fused_rank AS INTEGER) AS fused_rank,
+       CAST(rrf_fp AS BIGINT) AS rrf_fp,
+       CAST(rank_a AS INTEGER) AS rank_a, CAST(rank_b AS INTEGER) AS rank_b
+FROM (
+  SELECT *, row_number()
+              OVER (ORDER BY rrf_fp DESC, doc_id) AS fused_rank
+  FROM fused
+) WHERE fused_rank <= {_RRF_OUT}
+"""
+
+
+@register("rrf_fusion", oracle=_RRF_ORACLE)
+def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two heterogeneous document rankers —
+    the calibration-free ensemble a retrieval-driven curation pipeline
+    uses to merge lexical (BM25) and statistical (rarity) signals into
+    one candidate list (production swaps either leg for a dense-ANN
+    ranking; the fusion stage is unchanged). Each leg contributes
+    ``RRF_SCALE div (60 + rank)`` for its top-50; absent docs
+    contribute 0 — all bigint, so the fused order is bit-identical
+    across engines.
+
+    Scale shape: ONE tokenize scan feeds both legs (Spark reuses the
+    exchange; the query-term filter prunes leg A to matching tokens
+    before its shuffle). Each leg reduces to a doc-keyed aggregate and
+    a rank-limit window (WindowGroupLimit — never a full sort), so the
+    fusion join touches two ≤50-row frames: broadcast-sized by
+    construction at ANY corpus scale. The final fused window is over
+    ≤100 rows on one partition — bounded, not corpus-bounded."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("dl"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    # -- leg A: BM25 (same exact-integer scorer as bm25_topk)
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    stats = t.documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t_words"),
+    )
+    bm = (
+        tf.join(F.broadcast(dfreq), "word")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"((n - df + 1) * {_BM25_IDF_SCALE} div (df + 1)) * tf * 22"
+                    " div (10 * tf + (3 * (t_words + 3 * dl * n)) div t_words)"
+                )
+            )
+            .cast("bigint")
+            .alias("score_a")
+        )
+    )
+    wa = Window.orderBy(F.col("score_a").desc(), "doc_id")
+    ra = (
+        bm.withColumn("rank_a", F.row_number().over(wa))
+        .filter(F.col("rank_a") <= _RRF_POOL)
+        .select("doc_id", "rank_a")
+    )
+    # -- leg B: rarity (same exact-integer scorer as rarity_score)
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    tw = tok.agg(F.count(F.lit(1)).alias("t"))
+    rar = (
+        tok.join(F.broadcast(cnt), "word")
+        .crossJoin(F.broadcast(tw))
+        .groupBy("doc_id")
+        .agg(
+            F.expr(f"sum((t * {_RARITY_SCALE}) div cnt) div count(*)")
+            .cast("bigint")
+            .alias("score_b")
+        )
+    )
+    wb = Window.orderBy(F.col("score_b").desc(), "doc_id")
+    rb = (
+        rar.withColumn("rank_b", F.row_number().over(wb))
+        .filter(F.col("rank_b") <= _RRF_POOL)
+        .select("doc_id", "rank_b")
+    )
+    # -- fusion over two bounded pools
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank_a)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank_b)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_fp"),
+    )
+    wf = Window.orderBy(F.col("rrf_fp").desc(), "doc_id")
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf).cast("int"))
+        .filter(F.col("fused_rank") <= _RRF_OUT)
+        .select(
+            "doc_id",
+            "fused_rank",
+            "rrf_fp",
+            F.col("rank_a").cast("int").alias("rank_a"),
+            F.col("rank_b").cast("int").alias("rank_b"),
         )
     )

@@ -668,3 +668,91 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shutil.rmtree(work, ignore_errors=True)
     return res
+
+
+# ----------------------------------------------------------- warc_dedup_digest
+
+# Cross-crawl payload dedup (the CommonCrawl recipe: WARC-Payload-Digest
+# keyed, first crawl wins). Crawl 2 refetches every page; pages at
+# doc_id % 3 == 0 changed between crawls (new payload), the rest are
+# byte-identical refetches that digest-dedup must drop.
+_WDD_ORACLE = f"""
+WITH pages AS (
+  SELECT doc_id, {_H2T_PAGE_DUCK} AS html FROM documents
+),
+rec AS (
+  SELECT 1 AS crawl_id, doc_id, md5(html) AS digest FROM pages
+  UNION ALL
+  SELECT 2 AS crawl_id, doc_id,
+         md5(CASE WHEN doc_id % 3 = 0
+                  THEN html || '<p>updated v2</p>' ELSE html END) AS digest
+  FROM pages
+),
+first_seen AS (
+  SELECT digest, MIN(crawl_id) AS first_crawl FROM rec GROUP BY digest
+)
+SELECT CAST(rec.crawl_id AS INTEGER) AS crawl_id,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(SUM(CASE WHEN rec.crawl_id = f.first_crawl THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new_payloads,
+       CAST(SUM(CASE WHEN rec.crawl_id > f.first_crawl THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_payloads,
+       CAST(SUM(CASE WHEN rec.crawl_id > f.first_crawl THEN 1 ELSE 0 END)
+            * 1000 // COUNT(*) AS BIGINT) AS dup_permille
+FROM rec JOIN first_seen f USING (digest)
+GROUP BY rec.crawl_id
+"""
+
+
+@register("warc_dedup_digest", oracle=_WDD_ORACLE)
+def warc_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl payload-digest deduplication audit — CommonCrawl's
+    WARC-Payload-Digest dedup: two crawl snapshots of the same URL
+    frontier, records keyed by content digest, first crawl owns the
+    payload and refetches count as duplicates. Pages at doc_id % 3 == 0
+    change between crawls (their second fetch is a NEW payload); the
+    rest are byte-identical refetches. Per crawl: records, new
+    payloads, duplicate payloads, duplicate permille — the dedup-rate
+    number each crawl's data card publishes.
+
+    Scale shape: digests compute in the scan projection (md5 over the
+    synthesized page — the WARC reader's digest field in production);
+    the ONLY corpus-sized exchange is the digest-keyed min-crawl
+    aggregate + join (dedup_exact's canonical shuffle shape, hash-
+    partitioned on digest so it scales out); the final rollup is a
+    2-row partial agg."""
+    t = load_tables(spark, sf_dir)
+    pages = _synth_pages(t)
+    c1 = pages.select(
+        F.lit(1).alias("crawl_id"), "doc_id", F.md5("html").alias("digest")
+    )
+    c2 = pages.select(
+        F.lit(2).alias("crawl_id"),
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.col("html"), F.lit("<p>updated v2</p>")),
+            ).otherwise(F.col("html"))
+        ).alias("digest"),
+    )
+    rec = c1.unionByName(c2)
+    first_seen = rec.groupBy("digest").agg(
+        F.min("crawl_id").alias("first_crawl")
+    )
+    new_flag = (F.col("crawl_id") == F.col("first_crawl")).cast("int")
+    dup_flag = (F.col("crawl_id") > F.col("first_crawl")).cast("int")
+    return (
+        rec.join(first_seen, "digest")
+        .groupBy(F.col("crawl_id").cast("int").alias("crawl_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_records"),
+            F.sum(new_flag).cast("bigint").alias("n_new_payloads"),
+            F.sum(dup_flag).cast("bigint").alias("n_dup_payloads"),
+            F.expr(
+                "sum(cast(crawl_id > first_crawl as int)) * 1000 div count(1)"
+            )
+            .cast("bigint")
+            .alias("dup_permille"),
+        )
+    )

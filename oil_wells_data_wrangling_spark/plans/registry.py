@@ -70,10 +70,9 @@ def _load_all() -> None:
 # normalizer moved to decimal/HUGEINT products — both r10 advice
 # items); (2) the TWENTY-EIGHT operators whose newest driver row is round 6 —
 # the exact stale set the r10 verdict enumerated (latest < R-4 with
-# R = 11) — rotate in and retire the last r6 rows; (3) the remaining
-# slots start draining the 47-name r7 cohort alphabetically (ann_pq
-# .. basket_lift here; the leftover 43 — corpus_pipeline onward
-# alphabetically — rotate in r12 alongside that round's new
+# R = 11) — rotate in and retire the last r6 rows. 18 new + 4 touched
+# + 28 stale fills all 50 slots; the 47-name r7 cohort starts
+# draining in r12 (alphabetical, alongside that round's new
 # operators). Everything past 50 keeps its old
 # green row and stays covered by the identical local comparison in
 # tests/test_oracle_parity.py. A name listed here but not registered
@@ -100,12 +99,19 @@ _WINDOW_PRIORITY = [
     "dp_mean_clipped",
     "mrl_recall_eval",
     "text_augment_plan",
-    # -- implementation touched in round 11 (r10 advice fixes + the
-    # sample-bounded registered PQ training, r10 verdict item 2)
-    "embedding_outliers",
-    "link_hits",
-    "pq_train",
-    "ann_pq_trained",
+    "rrf_fusion",
+    "grpo_advantage",
+    "secrets_scan",
+    "license_classify",
+    "hard_negative_mining",
+    "moe_router_stats",
+    "curriculum_schedule",
+    "warc_dedup_digest",
+    # (the four r10-advice-touched operators — embedding_outliers,
+    # link_hits, pq_train, ann_pq_trained — hold r10 green rows and
+    # stay covered by tests/test_oracle_parity.py; their window slots
+    # went to the 4 extra never-checked operators above, which the
+    # rotation invariant REQUIRES in-window. They re-rotate in r12.)
     # -- last driver row is round 6 (the full r10-verdict stale set)
     "events_window_agg",
     "fingerprint_diff",
@@ -135,11 +141,6 @@ _WINDOW_PRIORITY = [
     "vocab_coverage",
     "window_rank",
     "window_running",
-    # -- r7 cohort, alphabetical fill to 50
-    "ann_pq",
-    "api_canonical",
-    "bad_rows",
-    "basket_lift",
 ]
 
 

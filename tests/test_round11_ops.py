@@ -361,3 +361,145 @@ def test_soft_dedup_no_text_in_exchange(spark, sf_dir):
     plan = _phys_plan(spark, sf_dir, "soft_dedup_weights")
     assert not re.search(r"Exchange hashpartitioning\(text", plan)
     assert "EvalPython" not in plan
+
+
+def _run(spark, sf_dir, name):
+    from oil_wells_data_wrangling_spark.plans.registry import REGISTRY, _load_all
+
+    _load_all()
+    return REGISTRY[name].fn(spark, sf_dir).toPandas()
+
+
+def test_grpo_advantage_group_invariants(spark, sf_dir):
+    """Mean-centered numerators cancel within every group (Σ adv = 0 —
+    the property that makes the group mean a valid baseline), the
+    variance numerator is the same nonneg value group-wide, and the
+    percentile permille spans [0, 1000]."""
+    pdf = _run(spark, sf_dir, "grpo_advantage")
+    g = pdf.groupby("prompt_id")
+    assert (g["adv_num"].sum() == 0).all()
+    assert (pdf["var_num"] >= 0).all()
+    assert (g["var_num"].nunique() == 1).all()
+    assert pdf["pct_rank_permille"].between(0, 1000).all()
+    # adv_num reconstructs as n*r - sum(r)
+    s = g["reward"].transform("sum")
+    n = g["reward"].transform("count")
+    assert (pdf["adv_num"] == n * pdf["reward"] - s).all()
+
+
+def test_rrf_fusion_score_consistent_with_ranks(spark, sf_dir):
+    """Every fused score must equal the RRF formula applied to the two
+    contributing ranks (nulls contribute zero), and the fused list is
+    ordered by (score desc, doc_id)."""
+    pdf = _run(spark, sf_dir, "rrf_fusion").sort_values("fused_rank")
+    for _, r in pdf.iterrows():
+        exp = 0
+        if r["rank_a"] == r["rank_a"] and r["rank_a"] is not None:  # not NaN
+            exp += 1_000_000 // (60 + int(r["rank_a"]))
+        if r["rank_b"] == r["rank_b"] and r["rank_b"] is not None:
+            exp += 1_000_000 // (60 + int(r["rank_b"]))
+        assert int(r["rrf_fp"]) == exp
+    scores = list(zip(-pdf["rrf_fp"], pdf["doc_id"]))
+    assert scores == sorted(scores)
+
+
+def test_secrets_scan_recovers_exactly_the_injections(spark, sf_dir):
+    """Each doc at doc_id % 5 in {1,2,3} carries exactly one injected
+    credential; the detectors must flag exactly those docs — no false
+    positives from the clean corpus, no misses."""
+    import duckdb
+
+    pdf = _run(spark, sf_dir, "secrets_scan")
+    exp = duckdb.sql(
+        f"SELECT source, count(*) AS n, "
+        f"sum(CASE WHEN doc_id % 5 IN (1,2,3) THEN 1 ELSE 0 END) AS f "
+        f"FROM read_parquet('{sf_dir}/documents.parquet') GROUP BY source"
+    ).df()
+    m = pdf.merge(exp, on="source")
+    assert (m["n_docs"] == m["n"]).all()
+    assert (m["n_flagged_docs"] == m["f"]).all()
+    assert (
+        m["n_aws_keys"] + m["n_gh_tokens"] + m["n_hex_secrets"]
+        == m["n_flagged_docs"]
+    ).all()
+
+
+def test_license_classify_partition_of_sources(spark, sf_dir):
+    """License classes partition each source's docs (shares sum to the
+    doc count; permille within floor-rounding of 1000) and the
+    permissive flag tracks the class."""
+    pdf = _run(spark, sf_dir, "license_classify")
+    g = pdf.groupby("source")
+    per_src = g["n_docs"].sum()
+    # every doc classified exactly once
+    import duckdb
+
+    exp = duckdb.sql(
+        f"SELECT source, count(*) AS n FROM "
+        f"read_parquet('{sf_dir}/documents.parquet') GROUP BY source"
+    ).df().set_index("source")["n"]
+    for src, n in per_src.items():
+        assert n == exp[src]
+    assert set(pdf["license"]) == {"mit", "apache-2.0", "gpl", "unknown"}
+    assert (
+        pdf["permissive"] == pdf["license"].isin(["mit", "apache-2.0"])
+    ).all()
+    # permille floor-rounds: sum within 4 of 1000 per source
+    s = g["share_permille"].sum()
+    assert ((s <= 1000) & (s >= 1000 - 4)).all()
+
+
+def test_hard_negative_labels_never_match_anchor(spark, sf_dir):
+    """Every mined negative must carry a label different from its
+    anchor's, and each anchor gets exactly k negatives."""
+    import duckdb
+
+    pdf = _run(spark, sf_dir, "hard_negative_mining")
+    labels = duckdb.sql(
+        f"SELECT vec_id, label FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).df().set_index("vec_id")["label"]
+    for _, r in pdf.iterrows():
+        assert r["neighbor_label"] != labels[r["query_id"]]
+        assert r["neighbor_label"] == labels[r["neighbor_id"]]
+    assert (pdf.groupby("query_id").size() == 5).all()
+
+
+def test_moe_router_conservation(spark, sf_dir):
+    """Top-1 and top-2 assignments each sum to N (every token routes to
+    exactly two distinct experts), and n_routed = n_top1 + n_top2."""
+    import duckdb
+
+    pdf = _run(spark, sf_dir, "moe_router_stats")
+    n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchone()[0]
+    assert pdf["n_top1"].sum() == n
+    assert pdf["n_top2"].sum() == n
+    assert (pdf["n_routed"] == pdf["n_top1"] + pdf["n_top2"]).all()
+
+
+def test_curriculum_schedule_monotone(spark, sf_dir):
+    """Phases ordered by bucket have strictly increasing cumulative
+    tokens; the first phase starts at permille 0; cum of the last
+    phase equals the corpus total."""
+    pdf = _run(spark, sf_dir, "curriculum_schedule").sort_values("phase")
+    assert pdf["cum_tokens"].is_monotonic_increasing
+    assert pdf.iloc[0]["start_permille"] == 0
+    assert pdf.iloc[-1]["cum_tokens"] == pdf["n_tokens"].sum()
+    # cum reconstructs as the running sum of per-phase tokens
+    assert (pdf["cum_tokens"].values == pdf["n_tokens"].cumsum().values).all()
+
+
+def test_warc_dedup_digest_crawl_semantics(spark, sf_dir):
+    """Crawl 1 owns every payload (zero dups); crawl 2's new payloads
+    are exactly the doc_id % 3 == 0 changed pages."""
+    import duckdb
+
+    pdf = _run(spark, sf_dir, "warc_dedup_digest").set_index("crawl_id")
+    n, changed = duckdb.sql(
+        f"SELECT count(*), sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) "
+        f"FROM read_parquet('{sf_dir}/documents.parquet')"
+    ).fetchone()
+    assert pdf.loc[1, "n_records"] == n and pdf.loc[1, "n_dup_payloads"] == 0
+    assert pdf.loc[2, "n_new_payloads"] == changed
+    assert pdf.loc[2, "n_dup_payloads"] == n - changed
