@@ -187,6 +187,28 @@ def read_warc_stream(
     return raw.mapInPandas(_parse_batches, schema=WARC_SCHEMA)
 
 
+def surt(url: str | None) -> str:
+    """SURT urlkey (Sort-friendly URI Reordering Transform) — the key
+    CommonCrawl's CDX index sorts on: scheme and leading ``www.``
+    dropped, host lowercased and dot-reversed, then ``)`` + path.
+    ``https://News.Example.com/a/b?q=1`` → ``com,example,news)/a/b?q=1``.
+    Pure function so executors and tests share one implementation."""
+    if not url:
+        return ""
+    u = url.strip()
+    for scheme in ("https://", "http://"):
+        if u.lower().startswith(scheme):
+            u = u[len(scheme) :]
+            break
+    host, sep, rest = u.partition("/")
+    host = host.lower()
+    if host.startswith("www."):
+        host = host[4:]
+    host = host.rsplit(":", 1)[0] if ":" in host else host
+    key = ",".join(reversed(host.split(".")))
+    return key + ")/" + (rest if sep else "")
+
+
 def write_warc(
     df: DataFrame,
     out_dir: str,
@@ -194,6 +216,7 @@ def write_warc(
     html_col: str = "html",
     date: str = "1970-01-01T00:00:00Z",
     compress: bool = False,
+    cdx: bool = False,
 ) -> DataFrame:
     """Export pages as WARC/1.0 **response** records — full HTTP
     envelope (status line + Content-Type) ahead of the body, i.e. the
@@ -208,22 +231,46 @@ def write_warc(
     record's byte offset and decompress just that member;
     ``read_warc``'s multi-member gunzip consumes it directly.
 
+    ``cdx=True`` (requires ``compress=True``) writes a
+    ``part-NNNNN.cdx`` sidecar per archive file in CDXJ layout —
+    ``<surt-urlkey> <ts14> <json{url,digest,offset,length,filename}>``
+    one line per record, offsets/lengths of the COMPRESSED gzip member
+    — i.e. CommonCrawl's cc-index contract: a reader seeks to
+    ``offset``, reads ``length`` bytes, and decompresses exactly one
+    record (``fetch_record``). The digest is the base32 SHA-1 of the
+    payload (WARC-Payload-Digest convention), so index-level dedup
+    works without touching the archives.
+
     Primary use: archiving a fetched page table; also lets the
     registered ``warc_pipeline`` round-trip the crawl front door
     end-to-end (write → read_warc → envelope split → html_to_text)
     without an external fixture."""
+    import base64
     import gzip
+    import hashlib
+    import json
     import os
 
     from pyspark import TaskContext
+
+    if cdx and not compress:
+        raise ValueError(
+            "cdx=True requires compress=True: CDX offsets address "
+            "per-record gzip members; an uncompressed archive has no "
+            "independently decodable units to index"
+        )
+    ts14 = "".join(c for c in date if c.isdigit())[:14]
 
     def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         ext = "warc.gz" if compress else "warc"
-        path = os.path.join(out_dir, f"part-{pid:05d}.{ext}")
+        fname = f"part-{pid:05d}.{ext}"
+        path = os.path.join(out_dir, fname)
         n = 0
+        offset = 0
         buf: list[bytes] = []
+        cdx_lines: list[str] = []
         for pdf in it:
             for uri, html in zip(pdf[uri_col], pdf[html_col]):
                 body = ("" if html is None else str(html)).encode("utf-8")
@@ -247,7 +294,28 @@ def write_warc(
                     # one gzip member per record (CommonCrawl layout);
                     # mtime pinned so archives are byte-deterministic
                     rec = gzip.compress(rec, mtime=0)
+                if cdx:
+                    digest = (
+                        "sha1:"
+                        + base64.b32encode(
+                            hashlib.sha1(body).digest()
+                        ).decode()
+                    )
+                    cdx_lines.append(
+                        f"{surt(uri)} {ts14} "
+                        + json.dumps(
+                            {
+                                "url": "" if uri is None else str(uri),
+                                "digest": digest,
+                                "offset": offset,
+                                "length": len(rec),
+                                "filename": fname,
+                            },
+                            separators=(",", ":"),
+                        )
+                    )
                 buf.append(rec)
+                offset += len(rec)
                 n += 1
         if n:
             os.makedirs(out_dir, exist_ok=True)
@@ -267,6 +335,18 @@ def write_warc(
             with open(tmp, "wb") as f:
                 f.write(b"".join(buf))
             os.replace(tmp, path)
+            if cdx:
+                # same temp-plus-rename commit; archive renames FIRST
+                # so a committed index never points at a missing file
+                cdx_path = os.path.join(out_dir, f"part-{pid:05d}.cdx")
+                cdx_tmp = os.path.join(
+                    out_dir,
+                    f".{os.path.basename(cdx_path)}"
+                    f".attempt-{ctx.taskAttemptId()}.tmp",
+                )
+                with open(cdx_tmp, "w") as f:
+                    f.write("\n".join(cdx_lines) + "\n")
+                os.replace(cdx_tmp, cdx_path)
             yield pd.DataFrame({"warc_out_file": [path], "n_records": [n]})
 
     return df.select(uri_col, html_col).mapInPandas(
@@ -337,3 +417,59 @@ def write_wet(
     return df.select(uri_col, text_col).mapInPandas(
         _write, schema="wet_file string, n_records long"
     )
+
+
+_CDX_SCHEMA = (
+    "urlkey string, timestamp string, url string, digest string, "
+    "offset long, length long, filename string"
+)
+
+
+def read_cdx(spark: SparkSession, folder: str) -> DataFrame:
+    """Read ``write_warc(cdx=True)`` sidecars into one index frame —
+    (urlkey, timestamp, url, digest, offset, length, filename). The
+    parse is JVM-side (two substring_index splits + from_json), so a
+    full-crawl index (billions of lines in production) scans like any
+    text table: per-file parallelism, no Python, no shuffle. Sorting /
+    range-partitioning by urlkey — how cc-index serves prefix lookups —
+    is then ordinary DataFrame work on this frame."""
+    from pyspark.sql import functions as F
+
+    lines = spark.read.text(folder + "/*.cdx")
+    j = F.expr("substring_index(value, ' ', -1)")
+    parsed = F.from_json(
+        j,
+        "url string, digest string, offset long, length long, filename string",
+    )
+    return lines.select(
+        F.expr("substring_index(value, ' ', 1)").alias("urlkey"),
+        F.expr("substring_index(substring_index(value, ' ', 2), ' ', -1)").alias(
+            "timestamp"
+        ),
+        parsed["url"].alias("url"),
+        parsed["digest"].alias("digest"),
+        parsed["offset"].alias("offset"),
+        parsed["length"].alias("length"),
+        parsed["filename"].alias("filename"),
+    )
+
+
+def fetch_record(archive_path: str, offset: int, length: int) -> dict:
+    """Random-access one record from a member-per-record ``.warc.gz``
+    using a CDX row's (offset, length): seek, read exactly one gzip
+    member, parse. This is the serving-side contract the index exists
+    for (a wayback/cc-index replay tier does exactly this against S3
+    range requests); the test suite uses it to prove every index row
+    addresses a decodable record."""
+    with open(archive_path, "rb") as f:
+        f.seek(offset)
+        member = f.read(length)
+    blob = _gunzip_members(member)
+    head, _, rest = blob.partition(b"\r\n\r\n")
+    headers = _parse_headers(head)
+    http_head, _, body = rest.partition(b"\r\n\r\n")
+    return {
+        "target_uri": headers.get("warc-target-uri", ""),
+        "warc_date": headers.get("warc-date", ""),
+        "payload": body.rsplit(b"\r\n\r\n", 1)[0] if body.endswith(b"\r\n\r\n") else body,
+    }

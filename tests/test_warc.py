@@ -245,3 +245,65 @@ def test_write_warc_response_roundtrip(spark, tmp_path):
     assert bytes(by_uri["https://x.example/d/1"].payload).decode() == (
         "<html><body>page 1</body></html>"
     )
+
+
+def test_surt_urlkey():
+    from oil_wells_data_wrangling_spark.sources.warc import surt
+
+    assert surt("https://News.Example.com/a/b?q=1") == "com,example,news)/a/b?q=1"
+    assert surt("http://www.example.com/") == "com,example)/"
+    assert surt("https://example.com") == "com,example)/"
+    assert surt("https://example.com:8080/x") == "com,example)/x"
+    assert surt(None) == "" and surt("") == ""
+
+
+def test_write_warc_cdx_offsets_address_every_record(spark, tmp_path):
+    """cdx=True must produce an index whose every (offset, length) row
+    random-access-decodes to exactly its record (the cc-index serving
+    contract), with the SURT urlkey and base32-SHA1 payload digest."""
+    import base64
+    import hashlib
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        fetch_record,
+        read_cdx,
+        surt,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://w{i % 2}.example.com/d/{i}", f"<html><body>pg {i}</body></html>")
+            for i in range(7)
+        ],
+        "target_uri string, html string",
+    ).repartition(2)
+    out = str(tmp_path / "arch")
+    manifest = write_warc(pages, out, compress=True, cdx=True).collect()
+    assert sum(m.n_records for m in manifest) == 7
+
+    idx = read_cdx(spark, out).collect()
+    assert len(idx) == 7
+    for row in idx:
+        assert row.urlkey == surt(row.url)
+        rec = fetch_record(f"{out}/{row.filename}", row.offset, row.length)
+        assert rec["target_uri"] == row.url
+        body = rec["payload"]
+        want = "sha1:" + base64.b32encode(hashlib.sha1(body).digest()).decode()
+        assert row.digest == want
+        assert body.decode().startswith("<html><body>pg ")
+    # index-level dedup: distinct digests == distinct bodies
+    assert len({r.digest for r in idx}) == 7
+
+
+def test_write_warc_cdx_requires_compress(spark, tmp_path):
+    import pytest
+
+    from oil_wells_data_wrangling_spark.sources.warc import write_warc
+
+    pages = spark.createDataFrame(
+        [("https://x.example/a", "<html></html>")],
+        "target_uri string, html string",
+    )
+    with pytest.raises(ValueError, match="requires compress"):
+        write_warc(pages, str(tmp_path / "a"), cdx=True)
