@@ -2274,9 +2274,11 @@ def license_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: classification is a JVM-side CASE over ``contains``
     in the scan projection (first-match-wins order mirrors license
     scanners' precedence); the rollup partial-aggregates to the
-    bounded source × license grid, and the per-source totals join is
-    a broadcast of the tiny source table back onto that grid — no
-    corpus-sized shuffle anywhere."""
+    bounded source × license grid, and the per-source totals are a
+    RE-AGGREGATION of that grid (not a second corpus pass — the grid's
+    exchange is reused, plan-pinned to one FileScan) broadcast back
+    onto it — one corpus-sized shuffle total, and it carries only the
+    grid keys."""
     t = load_tables(spark, sf_dir)
     k = F.col("doc_id")
     seeded = t.documents.select(
@@ -2296,12 +2298,19 @@ def license_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unknown")
         .alias("license"),
     )
-    grid = classified.groupBy("source", "license").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    # checkpoint the collapse point (SCALE.md §9): the grid is the
+    # first bounded frame; without it Catalyst re-plans the corpus agg
+    # for the per-source re-aggregation (measured: 2 FileScans)
+    grid = (
+        classified.groupBy("source", "license")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .localCheckpoint()
     )
-    per_source = classified.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("src_docs")
+    per_source = grid.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("src_docs")
     )
     return grid.join(F.broadcast(per_source), "source").select(
         "source",
@@ -2357,6 +2366,9 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     — same result, no single-partition window stage, and both engines
     execute the identical triangular join."""
     t = load_tables(spark, sf_dir)
+    # checkpoint the collapse point (SCALE.md §9): three consumers
+    # (the triangular join's both sides + the total) otherwise each
+    # re-plan the corpus aggregation (measured: 3 FileScans)
     b = (
         t.documents.select(
             F.expr(_LEN_BUCKET.format(n="size(split(text, ' '))"))
@@ -2369,6 +2381,7 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n").cast("bigint").alias("n_tokens"),
         )
+        .localCheckpoint()
     )
     tot = b.agg(F.sum("n_tokens").cast("bigint").alias("tt"))
     c = b.select(

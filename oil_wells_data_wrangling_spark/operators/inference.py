@@ -480,11 +480,12 @@ def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile rank is the exact integer permille. Everything bigint,
     bit-identical across engines.
 
-    Scale shape: ONE shuffle on prompt_id serves both the group
-    aggregate and the rank window (the aggregate is a broadcast back
-    onto the group-partitioned stream, so rollout batches of any size
-    stream through — group state is 3 bigints per prompt, independent
-    of G). At 100 TB of rollouts this is the map-side-combine +
+    Scale shape: ONE scan, ONE shuffle. The group sums/count ride the
+    SAME prompt-keyed exchange as the rank window (whole-partition
+    window aggregates, not a separate groupBy + join — plan-pinned:
+    one Exchange, one FileScan), so rollout batches of any size
+    stream through with group state of 3 bigints per prompt,
+    independent of G. At 100 TB of rollouts this is the
     single-exchange shape; no driver collection anywhere."""
     t = load_tables(spark, sf_dir)
     r = featurize(t.documents).select(
@@ -499,14 +500,21 @@ def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("reward"),
     )
-    g = r.groupBy("prompt_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_group"),
-        F.sum("reward").cast("bigint").alias("s"),
-        F.sum(F.col("reward") * F.col("reward")).cast("bigint").alias("ss"),
+    grp = Window.partitionBy("prompt_id")
+    wrk = grp.orderBy(F.col("reward").desc(), "doc_id")
+    rk = r.select(
+        "doc_id",
+        "prompt_id",
+        "reward",
+        F.count(F.lit(1)).over(grp).cast("bigint").alias("n_group"),
+        F.sum("reward").over(grp).cast("bigint").alias("s"),
+        F.sum(F.col("reward") * F.col("reward"))
+        .over(grp)
+        .cast("bigint")
+        .alias("ss"),
+        F.row_number().over(wrk).alias("rk"),
     )
-    w = Window.partitionBy("prompt_id").orderBy(F.col("reward").desc(), "doc_id")
-    rk = r.withColumn("rk", F.row_number().over(w))
-    return rk.join(F.broadcast(g), "prompt_id").select(
+    return rk.select(
         "doc_id",
         "prompt_id",
         "reward",

@@ -3136,8 +3136,10 @@ def moe_router_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate over the 64-dim array, JVM-side — no Python); the two
     assignment slots explode to (expert, slot) pairs and partial-agg
     to the 8-expert grid, so the ONLY exchange carries ≤ 2 rows per
-    input row pre-combine, 8 rows post — at 100 TB this is scan-bound
-    with a constant-size shuffle."""
+    input row pre-combine, 8 rows post. The token total is a
+    re-aggregation of the GRID (Σ n_top1 — not a second corpus scan;
+    plan-pinned to one FileScan) broadcast back for the permille —
+    at 100 TB this is scan-bound with a constant-size shuffle."""
     signs = _moe_signs()
     t = load_tables(spark, sf_dir)
     quant = t.embeddings.select(
@@ -3158,23 +3160,18 @@ def moe_router_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "explode(array(struct(srt[0].e as expert, 1 as is1),"
         " struct(srt[1].e as expert, 0 as is1))) as s"
     ).select("s.expert", "s.is1")
-    tot = t.embeddings.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    return (
-        slots.crossJoin(F.broadcast(tot))
-        .groupBy("expert")
-        .agg(
-            F.sum("is1").cast("bigint").alias("n_top1"),
-            F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("n_top2"),
-            F.count(F.lit(1)).cast("bigint").alias("n_routed"),
-            F.expr("count(1) * 1000 div (2 * any_value(n))")
-            .cast("bigint")
-            .alias("load_permille"),
-        )
-        .select(
-            F.col("expert").cast("int").alias("expert"),
-            "n_top1",
-            "n_top2",
-            "n_routed",
-            "load_permille",
-        )
+    grid = slots.groupBy("expert").agg(
+        F.sum("is1").cast("bigint").alias("n_top1"),
+        F.sum(F.lit(1) - F.col("is1")).cast("bigint").alias("n_top2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_routed"),
+    )
+    tot = grid.agg(F.sum("n_top1").cast("bigint").alias("n"))
+    return grid.crossJoin(F.broadcast(tot)).select(
+        F.col("expert").cast("int").alias("expert"),
+        "n_top1",
+        "n_top2",
+        "n_routed",
+        F.expr("n_routed * 1000 div (2 * n)")
+        .cast("bigint")
+        .alias("load_permille"),
     )

@@ -3643,13 +3643,16 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute 0 — all bigint, so the fused order is bit-identical
     across engines.
 
-    Scale shape: ONE tokenize scan feeds both legs (Spark reuses the
-    exchange; the query-term filter prunes leg A to matching tokens
-    before its shuffle). Each leg reduces to a doc-keyed aggregate and
-    a rank-limit window (WindowGroupLimit — never a full sort), so the
-    fusion join touches two ≤50-row frames: broadcast-sized by
+    Scale shape: each leg keeps its standalone operator's plan (leg A
+    prunes to query-term tokens IN the scan, before any shuffle —
+    bm25_topk's shape; leg B is rarity_score's two-exchange shape), so
+    the corpus streams through independent scans exactly as it would
+    if the rankers ran as separate systems. Each leg ends in a
+    per-partition top-K (LimitPushDownThroughWindow compiles the rank
+    filter to TakeOrderedAndProject below the window — plan-pinned),
+    so the fusion join touches two ≤50-row frames: broadcast-sized by
     construction at ANY corpus scale. The final fused window is over
-    ≤100 rows on one partition — bounded, not corpus-bounded."""
+    ≤100 rows — bounded, not corpus-bounded."""
     t = load_tables(spark, sf_dir)
     tok = t.documents.select(
         "doc_id",

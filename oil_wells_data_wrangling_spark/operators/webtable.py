@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.html_table import parse_well_pages
@@ -717,10 +718,12 @@ def warc_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: digests compute in the scan projection (md5 over the
     synthesized page — the WARC reader's digest field in production);
-    the ONLY corpus-sized exchange is the digest-keyed min-crawl
-    aggregate + join (dedup_exact's canonical shuffle shape, hash-
-    partitioned on digest so it scales out); the final rollup is a
-    2-row partial agg."""
+    the ONLY corpus-sized exchange is the digest-keyed shuffle, and
+    first-crawl attribution is a whole-partition window MIN over it —
+    one pass, no second scan and no self-join (a groupBy+join spelling
+    of the same semantics re-scanned the union: plan-pinned to 2
+    FileScans / 1 corpus exchange); the final rollup is a 2-row
+    partial agg."""
     t = load_tables(spark, sf_dir)
     pages = _synth_pages(t)
     c1 = pages.select(
@@ -737,14 +740,13 @@ def warc_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("digest"),
     )
     rec = c1.unionByName(c2)
-    first_seen = rec.groupBy("digest").agg(
-        F.min("crawl_id").alias("first_crawl")
+    attributed = rec.withColumn(
+        "first_crawl", F.min("crawl_id").over(Window.partitionBy("digest"))
     )
     new_flag = (F.col("crawl_id") == F.col("first_crawl")).cast("int")
     dup_flag = (F.col("crawl_id") > F.col("first_crawl")).cast("int")
     return (
-        rec.join(first_seen, "digest")
-        .groupBy(F.col("crawl_id").cast("int").alias("crawl_id"))
+        attributed.groupBy(F.col("crawl_id").cast("int").alias("crawl_id"))
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_records"),
             F.sum(new_flag).cast("bigint").alias("n_new_payloads"),

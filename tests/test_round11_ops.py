@@ -503,3 +503,33 @@ def test_warc_dedup_digest_crawl_semantics(spark, sf_dir):
     assert pdf.loc[1, "n_records"] == n and pdf.loc[1, "n_dup_payloads"] == 0
     assert pdf.loc[2, "n_new_payloads"] == changed
     assert pdf.loc[2, "n_dup_payloads"] == n - changed
+
+
+def test_round11b_single_corpus_pass_shapes(spark, sf_dir):
+    """The restructured curation/post-training ops hold their pinned
+    single-corpus-pass shapes: grpo = one scan + ONE exchange (window
+    aggregates ride the rank window's shuffle); moe = one scan;
+    warc_dedup = two crawl scans + window-MIN attribution (no agg+join
+    re-scan); the checkpointed ops (license grid, curriculum buckets)
+    replay RDD leaves — zero FileScans in the final plan."""
+    cases = {
+        "grpo_advantage": dict(scans=1, max_exch=1),
+        "moe_router_stats": dict(scans=1, max_exch=4),
+        "warc_dedup_digest": dict(scans=2, max_exch=2),
+        "license_classify": dict(scans=0, max_exch=4),
+        "curriculum_schedule": dict(scans=0, max_exch=4),
+    }
+    for name, want in cases.items():
+        p = _phys_plan(spark, sf_dir, name)
+        assert p.count("FileScan") == want["scans"], f"{name} re-scans"
+        n_exch = p.count("Exchange") - p.count("ReusedExchange")
+        assert n_exch <= want["max_exch"], f"{name} grew exchanges: {n_exch}"
+        assert "EvalPython" not in p, name
+
+
+def test_rrf_fusion_rank_filters_compile_to_take_ordered(spark, sf_dir):
+    """All three global rank filters must push to per-partition top-K
+    (TakeOrderedAndProject) — a plain unpartitioned WindowExec here is
+    the single-task choke the sweep bans."""
+    p = _phys_plan(spark, sf_dir, "rrf_fusion")
+    assert p.count("TakeOrderedAndProject") == 3
