@@ -307,3 +307,35 @@ def test_write_warc_cdx_requires_compress(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="requires compress"):
         write_warc(pages, str(tmp_path / "a"), cdx=True)
+
+
+def test_cdx_fetch_record_tricky_body(spark, tmp_path):
+    """Random access must survive a body containing CRLF-CRLF runs and
+    a 'WARC/' lookalike line — the member boundary comes from the CDX
+    (offset, length), never from scanning the payload."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        fetch_record,
+        read_cdx,
+        write_warc,
+    )
+
+    tricky = "a\r\n\r\nWARC/1.0 not a header\r\n\r\nHTTP/1.1 200 OK\r\n\r\nb"
+    pages = spark.createDataFrame(
+        [("https://t.example/x", tricky), ("https://t.example/y", "plain")],
+        "target_uri string, html string",
+    ).coalesce(1)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, compress=True, cdx=True).collect()
+    rows = {r.url: r for r in read_cdx(spark, out).collect()}
+    rec = fetch_record(
+        f"{out}/{rows['https://t.example/x'].filename}",
+        rows["https://t.example/x"].offset,
+        rows["https://t.example/x"].length,
+    )
+    assert rec["payload"].decode() == tricky
+    rec2 = fetch_record(
+        f"{out}/{rows['https://t.example/y'].filename}",
+        rows["https://t.example/y"].offset,
+        rows["https://t.example/y"].length,
+    )
+    assert rec2["payload"].decode() == "plain"
