@@ -3632,7 +3632,7 @@ FROM (
 """
 
 
-@register("rrf_fusion", oracle=_RRF_ORACLE)
+@register("rrf_fusion", oracle=_RRF_ORACLE, headline=True)
 def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two heterogeneous document rankers —
     the calibration-free ensemble a retrieval-driven curation pipeline

@@ -172,6 +172,7 @@ def test_headline_set_is_pinned():
         "corpus_pipeline", "agg_pricing_summary", "join_revenue_topn",
         "join_region_rollup", "well_pipeline", "ann_topk", "decontaminate",
         "semdedup_pipeline", "domain_pagerank", "crawl_to_corpus",
+        "rrf_fusion",
     }
     # every headliner must also carry an exact oracle
     assert all(REGISTRY[n].oracle for n in headliners)
