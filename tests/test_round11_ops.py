@@ -533,3 +533,58 @@ def test_rrf_fusion_rank_filters_compile_to_take_ordered(spark, sf_dir):
     the single-task choke the sweep bans."""
     p = _phys_plan(spark, sf_dir, "rrf_fusion")
     assert p.count("TakeOrderedAndProject") == 3
+
+
+def test_moe_router_matches_numpy_reference(spark, sf_dir):
+    """Independent second implementation: recompute the routing in
+    numpy straight from the parquet (quantize → signed dots → top-2
+    with ties to the lower expert id) and compare the full grid."""
+    import duckdb
+    import numpy as np
+
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _MOE_E,
+        _MOE_SCALE,
+        _moe_signs,
+    )
+
+    emb = duckdb.sql(
+        f"SELECT embedding FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).fetchall()
+    q = np.floor(
+        np.array([e[0] for e in emb], dtype=np.float64) * _MOE_SCALE
+    ).astype(np.int64)
+    w = np.array(_moe_signs(), dtype=np.int64)  # (E, D)
+    scores = q @ w.T  # (N, E) exact int64
+    # top-2 with ties to lower expert id: lexsort on (-score, e)
+    order = np.lexsort((np.arange(_MOE_E)[None, :].repeat(len(q), 0), -scores), axis=1)
+    top1, top2 = order[:, 0], order[:, 1]
+    pdf = _run(spark, sf_dir, "moe_router_stats").set_index("expert")
+    for e in range(_MOE_E):
+        n1 = int((top1 == e).sum())
+        n2 = int((top2 == e).sum())
+        if n1 + n2 == 0:
+            assert e not in pdf.index
+            continue
+        assert pdf.loc[e, "n_top1"] == n1, e
+        assert pdf.loc[e, "n_top2"] == n2, e
+
+
+def test_surt_properties():
+    """surt never raises, is scheme-insensitive, and is idempotent-safe
+    on already-keyed input prefixes (no scheme → host parse still
+    sound)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from oil_wells_data_wrangling_spark.sources.warc import surt
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=80))
+    def _never_raises(s):
+        r = surt(s)
+        assert isinstance(r, str)
+
+    _never_raises()
+    assert surt("HTTP://A.B/c") == surt("https://a.b/c")
+    assert surt("https://example.com/p") == surt("http://www.example.com/p")
