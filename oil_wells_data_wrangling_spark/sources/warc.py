@@ -454,6 +454,31 @@ def read_cdx(spark: SparkSession, folder: str) -> DataFrame:
     )
 
 
+def cdx_lookup(spark: SparkSession, folder: str, prefix: str) -> DataFrame:
+    """Prefix-range lookup over the CDX index — the cc-index query
+    contract ("every capture under ``com,example)/``"; an exact-URL
+    lookup is the same call with ``prefix=surt(url)``). The predicate
+    is an explicit half-open RANGE ``[prefix, next(prefix))`` rather
+    than ``startswith`` because on the production layout — a
+    urlkey-SORTED parquet index with per-file min/max zone maps, which
+    is exactly how cc-index ships its parquet mirror — a range compare
+    prunes non-overlapping files/row-groups at plan time, while a
+    generic string predicate needs the row. On the raw ``.cdx``
+    sidecars read here it degrades to the same pushed filter either
+    way. Rows come back in (urlkey, timestamp) order — replay order,
+    oldest capture first; the final sort touches only the matched
+    rows, never the index."""
+    from pyspark.sql import functions as F
+
+    idx = read_cdx(spark, folder)
+    if prefix:
+        # next(prefix): bump the last char — SURT keys are ASCII, so
+        # this upper bound is tight and never overflows
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        idx = idx.filter((F.col("urlkey") >= prefix) & (F.col("urlkey") < hi))
+    return idx.orderBy("urlkey", "timestamp")
+
+
 def fetch_record(archive_path: str, offset: int, length: int) -> dict:
     """Random-access one record from a member-per-record ``.warc.gz``
     using a CDX row's (offset, length): seek, read exactly one gzip

@@ -339,3 +339,56 @@ def test_cdx_fetch_record_tricky_body(spark, tmp_path):
         rows["https://t.example/y"].length,
     )
     assert rec2["payload"].decode() == "plain"
+
+
+def test_cdx_lookup_prefix_range(spark, tmp_path):
+    """cdx_lookup is the cc-index query contract: a SURT prefix returns
+    exactly the captures under it, in (urlkey, timestamp) replay order,
+    and every hit is fetchable; an exact-URL lookup is prefix=surt(url);
+    a miss prefix returns zero rows. The 'co' prefix must NOT leak
+    'com,...' keys — the range upper bound is next('co')='cp', which
+    still covers com; so we assert the tighter contract on a full
+    host key instead: 'com,alpha)' never returns beta's captures even
+    though both share the 'com,' run."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        cdx_lookup,
+        fetch_record,
+        surt,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            ("https://alpha.com/a", "pg a"),
+            ("https://alpha.com/b", "pg b"),
+            ("https://www.alpha.com/a/deep", "pg deep"),
+            ("https://beta.com/x", "pg x"),
+            ("https://alphariver.com/z", "pg z"),  # host sharing the prefix string
+        ],
+        "target_uri string, html string",
+    ).repartition(2)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, compress=True, cdx=True).collect()
+
+    # domain lookup: alpha.com only — NOT alphariver.com, NOT beta.com
+    hits = cdx_lookup(spark, out, "com,alpha)").collect()
+    assert sorted(r.url for r in hits) == [
+        "https://alpha.com/a",
+        "https://alpha.com/b",
+        "https://www.alpha.com/a/deep",
+    ]
+    # replay order: sorted by (urlkey, timestamp)
+    assert [(r.urlkey, r.timestamp) for r in hits] == sorted(
+        (r.urlkey, r.timestamp) for r in hits
+    )
+    # every hit is servable via its (offset, length)
+    for r in hits:
+        rec = fetch_record(f"{out}/{r.filename}", r.offset, r.length)
+        assert rec["target_uri"] == r.url
+    # exact-URL lookup
+    one = cdx_lookup(spark, out, surt("https://beta.com/x")).collect()
+    assert len(one) == 1 and one[0].url == "https://beta.com/x"
+    # miss
+    assert cdx_lookup(spark, out, "org,nosuch)").count() == 0
+    # empty prefix = full index scan, still ordered
+    assert cdx_lookup(spark, out, "").count() == 5
