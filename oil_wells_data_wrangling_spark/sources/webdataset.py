@@ -1,0 +1,205 @@
+"""WebDataset tar shards — the dataloader-facing serving format.
+
+Training jobs do not read a lakehouse: PyTorch/JAX input pipelines
+stream **tar shards** where each sample is a run of adjacent members
+sharing a basename key (``000042.txt`` + ``000042.json`` + optionally
+``000042.png`` …) — the WebDataset convention (public spec:
+github.com/webdataset/webdataset; same layout tarp/NVIDIA DALI
+consume). This module is the bridge from the curated parquet corpus to
+that contract, and back.
+
+Reference parity: the reference's serving tier exports query results as
+JSON for a web app (``app.py:15-44``); a training-data engine's
+equivalent export surface is the shard writer a dataloader mounts.
+
+Scale shape (both directions shuffle-free):
+- ``write_webdataset`` is ``write_warc``'s executor-local
+  file-per-partition layout — one tar per input partition, written
+  inside the task via the dot-prefixed-temp + atomic-rename commit
+  protocol. The caller's partitioning IS the shard-size knob
+  (``df.repartition(n)`` for ~equal shards, ``repartitionByRange`` for
+  key-sorted shards); at 100 TB that is the same file-inventory
+  parallelism CommonCrawl uses, no driver involvement, no exchange.
+- ``read_webdataset`` scans shards with ``binaryFile`` (one task per
+  shard) and parses the tar inside the task with an Arrow-batched
+  ``mapInPandas`` — member bytes never cross an exchange; downstream
+  projections prune to the suffixes they need.
+
+Determinism: tar metadata is pinned (mtime 0, uid/gid 0, USTAR), member
+order is (key, suffix)-sorted within a shard, and JSON sidecars are
+compact/sorted-key — so identical input partitions produce
+byte-identical shards (the write_warc mtime-pin convention; makes shard
+diffs and digest-level dedup meaningful).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import tarfile
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+WDS_MEMBER_SCHEMA = "shard string, key string, suffix string, payload binary"
+
+
+def _jsonable(v):
+    """Arrow→pandas scalars to plain-JSON values, deterministically."""
+    import numpy as np
+
+    if isinstance(v, (list, tuple)):
+        return list(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
+        return None
+    if isinstance(v, np.generic):
+        return v.item()
+    return v
+
+
+def _tarinfo(name: str, size: int) -> tarfile.TarInfo:
+    ti = tarfile.TarInfo(name=name)
+    ti.size = size
+    ti.mtime = 0
+    ti.uid = ti.gid = 0
+    ti.uname = ti.gname = ""
+    ti.mode = 0o644
+    return ti
+
+
+def write_webdataset(
+    df: DataFrame,
+    out_dir: str,
+    key_col: str = "doc_id",
+    text_col: str | None = "text",
+    meta_cols: tuple[str, ...] = (),
+    bin_members: dict[str, str] | None = None,
+) -> DataFrame:
+    """Export a corpus as WebDataset tar shards, one per input
+    partition: each row becomes a sample — adjacent tar members
+    ``{key}.txt`` (utf-8 text), ``{key}.json`` (compact sorted-key
+    metadata sidecar, only when ``meta_cols`` given) and one
+    ``{key}{suffix}`` per ``bin_members`` entry (binary column →
+    member suffix, e.g. ``{"img": ".png"}`` for multimodal samples).
+    Returns the ``(shard, n_samples, n_bytes)`` manifest; an action on
+    it performs the write. Keys must be dot-free (the dot separates
+    key from suffix in the WebDataset contract) — violations fail the
+    task loudly rather than writing unloadable shards."""
+    from pyspark import TaskContext
+
+    bins = dict(bin_members or {})
+    cols = [key_col] + ([text_col] if text_col else [])
+    cols += list(meta_cols) + list(bins)
+
+    def _write(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        fname = f"part-{pid:05d}.tar"
+        samples = []
+        for pdf in it:
+            for row in pdf.itertuples(index=False):
+                r = dict(zip(pdf.columns, row))
+                key = str(r[key_col])
+                if "." in key:
+                    raise ValueError(
+                        f"webdataset key may not contain '.': {key!r}"
+                    )
+                members: list[tuple[str, bytes]] = []
+                if meta_cols:
+                    meta = {c: _jsonable(r[c]) for c in meta_cols}
+                    members.append(
+                        (
+                            key + ".json",
+                            json.dumps(
+                                meta,
+                                sort_keys=True,
+                                separators=(",", ":"),
+                                default=str,
+                            ).encode("utf-8"),
+                        )
+                    )
+                if text_col:
+                    t = r[text_col]
+                    members.append(
+                        (key + ".txt", ("" if t is None else str(t)).encode())
+                    )
+                for col, suffix in bins.items():
+                    b = r[col]
+                    if b is not None:
+                        members.append((key + suffix, bytes(b)))
+                samples.append((key, sorted(members)))
+        if not samples:
+            return
+        samples.sort()
+        buf = io.BytesIO()
+        # USTAR: the oldest, most portable dialect — every dataloader's
+        # tar reader accepts it, and it has no vendor extension blocks
+        # that could vary across Python versions
+        with tarfile.open(
+            fileobj=buf, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tar:
+            for _, members in samples:
+                for name, data in members:
+                    tar.addfile(_tarinfo(name, len(data)), io.BytesIO(data))
+        blob = buf.getvalue()
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, fname)
+        # dot-prefixed temp + atomic rename (write_warc protocol): a
+        # leftover temp from a killed attempt is invisible to Spark's
+        # file listing and can never be ingested as a shard
+        tmp = os.path.join(
+            out_dir, f".{fname}.attempt-{ctx.taskAttemptId()}.tmp"
+        )
+        with open(tmp, "wb") as f:
+            f.write(blob)
+        os.replace(tmp, path)
+        yield pd.DataFrame(
+            {
+                "shard": [path],
+                "n_samples": [len(samples)],
+                "n_bytes": [len(blob)],
+            }
+        )
+
+    return df.select(*cols).mapInPandas(
+        _write, schema="shard string, n_samples long, n_bytes long"
+    )
+
+
+def read_webdataset(spark: SparkSession, folder: str) -> DataFrame:
+    """Read WebDataset shards back as one row per tar member —
+    ``(shard, key, suffix, payload binary)`` in ARCHIVE ORDER (the
+    order a sequential dataloader sees; members of one sample are
+    adjacent by construction, which the test suite pins). Reassembling
+    samples is ordinary DataFrame work on this frame — e.g. filter to
+    ``suffix = '.txt'`` for the text view, or group by (shard, key)
+    when a sample's members must travel together."""
+    files = spark.read.format("binaryFile").load(folder + "/*.tar")
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                shard = path[7:] if str(path).startswith("file:") else path
+                rows = {"shard": [], "key": [], "suffix": [], "payload": []}
+                with tarfile.open(
+                    fileobj=io.BytesIO(bytes(blob)), mode="r"
+                ) as tar:
+                    for m in tar:
+                        if not m.isfile():
+                            continue
+                        base = os.path.basename(m.name)
+                        key, dot, suffix = base.partition(".")
+                        rows["shard"].append(shard)
+                        rows["key"].append(key)
+                        rows["suffix"].append(dot + suffix)
+                        rows["payload"].append(tar.extractfile(m).read())
+                if rows["key"]:
+                    yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(
+        _parse, schema=WDS_MEMBER_SCHEMA
+    )
