@@ -2398,3 +2398,242 @@ def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("start_permille"),
         )
     )
+
+
+# ----------------------------------------------------------------- elo_ratings
+#
+# PRE-STAGED FOR ROUND 12 (not yet @register'ed) — the r11 window is
+# full; see quality_ensemble's note in textstats.py and SURVEY.md
+# "Round 12 candidates". Parity-tested by tests/test_prestaged_r12.py
+# with the driver's own Spark-vs-DuckDB comparison.
+
+_ELO_START = 1_500_000  # milli-points
+_ELO_K = 32
+_ELO_CLAMP = 400_000  # FIDE's ±400 rating-difference clamp, in milli
+_ELO_PERIODS = 4
+
+
+def _elo_games_sql() -> str:
+    return """qd AS (
+  SELECT doc_id, lang, source,
+         CAST(len(list_distinct(string_split(text, ' '))) * 1000000
+              // len(string_split(text, ' ')) AS BIGINT) AS q
+  FROM documents
+),
+paired AS (
+  SELECT doc_id, q, q2, source, source2 FROM (
+    SELECT doc_id, q, source,
+           LEAD(q) OVER (PARTITION BY lang ORDER BY doc_id) AS q2,
+           LEAD(source) OVER (PARTITION BY lang ORDER BY doc_id) AS source2,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM qd
+  ) WHERE rn % 2 = 1
+),
+g AS (
+  SELECT CAST(doc_id % 4 AS BIGINT) AS period,
+         CASE WHEN q > q2 THEN source ELSE source2 END AS w,
+         CASE WHEN q > q2 THEN source2 ELSE source END AS l
+  FROM paired
+  WHERE q2 IS NOT NULL AND q <> q2 AND source <> source2
+),
+gd AS (
+  SELECT period, w, l, CAST(COUNT(*) AS BIGINT) AS n
+  FROM g GROUP BY period, w, l
+),
+nodes AS (SELECT DISTINCT w AS s FROM gd UNION SELECT DISTINCT l FROM gd)"""
+
+
+def _elo_iter_sql(i: int, prev: str) -> str:
+    e_win = (
+        f"((LEAST(GREATEST(rw.r - rl.r, -{_ELO_CLAMP}), {_ELO_CLAMP})"
+        f" + {_ELO_CLAMP}) // 800)"
+    )
+    e_lose = (
+        f"((LEAST(GREATEST(rl.r - rw.r, -{_ELO_CLAMP}), {_ELO_CLAMP})"
+        f" + {_ELO_CLAMP}) // 800)"
+    )
+    return f"""d{i} AS (
+  SELECT s, CAST(SUM(delta) AS BIGINT) AS delta FROM (
+    SELECT gd.w AS s, gd.n * {_ELO_K} * (1000 - {e_win}) AS delta
+    FROM gd JOIN {prev} rw ON rw.s = gd.w JOIN {prev} rl ON rl.s = gd.l
+    WHERE gd.period = {i - 1}
+    UNION ALL
+    SELECT gd.l AS s, -gd.n * {_ELO_K} * {e_lose} AS delta
+    FROM gd JOIN {prev} rw ON rw.s = gd.w JOIN {prev} rl ON rl.s = gd.l
+    WHERE gd.period = {i - 1}
+  ) GROUP BY s
+),
+r{i} AS (
+  SELECT {prev}.s, CAST({prev}.r + COALESCE(d{i}.delta, 0) AS BIGINT) AS r
+  FROM {prev} LEFT JOIN d{i} USING (s)
+)"""
+
+
+ELO_RATINGS_ORACLE = f"""
+WITH {_elo_games_sql()},
+r0 AS (SELECT s, CAST({_ELO_START} AS BIGINT) AS r FROM nodes),
+{_elo_iter_sql(1, 'r0')},
+{_elo_iter_sql(2, 'r1')},
+{_elo_iter_sql(3, 'r2')},
+{_elo_iter_sql(4, 'r3')},
+wins AS (
+  SELECT nodes.s, CAST(COUNT(gd.w) AS BIGINT) AS n_wins
+  FROM nodes LEFT JOIN gd ON gd.w = nodes.s GROUP BY nodes.s
+),
+games AS (
+  SELECT s, CAST(SUM(n) AS BIGINT) AS n_games FROM (
+    SELECT w AS s, n FROM gd UNION ALL SELECT l AS s, n FROM gd
+  ) GROUP BY s
+)
+SELECT r4.s AS source, r4.r AS elo_milli,
+       CAST(COALESCE(w2.nw, 0) AS BIGINT) AS n_wins, games.n_games
+FROM r4
+LEFT JOIN (SELECT w AS s, CAST(SUM(n) AS BIGINT) AS nw FROM gd GROUP BY w) w2
+  ON w2.s = r4.s
+JOIN games ON games.s = r4.s
+"""
+
+
+def elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rating-period Elo over pairwise preference games — the
+    leaderboard estimator that, unlike Bradley-Terry's batch MM fit
+    (``preference_bt``), is ORDER-SENSITIVE: ratings evolve as game
+    periods arrive, which is how arena-style preference feeds are
+    actually consumed. Games are dpo_pairs' adjacent-doc comparisons
+    (winner = higher distinct-token permille); each game's period is
+    ``doc_id % {_ELO_PERIODS}``, and every game in a period is scored
+    against PERIOD-START ratings (the rating-period rule — FIDE lists,
+    Glicko batches — which is also what makes the update one bounded
+    aggregate instead of a per-game sequential fold). Expected score is
+    the linear-approximation table in exact integers: with rating
+    difference D in milli-points clamped to ±{_ELO_CLAMP}, E_permille
+    = (D + {_ELO_CLAMP}) div 800 — the USCF linear form with FIDE's
+    ±400 clamp; winner delta = {_ELO_K}·(1000 − E), loser delta =
+    −{_ELO_K}·E, all bigint, so ratings are bit-identical across
+    engines.
+
+    Scale shape (preference_bt's): the ONE corpus-sized stage is the
+    lang-keyed pairing window over scalar rows; the corpus collapses
+    to the (period, winner, loser, n) matrix — ≤ periods·|sources|²
+    rows — which is eagerly checkpointed, and all {_ELO_PERIODS}
+    rating updates run on that bounded frame with broadcast ratings.
+    Update cost is independent of corpus size; period count is a
+    constant, not data-driven, so the plan depth is fixed."""
+    t = load_tables(spark, sf_dir)
+    qd = t.documents.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.expr(
+            "cast(size(array_distinct(split(text, ' '))) * 1000000"
+            " div size(split(text, ' ')) as bigint)"
+        ).alias("q"),
+    )
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    paired = (
+        qd.select(
+            "doc_id",
+            "q",
+            "source",
+            F.lead("q").over(w).alias("q2"),
+            F.lead("source").over(w).alias("source2"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(
+            (F.col("rn") % 2 == 1)
+            & F.col("q2").isNotNull()
+            & (F.col("q") != F.col("q2"))
+            & (F.col("source") != F.col("source2"))
+        )
+    )
+    g = paired.select(
+        (F.col("doc_id") % _ELO_PERIODS).cast("bigint").alias("period"),
+        F.when(F.col("q") > F.col("q2"), F.col("source"))
+        .otherwise(F.col("source2"))
+        .alias("w"),
+        F.when(F.col("q") > F.col("q2"), F.col("source2"))
+        .otherwise(F.col("source"))
+        .alias("l"),
+    )
+    # collapse the corpus to the bounded period×winner×loser matrix and
+    # cut the plan there (preference_bt's barrier): every period update
+    # re-reads this frame, never the corpus
+    gd = (
+        g.groupBy("period", "w", "l")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        gd.select(F.col("w").alias("s"))
+        .union(gd.select(F.col("l").alias("s")))
+        .distinct()
+    )
+    ratings = nodes.select(
+        "s", F.lit(_ELO_START).cast("bigint").alias("r")
+    ).localCheckpoint(eager=True)
+
+    def _e(diff: str) -> str:
+        return (
+            f"(least(greatest({diff}, -{_ELO_CLAMP}L), {_ELO_CLAMP}L)"
+            f" + {_ELO_CLAMP}L) div 800"
+        )
+
+    for p in range(_ELO_PERIODS):
+        gp = gd.filter(F.col("period") == p)
+        joined = gp.join(
+            F.broadcast(
+                ratings.select(F.col("s").alias("w"), F.col("r").alias("rw"))
+            ),
+            "w",
+        ).join(
+            F.broadcast(
+                ratings.select(F.col("s").alias("l"), F.col("r").alias("rl"))
+            ),
+            "l",
+        )
+        deltas = (
+            joined.select(
+                F.col("w").alias("s"),
+                F.expr(
+                    f"n * {_ELO_K} * (1000 - ({_e('rw - rl')}))"
+                ).cast("bigint").alias("delta"),
+            )
+            .unionAll(
+                joined.select(
+                    F.col("l").alias("s"),
+                    F.expr(
+                        f"-n * {_ELO_K} * ({_e('rl - rw')})"
+                    ).cast("bigint").alias("delta"),
+                )
+            )
+            .groupBy("s")
+            .agg(F.sum("delta").cast("bigint").alias("delta"))
+        )
+        ratings = (
+            ratings.join(deltas, "s", "left")
+            .select(
+                "s",
+                (F.col("r") + F.coalesce(F.col("delta"), F.lit(0)))
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    wins = gd.groupBy("w").agg(F.sum("n").cast("bigint").alias("nw"))
+    games = (
+        gd.select(F.col("w").alias("s"), "n")
+        .unionAll(gd.select(F.col("l").alias("s"), "n"))
+        .groupBy("s")
+        .agg(F.sum("n").cast("bigint").alias("n_games"))
+    )
+    return (
+        ratings.join(wins, ratings.s == wins.w, "left")
+        .join(games, "s")
+        .select(
+            F.col("s").alias("source"),
+            F.col("r").alias("elo_milli"),
+            F.coalesce(F.col("nw"), F.lit(0)).cast("bigint").alias("n_wins"),
+            "n_games",
+        )
+    )

@@ -3738,3 +3738,127 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_b").cast("int").alias("rank_b"),
         )
     )
+
+
+# ------------------------------------------------------------ quality_ensemble
+#
+# PRE-STAGED FOR ROUND 12 (not yet @register'ed): the r11 driver
+# window is full (22 new + 28 stale rotations = all 50 slots), and the
+# rotation invariant requires never-checked operators to be in-window
+# the round they land — so this operator ships fully implemented and
+# parity-tested (tests/test_prestaged_r12.py runs the same
+# Spark-vs-DuckDB comparison the driver does) and r12 only adds the
+# @register line, a window slot, and the SURVEY §2 row. See
+# SURVEY.md "Round 12 candidates".
+
+_QE_OUT = 100
+
+QUALITY_ENSEMBLE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(w)) * 1000 // len(w) AS BIGINT) AS qa,
+         CAST(len(list_filter(w, x -> list_contains({_STOP_DUCK}, x)))
+              * 1000 // len(w) AS BIGINT) AS qb
+  FROM t
+),
+r AS (
+  SELECT doc_id, qa, qb,
+         CAST(ROW_NUMBER() OVER (ORDER BY qa DESC, doc_id) AS BIGINT)
+           AS rank_a,
+         CAST(ROW_NUMBER() OVER (ORDER BY qb DESC, doc_id) AS BIGINT)
+           AS rank_b
+  FROM s
+)
+SELECT doc_id, rank_a, rank_b, rank_a + rank_b AS borda,
+       CAST(ROW_NUMBER() OVER (ORDER BY rank_a + rank_b, doc_id)
+            AS BIGINT) AS ensemble_rank
+FROM r
+ORDER BY ensemble_rank
+LIMIT {_QE_OUT}
+"""
+
+
+def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda rank-aggregation of two quality signals — the
+    calibration-free ensemble a curation pipeline uses when signal
+    SCALES are incomparable (a permille diversity score and a permille
+    stopwordness score don't average; their ranks do). Each document
+    gets its EXACT global rank under each leg, the Borda sum, and the
+    fused top-{_QE_OUT} comes back.
+
+    The interesting part is exact global ranking WITHOUT a
+    single-partition window: both legs are bounded integers in
+    [0, 1000], so rank(doc) decomposes as
+
+        (count of docs with a strictly higher score)     -- histogram
+      + (row_number among same-score docs by doc_id)     -- tie-break
+
+    The histogram is a ≤1001-row aggregate; the strictly-higher
+    counts come from a triangular join on that bounded frame
+    (curriculum_schedule's pattern — engine-identical, no window); the
+    tie-break window partitions BY SCORE, so its tasks see only
+    (score, doc_id) scalar rows and parallelism is the score
+    cardinality. The corpus is scanned once, both legs computed
+    in-projection; the only corpus-sized exchange is the score-keyed
+    tie-break shuffle carrying three ints per doc. Worst-case skew =
+    all docs sharing one score value — the task then holds that
+    score's (doc_id) list, which is the same bound a global window
+    would put on ONE task for the WHOLE corpus; here it only happens
+    per colliding score, and the rows are 24-byte scalars.
+
+    Final top-K is orderBy+limit over (borda, doc_id) →
+    TakeOrderedAndProject (per-partition heaps, no global sort)."""
+    t = load_tables(spark, sf_dir)
+    w = F.split("text", " ")
+    scored = t.documents.select(
+        "doc_id",
+        F.expr("size(array_distinct(split(text, ' '))) * 1000"
+               " div size(split(text, ' '))").cast("bigint").alias("qa"),
+        F.expr(
+            f"cast(size(filter(split(text, ' '),"
+            f" x -> array_contains({_STOP_SPARK}, x))) as bigint) * 1000"
+            " div size(split(text, ' '))"
+        ).cast("bigint").alias("qb"),
+    ).localCheckpoint()  # one corpus scan feeds both legs' histograms
+    # and tie-break windows (4 consumers otherwise re-plan the scan)
+
+    def leg_rank(col: str, out: str) -> DataFrame:
+        hist = scored.groupBy(col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        higher = (
+            hist.alias("a")
+            .join(
+                F.broadcast(hist.alias("c")),
+                F.col(f"c.{col}") > F.col(f"a.{col}"),
+                "left",
+            )
+            .groupBy(F.col(f"a.{col}").alias(col))
+            .agg(F.coalesce(F.sum("c.cnt"), F.lit(0)).alias("n_higher"))
+        )
+        tie = Window.partitionBy(col).orderBy("doc_id")
+        return (
+            scored.select("doc_id", col)
+            .withColumn("rn", F.row_number().over(tie))
+            .join(F.broadcast(higher), col)
+            .select(
+                "doc_id",
+                (F.col("n_higher") + F.col("rn")).cast("bigint").alias(out),
+            )
+        )
+
+    ranked = leg_rank("qa", "rank_a").join(leg_rank("qb", "rank_b"), "doc_id")
+    fused = ranked.select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (F.col("rank_a") + F.col("rank_b")).cast("bigint").alias("borda"),
+    )
+    top = fused.orderBy("borda", "doc_id").limit(_QE_OUT)
+    wf = Window.orderBy("borda", "doc_id")  # over ≤_QE_OUT rows
+    return top.withColumn(
+        "ensemble_rank", F.row_number().over(wf).cast("bigint")
+    )

@@ -1,0 +1,87 @@
+"""Round-12 pre-staged operators: quality_ensemble and elo_ratings.
+
+These are fully implemented and parity-gated here with the same
+Spark-vs-DuckDB comparison the driver runs, but NOT yet @register'ed:
+the r11 driver window is full (22 new + 28 stale = 50 slots) and the
+rotation invariant requires never-checked names in-window the round
+they land. Round 12 has ≤3 free slots (SURVEY "Round 12 candidates");
+registering these costs one line + a window slot + a SURVEY §2 row
+each. When that happens they join test_oracle_parity automatically and
+this file's parity tests become redundant (keep the property tests).
+"""
+
+from __future__ import annotations
+
+from oil_wells_data_wrangling_spark.operators.corpus import (
+    ELO_RATINGS_ORACLE,
+    elo_ratings,
+)
+from oil_wells_data_wrangling_spark.operators.textstats import (
+    QUALITY_ENSEMBLE_ORACLE,
+    quality_ensemble,
+)
+from tests.test_oracle_parity import _assert_frames_match
+
+
+def test_quality_ensemble_matches_oracle(spark, duck, sf_dir):
+    sp = quality_ensemble(spark, sf_dir).toPandas()
+    du = duck.execute(QUALITY_ENSEMBLE_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "quality_ensemble")
+
+
+def test_quality_ensemble_rank_properties(spark, sf_dir):
+    pdf = quality_ensemble(spark, sf_dir).toPandas()
+    assert len(pdf) == 100
+    # fused ranks are exactly 1..100, unique
+    assert sorted(pdf["ensemble_rank"]) == list(range(1, 101))
+    # borda is the sum of the leg ranks (exact global ranks, so ≥1)
+    assert (pdf["borda"] == pdf["rank_a"] + pdf["rank_b"]).all()
+    assert (pdf["rank_a"] >= 1).all() and (pdf["rank_b"] >= 1).all()
+    # fused order is (borda, doc_id)-monotone
+    srt = pdf.sort_values("ensemble_rank")
+    assert (
+        srt[["borda", "doc_id"]].apply(tuple, axis=1).is_monotonic_increasing
+    )
+
+
+def test_elo_ratings_matches_oracle(spark, duck, sf_dir):
+    sp = elo_ratings(spark, sf_dir).toPandas()
+    du = duck.execute(ELO_RATINGS_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "elo_ratings")
+
+
+def test_elo_ratings_properties(spark, sf_dir):
+    pdf = elo_ratings(spark, sf_dir).toPandas()
+    # every participating source rated; games double-count per side
+    assert (pdf["n_games"] >= 1).all()
+    assert pdf["n_wins"].sum() * 2 == pdf["n_games"].sum()
+    assert (pdf["n_wins"] <= pdf["n_games"]).all()
+    # K=32 per game bounds total movement from the 1.5e6-milli start
+    lim = 32 * 1000 * pdf["n_games"]
+    assert ((pdf["elo_milli"] - 1_500_000).abs() <= lim).all()
+    # someone moved (the corpus is not a perfect tie)
+    assert (pdf["elo_milli"] != 1_500_000).any()
+
+
+def test_elo_ratings_period_order_matters(spark, sf_dir):
+    """Elo is order-sensitive by design — the whole reason it exists
+    next to preference_bt's batch fit. Verify the implementation is
+    genuinely sequential: recompute with the period axis collapsed
+    (all games in one period) and demand a DIFFERENT rating vector.
+    If this ever converges to equality the period loop has degenerated
+    into a single batch update."""
+    import oil_wells_data_wrangling_spark.operators.corpus as c
+
+    full = {
+        r.source: r.elo_milli for r in elo_ratings(spark, sf_dir).collect()
+    }
+    orig = c._ELO_PERIODS
+    try:
+        c._ELO_PERIODS = 1  # doc_id % 1 == 0: every game lands in period 0
+        one = {
+            r.source: r.elo_milli for r in elo_ratings(spark, sf_dir).collect()
+        }
+    finally:
+        c._ELO_PERIODS = orig
+    assert set(full) == set(one)
+    assert full != one
