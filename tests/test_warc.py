@@ -392,3 +392,40 @@ def test_cdx_lookup_prefix_range(spark, tmp_path):
     assert cdx_lookup(spark, out, "org,nosuch)").count() == 0
     # empty prefix = full index scan, still ordered
     assert cdx_lookup(spark, out, "").count() == 5
+
+
+def test_cdx_indexed_lookup_equals_raw_and_pushes_range(spark, tmp_path):
+    """The sorted parquet mirror must return exactly what the raw
+    sidecar lookup returns, AND the range predicates must reach the
+    parquet scan (PushedFilters) — the pruning contract that makes a
+    prefix lookup sublinear on a range-partitioned crawl index."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        build_cdx_index,
+        cdx_lookup,
+        cdx_lookup_indexed,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://h{i % 5}.example.com/p/{i}", f"pg {i}")
+            for i in range(40)
+        ],
+        "target_uri string, html string",
+    ).repartition(3)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, compress=True, cdx=True).collect()
+    idx_dir = str(tmp_path / "cdx_index")
+    build_cdx_index(spark, out, idx_dir, num_files=4)
+
+    prefix = "com,example,h3)"
+    raw = cdx_lookup(spark, out, prefix).collect()
+    fast = cdx_lookup_indexed(spark, idx_dir, prefix).collect()
+    assert len(raw) == 8
+    assert [tuple(r) for r in raw] == [tuple(r) for r in fast]
+
+    plan = cdx_lookup_indexed(spark, idx_dir, prefix)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(urlkey" in plan, plan
+    assert "LessThan(urlkey" in plan, plan
