@@ -118,3 +118,34 @@ def test_webdataset_empty_partitions_write_no_shard(spark, tmp_path):
     assert read_webdataset(spark, out).select("shard").distinct().count() == len(
         manifest
     )
+
+
+# ------------------------------------------------------------------- fuzz
+# Any unicode payload a curation pipeline can emit must survive the
+# shard round trip byte-exactly — tar framing, utf-8 encode, Arrow
+# transfer, and the streaming parse all sit between write and read.
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_keys = st.lists(
+    st.text(alphabet=st.sampled_from("abcdefghij0123456789_-"),
+            min_size=1, max_size=20),
+    min_size=1, max_size=8, unique=True,
+)
+_texts = st.text(min_size=0, max_size=300)  # full unicode, incl. \n, \x00
+
+
+@settings(max_examples=10, deadline=None)
+@given(keys=_keys, data=st.data())
+def test_webdataset_round_trips_any_unicode(spark, tmp_path_factory, keys, data):
+    texts = [data.draw(_texts, label=f"text[{k}]") for k in keys]
+    df = spark.createDataFrame(
+        list(zip(keys, texts)), "doc_id string, text string"
+    ).coalesce(1)
+    out = str(tmp_path_factory.mktemp("wds_fuzz"))
+    write_webdataset(df, out).collect()
+    got = {
+        m.key: m.payload.decode("utf-8")
+        for m in read_webdataset(spark, out).collect()
+        if m.suffix == ".txt"
+    }
+    assert got == dict(zip(keys, texts))
