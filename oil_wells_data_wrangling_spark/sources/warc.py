@@ -99,33 +99,90 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> list[dict]:
             # into the corpus looking valid. Keep the intact prefix.
             break
         pos = hdr_end + 4 + clen
-        status: int | None = None
-        ctype = headers.get("content-type", "")
-        payload = block
-        if headers.get("warc-type") == "response" and block.startswith(
-            b"HTTP/"
-        ):
-            http_end = block.find(b"\r\n\r\n")
-            if http_end >= 0:
-                http_headers = _parse_headers(block[:http_end])
-                status_line = block.split(b"\r\n", 1)[0].split(b" ")
-                if len(status_line) >= 2 and status_line[1].isdigit():
-                    status = int(status_line[1])
-                ctype = http_headers.get("content-type", ctype)
-                payload = block[http_end + 4 :]
-        records.append(
-            {
-                "warc_file": warc_file,
-                "record_id": headers.get("warc-record-id", ""),
-                "warc_type": headers.get("warc-type", ""),
-                "target_uri": headers.get("warc-target-uri", ""),
-                "warc_date": headers.get("warc-date", ""),
-                "http_status": status,
-                "content_type": ctype,
-                "payload": payload,
-            }
-        )
+        records.append(_build_record(headers, block, warc_file))
     return records
+
+
+def _build_record(headers: dict[str, str], block: bytes, warc_file: str) -> dict:
+    """One WARC record dict (WARC_SCHEMA keys) from parsed headers +
+    content block — the single place the HTTP-envelope split lives, so
+    the whole-bytes and streaming parsers cannot drift."""
+    status: int | None = None
+    ctype = headers.get("content-type", "")
+    payload = block
+    if headers.get("warc-type") == "response" and block.startswith(b"HTTP/"):
+        http_end = block.find(b"\r\n\r\n")
+        if http_end >= 0:
+            http_headers = _parse_headers(block[:http_end])
+            status_line = block.split(b"\r\n", 1)[0].split(b" ")
+            if len(status_line) >= 2 and status_line[1].isdigit():
+                status = int(status_line[1])
+            ctype = http_headers.get("content-type", ctype)
+            payload = block[http_end + 4 :]
+    return {
+        "warc_file": warc_file,
+        "record_id": headers.get("warc-record-id", ""),
+        "warc_type": headers.get("warc-type", ""),
+        "target_uri": headers.get("warc-target-uri", ""),
+        "warc_date": headers.get("warc-date", ""),
+        "http_status": status,
+        "content_type": ctype,
+        "payload": payload,
+    }
+
+
+def _iter_warc_stream(f, warc_file: str) -> Iterator[dict]:
+    """Incremental record iterator over a DECOMPRESSED WARC byte
+    stream: Content-Length framing, one record in memory at a time.
+    Same tolerance contract as ``parse_warc_bytes`` — a malformed
+    version line, unparsable Content-Length, or short payload ends
+    THIS FILE's iteration (truncated tails drop, never surface
+    shortened); a torn compressed tail (EOFError/zlib.error from the
+    gzip layer) is treated as end-of-stream the same way."""
+    buf = b""
+    eof = False
+
+    def fill(need: int | None) -> None:
+        # grow buf to ``need`` bytes (or by one chunk when None)
+        nonlocal buf, eof
+        while not eof and (need is None or len(buf) < need):
+            try:
+                chunk = f.read(1 << 20)
+            except (EOFError, zlib.error):
+                chunk = b""
+            if not chunk:
+                eof = True
+                return
+            buf += chunk
+            if need is None:
+                return
+
+    while True:
+        fill(2)
+        while buf[:2] == b"\r\n":
+            buf = buf[2:]
+            fill(2)
+        if not buf:
+            return
+        fill(5)
+        if not buf.startswith(b"WARC/"):
+            return
+        while (i := buf.find(b"\r\n\r\n")) < 0:
+            if eof:
+                return
+            fill(None)
+        headers = _parse_headers(buf[:i])
+        try:
+            clen = int(headers.get("content-length", ""))
+        except ValueError:
+            return
+        need = i + 4 + clen
+        fill(need)
+        if len(buf) < need:
+            return
+        block = buf[i + 4 : need]
+        buf = buf[need:]
+        yield _build_record(headers, block, warc_file)
 
 
 def _parse_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -185,6 +242,69 @@ def read_warc_stream(
         .select("path", "content")
     )
     return raw.mapInPandas(_parse_batches, schema=WARC_SCHEMA)
+
+
+def read_warc_paths(
+    spark: SparkSession,
+    folder: str,
+    glob: str = "*.warc*",
+    opener=None,
+    batch_records: int = 1024,
+) -> DataFrame:
+    """``read_warc``'s streaming twin on the MEMORY axis: identical
+    rows (test-pinned), but archive bytes never enter the JVM — the
+    binaryFile scan is pruned to ``path`` and each task stream-parses
+    its archive from storage (incremental multi-member gunzip via
+    ``gzip.GzipFile`` + Content-Length framing), yielding records in
+    ``batch_records`` Arrow batches. Peak memory is one record + one
+    chunk regardless of archive size.
+
+    Why it exists: CommonCrawl archives are ~1 GB each, and the
+    whole-file ``content`` path holds several copies per concurrent
+    task (JVM row + Arrow transfer + Python bytes) — measured OOMing a
+    default heap at 32 × 33 MB files (BASELINE round-11, WebDataset
+    reader). Use this reader when archives are big relative to
+    executor memory and a task-visible path exists (local/NFS/FUSE —
+    or pass ``opener(path) -> file object`` for object stores);
+    ``read_warc`` remains the default for modest files and for
+    storage only the JVM can reach."""
+    import gzip
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(folder)
+        .select("path")
+    )
+
+    def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for path in pdf["path"]:
+                local = str(path)
+                if local.startswith("file:"):
+                    local = "/" + local[5:].lstrip("/")
+                name = local.rsplit("/", 1)[-1]
+                f = opener(local) if opener else open(local, "rb")
+                try:
+                    magic = f.read(2)
+                    f.seek(0)
+                    src = (
+                        gzip.GzipFile(fileobj=f)
+                        if magic == _GZIP_MAGIC
+                        else f
+                    )
+                    rows: list[dict] = []
+                    for rec in _iter_warc_stream(src, name):
+                        rows.append(rec)
+                        if len(rows) >= batch_records:
+                            yield pd.DataFrame(rows)
+                            rows = []
+                    if rows:
+                        yield pd.DataFrame(rows)
+                finally:
+                    f.close()
+
+    return files.mapInPandas(_parse, schema=WARC_SCHEMA)
 
 
 def surt(url: str | None) -> str:

@@ -429,3 +429,77 @@ def test_cdx_indexed_lookup_equals_raw_and_pushes_range(spark, tmp_path):
     assert "PushedFilters" in plan
     assert "GreaterThanOrEqual(urlkey" in plan, plan
     assert "LessThan(urlkey" in plan, plan
+
+
+def _rows_sorted(df):
+    return sorted(
+        (tuple(r) for r in df.collect()),
+        key=lambda t: (t[0], t[1]),
+    )
+
+
+def test_read_warc_paths_equals_read_warc(spark, tmp_path):
+    """The path-streaming reader must return EXACTLY read_warc's rows
+    on every archive layout: plain, member-per-record gzip, and WET —
+    same schema, same HTTP-envelope split, same record set."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        read_warc_paths,
+        write_warc,
+        write_wet,
+    )
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://s{i % 3}.example.com/{i}", f"<html>pg {i} é</html>")
+            for i in range(23)
+        ],
+        "target_uri string, html string",
+    ).repartition(2)
+    plain, gz = str(tmp_path / "plain"), str(tmp_path / "gz")
+    write_warc(pages, plain).collect()
+    write_warc(pages, gz, compress=True).collect()
+    wet = str(tmp_path / "wet")
+    write_wet(
+        pages.selectExpr("target_uri", "html as text"), wet
+    ).collect()
+
+    for folder in (plain, gz, wet):
+        a = _rows_sorted(read_warc(spark, folder))
+        b = _rows_sorted(read_warc_paths(spark, folder))
+        assert a == b and len(a) == 23, folder
+
+
+def test_read_warc_paths_truncated_tail_drops(spark, tmp_path):
+    """Cut an archive mid-record: the streaming reader keeps the intact
+    prefix and never surfaces a shortened payload — read_warc's exact
+    tolerance contract, byte offsets notwithstanding."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        read_warc_paths,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://t.example/{i}", f"<html>body {i}</html>") for i in range(9)],
+        "target_uri string, html string",
+    ).coalesce(1)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out).collect()
+    path = out + "/part-00000.warc"
+    blob = open(path, "rb").read()
+    full = {bytes(r.payload) for r in read_warc_paths(spark, out).collect()}
+    for cut in (len(blob) // 3, len(blob) // 2, len(blob) - 7):
+        t = str(tmp_path / f"cut{cut}")
+        os.makedirs(t)
+        open(t + "/part-00000.warc", "wb").write(blob[:cut])
+        got = read_warc_paths(spark, t).collect()
+        ref = read_warc(spark, t).collect()
+        assert _rows_sorted(read_warc_paths(spark, t)) == _rows_sorted(
+            read_warc(spark, t)
+        )
+        assert len(got) < 9
+        for r in got:  # every surviving payload is intact, never short
+            assert bytes(r.payload) in full
