@@ -244,6 +244,59 @@ def read_warc_stream(
     return raw.mapInPandas(_parse_batches, schema=WARC_SCHEMA)
 
 
+class _MultiGzipStream:
+    """Incremental twin of ``_gunzip_members``: decompress a
+    (possibly multi-member) gzip stream chunk-by-chunk, KEEPING all
+    plaintext produced before a torn or corrupt tail. ``gzip.GzipFile``
+    is not usable here — its ``read()`` raises ``EOFError`` on a
+    truncated member without returning the preceding members'
+    plaintext (test-demonstrated: a torn archive read through GzipFile
+    yields zero records where the whole-blob zlib path recovers the
+    intact prefix)."""
+
+    def __init__(self, f):
+        self._f = f
+        self._d = None  # active decompressobj, None between members
+        self._raw = b""  # undecompressed bytes carried across chunks
+        self._buf = b""
+        self._eof = False
+
+    def read(self, n: int) -> bytes:
+        while len(self._buf) < n and not self._eof:
+            chunk = self._f.read(1 << 20)
+            data = self._raw + chunk
+            self._raw = b""
+            if not chunk and not data:
+                self._eof = True
+                break
+            while data:
+                if self._d is None:
+                    if len(data) < 2 and chunk:
+                        self._raw = data  # member magic may straddle
+                        break
+                    if data[:2] != _GZIP_MAGIC:
+                        self._eof = True  # trailing garbage: stop here
+                        break
+                    self._d = zlib.decompressobj(wbits=31)
+                try:
+                    self._buf += self._d.decompress(data)
+                except zlib.error:
+                    self._eof = True  # corrupt tail: keep what we have
+                    break
+                if self._d.eof:
+                    data = self._d.unused_data
+                    self._d = None
+                else:
+                    data = b""
+            if not chunk:
+                self._eof = True  # truncated mid-member: partial kept
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def close(self) -> None:
+        pass
+
+
 def read_warc_paths(
     spark: SparkSession,
     folder: str,
@@ -255,7 +308,7 @@ def read_warc_paths(
     rows (test-pinned), but archive bytes never enter the JVM — the
     binaryFile scan is pruned to ``path`` and each task stream-parses
     its archive from storage (incremental multi-member gunzip via
-    ``gzip.GzipFile`` + Content-Length framing), yielding records in
+    ``_MultiGzipStream`` + Content-Length framing), yielding records in
     ``batch_records`` Arrow batches. Peak memory is one record + one
     chunk regardless of archive size.
 
@@ -268,8 +321,6 @@ def read_warc_paths(
     or pass ``opener(path) -> file object`` for object stores);
     ``read_warc`` remains the default for modest files and for
     storage only the JVM can reach."""
-    import gzip
-
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
@@ -289,9 +340,7 @@ def read_warc_paths(
                     magic = f.read(2)
                     f.seek(0)
                     src = (
-                        gzip.GzipFile(fileobj=f)
-                        if magic == _GZIP_MAGIC
-                        else f
+                        _MultiGzipStream(f) if magic == _GZIP_MAGIC else f
                     )
                     rows: list[dict] = []
                     for rec in _iter_warc_stream(src, name):

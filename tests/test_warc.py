@@ -503,3 +503,34 @@ def test_read_warc_paths_truncated_tail_drops(spark, tmp_path):
         assert len(got) < 9
         for r in got:  # every surviving payload is intact, never short
             assert bytes(r.payload) in full
+
+
+def test_read_warc_paths_truncated_gzip_equals_read_warc(spark, tmp_path):
+    """Tear a member-per-record .warc.gz at arbitrary byte offsets:
+    both readers must recover the same intact-prefix record set (the
+    zlib whole-blob path returns partial plaintext silently; the
+    GzipFile streaming path raises EOFError — both must resolve to
+    drop-the-torn-tail)."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        read_warc_paths,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://g.example/{i}", f"<html>gz body {i}</html>") for i in range(9)],
+        "target_uri string, html string",
+    ).coalesce(1)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, compress=True).collect()
+    path = out + "/part-00000.warc.gz"
+    blob = open(path, "rb").read()
+    for cut in (len(blob) // 4, len(blob) // 2, len(blob) - 5):
+        t = str(tmp_path / f"gzcut{cut}")
+        os.makedirs(t)
+        open(t + "/part-00000.warc.gz", "wb").write(blob[:cut])
+        assert _rows_sorted(read_warc_paths(spark, t)) == _rows_sorted(
+            read_warc(spark, t)
+        )
