@@ -534,3 +534,39 @@ def test_read_warc_paths_truncated_gzip_equals_read_warc(spark, tmp_path):
         assert _rows_sorted(read_warc_paths(spark, t)) == _rows_sorted(
             read_warc(spark, t)
         )
+
+
+def test_prefix_range_equals_startswith_property():
+    """The pruning trick cdx_lookup rests on: for ANY key k and prefix
+    p, (p <= k < bump(p)) <=> k.startswith(p). Codepoint comparison
+    (Python) orders identically to UTF-8 binary comparison (Spark,
+    DuckDB, parquet min/max stats) because UTF-8 is order-preserving,
+    so proving it here proves it for every engine in the chain."""
+    from hypothesis import given, settings, strategies as st
+
+    from oil_wells_data_wrangling_spark.sources.warc import _prefix_upper
+
+    # exclude U+10FFFF-terminal prefixes (bump would overflow) and
+    # surrogates (not encodable); SURT prefixes are ASCII in practice,
+    # but the invariant holds for the whole encodable range
+    chars = st.characters(
+        min_codepoint=1, max_codepoint=0x10FFFE, exclude_categories=("Cs",)
+    )
+    keys = st.text(alphabet=chars, min_size=0, max_size=12)
+    # a prefix ending at U+D7FF would bump INTO the surrogate range —
+    # unencodable, and impossible for real SURT prefixes (ASCII)
+    prefixes = st.text(alphabet=chars, min_size=1, max_size=8).filter(
+        lambda p: p[-1] != "퟿"
+    )
+
+    @settings(max_examples=2000, deadline=None)
+    @given(k=keys, p=prefixes)
+    def check(k, p):
+        hi = _prefix_upper(p)
+        in_range = p <= k < hi
+        assert in_range == k.startswith(p), (k, p, hi)
+        # and the UTF-8 binary order agrees with the codepoint order
+        kb, pb, hb = k.encode(), p.encode(), hi.encode()
+        assert (pb <= kb < hb) == in_range
+
+    check()
