@@ -145,7 +145,7 @@ def write_webdataset(
             for _, members in samples:
                 for name, data in members:
                     tar.addfile(_tarinfo(name, len(data)), io.BytesIO(data))
-        blob = buf.getvalue()
+        blob = buf.getbuffer()  # zero-copy view, not a bytes copy
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, fname)
         # dot-prefixed temp + atomic rename (write_warc protocol): a
@@ -156,12 +156,14 @@ def write_webdataset(
         )
         with open(tmp, "wb") as f:
             f.write(blob)
+        n_bytes = blob.nbytes
+        del blob  # release the view so the BytesIO can be collected
         os.replace(tmp, path)
         yield pd.DataFrame(
             {
                 "shard": [path],
                 "n_samples": [len(samples)],
-                "n_bytes": [len(blob)],
+                "n_bytes": [n_bytes],
             }
         )
 
