@@ -199,7 +199,40 @@ def read_webdataset(
     default opens the task-visible filesystem path, which is the
     local/NFS/FUSE case."""
     files = spark.read.format("binaryFile").load(folder + "/*.tar")
+    return files.select("path").mapInPandas(
+        _parse_shard_paths(opener, chunk_members), schema=WDS_MEMBER_SCHEMA
+    )
 
+
+def read_webdataset_stream(
+    spark: SparkSession,
+    folder: str,
+    opener=None,
+    chunk_members: int = 4096,
+) -> DataFrame:
+    """STREAMING shard ingest: the same member rows over a binaryFile
+    file-source stream — new shards landing under ``folder`` become
+    micro-batches, and the checkpoint's seen-file log gives
+    exactly-once per-shard processing (a training-data delivery drop
+    never double-ingests on restart; ``read_warc_stream``'s contract,
+    shard-shaped). Same path-pruned, in-task streaming parse as the
+    batch reader: the file-source row carries only (path, mtime,
+    length) — shard bytes never enter the JVM in the stream either."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.tar")
+        .load(folder)
+    )
+    return files.select("path").mapInPandas(
+        _parse_shard_paths(opener, chunk_members), schema=WDS_MEMBER_SCHEMA
+    )
+
+
+def _parse_shard_paths(opener, chunk_members: int):
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for path in pdf["path"]:
@@ -233,4 +266,4 @@ def read_webdataset(
                 if rows["key"]:
                     yield pd.DataFrame(rows)
 
-    return files.select("path").mapInPandas(_parse, schema=WDS_MEMBER_SCHEMA)
+    return _parse

@@ -149,3 +149,50 @@ def test_webdataset_round_trips_any_unicode(spark, tmp_path_factory, keys, data)
         if m.suffix == ".txt"
     }
     assert got == dict(zip(keys, texts))
+
+
+def test_webdataset_stream_exactly_once_across_waves(spark, tmp_path):
+    """Shards arrive in two delivery waves against ONE checkpoint: each
+    availableNow trigger must ingest exactly the new wave's members
+    (the seen-file log is the exactly-once contract), and the union
+    must equal the batch reader over everything."""
+    from oil_wells_data_wrangling_spark.sources.webdataset import (
+        read_webdataset_stream,
+    )
+
+    out = str(tmp_path / "shards")
+    sink, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def run_wave():
+        q = (
+            read_webdataset_stream(spark, out)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    write_webdataset(_corpus(spark, n=4).coalesce(1), out).collect()
+    run_wave()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 4  # wave-1 members (.txt only, no meta)
+
+    # wave 2: new shard lands (different partition id via repartition)
+    more = spark.createDataFrame(
+        [("extra0", "e0"), ("extra1", "e1")], "doc_id string, text string"
+    ).coalesce(1)
+    import os as _os
+
+    write_webdataset(more, str(tmp_path / "stage")).collect()
+    _os.rename(
+        str(tmp_path / "stage") + "/part-00000.tar", out + "/part-10000.tar"
+    )
+    run_wave()
+    got = spark.read.parquet(sink)
+    assert got.count() == 6  # wave 2 added ONLY the new shard's members
+    batch = read_webdataset(spark, out)
+    assert sorted(
+        (r.key, bytes(r.payload)) for r in got.collect()
+    ) == sorted((r.key, bytes(r.payload)) for r in batch.collect())
