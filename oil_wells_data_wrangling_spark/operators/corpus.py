@@ -1668,8 +1668,8 @@ def dpo_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         F.expr(
-            "size(array_distinct(split(text, ' '))) * 1000000"
-            " div size(split(text, ' '))"
+            "cast(size(array_distinct(split(text, ' '))) as bigint)"
+            " * 1000000 div size(split(text, ' '))"
         ).cast("bigint").alias("q"),
     )
     w = Window.partitionBy("lang").orderBy("doc_id")
@@ -1754,8 +1754,8 @@ def importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the |langs|-group rollup of 4 int64 partials."""
     t = load_tables(spark, sf_dir)
     q = F.expr(
-        "size(array_distinct(split(text, ' '))) * 1000000"
-        " div size(split(text, ' '))"
+        "cast(size(array_distinct(split(text, ' '))) as bigint)"
+        " * 1000000 div size(split(text, ' '))"
     ).cast("bigint")
     h = F.expr(
         "cast(conv(substr(md5(concat('imprs_v1_',"
@@ -1994,8 +1994,8 @@ def preference_bt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.expr(
-            "size(array_distinct(split(text, ' '))) * 1000000"
-            " div size(split(text, ' '))"
+            "cast(size(array_distinct(split(text, ' '))) as bigint)"
+            " * 1000000 div size(split(text, ' '))"
         ).cast("bigint").alias("q"),
     )
     w = Window.partitionBy("lang").orderBy("doc_id")
@@ -2476,10 +2476,6 @@ r0 AS (SELECT s, CAST({_ELO_START} AS BIGINT) AS r FROM nodes),
 {_elo_iter_sql(2, 'r1')},
 {_elo_iter_sql(3, 'r2')},
 {_elo_iter_sql(4, 'r3')},
-wins AS (
-  SELECT nodes.s, CAST(COUNT(gd.w) AS BIGINT) AS n_wins
-  FROM nodes LEFT JOIN gd ON gd.w = nodes.s GROUP BY nodes.s
-),
 games AS (
   SELECT s, CAST(SUM(n) AS BIGINT) AS n_games FROM (
     SELECT w AS s, n FROM gd UNION ALL SELECT l AS s, n FROM gd
@@ -2525,9 +2521,9 @@ def elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.expr(
-            "cast(size(array_distinct(split(text, ' '))) * 1000000"
-            " div size(split(text, ' ')) as bigint)"
-        ).alias("q"),
+            "cast(size(array_distinct(split(text, ' '))) as bigint)"
+            " * 1000000 div size(split(text, ' '))"
+        ).cast("bigint").alias("q"),
     )
     w = Window.partitionBy("lang").orderBy("doc_id")
     paired = (

@@ -3812,11 +3812,12 @@ def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     Final top-K is orderBy+limit over (borda, doc_id) →
     TakeOrderedAndProject (per-partition heaps, no global sort)."""
     t = load_tables(spark, sf_dir)
-    w = F.split("text", " ")
     scored = t.documents.select(
         "doc_id",
-        F.expr("size(array_distinct(split(text, ' '))) * 1000"
-               " div size(split(text, ' '))").cast("bigint").alias("qa"),
+        F.expr("cast(size(array_distinct(split(text, ' '))) as bigint)"
+               " * 1000 div size(split(text, ' '))")
+        .cast("bigint")
+        .alias("qa"),
         F.expr(
             f"cast(size(filter(split(text, ' '),"
             f" x -> array_contains({_STOP_SPARK}, x))) as bigint) * 1000"

@@ -31,6 +31,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from oil_wells_data_wrangling_spark.sources.pathutil import local_path
+
 WARC_SCHEMA = (
     "warc_file string, record_id string, warc_type string, "
     "target_uri string, warc_date string, http_status int, "
@@ -41,11 +43,22 @@ _GZIP_MAGIC = b"\x1f\x8b"
 
 
 def _gunzip_members(data: bytes) -> bytes:
-    """Decompress a (possibly multi-member) gzip stream to one blob."""
+    """Decompress a (possibly multi-member) gzip stream to one blob.
+
+    Corruption-tolerant like the truncation contract: a bit-flipped or
+    torn member keeps every byte of plaintext produced before the bad
+    byte and drops the rest of the FILE (downstream Content-Length
+    framing then drops any partial record). One damaged archive must
+    quarantine itself, not kill the job — and the streaming reader
+    (``_MultiGzipStream``) resolves corruption the same way, so the
+    two readers agree on damaged input."""
     out = []
     while data[:2] == _GZIP_MAGIC:
         d = zlib.decompressobj(wbits=31)
-        out.append(d.decompress(data))
+        try:
+            out.append(d.decompress(data))
+        except zlib.error:
+            break
         data = d.unused_data
         if not data:
             break
@@ -91,6 +104,10 @@ def parse_warc_bytes(data: bytes, warc_file: str = "") -> list[dict]:
         try:
             clen = int(headers.get("content-length", ""))
         except ValueError:
+            break
+        if clen < 0:
+            # a negative length would walk pos BACKWARD and re-parse
+            # the same record forever — corrupt header, drop the tail
             break
         block = data[hdr_end + 4 : hdr_end + 4 + clen]
         if len(block) < clen:
@@ -176,6 +193,10 @@ def _iter_warc_stream(f, warc_file: str) -> Iterator[dict]:
             clen = int(headers.get("content-length", ""))
         except ValueError:
             return
+        if clen < 0:
+            # negative length would leave buf unconsumed and yield the
+            # same record forever — corrupt header, drop the tail
+            return
         need = i + 4 + clen
         fill(need)
         if len(buf) < need:
@@ -254,10 +275,10 @@ class _MultiGzipStream:
     yields zero records where the whole-blob zlib path recovers the
     intact prefix)."""
 
-    def __init__(self, f):
+    def __init__(self, f, head: bytes = b""):
         self._f = f
         self._d = None  # active decompressobj, None between members
-        self._raw = b""  # undecompressed bytes carried across chunks
+        self._raw = head  # undecompressed bytes carried across chunks
         self._buf = b""
         self._eof = False
 
@@ -297,6 +318,24 @@ class _MultiGzipStream:
         pass
 
 
+class _HeadStream:
+    """Replay already-sniffed bytes ahead of a NON-seekable stream —
+    magic detection must not require ``seek(0)``, or the documented
+    ``opener`` object-store case (streaming bodies) breaks."""
+
+    def __init__(self, head: bytes, f):
+        self._head = head
+        self._f = f
+
+    def read(self, n: int) -> bytes:
+        if self._head:
+            out, self._head = self._head[:n], self._head[n:]
+            if len(out) < n:
+                out += self._f.read(n - len(out))
+            return out
+        return self._f.read(n)
+
+
 def read_warc_paths(
     spark: SparkSession,
     folder: str,
@@ -331,16 +370,17 @@ def read_warc_paths(
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for path in pdf["path"]:
-                local = str(path)
-                if local.startswith("file:"):
-                    local = "/" + local[5:].lstrip("/")
+                local = local_path(path)
                 name = local.rsplit("/", 1)[-1]
                 f = opener(local) if opener else open(local, "rb")
                 try:
-                    magic = f.read(2)
-                    f.seek(0)
+                    # sniff WITHOUT seeking: opener streams (object
+                    # stores) are typically not seekable
+                    head = f.read(2)
                     src = (
-                        _MultiGzipStream(f) if magic == _GZIP_MAGIC else f
+                        _MultiGzipStream(f, head=head)
+                        if head == _GZIP_MAGIC
+                        else _HeadStream(head, f)
                     )
                     rows: list[dict] = []
                     for rec in _iter_warc_stream(src, name):

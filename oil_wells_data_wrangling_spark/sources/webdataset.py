@@ -43,22 +43,36 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
+from oil_wells_data_wrangling_spark.sources.pathutil import local_path
+
 WDS_MEMBER_SCHEMA = "shard string, key string, suffix string, payload binary"
 
 
-def _jsonable(v):
-    """Arrow→pandas scalars to plain-JSON values, deterministically."""
+def _jsonable(v, col: str):
+    """Arrow→pandas scalars to plain-JSON values, deterministically.
+    Values with no faithful JSON form (bytes, arbitrary objects) FAIL
+    LOUDLY — ``default=str`` would silently write Python reprs into
+    the sidecar and trainers would consume corrupted metadata."""
+    import datetime
+
     import numpy as np
 
     if isinstance(v, (list, tuple)):
-        return list(v)
+        return [_jsonable(x, col) for x in v]
     if isinstance(v, np.ndarray):
-        return v.tolist()
+        return [_jsonable(x, col) for x in v.tolist()]
     if v is None or (not isinstance(v, (str, bytes)) and pd.isna(v)):
         return None
     if isinstance(v, np.generic):
-        return v.item()
-    return v
+        v = v.item()
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
+        return v.isoformat()
+    if isinstance(v, (str, int, float, bool)):
+        return v
+    raise ValueError(
+        f"meta column {col!r} has no faithful JSON form: {type(v).__name__}"
+        " (encode bytes yourself, e.g. base64, or drop the column)"
+    )
 
 
 def _tarinfo(name: str, size: int) -> tarfile.TarInfo:
@@ -110,7 +124,7 @@ def write_webdataset(
                     )
                 members: list[tuple[str, bytes]] = []
                 if meta_cols:
-                    meta = {c: _jsonable(r[c]) for c in meta_cols}
+                    meta = {c: _jsonable(r[c], c) for c in meta_cols}
                     members.append(
                         (
                             key + ".json",
@@ -118,7 +132,6 @@ def write_webdataset(
                                 meta,
                                 sort_keys=True,
                                 separators=(",", ":"),
-                                default=str,
                             ).encode("utf-8"),
                         )
                     )
@@ -135,6 +148,16 @@ def write_webdataset(
         if not samples:
             return
         samples.sort()
+        # duplicate keys make shards loaders can't group — fail like
+        # the dotted-key check, not silently (duplicates across
+        # DIFFERENT shards are the caller's keyspace to guarantee)
+        from collections import Counter
+
+        dup = [k for k, c in Counter(k for k, _ in samples).items() if c > 1]
+        if dup:
+            raise ValueError(
+                f"duplicate webdataset keys within one shard: {dup[:5]!r}"
+            )
         buf = io.BytesIO()
         # USTAR: the oldest, most portable dialect — every dataloader's
         # tar reader accepts it, and it has no vendor extension blocks
@@ -236,10 +259,7 @@ def _parse_shard_paths(opener, chunk_members: int):
     def _parse(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             for path in pdf["path"]:
-                shard = str(path)
-                if shard.startswith("file:"):
-                    # file:/x, file:///x → /x
-                    shard = "/" + shard[5:].lstrip("/")
+                shard = local_path(path)
                 fobj = opener(shard) if opener else open(shard, "rb")
                 rows = {"shard": [], "key": [], "suffix": [], "payload": []}
                 try:

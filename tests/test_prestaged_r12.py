@@ -85,3 +85,34 @@ def test_elo_ratings_period_order_matters(spark, sf_dir):
         c._ELO_PERIODS = orig
     assert set(full) == set(one)
     assert full != one
+
+
+def test_wide_docs_do_not_overflow_q(spark, tmp_path):
+    """The distinct-permille q feeding elo_ratings / dpo_pairs /
+    preference_bt / importance_resample multiplied an int32 size() by
+    1e6 — any document with ≥2148 distinct tokens crashed under ANSI
+    (Spark 4 default) and silently wrapped otherwise, while DuckDB's
+    BIGINT len() stayed correct. Pin the fix with a 2500-distinct-token
+    document end-to-end against the oracle."""
+    import duckdb
+
+    rows = [
+        (i, "en", f"src{i % 3}", " ".join(f"w{i}t{j}" for j in range(2500)))
+        for i in range(8)
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, text string"
+    ).coalesce(1).write.parquet(sf + "/documents.parquet")
+
+    sp = elo_ratings(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    du = con.execute(ELO_RATINGS_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "elo_ratings/wide-docs")

@@ -570,3 +570,90 @@ def test_prefix_range_equals_startswith_property():
         assert (pb <= kb < hb) == in_range
 
     check()
+
+
+def test_negative_content_length_drops_tail():
+    """A corrupt/malicious 'Content-Length: -N' header must end THAT
+    file's parse (tolerant-reader contract), not loop forever
+    re-parsing the same record (pre-fix: parse_warc_bytes walked pos
+    backward and spun; _iter_warc_stream yielded duplicates forever)."""
+    import io
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        _iter_warc_stream,
+        parse_warc_bytes,
+    )
+
+    good = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: <urn:a>\r\n"
+        b"Content-Length: 2\r\n\r\nok\r\n\r\n"
+    )
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: <urn:b>\r\n"
+        b"Content-Length: -10000\r\n\r\n"
+    )
+    blob = good + evil + good
+    recs = parse_warc_bytes(blob, "f")
+    assert [r["record_id"] for r in recs] == ["<urn:a>"]
+    recs2 = list(_iter_warc_stream(io.BytesIO(blob), "f"))
+    assert [r["record_id"] for r in recs2] == ["<urn:a>"]
+
+
+def test_corrupt_gzip_member_keeps_prefix_both_readers(spark, tmp_path):
+    """Bit-flip a byte inside one gzip member: BOTH readers must keep
+    the intact records and drop only the damaged one — a corrupt
+    archive quarantines itself instead of killing the job."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc,
+        read_warc_paths,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://c.example/{i}", f"<html>cm {i}</html>") for i in range(7)],
+        "target_uri string, html string",
+    ).coalesce(1)
+    out = str(tmp_path / "arch")
+    write_warc(pages, out, compress=True).collect()
+    path = out + "/part-00000.warc.gz"
+    blob = bytearray(open(path, "rb").read())
+    blob[len(blob) // 2] ^= 0xFF  # flip a byte mid-archive
+    open(path, "wb").write(bytes(blob))
+
+    a = _rows_sorted(read_warc(spark, out))
+    b = _rows_sorted(read_warc_paths(spark, out))
+    assert a == b
+    assert 0 < len(a) < 7  # prefix kept, damaged tail dropped
+
+
+def test_read_warc_paths_nonseekable_opener(spark, tmp_path):
+    """The documented object-store path: opener returns a NON-seekable
+    stream — sniffing the gzip magic must not seek."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        read_warc_paths,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://n.example/{i}", f"<html>ns {i}</html>") for i in range(5)],
+        "target_uri string, html string",
+    ).coalesce(1)
+    for compress in (False, True):
+        out = str(tmp_path / f"arch{compress}")
+        write_warc(pages, out, compress=compress).collect()
+
+        class NoSeek:
+            def __init__(self, p):
+                self._f = open(p, "rb")
+
+            def read(self, n=-1):
+                return self._f.read(n)
+
+            def close(self):
+                self._f.close()
+
+            def seek(self, *a):
+                raise OSError("not seekable")
+
+        got = read_warc_paths(spark, out, opener=NoSeek).collect()
+        assert len(got) == 5

@@ -196,3 +196,22 @@ def test_webdataset_stream_exactly_once_across_waves(spark, tmp_path):
     assert sorted(
         (r.key, bytes(r.payload)) for r in got.collect()
     ) == sorted((r.key, bytes(r.payload)) for r in batch.collect())
+
+
+def test_webdataset_duplicate_keys_fail_loudly(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("k0", "a"), ("k0", "b")], "doc_id string, text string"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="duplicate webdataset keys"):
+        write_webdataset(df, str(tmp_path / "s")).collect()
+
+
+def test_webdataset_binary_meta_fails_loudly(spark, tmp_path):
+    """bytes in meta_cols would serialize as a Python repr under
+    default=str — corrupted metadata trainers consume silently. Must
+    raise instead."""
+    df = spark.createDataFrame(
+        [("k0", "t", b"\x00\x01")], "doc_id string, text string, blob binary"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="no faithful JSON form"):
+        write_webdataset(df, str(tmp_path / "s"), meta_cols=("blob",)).collect()
