@@ -1,0 +1,136 @@
+"""Dataset delivery manifests — integrity for exported shard folders.
+
+A training-data delivery is a folder of shards (WebDataset tars, WARC
+archives, WET files…) handed to another team or copied across storage
+systems. The questions the receiver asks — did every file arrive? did
+any byte change? is anything extra in here? — are answered by a
+manifest: one line per shard with its size and sha256, written next to
+the data.
+
+Scale shape: hashing is a PATH-pruned binaryFile listing (no bytes
+through the JVM — SCALE.md §11) with the sha256 computed by streaming
+each file in 1 MiB chunks inside the task, one task per shard, zero
+shuffle. The only driver-side structure is one row per FILE (a shard
+inventory, like the CDX file list — bounded by shard count, never by
+data volume). The manifest itself is ``_MANIFEST.jsonl``: the
+underscore prefix keeps it invisible to Spark's file listings, so it
+can live inside the folder it describes without being ingested as a
+shard.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from oil_wells_data_wrangling_spark.sources.pathutil import local_path
+
+MANIFEST_NAME = "_MANIFEST.jsonl"
+
+_HASH_SCHEMA = "file string, n_bytes long, sha256 string"
+
+
+def _hash_files(opener=None):
+    def _hash(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"file": [], "n_bytes": [], "sha256": []}
+            for path in pdf["path"]:
+                p = local_path(path)
+                h = hashlib.sha256()
+                n = 0
+                f = opener(p) if opener else open(p, "rb")
+                try:
+                    while True:
+                        chunk = f.read(1 << 20)
+                        if not chunk:
+                            break
+                        h.update(chunk)
+                        n += len(chunk)
+                finally:
+                    f.close()
+                rows["file"].append(os.path.basename(p))
+                rows["n_bytes"].append(n)
+                rows["sha256"].append(h.hexdigest())
+            if rows["file"]:
+                yield pd.DataFrame(rows)
+
+    return _hash
+
+
+def hash_folder(
+    spark: SparkSession, folder: str, glob: str = "*", opener=None
+) -> DataFrame:
+    """One (file, n_bytes, sha256) row per shard under ``folder`` —
+    hashed executor-side off a path-pruned listing."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(folder)
+        .select("path")
+    )
+    return files.mapInPandas(_hash_files(opener), schema=_HASH_SCHEMA)
+
+
+def write_manifest(
+    spark: SparkSession, folder: str, glob: str = "*", opener=None
+) -> str:
+    """Hash every shard and write ``folder/_MANIFEST.jsonl`` — one
+    compact JSON line per file, sorted by name, so the manifest is
+    byte-deterministic for identical deliveries. Returns the manifest
+    path. Write the manifest LAST: its presence is the delivery's
+    commit marker (the _SUCCESS convention, with integrity teeth)."""
+    rows = sorted(
+        (r.file, r.n_bytes, r.sha256)
+        for r in hash_folder(spark, folder, glob, opener).collect()
+    )
+    path = os.path.join(folder, MANIFEST_NAME)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        for name, n_bytes, sha in rows:
+            f.write(
+                json.dumps(
+                    {"file": name, "n_bytes": n_bytes, "sha256": sha},
+                    sort_keys=True,
+                    separators=(",", ":"),
+                )
+                + "\n"
+            )
+    os.replace(tmp, path)
+    return path
+
+
+def verify_manifest(
+    spark: SparkSession, folder: str, glob: str = "*", opener=None
+) -> DataFrame:
+    """Re-hash ``folder`` and diff against its ``_MANIFEST.jsonl`` —
+    one (file, status) row per file with status ``ok`` (bytes match),
+    ``changed`` (size or hash differs), ``missing`` (in the manifest,
+    not on disk), or ``extra`` (on disk, not in the manifest). A clean
+    delivery is all-ok; anything else names exactly what to re-copy."""
+    from pyspark.sql import functions as F
+
+    with open(os.path.join(folder, MANIFEST_NAME)) as f:
+        expected = [json.loads(line) for line in f if line.strip()]
+    exp = spark.createDataFrame(
+        [(e["file"], e["n_bytes"], e["sha256"]) for e in expected],
+        "file string, exp_bytes long, exp_sha string",
+    )
+    got = hash_folder(spark, folder, glob, opener)
+    joined = exp.join(got, "file", "full_outer")
+    return joined.select(
+        "file",
+        F.when(F.col("exp_sha").isNull(), "extra")
+        .when(F.col("sha256").isNull(), "missing")
+        .when(
+            (F.col("sha256") == F.col("exp_sha"))
+            & (F.col("n_bytes") == F.col("exp_bytes")),
+            "ok",
+        )
+        .otherwise("changed")
+        .alias("status"),
+    )
