@@ -758,3 +758,63 @@ def warc_dedup_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_permille"),
         )
     )
+
+
+# --------------------------------------------------------- cdx_domain_captures
+#
+# PRE-STAGED FOR ROUND 12 (not yet @register'ed) — the third of r12's
+# three free window slots, alongside quality_ensemble and elo_ratings
+# (see SURVEY "Round 12 candidates"). Parity-tested by
+# tests/test_prestaged_r12.py with the driver's own comparison.
+
+CDX_CAPTURES_ORACLE = """
+SELECT 'com,example)/d/' || CAST(doc_id AS VARCHAR) AS urlkey,
+       '19700101000000' AS ts,
+       'https://example.com/d/' || CAST(doc_id AS VARCHAR) AS url
+FROM documents
+WHERE CAST(doc_id AS VARCHAR) LIKE '1%'
+"""
+
+
+def cdx_domain_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cc-index SERVING contract as a query: archive the crawl
+    with CDX sidecars (``write_warc(cdx=True)``), then answer a
+    SURT-prefix lookup — every capture under ``com,example)/d/1`` —
+    straight from the index, never touching archive bytes. The prefix
+    deliberately lands mid-path so string-prefix semantics are live:
+    it matches doc 1, 10–19, 100–199, 1000–1999… while excluding their
+    neighbors, which the oracle replays as a VARCHAR LIKE over
+    ``documents``. Offsets/lengths/digests exist in the index (every
+    row random-access-tested in the §2.E suite) but are gzip-layout
+    artifacts no SQL oracle can replay, so the registered projection
+    is (urlkey, ts, url).
+
+    Scale shape: ``cdx_lookup`` is a half-open range compare
+    [prefix, next(prefix)) — on the sorted parquet mirror
+    (``build_cdx_index``) it prunes to the overlapping files via
+    min/max stats; here, over the raw sidecars, it is one pushed
+    filter over a text scan whose rows are index lines, not pages.
+    The archive write is warc_pipeline's demo-harness tempdir
+    (documented caveat there); production points cdx_lookup at a
+    crawl index it didn't write."""
+    import os
+    import shutil
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        cdx_lookup,
+        write_warc,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pages = _synth_pages(t)
+    work = tempfile.mkdtemp(prefix="cdx_captures_")
+    arch = os.path.join(work, "crawl")
+    write_warc(pages, arch, compress=True, cdx=True).collect()
+    out = (
+        cdx_lookup(spark, arch, "com,example)/d/1")
+        .select("urlkey", F.col("timestamp").alias("ts"), "url")
+        .localCheckpoint(eager=True)
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

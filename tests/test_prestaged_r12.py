@@ -116,3 +116,16 @@ def test_wide_docs_do_not_overflow_q(spark, tmp_path):
     )
     du = con.execute(ELO_RATINGS_ORACLE).fetchdf()
     _assert_frames_match(sp, du, "elo_ratings/wide-docs")
+
+
+def test_cdx_domain_captures_matches_oracle(spark, duck, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.webtable import (
+        CDX_CAPTURES_ORACLE,
+        cdx_domain_captures,
+    )
+
+    sp = cdx_domain_captures(spark, sf_dir).toPandas()
+    du = duck.execute(CDX_CAPTURES_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "cdx_domain_captures")
+    # the prefix is genuinely mid-path: multi-digit captures included
+    assert (sp["urlkey"].str.len() > len("com,example)/d/1")).any()
