@@ -76,46 +76,70 @@ def hash_folder(
     return files.mapInPandas(_hash_files(opener), schema=_HASH_SCHEMA)
 
 
-def write_manifest(
+def manifest_text(
     spark: SparkSession, folder: str, glob: str = "*", opener=None
 ) -> str:
-    """Hash every shard and write ``folder/_MANIFEST.jsonl`` — one
-    compact JSON line per file, sorted by name, so the manifest is
-    byte-deterministic for identical deliveries. Returns the manifest
-    path. Write the manifest LAST: its presence is the delivery's
-    commit marker (the _SUCCESS convention, with integrity teeth)."""
+    """The manifest CONTENT for ``folder`` — one compact JSON line per
+    file, sorted by name, byte-deterministic for identical deliveries.
+    This is the non-POSIX entry point: on object stores, hash with
+    ``opener`` and PUT this string at ``folder/_MANIFEST.jsonl`` with
+    your own storage client (``write_manifest``'s driver-local
+    ``open()`` cannot reach a remote folder)."""
     rows = sorted(
         (r.file, r.n_bytes, r.sha256)
         for r in hash_folder(spark, folder, glob, opener).collect()
     )
+    return "".join(
+        json.dumps(
+            {"file": name, "n_bytes": n_bytes, "sha256": sha},
+            sort_keys=True,
+            separators=(",", ":"),
+        )
+        + "\n"
+        for name, n_bytes, sha in rows
+    )
+
+
+def write_manifest(
+    spark: SparkSession, folder: str, glob: str = "*", opener=None
+) -> str:
+    """Hash every shard and write ``folder/_MANIFEST.jsonl``; returns
+    the manifest path. Write the manifest LAST: its presence is the
+    delivery's commit marker (the _SUCCESS convention, with integrity
+    teeth). The manifest write itself is a driver-local ``open()`` —
+    for folders only a storage client can write, build the content
+    with ``manifest_text`` and PUT it yourself."""
+    text = manifest_text(spark, folder, glob, opener)
     path = os.path.join(folder, MANIFEST_NAME)
     tmp = path + ".tmp"
     with open(tmp, "w") as f:
-        for name, n_bytes, sha in rows:
-            f.write(
-                json.dumps(
-                    {"file": name, "n_bytes": n_bytes, "sha256": sha},
-                    sort_keys=True,
-                    separators=(",", ":"),
-                )
-                + "\n"
-            )
+        f.write(text)
     os.replace(tmp, path)
     return path
 
 
 def verify_manifest(
-    spark: SparkSession, folder: str, glob: str = "*", opener=None
+    spark: SparkSession,
+    folder: str,
+    glob: str = "*",
+    opener=None,
+    manifest: str | None = None,
 ) -> DataFrame:
     """Re-hash ``folder`` and diff against its ``_MANIFEST.jsonl`` —
     one (file, status) row per file with status ``ok`` (bytes match),
     ``changed`` (size or hash differs), ``missing`` (in the manifest,
     not on disk), or ``extra`` (on disk, not in the manifest). A clean
-    delivery is all-ok; anything else names exactly what to re-copy."""
+    delivery is all-ok; anything else names exactly what to re-copy.
+    ``manifest`` overrides the driver-local read with manifest TEXT
+    you fetched yourself — the non-POSIX counterpart of
+    ``manifest_text`` (the default read, like the default write, only
+    reaches driver-visible paths)."""
     from pyspark.sql import functions as F
 
-    with open(os.path.join(folder, MANIFEST_NAME)) as f:
-        expected = [json.loads(line) for line in f if line.strip()]
+    if manifest is None:
+        with open(os.path.join(folder, MANIFEST_NAME)) as f:
+            manifest = f.read()
+    expected = [json.loads(line) for line in manifest.splitlines() if line.strip()]
     exp = spark.createDataFrame(
         [(e["file"], e["n_bytes"], e["sha256"]) for e in expected],
         "file string, exp_bytes long, exp_sha string",

@@ -75,3 +75,22 @@ def test_manifest_is_byte_deterministic(spark, tmp_path):
     write_manifest(spark, out)  # rewrite over identical data
     h2 = hashlib.sha256(open(out + "/" + MANIFEST_NAME, "rb").read()).digest()
     assert h1 == h2
+
+
+def test_manifest_text_round_trip_without_driver_io(spark, tmp_path):
+    """The non-POSIX contract: build content with manifest_text, carry
+    it out of band, verify with manifest= — no driver open() against
+    the folder's manifest at any point."""
+    from oil_wells_data_wrangling_spark.sources.manifest import manifest_text
+
+    out = _delivery(spark, tmp_path)
+    text = manifest_text(spark, out)
+    assert text.endswith("\n") and MANIFEST_NAME not in text
+    status = {
+        r.file: r.status
+        for r in verify_manifest(spark, out, manifest=text).collect()
+    }
+    assert set(status.values()) == {"ok"}
+    # and it is exactly what write_manifest would have written
+    path = write_manifest(spark, out)
+    assert open(path).read() == text

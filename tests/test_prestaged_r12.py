@@ -1,4 +1,5 @@
-"""Round-12 pre-staged operators: quality_ensemble and elo_ratings.
+"""Round-12 pre-staged operators: quality_ensemble, elo_ratings, and
+cdx_domain_captures.
 
 These are fully implemented and parity-gated here with the same
 Spark-vs-DuckDB comparison the driver runs, but NOT yet @register'ed:
