@@ -165,3 +165,43 @@ def all_oracle_sql() -> dict[str, str]:
 
 def headline_queries() -> dict[str, QueryFn]:
     return {name: q.fn for name, q in _ordered().items() if q.headline}
+
+
+# ---------------------------------------------------------------------------
+# ROUND-12 ROTATION, PREPARED (late r11). The r12 builder's first
+# commit should: (1) @register the three pre-staged operators
+# (quality_ensemble in operators/textstats.py, elo_ratings in
+# operators/corpus.py, cdx_domain_captures in operators/webtable.py —
+# implementations, oracles, parity tests, and BASELINE scale rows all
+# landed in r11); (2) add their ids to SURVEY §2 (count 240 → 243);
+# (3) replace _WINDOW_PRIORITY with the list below — 3 never-checked
+# names + the 47-name r7 cohort, which goes stale the moment
+# CORRECTNESS_r12.json is committed (upcoming=13, bound R-5). The
+# cohort was computed from the committed CORRECTNESS history plus the
+# r11 window (tests/test_plans.py re-derives the same invariants).
+# There is NO room for additional new operators in r12's window;
+# r13 has ≤5 free slots (r8 cohort is 45). Steady-state capacity is
+# 50×5 = 250 registered operators — grow §2.E past that, not §2.
+#
+# _WINDOW_PRIORITY = [
+#     # -- new in round 12 (never driver-checked; pre-staged in r11)
+#     "quality_ensemble",
+#     "elo_ratings",
+#     "cdx_domain_captures",
+#     # -- last driver row is round 7 (the full cohort, alphabetical)
+#     "ann_pq", "api_canonical", "bad_rows", "basket_lift",
+#     "corpus_pipeline", "corpus_pipeline_full", "csv_repair",
+#     "dp_histogram", "dsir_weights", "embed_neardup", "enrich_join",
+#     "events_ab_lift", "events_burst", "excess_inventory_suppliers",
+#     "extract_fields", "extract_repeated", "extract_stim",
+#     "forecast_revenue", "fuzzy_match_names", "important_parts",
+#     "late_arrival_audit", "local_supplier_volume", "market_share",
+#     "minhash_containment", "mix_temperature", "mm_scene_cut",
+#     "model_score", "nation_volume_shipping", "normalize_keys",
+#     "numeric_sanitize", "pack_sequences_grouped", "parse_coordinates",
+#     "product_type_profit", "quality_threshold_sweep", "quality_topk",
+#     "returned_item_report", "rfm_segments", "sentinel_to_null",
+#     "serve_wells", "serve_wells_full", "snapshot_diff",
+#     "text_normalize", "triangle_count", "upsert_latest", "url_dedup",
+#     "validate_report", "well_pipeline",
+# ]
