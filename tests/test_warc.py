@@ -657,3 +657,60 @@ def test_read_warc_paths_nonseekable_opener(spark, tmp_path):
 
         got = read_warc_paths(spark, out, opener=NoSeek).collect()
         assert len(got) == 5
+
+
+def test_gzip_decompressors_agree_under_arbitrary_cuts():
+    """The whole-blob (_gunzip_members) and streaming (_MultiGzipStream)
+    decompressors must produce IDENTICAL plaintext for any member-per-
+    record archive cut at any byte offset — and the records framed from
+    it must be a prefix of the uncut archive's records. This is the
+    invariant the two readers' row-equality rests on."""
+    import gzip
+    import io
+
+    from hypothesis import given, settings, strategies as st
+
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        _gunzip_members,
+        _iter_warc_stream,
+        _MultiGzipStream,
+        parse_warc_bytes,
+    )
+
+    bodies = st.lists(st.binary(min_size=0, max_size=60), min_size=1, max_size=6)
+
+    def archive(bs):
+        out = b""
+        for i, b in enumerate(bs):
+            rec = (
+                f"WARC/1.0\r\nWARC-Type: resource\r\n"
+                f"WARC-Record-ID: <urn:f:{i}>\r\n"
+                f"Content-Length: {len(b)}\r\n\r\n"
+            ).encode() + b + b"\r\n\r\n"
+            out += gzip.compress(rec, mtime=0)
+        return out
+
+    @settings(max_examples=120, deadline=None)
+    @given(bs=bodies, data=st.data())
+    def check(bs, data):
+        gz = archive(bs)
+        full_ids = [r["record_id"] for r in parse_warc_bytes(gz, "f")]
+        assert len(full_ids) == len(bs)
+        cut = data.draw(st.integers(min_value=0, max_value=len(gz)), label="cut")
+        torn = gz[:cut]
+        blob_plain = _gunzip_members(torn) if torn[:2] == b"\x1f\x8b" else b""
+        s = _MultiGzipStream(io.BytesIO(torn))
+        stream_plain = b""
+        while True:
+            chunk = s.read(1 << 20)
+            if not chunk:
+                break
+            stream_plain += chunk
+        assert stream_plain == blob_plain
+        recs = [r["record_id"] for r in _iter_warc_stream(
+            _MultiGzipStream(io.BytesIO(torn)), "f")]
+        assert recs == full_ids[: len(recs)]  # always a prefix
+        if cut == len(gz):
+            assert recs == full_ids
+
+    check()
