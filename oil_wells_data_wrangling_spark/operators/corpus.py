@@ -2490,6 +2490,7 @@ JOIN games ON games.s = r4.s
 """
 
 
+@register("elo_ratings", oracle=ELO_RATINGS_ORACLE)
 def elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rating-period Elo over pairwise preference games — the
     leaderboard estimator that, unlike Bradley-Terry's batch MM fit

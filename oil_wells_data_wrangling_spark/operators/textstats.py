@@ -3781,6 +3781,7 @@ LIMIT {_QE_OUT}
 """
 
 
+@register("quality_ensemble", oracle=QUALITY_ENSEMBLE_ORACLE)
 def quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borda rank-aggregation of two quality signals — the
     calibration-free ensemble a curation pipeline uses when signal

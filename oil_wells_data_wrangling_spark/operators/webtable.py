@@ -776,6 +776,7 @@ WHERE CAST(doc_id AS VARCHAR) LIKE '1%'
 """
 
 
+@register("cdx_domain_captures", oracle=CDX_CAPTURES_ORACLE)
 def cdx_domain_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The cc-index SERVING contract as a query: archive the crawl
     with CDX sidecars (``write_warc(cdx=True)``), then answer a
