@@ -25,6 +25,7 @@ layout) decompress inside the task via ``zlib``.
 
 from __future__ import annotations
 
+import io
 import zlib
 from collections.abc import Iterator
 
@@ -49,19 +50,21 @@ def _gunzip_members(data: bytes) -> bytes:
     torn member keeps every byte of plaintext produced before the bad
     byte and drops the rest of the FILE (downstream Content-Length
     framing then drops any partial record). One damaged archive must
-    quarantine itself, not kill the job — and the streaming reader
-    (``_MultiGzipStream``) resolves corruption the same way, so the
-    two readers agree on damaged input."""
+    quarantine itself, not kill the job.
+
+    Implemented ON TOP of the streaming decompressor so the two
+    readers agree on damaged input BY CONSTRUCTION — an earlier
+    whole-blob ``zlib.decompressobj`` version diverged on a mid-member
+    bit flip (``decompress`` raises without returning partial output,
+    dropping the whole member, where the chunked stream keeps the
+    plaintext of every 1 MiB chunk decoded before the bad byte)."""
+    s = _MultiGzipStream(io.BytesIO(data))
     out = []
-    while data[:2] == _GZIP_MAGIC:
-        d = zlib.decompressobj(wbits=31)
-        try:
-            out.append(d.decompress(data))
-        except zlib.error:
+    while True:
+        chunk = s.read(1 << 20)
+        if not chunk:
             break
-        data = d.unused_data
-        if not data:
-            break
+        out.append(chunk)
     return b"".join(out)
 
 
@@ -266,9 +269,12 @@ def read_warc_stream(
 
 
 class _MultiGzipStream:
-    """Incremental twin of ``_gunzip_members``: decompress a
-    (possibly multi-member) gzip stream chunk-by-chunk, KEEPING all
-    plaintext produced before a torn or corrupt tail. ``gzip.GzipFile``
+    """Incremental multi-member gzip decompressor — the SINGLE
+    corruption-resolution authority (``_gunzip_members`` is a
+    drain-to-bytes wrapper over it, so batch and streaming readers
+    agree byte-for-byte on damaged input by construction): decompress
+    chunk-by-chunk, KEEPING all plaintext produced before a torn or
+    corrupt tail. ``gzip.GzipFile``
     is not usable here — its ``read()`` raises ``EOFError`` on a
     truncated member without returning the preceding members'
     plaintext (test-demonstrated: a torn archive read through GzipFile

@@ -54,6 +54,7 @@ def _jsonable(v, col: str):
     LOUDLY — ``default=str`` would silently write Python reprs into
     the sidecar and trainers would consume corrupted metadata."""
     import datetime
+    import math
 
     import numpy as np
 
@@ -67,6 +68,14 @@ def _jsonable(v, col: str):
         v = v.item()
     if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return v.isoformat()
+    if isinstance(v, float) and math.isinf(v):  # NaN is already null
+        # via pd.isna above; json.dumps would emit the non-standard
+        # 'Infinity' literal for ±inf — strict parsers reject it,
+        # lenient ones misread it; fail loudly like the bytes case
+        raise ValueError(
+            f"meta column {col!r} has a non-finite float {v!r}:"
+            " no strict-JSON form (clip or null it upstream)"
+        )
     if isinstance(v, (str, int, float, bool)):
         return v
     raise ValueError(
@@ -106,6 +115,27 @@ def write_webdataset(
     from pyspark import TaskContext
 
     bins = dict(bin_members or {})
+    # suffix hygiene, validated DRIVER-side before any task launches:
+    # a suffix without the leading dot key-fuses into the basename, and
+    # a collision (with '.txt'/'.json' or between two bin columns)
+    # writes duplicate member names in one sample — both are unloadable
+    # shards of exactly the class the dotted-key and duplicate-key
+    # checks fail loudly on
+    for col, suffix in bins.items():
+        if not suffix.startswith(".") or len(suffix) < 2:
+            raise ValueError(
+                f"bin_members[{col!r}] suffix {suffix!r} must start"
+                " with '.' and name an extension (e.g. '.png')"
+            )
+    reserved = ([".json"] if meta_cols else []) + (
+        [".txt"] if text_col else []
+    )
+    all_suffixes = reserved + list(bins.values())
+    if len(set(all_suffixes)) != len(all_suffixes):
+        raise ValueError(
+            f"webdataset member suffixes collide: {sorted(all_suffixes)!r}"
+            " (each sample's members must have distinct suffixes)"
+        )
     cols = [key_col] + ([text_col] if text_col else [])
     cols += list(meta_cols) + list(bins)
 
@@ -132,6 +162,8 @@ def write_webdataset(
                                 meta,
                                 sort_keys=True,
                                 separators=(",", ":"),
+                                allow_nan=False,  # backstop: _jsonable
+                                # nulls NaN and rejects ±inf already
                             ).encode("utf-8"),
                         )
                     )

@@ -215,3 +215,51 @@ def test_webdataset_binary_meta_fails_loudly(spark, tmp_path):
     ).coalesce(1)
     with pytest.raises(Exception, match="no faithful JSON form"):
         write_webdataset(df, str(tmp_path / "s"), meta_cols=("blob",)).collect()
+
+
+def test_webdataset_infinite_float_meta_fails_loudly(spark, tmp_path):
+    """float('inf') in meta would make json.dumps emit the non-standard
+    'Infinity' literal — strict trainer-side parsers reject it. Must
+    raise; NaN stays null (the pandas missing-value convention)."""
+    df = spark.createDataFrame(
+        [("k0", "t", float("inf"))], "doc_id string, text string, x double"
+    ).coalesce(1)
+    with pytest.raises(Exception, match="non-finite float"):
+        write_webdataset(df, str(tmp_path / "s"), meta_cols=("x",)).collect()
+    # NaN round-trips as null, and the sidecar stays strict JSON
+    df2 = spark.createDataFrame(
+        [("k0", "t", float("nan"))], "doc_id string, text string, x double"
+    ).coalesce(1)
+    out = str(tmp_path / "s2")
+    write_webdataset(df2, out, meta_cols=("x",)).collect()
+    members = read_webdataset(spark, out).collect()
+    sidecar = next(r for r in members if r.suffix == ".json")
+    assert json.loads(sidecar.payload.decode()) == {"x": None}
+
+
+def test_webdataset_bad_bin_suffixes_fail_driver_side(spark, tmp_path):
+    """bin_members suffix hygiene is validated BEFORE any task runs:
+    a missing leading dot key-fuses member names; a collision with
+    '.txt'/'.json' (or between two bin columns) writes duplicate member
+    names in one sample — both are unloadable shards."""
+    df = spark.createDataFrame(
+        [("k0", "t", b"\x89PNG", b"RIFF")],
+        "doc_id string, text string, img binary, aud binary",
+    )
+    out = str(tmp_path / "s")
+    with pytest.raises(ValueError, match="must start with '.'"):
+        write_webdataset(df, out, bin_members={"img": "png"})
+    with pytest.raises(ValueError, match="must start with '.'"):
+        write_webdataset(df, out, bin_members={"img": "."})
+    with pytest.raises(ValueError, match="suffixes collide"):
+        write_webdataset(df, out, bin_members={"img": ".txt"})
+    with pytest.raises(ValueError, match="suffixes collide"):
+        write_webdataset(
+            df, out, bin_members={"img": ".bin", "aud": ".bin"}
+        )
+    # '.txt' is only reserved when a text member is actually written
+    write_webdataset(
+        df, out, text_col=None, bin_members={"img": ".txt"}
+    ).collect()
+    got = {r.suffix for r in read_webdataset(spark, out).collect()}
+    assert got == {".txt"}
