@@ -2476,16 +2476,30 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-incremental property (max-version merge is
     order-insensitive, so late batches cannot corrupt the snapshot).
 
-    Scale shape: each merge is one key-ranked window over
-    |snapshot| + |batch| rows of 4 scalars (documents-free); the
-    store rewrite per batch is the plain-parquet stand-in for a
-    lakehouse MERGE (Delta/Iceberg make the same plan incremental
-    with deletion vectors — plan shape identical, rewrite cost
-    drops); snapshot state is one row per live key, never the log
-    history."""
+    Scale shape: the snapshot store is an ``append_merge_parquet``
+    MERGE-ON-READ table — each batch APPENDS its delta (write cost ∝
+    batch, never the snapshot; the pre-r12 whole-snapshot rewrite was
+    O(snapshot) per batch, quadratic over a long stream), the live
+    view applies the keep-latest window over base + deltas, and every
+    2nd append compacts the log (exercised LIVE here: three batches →
+    one mid-stream compaction), bounding read amplification at the
+    amortized LSM trade. Partition-scoped copy-on-write was measured
+    first and REJECTED for this workload: CDC keys spray every
+    key-hash bucket each wave, so scoped overwrite degenerated to the
+    full rewrite plus pruning overhead (1.4–2.7× slower at every
+    scale — see sinks.append_merge_parquet; merge_parquet_partitioned
+    remains the right tool when change keys cluster by date/region).
+    Each merge is one key-ranked window over rows of 4 scalars
+    (documents-free); snapshot state is one row per live key, never
+    the log history."""
     import os
     import shutil
     import tempfile
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        append_merge_parquet,
+        read_merged,
+    )
 
     t = load_tables(spark, sf_dir)
     log = t.orders.select(
@@ -2504,25 +2518,18 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         log.filter(F.col("version") == v).coalesce(1).write.parquet(
             os.path.join(src, f"batch{v}")
         )
-    state = {"cur": None, "gen": 0}
+    store = os.path.join(work, "snapshot")
 
-    def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
-        merged = batch_df
-        if state["cur"] is not None:
-            merged = batch_df.unionByName(sp.read.parquet(state["cur"]))
+    def _keep_latest(merged: DataFrame) -> DataFrame:
         w = Window.partitionBy("key").orderBy(F.col("version").desc())
-        latest = (
+        return (
             merged.withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") == 1)
             .drop("rk")
         )
-        state["gen"] += 1
-        out = os.path.join(work, f"snapshot_v{state['gen']}")
-        latest.write.parquet(out)
-        old, state["cur"] = state["cur"], out
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        append_merge_parquet(batch_df, store, _keep_latest, compact_every=2)
 
     stream = (
         spark.readStream.schema(
@@ -2537,7 +2544,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    live = spark.read.parquet(state["cur"]).filter(F.col("op") != "D")
+    live = read_merged(spark, store, _keep_latest).filter(F.col("op") != "D")
     res = (
         live.groupBy("status")
         .agg(

@@ -576,16 +576,27 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exactly-incremental property.
 
     Scale shape: the stream inherits read_warc's zero-shuffle parse;
-    per batch the state merge is one h-keyed agg over |state| + |batch|
-    rows of 4 scalars (payload text never enters the state — the
-    dedup_exact argument, incrementally); the snapshot rewrite per
-    batch is the plain-parquet stand-in for a lakehouse MERGE
-    (stream_cdc_apply's documented trade). Demo-harness caveats as
-    stream_warc_ingest (driver tempdir, waves written at plan time)."""
+    the md5 dedup state is an ``append_merge_parquet`` MERGE-ON-READ
+    table — each batch appends its per-hash partial rollup (write cost
+    ∝ batch, never the accumulated state; the pre-r12 whole-state
+    rewrite was O(state) per batch), the live view re-aggregates base
+    + deltas (min lang / min n_tokens / summed n_copies are
+    associative, so partial-rollup merge-on-read reaches the same
+    fixed point), and the 2nd append compacts the log live. Content-
+    hash state is the canonical NO-locality case — every batch sprays
+    all key-hash buckets, so partition-scoped copy-on-write was
+    measured and rejected for it (see sinks.append_merge_parquet).
+    Payload text never enters the state — the dedup_exact argument,
+    incrementally. Demo-harness caveats as stream_warc_ingest (driver
+    tempdir, waves written at plan time)."""
     import os
     import shutil
     import tempfile
 
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        append_merge_parquet,
+        read_merged,
+    )
     from oil_wells_data_wrangling_spark.sources.warc import (
         read_warc_stream,
         write_warc,
@@ -602,10 +613,16 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="stream_crawl_")
     arch = os.path.join(work, "crawl")
     ckpt = os.path.join(work, "ckpt")
-    state = {"cur": None, "gen": 0}
+    store = os.path.join(work, "state")
+
+    def _agg_latest(merged: DataFrame) -> DataFrame:
+        return merged.groupBy("h").agg(
+            F.min("lang").alias("lang"),
+            F.min("n_tokens").alias("n_tokens"),
+            F.sum("n_copies").cast("bigint").alias("n_copies"),
+        )
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        sp = batch_df.sparkSession
         resp = batch_df.filter(
             (F.col("warc_type") == "response") & (F.col("http_status") == 200)
         )
@@ -620,29 +637,20 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.size(words) >= 20)
             & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
         )
-        batch_h = quality.select(
-            F.md5("clean").alias("h"),
-            "lang",
-            F.size(F.split("clean", " ")).alias("n_tokens"),
-        ).groupBy("h").agg(
-            F.min("lang").alias("lang"),
-            F.min("n_tokens").alias("n_tokens"),
-            F.count(F.lit(1)).alias("n_copies"),
+        batch_h = (
+            quality.select(
+                F.md5("clean").alias("h"),
+                "lang",
+                F.size(F.split("clean", " ")).alias("n_tokens"),
+            )
+            .groupBy("h")
+            .agg(
+                F.min("lang").alias("lang"),
+                F.min("n_tokens").alias("n_tokens"),
+                F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+            )
         )
-        merged = batch_h
-        if state["cur"] is not None:
-            merged = batch_h.unionByName(sp.read.parquet(state["cur"]))
-        merged = merged.groupBy("h").agg(
-            F.min("lang").alias("lang"),
-            F.min("n_tokens").alias("n_tokens"),
-            F.sum("n_copies").alias("n_copies"),
-        )
-        state["gen"] += 1
-        out = os.path.join(work, f"state_v{state['gen']}")
-        merged.write.parquet(out)
-        old, state["cur"] = state["cur"], out
-        if old:
-            shutil.rmtree(old, ignore_errors=True)
+        append_merge_parquet(batch_h, store, _agg_latest, compact_every=2)
 
     for wave, parity in ((1, 0), (2, 1)):
         crawl = pages.filter(F.col("doc_id") % 2 == parity)
@@ -658,7 +666,7 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     res = (
-        spark.read.parquet(state["cur"])
+        read_merged(spark, store, _agg_latest)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

