@@ -893,9 +893,13 @@ def well_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     enrichment join → serving filter. One scan of the raw docs, one small
     aggregate broadcast, zero Python in the row path."""
     docs = _raw_docs(spark, sf_dir)
-    # Stage 1: regex extraction (raw strings). Cached so the coordinate
-    # parser's ~12 regexp expansions don't inline the extraction regexes
-    # (64KB codegen limit) and each extraction runs once per row.
+    # Stage 1: regex extraction (raw strings). NOT cached: CollapseProject's
+    # non-cheap-used-more-than-once guard already refuses to inline these
+    # regexes into the coordinate parser's ~12 expansions, so extraction
+    # runs once per row into a codegen local — the r3 extraction cache was
+    # re-profiled in r12 (stage isolation, min-of-4, codegen-error sweep)
+    # and cost ~0.2s of pure materialization overhead at sf0.1 while
+    # preventing nothing.
     extracted = docs.select(
         "doc_id",
         extract_field("Well Operator", F.col("raw_text")).alias("operator"),
@@ -903,10 +907,12 @@ def well_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         extract_inline("API No", F.col("raw_text")).alias("api_str"),
         extract_inline("Latitude", F.col("raw_text")).alias("lat_str"),
         extract_inline("Longitude", F.col("raw_text")).alias("lon_str"),
-    ).cache()
+    )
     # Stage 2: typed normalization on the small extracted strings.
     # Cached so the serve filter below doesn't substitute (and double)
-    # the parse expressions past the 64KB codegen method limit.
+    # the parse expressions past the 64KB codegen method limit — dropping
+    # THIS barrier still blows codegen (measured: 8 janino 64KB fallbacks
+    # and +0.5s in the r12 variant sweep).
     header = extracted.select(
         "doc_id",
         "operator",
