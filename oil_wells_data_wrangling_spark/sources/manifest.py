@@ -66,7 +66,9 @@ def hash_folder(
     spark: SparkSession, folder: str, glob: str = "*", opener=None
 ) -> DataFrame:
     """One (file, n_bytes, sha256) row per shard under ``folder`` —
-    hashed executor-side off a path-pruned listing."""
+    hashed executor-side off a path-pruned listing. ``opener`` follows
+    THE OPENER CONTRACT in sources/pathutil.py (enforced by
+    tests/test_opener_contract.py)."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

@@ -1,4 +1,34 @@
-"""Shared helpers for path-streaming readers (SCALE.md §11)."""
+"""Shared helpers for path-streaming readers (SCALE.md §11) — and THE
+OPENER CONTRACT every path-streaming consumer honors.
+
+``opener(path) -> file object`` is how ``read_warc_paths``,
+``read_webdataset`` / ``read_webdataset_stream``, and ``hash_folder``
+(the manifest writer) plug in non-POSIX storage. The contract, stated
+once here so it cannot drift per consumer (it did: r11's gzip sniff
+seeked and broke an object-store opener until fixed):
+
+1. ``opener`` receives the ``local_path()``-translated, task-visible
+   path string and returns an object with ``read(n) -> bytes`` and
+   ``close()``.
+2. **Streaming-safe**: consumers never call ``seek``/``tell`` — a
+   one-shot object-store body works. (``fetch_record`` is the
+   deliberate exception: CDX random access requires ranged reads and
+   takes ``(offset, length)``, not an opener.)
+3. **Buffered read semantics**: ``read(n)`` returns exactly ``n``
+   bytes unless EOF; ``b""`` means EOF and only EOF. Raw bodies that
+   may return short reads (``io.RawIOBase``, chunked HTTP) must be
+   wrapped — ``ContractStream`` below does it — because consumers
+   frame records on exact counts (the WARC magic sniff reads 2 bytes;
+   a 1-byte short read would silently misclassify the archive).
+4. **Lifecycle**: called once per file per task; the consumer closes
+   it in a ``finally``. Transient-failure RETRY belongs inside the
+   opener (or to Spark's task retry, which re-invokes it); consumers
+   never retry a torn stream themselves — tolerant parsing quarantines
+   the damaged tail instead (the warc corruption contract).
+
+``tests/test_opener_contract.py`` runs every consumer against a
+non-seekable short-read fake to enforce all four clauses.
+"""
 
 from __future__ import annotations
 
@@ -30,3 +60,39 @@ def local_path(path) -> str:
     if p.startswith("file:"):
         return p[len("file:") :]
     return p
+
+
+class ContractStream:
+    """Adapt any raw ``read()`` object to the opener contract's
+    buffered semantics (clause 3): ``read(n)`` accumulates raw reads
+    until exactly ``n`` bytes or EOF, never exposes ``seek``/``tell``,
+    and forwards ``close()``. Opener authors wrap one-shot bodies:
+    ``opener=lambda p: ContractStream(client.get_object(p))``."""
+
+    def __init__(self, raw):
+        self._raw = raw
+        self._eof = False
+
+    def read(self, n: int = -1) -> bytes:
+        if n is None or n < 0:
+            chunks = []
+            while True:
+                c = self._raw.read(1 << 20)
+                if not c:
+                    break
+                chunks.append(c)
+            self._eof = True
+            return b"".join(chunks)
+        out = bytearray()
+        while len(out) < n and not self._eof:
+            c = self._raw.read(n - len(out))
+            if not c:
+                self._eof = True
+                break
+            out += c
+        return bytes(out)
+
+    def close(self) -> None:
+        close = getattr(self._raw, "close", None)
+        if close:
+            close()

@@ -363,9 +363,10 @@ def read_warc_paths(
     default heap at 32 × 33 MB files (BASELINE round-11, WebDataset
     reader). Use this reader when archives are big relative to
     executor memory and a task-visible path exists (local/NFS/FUSE —
-    or pass ``opener(path) -> file object`` for object stores);
-    ``read_warc`` remains the default for modest files and for
-    storage only the JVM can reach."""
+    or pass ``opener(path) -> file object`` for object stores —
+    see THE OPENER CONTRACT in sources/pathutil.py, enforced by
+    tests/test_opener_contract.py); ``read_warc`` remains the default
+    for modest files and for storage only the JVM can reach."""
     files = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)

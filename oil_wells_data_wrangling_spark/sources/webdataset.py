@@ -250,9 +250,10 @@ def read_webdataset(
     ``content`` read would hold several copies per concurrent task
     (measured: 32 tasks × 33 MB shards OOM a default 1 GB heap), while
     this plan's peak is one member chunk. ``opener(path) -> file
-    object`` plugs in non-POSIX storage (object-store client); the
-    default opens the task-visible filesystem path, which is the
-    local/NFS/FUSE case."""
+    object`` plugs in non-POSIX storage (object-store client; THE
+    OPENER CONTRACT lives in sources/pathutil.py and is enforced by
+    tests/test_opener_contract.py); the default opens the
+    task-visible filesystem path, which is the local/NFS/FUSE case."""
     files = spark.read.format("binaryFile").load(folder + "/*.tar")
     return files.select("path").mapInPandas(
         _parse_shard_paths(opener, chunk_members), schema=WDS_MEMBER_SCHEMA
