@@ -1865,3 +1865,82 @@ def log_histogram_quantile(cells: DataFrame, q_ppm: int) -> DataFrame:
             "max_cents",
         )
     )
+
+
+# ------------------------------------------------------------ stream_asof_join
+#
+# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — ships at the r12
+# pre-stage bar (implementation + parity test in
+# tests/test_prestaged_r13.py + BASELINE scale row); registration is
+# one @register line + a window slot + a SURVEY §2 row in r13.
+
+# identical contract to the batch twin: the stream must converge to
+# batch asof_join's answer, so the same oracle checks both
+STREAM_ASOF_ORACLE = _ASOF_ORACLE
+
+
+def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming form of ``asof_join``, driven end-to-end: events
+    arrive as TWO time-split waves (everything at-or-before the
+    mid-time first — the CDC/wave delivery order), and the custom
+    stateful operator (``streaming.events.stream_asof``: dual
+    transformWithStateInPandas / applyInPandasWithState impls, two
+    scalars of state per user) attaches to every event the most recent
+    click value at-or-before it. The final log must equal batch
+    ``asof_join`` — the same oracle checks both, which is the
+    exactly-incremental property; HALF the (event → its latest click)
+    references cross the wave boundary, so persisted per-user state is
+    genuinely load-bearing.
+
+    Scale shape: one key shuffle per micro-batch (the groupBy feeding
+    the stateful operator — the same single exchange the batch window
+    pays), per-user state two scalars regardless of volume. Wave
+    mtimes are pinned so the file source's (timestamp, path) order
+    matches delivery order — the in-order-per-key contract
+    ``stream_asof`` documents. Demo-harness caveats as
+    stream_warc_ingest (driver tempdir, waves written at plan time)."""
+    import os
+    import shutil
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.streaming.events import stream_asof
+
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("event_id", "user_id", "ts", "event_type", "value")
+    row = ev.agg(
+        F.min("ts").alias("mn"), F.max("ts").alias("mx")
+    ).collect()[0]  # 2 bounded scalars
+    cutoff = row["mn"] + (row["mx"] - row["mn"]) / 2
+    work = tempfile.mkdtemp(prefix="stream_asof_")
+    src = os.path.join(work, "src")
+    for i, wave in enumerate(
+        (ev.filter(F.col("ts") <= F.lit(cutoff)),
+         ev.filter(F.col("ts") > F.lit(cutoff)))
+    ):
+        d = os.path.join(src, f"wave{i}")
+        wave.coalesce(1).write.parquet(d)
+        for name in os.listdir(d):  # pin delivery order via mtime
+            os.utime(os.path.join(d, name), (1_000_000 * (i + 1),) * 2)
+    out_dir = os.path.join(work, "out")
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(os.path.join(src, "wave0")).schema
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "wave*"))
+    )
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        stream_asof(stream)
+        .writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(work, ignore_errors=True)
+    return res

@@ -527,3 +527,128 @@ def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_rank_permille"
         ),
     )
+
+
+# ------------------------------------------------------------ trace_tool_calls
+#
+# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — ships at the r12
+# pre-stage bar (implementation + parity test in
+# tests/test_prestaged_r13.py + BASELINE scale row); registration is
+# one @register line + a window slot + a SURVEY §2 row in r13.
+
+_TRACE_TOOLS = ("search", "calc")  # the pipeline's allowed tool set
+
+# the synthetic trace: a tool-call JSON per document, built with the
+# same string concat in both engines; every 7th trace is truncated
+# mid-string (the malformed-generation case), every 11th calls a tool
+# outside the allowed set (the hallucinated-tool case)
+_TRACE_SPARK = (
+    "concat('{\"name\":\"', "
+    "CASE WHEN doc_id % 11 = 0 THEN 'fetch_url' "
+    "WHEN doc_id % 3 = 0 THEN 'search' ELSE 'calc' END, "
+    "'\",\"arguments\":{\"k\":', CAST(doc_id % 5 AS STRING), "
+    "',\"q\":\"', lang, '\"}}')"
+)
+_TRACE_DUCK = (
+    "('{\"name\":\"' || "
+    "CASE WHEN doc_id % 11 = 0 THEN 'fetch_url' "
+    "WHEN doc_id % 3 = 0 THEN 'search' ELSE 'calc' END || "
+    "'\",\"arguments\":{\"k\":' || CAST(doc_id % 5 AS VARCHAR) || "
+    "',\"q\":\"' || lang || '\"}}')"
+)
+
+TRACE_TOOL_CALLS_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 7 = 0
+              THEN substr({_TRACE_DUCK}, 1, length({_TRACE_DUCK}) - 5)
+              ELSE {_TRACE_DUCK} END AS trace
+  FROM documents
+),
+p AS (
+  SELECT source,
+         json_valid(trace) AS ok,
+         CASE WHEN json_valid(trace)
+              THEN json_extract_string(trace, '$.name') END AS tool,
+         CASE WHEN json_valid(trace)
+              THEN CAST(json_extract(trace, '$.arguments.k') AS BIGINT)
+              END AS k
+  FROM raw
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_traces,
+       CAST(COUNT(*) FILTER (ok AND tool IN ('search', 'calc'))
+            AS BIGINT) AS n_valid,
+       CAST(COUNT(*) FILTER (NOT ok) AS BIGINT) AS n_bad_json,
+       CAST(COUNT(*) FILTER (ok AND tool NOT IN ('search', 'calc'))
+            AS BIGINT) AS n_unknown_tool,
+       CAST(COALESCE(SUM(CASE WHEN ok AND tool IN ('search', 'calc')
+                              THEN k END), 0) AS BIGINT) AS k_sum
+FROM p GROUP BY source
+"""
+
+
+def trace_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agentic-trace audit — the validation pass an SFT/RL pipeline
+    runs over model-generated TOOL-CALL transcripts before training on
+    them: parse each trace's JSON, split the corpus into valid calls /
+    malformed JSON (truncated generations) / hallucinated tools (names
+    outside the registry), and roll the counts up per source with an
+    argument-mass check (k_sum) that proves arguments were actually
+    extracted, not just schema-validated.
+
+    Parsing parity is the interesting contract: Spark's ``from_json``
+    (PERMISSIVE mode -> NULL struct on malformed input) and DuckDB's
+    ``json_valid``/``json_extract`` must agree on every trace — the
+    deterministic corruption (every 7th trace truncated mid-string,
+    every 11th calling an unregistered tool) makes both failure
+    modes load-bearing in the oracle comparison.
+
+    Scale shape: trace synthesis, JSON parse, and classification all
+    run inside the scan projection (one ``from_json`` per row, no
+    Python); the only exchange is the |sources|-group partial agg —
+    flat at any corpus size."""
+    t = load_tables(spark, sf_dir)
+    trace = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.expr(
+            f"substr({_TRACE_SPARK}, 1, length({_TRACE_SPARK}) - 5)"
+        ),
+    ).otherwise(F.expr(_TRACE_SPARK))
+    # PERMISSIVE from_json returns a NON-null struct of null fields on
+    # malformed input (test-probed), so "did it parse" needs the
+    # corrupt-record column, not isNotNull on the struct
+    parsed = F.from_json(
+        trace,
+        "name string, arguments struct<k: bigint, q: string>,"
+        " _corrupt string",
+        {"columnNameOfCorruptRecord": "_corrupt"},
+    )
+    ok = parsed["_corrupt"].isNull()
+    tool = parsed["name"]
+    known = tool.isin(*_TRACE_TOOLS)
+    k = parsed["arguments"]["k"]
+    return (
+        t.documents.select(
+            "source",
+            ok.alias("ok"),
+            F.when(ok, tool).alias("tool"),
+            F.when(ok, known).alias("known"),
+            F.when(ok, k).alias("k"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_traces"),
+            F.count_if(F.col("ok") & F.col("known")).alias("n_valid"),
+            F.count_if(~F.col("ok")).alias("n_bad_json"),
+            F.count_if(F.col("ok") & ~F.col("known")).alias(
+                "n_unknown_tool"
+            ),
+            F.coalesce(
+                F.sum(F.when(F.col("ok") & F.col("known"), F.col("k"))),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("k_sum"),
+        )
+    )

@@ -231,3 +231,116 @@ def zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("qlat") - F.min("qlat")).cast("bigint").alias("lat_span"),
         (F.max("qlon") - F.min("qlon")).cast("bigint").alias("lon_span"),
     )
+
+
+# ---------------------------------------------------------------- compact_table
+#
+# PRE-STAGED FOR ROUND 13 (not yet @register'ed): the r12 driver
+# window is full (3 new + the 47-name r7 cohort); r13 has <=5 free
+# slots and this ships at the same pre-stage bar r12's three met —
+# implementation + driver-style parity test (tests/test_prestaged_r13
+# .py) + BASELINE scale row land now, registration is one @register
+# line + a window slot + a SURVEY §2 row in r13.
+
+_COMPACT_FRAG_FILES = 64
+_COMPACT_BUCKETS = 8
+
+COMPACT_TABLE_ORACLE = f"""
+WITH b AS (
+  SELECT CAST(MIN(o_orderkey) AS BIGINT) AS mn,
+         CAST(MAX(o_orderkey) AS BIGINT) AS mx
+  FROM orders
+),
+a AS (
+  SELECT o_orderkey,
+         CAST((o_orderkey - mn) * {_COMPACT_BUCKETS} // (mx - mn + 1)
+              AS BIGINT) AS bucket
+  FROM orders, b
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST({_COMPACT_FRAG_FILES} AS BIGINT) AS files_before,
+       (SELECT CAST(COUNT(DISTINCT bucket) AS BIGINT) FROM a)
+         AS files_after
+FROM a GROUP BY bucket
+"""
+
+
+def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction with key clustering — the table-maintenance
+    operator a streaming ingest (per-batch appends, `append_merge_
+    parquet` deltas, CDC upserts) eventually owes the reader: a store
+    fragmented into 64 files is rewritten as one
+    file per key-range bucket, and the returned evidence is what a
+    maintenance job logs — per output file its row count and KEY
+    BOUNDING BOX (min/max), plus the real before/after file counts
+    counted off the filesystem. Disjoint per-file key ranges are the
+    point: after compaction a key-range query's min/max footer check
+    prunes to one file (`zorder_stats` is the 2-D sibling audit).
+
+    Driven end-to-end on real files: the registered demo WRITES the
+    fragmented store (64 round-robin files, the
+    many-small-files layout a file-per-micro-batch sink leaves),
+    compacts it, and the oracle re-derives every output column —
+    including both file counts, which are deterministic by
+    construction (round-robin leaves no empty input file at these row
+    counts; each key-range bucket lands wholly in one writer task, so
+    dirs hold exactly one file).
+
+    Scale shape: ONE scan of the fragmented store + one bounded
+    min/max aggregate (2-scalar collect) + one clustering exchange on
+    the bucket key, then a file-per-bucket write — the same plan at
+    any store size, with bucket count chosen from the data range. The
+    bucket key is a pure key-range function (floor((k-mn)·B/(mx-mn+1))
+    in exact integer arithmetic), so the assignment is deterministic
+    and engine-portable, unlike repartitionByRange's sampled
+    boundaries."""
+    import os
+    import shutil
+    import tempfile
+
+    t = load_tables(spark, sf_dir)
+    src = t.orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    work = tempfile.mkdtemp(prefix="compact_")
+    frag = os.path.join(work, "frag")
+    comp = os.path.join(work, "compacted")
+    src.repartition(_COMPACT_FRAG_FILES).write.parquet(frag)
+    files_before = sum(
+        1 for f in os.listdir(frag) if f.endswith(".parquet")
+    )
+    fdf = spark.read.parquet(frag)
+    row = fdf.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]  # 2 bounded scalars
+    mn, mx = int(row["mn"]), int(row["mx"])
+    compacted = fdf.withColumn(
+        "bucket",
+        F.expr(
+            f"CAST(((o_orderkey - {mn}) * {_COMPACT_BUCKETS})"
+            f" DIV {mx - mn + 1} AS BIGINT)"
+        ),
+    ).repartition(F.col("bucket"))
+    compacted.write.partitionBy("bucket").parquet(comp)
+    files_after = sum(
+        1
+        for d in os.listdir(comp)
+        if d.startswith("bucket=")
+        for f in os.listdir(os.path.join(comp, d))
+        if f.endswith(".parquet")
+    )
+    out = (
+        spark.read.parquet(comp)
+        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .withColumn("files_before", F.lit(files_before).cast("bigint"))
+        .withColumn("files_after", F.lit(files_after).cast("bigint"))
+        .localCheckpoint(eager=True)  # sever lineage so the dir can go
+    )
+    shutil.rmtree(work, ignore_errors=True)
+    return out

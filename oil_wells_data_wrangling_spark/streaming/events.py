@@ -1307,3 +1307,158 @@ def stream_log_histogram_tws(
         outputMode="Append",
         timeMode="EventTime",
     )
+
+
+# --------------------------------------------------------------- as-of stream
+#
+# PRE-STAGED FOR ROUND 13 (the registered demo `stream_asof_join` in
+# operators/eventops.py ships un-@register'ed; see plans/registry.py).
+
+_ASOF_OUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("last_click_value", DoubleType()),
+    ]
+)
+_ASOF_STATE_SCHEMA = StructType(
+    [StructField("has_cv", LongType()), StructField("cv", DoubleType())]
+)
+
+
+def _asof_emit(
+    pdfs: Iterator[pd.DataFrame],
+    user_id,
+    prior: float | None,
+) -> tuple[pd.DataFrame, float | None]:
+    """Shared core of both as-of impls: sort the batch's rows by
+    (ts, event_id), forward-fill click values starting from the prior
+    state, return (emission frame, new state)."""
+    parts = [p for p in pdfs if len(p)]
+    if not parts:
+        return pd.DataFrame(), prior
+    pdf = pd.concat(parts).sort_values(
+        ["ts", "event_id"], kind="mergesort"
+    )
+    clicks = pdf["value"].where(pdf["event_type"] == "click")
+    filled = clicks.ffill()
+    if prior is not None:
+        filled = filled.fillna(prior)
+    last_clicks = clicks.dropna()
+    new = float(last_clicks.iloc[-1]) if len(last_clicks) else prior
+    out = pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].to_numpy(),
+            "user_id": user_id,
+            "event_type": pdf["event_type"].to_numpy(),
+            "last_click_value": filled.to_numpy(),
+        }
+    )
+    return out, new
+
+
+def _asof_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """applyInPandasWithState as-of: state = the user's most recent
+    click value (two scalars per key, independent of event volume)."""
+    (user_id,) = key
+    prior = None
+    if state.exists:
+        has_cv, cv = state.get
+        prior = cv if has_cv else None
+    out, new = _asof_emit(pdfs, user_id, prior)
+    state.update((1 if new is not None else 0, new or 0.0))
+    if len(out):
+        yield out
+
+
+class _AsofTWS:
+    """StatefulProcessor twin of ``_asof_fn`` on the Spark-4
+    arbitrary-state API — same two-scalar value state, same emission."""
+
+    def init(self, handle) -> None:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StructField,
+            StructType,
+        )
+
+        self._state = handle.getValueState(
+            "asof",
+            StructType(
+                [
+                    StructField("has_cv", LongType()),
+                    StructField("cv", DoubleType()),
+                ]
+            ),
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        prior = None
+        if self._state.exists():
+            has_cv, cv = self._state.get()
+            prior = cv if has_cv else None
+        out, new = _asof_emit(rows, key[0], prior)
+        self._state.update((1 if new is not None else 0, new or 0.0))
+        if len(out):
+            yield out
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def stream_asof_legacy(events: DataFrame) -> DataFrame:
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _asof_fn,
+            outputStructType=_ASOF_OUT_SCHEMA,
+            stateStructType=_ASOF_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def stream_asof_tws(events: DataFrame) -> DataFrame:
+    return (
+        events.select("user_id", "event_id", "ts", "event_type", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=_AsofTWS(),
+            outputStructType=_ASOF_OUT_SCHEMA,
+            outputMode="Append",
+            timeMode="None",
+        )
+    )
+
+
+def stream_asof(events: DataFrame, impl: str | None = None) -> DataFrame:
+    """Streaming as-of join — batch ``asof_join``'s per-key
+    "most recent click value at-or-before each event" as custom
+    stateful streaming. State per user is TWO scalars (has_cv, cv) no
+    matter how many events flow — the as-of operator's whole history
+    compresses into the latest match candidate, which is what makes it
+    streamable at all.
+
+    Ordering contract, stated honestly: rows are ordered (ts,
+    event_id) WITHIN each micro-batch, and batches must arrive
+    time-ordered per key (the CDC/wave delivery shape the registered
+    demo ships). Late cross-batch events need watermark-buffered
+    reordering upstream — the documented events_sliding_agg caveat
+    class. Dual impl like ``stream_sessionize``: tws when the worker
+    protobuf runtime exists, legacy applyInPandasWithState
+    otherwise."""
+    if _pick_stateful_impl(impl) == "tws":
+        _require_rocksdb(events)
+        return stream_asof_tws(events)
+    return stream_asof_legacy(events)
