@@ -2498,6 +2498,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from oil_wells_data_wrangling_spark.sources.sinks import (
         append_merge_parquet,
+        dedupe_latest,
         read_merged,
     )
 
@@ -2521,15 +2522,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = os.path.join(work, "snapshot")
 
     def _keep_latest(merged: DataFrame) -> DataFrame:
-        w = Window.partitionBy("key").orderBy(F.col("version").desc())
-        return (
-            merged.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .drop("rk")
-        )
+        return dedupe_latest(merged, ["key"], "version")
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
-        append_merge_parquet(batch_df, store, _keep_latest, compact_every=2)
+        append_merge_parquet(
+            batch_df, store, _keep_latest, compact_every=2, batch_id=batch_id
+        )
 
     stream = (
         spark.readStream.schema(

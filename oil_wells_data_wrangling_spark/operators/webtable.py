@@ -650,7 +650,9 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.count(F.lit(1)).cast("bigint").alias("n_copies"),
             )
         )
-        append_merge_parquet(batch_h, store, _agg_latest, compact_every=2)
+        append_merge_parquet(
+            batch_h, store, _agg_latest, compact_every=2, batch_id=batch_id
+        )
 
     for wave, parity in ((1, 0), (2, 1)):
         crawl = pages.filter(F.col("doc_id") % 2 == parity)

@@ -15,7 +15,9 @@ seeked and broke an object-store opener until fixed):
    deliberate exception: CDX random access requires ranged reads and
    takes ``(offset, length)``, not an opener.)
 3. **Buffered read semantics**: ``read(n)`` returns exactly ``n``
-   bytes unless EOF; ``b""`` means EOF and only EOF. Raw bodies that
+   bytes unless EOF; for ``n > 0``, ``b""`` means EOF and only EOF
+   (``read(0)`` is trivially empty and carries no EOF signal —
+   consumers don't issue it). Raw bodies that
    may return short reads (``io.RawIOBase``, chunked HTTP) must be
    wrapped — ``ContractStream`` below does it — because consumers
    frame records on exact counts (the WARC magic sniff reads 2 bytes;
@@ -74,6 +76,12 @@ class ContractStream:
         self._eof = False
 
     def read(self, n: int = -1) -> bytes:
+        if n == 0:
+            # zero-length read: empty WITHOUT meaning EOF (clause 3's
+            # "b'' means EOF" applies to n > 0 reads; consumers do not
+            # issue read(0), but the adapter must not mislead one that
+            # does)
+            return b""
         if n is None or n < 0:
             chunks = []
             while True:

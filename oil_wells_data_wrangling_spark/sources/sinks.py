@@ -148,6 +148,26 @@ def upsert_parquet_partitioned(
     return touched
 
 
+def _read_store_as(spark: SparkSession, path: str, like: DataFrame) -> DataFrame:
+    """Read a partitioned parquet store back with ``like``'s column set
+    and types. Two round-trip hazards are closed here for every caller:
+    partition-directory TYPE INFERENCE (a string bucket '00' written as
+    ``pk=00`` reads back as int 0 — cast to '0', a different key, and
+    the store forks; inference is disabled so the raw directory string
+    survives) and column order/type drift (explicit cast to the batch
+    frame's schema before any union)."""
+    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try:
+        raw = spark.read.parquet(path)
+    finally:
+        spark.conf.set(key, prev)
+    return raw.select(
+        [F.col(f.name).cast(f.dataType) for f in like.schema.fields]
+    )
+
+
 def merge_parquet_partitioned(
     batch_df: DataFrame,
     path: str,
@@ -183,7 +203,7 @@ def merge_parquet_partitioned(
         if len(non_null) != len(touched):
             prune = prune | F.col(partition_col).isNull()
         merged_in = batch_df.unionByName(
-            spark.read.parquet(path).filter(prune).select(*batch_df.columns)
+            _read_store_as(spark, path, batch_df).filter(prune)
         )
     else:
         merged_in = batch_df
@@ -191,7 +211,10 @@ def merge_parquet_partitioned(
     # writer task sprays a file into every touched partition dir
     # (tasks × buckets small files per merge — measured 3× slower at
     # ALL scales); with it each bucket gets one file per merge
-    out = merge(merged_in).repartition(F.col(partition_col))
+    out = merge(merged_in).repartition(F.col(partition_col)).localCheckpoint(
+        eager=True
+    )  # materialized once: reused by the write AND the emptied-
+    # partition check below without re-running the merge
     mode_key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(mode_key, "static")
     spark.conf.set(mode_key, "dynamic")
@@ -199,7 +222,50 @@ def merge_parquet_partitioned(
         out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
     finally:
         spark.conf.set(mode_key, prev)
+    # dynamic overwrite only rewrites partitions PRESENT in the output:
+    # a merge that legitimately empties a touched partition (tombstone
+    # filtering dropped every key in it) would otherwise leave the old
+    # files in place and the deleted rows would resurrect on the next
+    # read — delete those directories explicitly
+    kept = {r[0] for r in out.select(partition_col).distinct().collect()}
+    for v in touched:
+        if v in kept:
+            continue
+        d = (
+            f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+            if v is None
+            else f"{partition_col}={v}"
+        )
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return touched
+
+
+def _recover_append_store(path: str) -> None:
+    """Make an ``append_merge_parquet`` store readable after a crash at
+    ANY point of the compaction swap: a missing ``_deltas`` with an
+    orphaned ``.old-*`` rolls back to the pre-compaction log (the
+    compaction is lost, the data never is); stale ``.old-*`` next to a
+    live ``_deltas`` (crash after the swap, before cleanup) and stale
+    ``.compact-*`` staging dirs are deleted. Without this, a crash
+    between the two renames silently stranded the whole state."""
+    if not os.path.isdir(path):
+        return
+    gen_dir = os.path.join(path, "_deltas")
+    olds = [d for d in os.listdir(path) if d.startswith(".old-")]
+    if not os.path.exists(gen_dir):
+        if len(olds) > 1:
+            raise RuntimeError(
+                f"append store {path!r} has {len(olds)} orphaned .old-*"
+                " dirs and no _deltas — manual recovery required"
+            )
+        if olds:
+            os.replace(os.path.join(path, olds[0]), gen_dir)
+            olds = []
+    for d in olds:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    for d in os.listdir(path):
+        if d.startswith(".compact-"):
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def append_merge_parquet(
@@ -207,6 +273,7 @@ def append_merge_parquet(
     path: str,
     merge: Callable[[DataFrame], DataFrame],
     compact_every: int = 4,
+    batch_id=None,
 ) -> bool:
     """LSM-style MERGE-ON-READ state table — the honest O(batch)
     shape for hash-keyed streaming state: each batch APPENDS its delta
@@ -214,8 +281,19 @@ def append_merge_parquet(
     (associative + idempotent: min/sum rollups, keep-latest windows)
     over the accumulated deltas via ``read_merged``, and every
     ``compact_every``-th append REWRITES the log into one merged base
-    (staging-swap protocol), bounding read amplification at the
-    standard amortized O(state/compact_every)-per-batch trade.
+    (staging swap + crash recovery in ``_recover_append_store``),
+    bounding read amplification at the standard amortized
+    O(state/compact_every)-per-batch trade.
+
+    ``batch_id`` makes retries EXACTLY-ONCE under foreachBatch's
+    at-least-once contract: each batch's delta lands in its own
+    ``_deltas/b<id>`` dir via an idempotent overwrite, and a marker in
+    ``_applied/`` (written only after the delta commits, and surviving
+    compaction) makes a re-delivered batch a no-op — without it, a
+    driver restart after the append but before the streaming commit
+    re-appends the delta and every sum/count merge double-counts.
+    Passing None skips the guard (ad-hoc ingest, caller manages
+    delivery).
 
     Why not a partition-scoped copy-on-write (``merge_parquet_
     partitioned``)? That wins only when batch keys CLUSTER into few
@@ -230,17 +308,26 @@ def append_merge_parquet(
     serializes batches; concurrent writers need a table format's log).
     """
     spark = batch_df.sparkSession
+    _recover_append_store(path)
     gen_dir = os.path.join(path, "_deltas")
-    batch_df.write.mode("append").parquet(gen_dir)
-    marker = os.path.join(path, "_n_appends")
-    n = (int(open(marker).read()) if os.path.exists(marker) else 0) + 1
-    with open(marker, "w") as f:
-        f.write(str(n))
+    applied = os.path.join(path, "_applied")
+    os.makedirs(applied, exist_ok=True)
+    name = (
+        f"b{batch_id}" if batch_id is not None else f"a{uuid.uuid4().hex[:12]}"
+    )
+    marker = os.path.join(applied, name)
+    if batch_id is not None and os.path.exists(marker):
+        return False  # re-delivered batch: its delta is already durable
+    batch_df.write.mode("overwrite").parquet(os.path.join(gen_dir, name))
+    open(marker, "w").close()
+    n = len(os.listdir(applied))
     if n % compact_every != 0:
         return False
-    compacted = merge(spark.read.parquet(gen_dir))
+    compacted = merge(
+        spark.read.option("recursiveFileLookup", "true").parquet(gen_dir)
+    )
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
-    compacted.write.parquet(staging)
+    compacted.write.parquet(os.path.join(staging, "base"))
     old = os.path.join(path, f".old-{uuid.uuid4().hex[:8]}")
     os.replace(gen_dir, old)
     os.replace(staging, gen_dir)
@@ -255,8 +342,15 @@ def read_merged(
 ) -> DataFrame:
     """Current state of an ``append_merge_parquet`` table: the merge
     fixed point over base + deltas (idempotent on compacted state, so
-    reading right after a compaction re-applies harmlessly)."""
-    return merge(spark.read.parquet(os.path.join(path, "_deltas")))
+    reading right after a compaction re-applies harmlessly). Repairs a
+    crash-interrupted compaction before reading — never silently reads
+    a partial store."""
+    _recover_append_store(path)
+    return merge(
+        spark.read.option("recursiveFileLookup", "true").parquet(
+            os.path.join(path, "_deltas")
+        )
+    )
 
 
 def jdbc_merge_sql(

@@ -123,10 +123,12 @@ def write_webdataset(
     # shards of exactly the class the dotted-key and duplicate-key
     # checks fail loudly on
     for col, suffix in bins.items():
-        if not suffix.startswith(".") or len(suffix) < 2:
+        if not suffix.startswith(".") or len(suffix) < 2 or "/" in suffix:
             raise ValueError(
                 f"bin_members[{col!r}] suffix {suffix!r} must start"
-                " with '.' and name an extension (e.g. '.png')"
+                " with '.', name an extension (e.g. '.png'), and"
+                " contain no '/' (tar readers treat it as a directory"
+                " separator and regroup the sample under a wrong key)"
             )
     reserved = ([".json"] if meta_cols else []) + (
         [".txt"] if text_col else []
@@ -149,9 +151,10 @@ def write_webdataset(
             for row in pdf.itertuples(index=False):
                 r = dict(zip(pdf.columns, row))
                 key = str(r[key_col])
-                if "." in key:
+                if "." in key or "/" in key:
                     raise ValueError(
-                        f"webdataset key may not contain '.': {key!r}"
+                        "webdataset key may not contain '.' or '/':"
+                        f" {key!r}"
                     )
                 members: list[tuple[str, bytes]] = []
                 if meta_cols:

@@ -90,7 +90,9 @@ def test_append_merge_parquet_lsm_contract(spark, tmp_path):
         if compacted:
             # post-compaction the delta dir holds ONE merged base:
             # every key exactly once
-            base = spark.read.parquet(os.path.join(table, "_deltas"))
+            base = spark.read.option("recursiveFileLookup", "true").parquet(
+                os.path.join(table, "_deltas")
+            )
             assert base.count() == len(want)
     assert compactions == 2  # batches 3 and 6
 
@@ -159,3 +161,108 @@ def test_merge_parquet_partitioned_scoped_rewrite(spark, tmp_path):
     assert files_in(0) != before[0]
     got = {r.k: r.n for r in spark.read.parquet(table).collect()}
     assert got == {"a": 6, "b": 1, "c": 1}
+
+
+def test_append_merge_parquet_retry_and_crash_recovery(spark, tmp_path):
+    """The exactly-once and durability contracts (r12 review findings):
+    a re-delivered batch_id is a no-op (at-least-once foreachBatch
+    retries must not double-count sum merges), and a crash at ANY point
+    of the compaction swap leaves a store the next append/read repairs
+    — never silently-lost state."""
+    import os
+    import shutil
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        append_merge_parquet,
+        read_merged,
+    )
+
+    table = str(tmp_path / "amp")
+
+    def agg(df):
+        return df.groupBy("k").agg(F.sum("n").cast("bigint").alias("n"))
+
+    b = spark.createDataFrame([("a", 1), ("b", 2)], "k string, n long")
+    append_merge_parquet(b, table, agg, compact_every=10, batch_id=7)
+    # retry of the SAME batch id: delta already durable, must be a no-op
+    append_merge_parquet(b, table, agg, compact_every=10, batch_id=7)
+    got = {r.k: r.n for r in read_merged(spark, table, agg).collect()}
+    assert got == {"a": 1, "b": 2}  # not doubled
+
+    # crash window 1: after replace(_deltas -> .old), before the swap
+    # completes — roll back, nothing lost
+    os.replace(
+        os.path.join(table, "_deltas"), os.path.join(table, ".old-deadbeef")
+    )
+    os.makedirs(os.path.join(table, ".compact-feedface", "base"))
+    got = {r.k: r.n for r in read_merged(spark, table, agg).collect()}
+    assert got == {"a": 1, "b": 2}
+    assert not os.path.exists(os.path.join(table, ".old-deadbeef"))
+    assert not os.path.exists(os.path.join(table, ".compact-feedface"))
+
+    # crash window 2: swap done, old-dir cleanup missed — swept up,
+    # and the re-delivered-batch guard survives compaction
+    b2 = spark.createDataFrame([("a", 10)], "k string, n long")
+    compacted = append_merge_parquet(
+        b2, table, agg, compact_every=2, batch_id=8
+    )
+    assert compacted  # 2 applied markers -> compaction fired
+    shutil.copytree(
+        os.path.join(table, "_deltas"), os.path.join(table, ".old-cafe")
+    )
+    append_merge_parquet(b2, table, agg, compact_every=100, batch_id=8)
+    got = {r.k: r.n for r in read_merged(spark, table, agg).collect()}
+    assert got == {"a": 11, "b": 2}  # batch 8 counted exactly once
+    assert not os.path.exists(os.path.join(table, ".old-cafe"))
+
+
+def test_merge_parquet_partitioned_string_buckets_and_emptied_partition(
+    spark, tmp_path
+):
+    """Two r12 review findings: (1) numeric-looking STRING partition
+    values must round-trip ('00' read back as int 0 would fork the
+    store); (2) a merge that legitimately empties a touched partition
+    must delete it — dynamic overwrite alone would resurrect the old
+    rows on the next read."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        merge_parquet_partitioned,
+    )
+
+    table = str(tmp_path / "mp")
+
+    def keep_live(df):
+        agg = df.groupBy("k", "pk").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        return agg.filter(F.col("n") > 0)  # tombstones drop out
+
+    b1 = spark.createDataFrame(
+        [("x", "00", 5), ("y", "07", 3)], "k string, pk string, n long"
+    )
+    def read_store():
+        # disable dir-name type inference for the assertion read too —
+        # the store's contract is raw string partition values
+        key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+        prev = spark.conf.get(key, "true")
+        spark.conf.set(key, "false")
+        try:
+            return {
+                (r.k, r.pk): r.n for r in spark.read.parquet(table).collect()
+            }
+        finally:
+            spark.conf.set(key, prev)
+
+    merge_parquet_partitioned(b1, table, keep_live, "pk")
+    assert os.path.isdir(os.path.join(table, "pk=00"))  # raw string dir
+    # merge with prior state in '00': must hit the SAME key, not fork
+    b2 = spark.createDataFrame([("x", "00", 2)], "k string, pk string, n long")
+    merge_parquet_partitioned(b2, table, keep_live, "pk")
+    assert read_store() == {("x", "00"): 7, ("y", "07"): 3}
+    assert not os.path.isdir(os.path.join(table, "pk=0"))  # no fork
+    # tombstone everything in '07': the partition dir must be GONE
+    b3 = spark.createDataFrame([("y", "07", -3)], "k string, pk string, n long")
+    merge_parquet_partitioned(b3, table, keep_live, "pk")
+    assert not os.path.exists(os.path.join(table, "pk=07"))
+    assert read_store() == {("x", "00"): 7}
