@@ -270,3 +270,81 @@ def test_streaming_refresh_updates_served_rows(spark, sf_dir, tmp_path):
         assert clicks == [r for r in snapshots[1] if r["event_type"] == "click"]
     finally:
         server.shutdown()
+
+
+def test_wsgi_application_parity_with_http_tier(spark, sf_dir, tmp_path):
+    """The WSGI face (reference app.wsgi parity) serves the same rows,
+    the same static containment, and the same 404s as the threaded
+    HTTP tier — driven through a REAL WSGI server (wsgiref) so the
+    streaming iterator path is exercised end-to-end."""
+    import os
+    import threading
+    import urllib.error
+    import wsgiref.simple_server
+
+    from pyspark.sql import functions as F
+
+    from oil_wells_data_wrangling_spark.operators.spatial import (
+        with_coordinates,
+    )
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+    from oil_wells_data_wrangling_spark.sources.sinks import export_json
+    from oil_wells_data_wrangling_spark.wsgi import make_wsgi_app
+
+    pos = with_coordinates(load_tables(spark, sf_dir).supplier).withColumn(
+        "band", (F.col("cell_lat") / 30).cast("int")
+    )
+    export = pos.drop("cell_lat", "cell_lon")
+    path = str(tmp_path / "wells_json")
+    export_json(export, path, partition_col="band")
+    want = {
+        (r["s_suppkey"], r["band"]): (r["lat"], r["lon"])
+        for r in export.collect()
+    }
+
+    class _Quiet(wsgiref.simple_server.WSGIRequestHandler):
+        def log_message(self, *a):
+            pass
+
+    server = wsgiref.simple_server.make_server(
+        "127.0.0.1", 0, make_wsgi_app(path), handler_class=_Quiet
+    )
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}"
+        rows = _get(f"{base}/wells")
+        got = {
+            (r["s_suppkey"], int(r["band"])): (r["lat"], r["lon"])
+            for r in rows
+        }
+        assert got == want
+        band = sorted(b for (_, b) in want)[0]
+        rows = _get(f"{base}/wells?band={band}")
+        assert rows and all(int(r["band"]) == band for r in rows)
+        # static pages + containment (the serving.py realpath rule)
+        with urllib.request.urlopen(f"{base}/map", timeout=30) as r:
+            assert b"leaflet" in r.read().lower()
+        for bad in ("/static/../wsgi.py", "/static/%2e%2e/serving.py",
+                    "/nope"):
+            try:
+                with urllib.request.urlopen(base + bad, timeout=30) as r:
+                    assert r.status == 404
+            except urllib.error.HTTPError as e:
+                assert e.code == 404
+    finally:
+        server.shutdown()
+
+    # the mod_wsgi entry point configures itself from the environment
+    from oil_wells_data_wrangling_spark import wsgi as wsgi_mod
+
+    env = {"PATH_INFO": "/wells", "QUERY_STRING": ""}
+    status_box = []
+    os.environ["OWDW_EXPORT_DIR"] = path
+    try:
+        body = b"".join(
+            wsgi_mod.application(env, lambda s, h: status_box.append(s))
+        )
+    finally:
+        del os.environ["OWDW_EXPORT_DIR"]
+    assert status_box == ["200 OK"]
+    assert len(json.loads(body)) == len(want)
