@@ -123,7 +123,7 @@ def upsert_parquet_partitioned(
         if len(non_null) != len(touched):
             prune = prune | F.col(partition_col).isNull()
         existing = (
-            spark.read.parquet(path)
+            _read_store_as(spark, path, df)  # inference-proof read-back
             .filter(prune)  # partition pruning
             .withColumn("__gen", F.lit(0))
         )
