@@ -2634,3 +2634,200 @@ def elo_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_games",
         )
     )
+
+
+# ------------------------------------------------------------- chat_turns_audit
+#
+# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — the 4th of r13's
+# five free slots, same pre-stage bar as the other four (impl +
+# parity test in tests/test_prestaged_r13.py + BASELINE scale row).
+
+# Deterministic multi-turn transcript synthesis shared by both
+# engines: 4 role-tagged turns drawn from the doc's own words, with
+# two deliberate corruption modes — every 7th conversation repeats a
+# role on adjacent turns (the double-send), every 9th starts with the
+# assistant (the missing-prompt case). 9*7 interleave means some docs
+# carry both.
+_CHAT_ROLE = (
+    "CASE WHEN {i} % 2 = CASE WHEN doc_id % 9 = 0 THEN 1 ELSE 0 END "
+    "THEN 'user' ELSE 'assistant' END"
+)
+_CHAT_ROLE_DUP = (  # every 7th conv: turn 2 copies turn 1's role
+    # (7 and 9 are coprime with the corpus's 20-way source split, so
+    # both violation classes spread across every source)
+    "CASE WHEN doc_id % 7 = 0 AND {i} = 1 THEN " + _CHAT_ROLE.format(i=0)
+    + " ELSE " + _CHAT_ROLE + " END"
+)
+
+
+def _chat_turn(i: int, engine: str) -> str:
+    word = (
+        f"split_part(text, ' ', {i + 1})"
+        if engine == "duck"
+        else f"element_at(split(text, ' '), {i + 1})"
+    )
+    return f"({_CHAT_ROLE_DUP.format(i=i)} || ': say ' || {word})"
+
+
+def _chat_transcript(engine: str) -> str:
+    sep = " || chr(10) || " if engine == "duck" else " || '\\n' || "
+    return sep.join(_chat_turn(i, engine) for i in range(4))
+
+
+CHAT_TURNS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, {_chat_transcript('duck')} AS transcript
+  FROM documents
+),
+turns AS (
+  SELECT doc_id, source,
+         CAST(generate_subscripts(string_split(transcript, chr(10)), 1)
+              AS BIGINT) AS pos,
+         split_part(unnest(string_split(transcript, chr(10))), ': ', 1)
+           AS role
+  FROM t
+),
+marked AS (
+  SELECT doc_id, source, pos, role,
+         CASE WHEN role = lag(role) OVER (
+           PARTITION BY doc_id ORDER BY pos) THEN 1 ELSE 0 END AS dup_adj,
+         CASE WHEN pos = 1 AND role <> 'user' THEN 1 ELSE 0 END AS bad_start
+  FROM turns
+),
+conv AS (
+  SELECT doc_id, source,
+         CAST(COUNT(*) AS BIGINT) AS n_turns,
+         CAST(MAX(dup_adj) AS BIGINT) AS has_dup,
+         CAST(MAX(bad_start) AS BIGINT) AS has_bad_start
+  FROM marked GROUP BY doc_id, source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_convs,
+       CAST(SUM(n_turns) AS BIGINT) AS n_turns,
+       CAST(SUM(has_dup) AS BIGINT) AS n_role_dup,
+       CAST(SUM(has_bad_start) AS BIGINT) AS n_bad_start,
+       CAST(COUNT(*) FILTER (has_dup = 0 AND has_bad_start = 0)
+            AS BIGINT) AS n_clean
+FROM conv GROUP BY source
+"""
+
+
+def chat_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-turn transcript hygiene — the validation pass an SFT
+    pipeline runs over conversation data before packing it: parse each
+    transcript into ordered role-tagged turns, flag conversations with
+    ADJACENT SAME-ROLE turns (double-sends that break chat templating)
+    or a non-user opening turn (the missing-prompt case), and roll
+    clean/violation counts up per source. The synthetic corpus plants
+    both violations deterministically (every 7th and 9th conversation)
+    so both detectors are load-bearing in the oracle comparison —
+    ``trace_tool_calls``' sibling for the conversation axis.
+
+    Scale shape: transcript synthesis and the turn explode run in the
+    scan (posexplode of a 4-element split — output rows ∝ 4·docs of
+    (doc_id, source, pos, role) scalars, text never leaves the scan);
+    the adjacency check is a lag window PARTITIONED BY CONVERSATION
+    (thousands of rows per task, never a global window), then two
+    bounded rollups (per-conv, per-source). One exchange on doc_id,
+    one |sources|-group agg."""
+    t = load_tables(spark, sf_dir)
+    turns = t.documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.split(F.expr(_chat_transcript("spark")), "\n")
+        ).alias("pos0", "line"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        F.substring_index("line", ": ", 1).alias("role"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = turns.select(
+        "doc_id",
+        "source",
+        F.when(F.col("role") == F.lag("role").over(w), 1)
+        .otherwise(0)
+        .alias("dup_adj"),
+        F.when((F.col("pos") == 1) & (F.col("role") != "user"), 1)
+        .otherwise(0)
+        .alias("bad_start"),
+    )
+    conv = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.max("dup_adj").alias("has_dup"),
+        F.max("bad_start").alias("has_bad_start"),
+    )
+    return conv.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_convs"),
+        F.sum("n_turns").cast("bigint").alias("n_turns"),
+        F.sum("has_dup").cast("bigint").alias("n_role_dup"),
+        F.sum("has_bad_start").cast("bigint").alias("n_bad_start"),
+        F.count_if(
+            (F.col("has_dup") == 0) & (F.col("has_bad_start") == 0)
+        ).alias("n_clean"),
+    )
+
+
+# ------------------------------------------------------------ stratified_sample
+#
+# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — the 5th r13 slot,
+# same pre-stage bar.
+
+_STRAT_K = 5
+
+STRATIFIED_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+         md5('samp_' || CAST(doc_id AS VARCHAR)) AS hk
+  FROM documents
+),
+r AS (
+  SELECT doc_id, source, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+           AS sample_rank
+  FROM h
+)
+SELECT source, doc_id, sample_rank, CAST(n_chars AS BIGINT) AS n_chars
+FROM r WHERE sample_rank <= {_STRAT_K}
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k-per-stratum deterministic sampling — the reproducible
+    sample every pipeline audit needs (eval panels, human-review
+    batches, per-source quality probes): rank each stratum's rows by a
+    salted content-independent hash and keep the first k. Hash-rank
+    sampling is uniform-without-replacement per stratum, IDENTICAL
+    across engines, runs, and cluster sizes (no RNG state, no
+    seed-per-partition drift — the property `group_split` uses for
+    fraction splits, here for exact counts), and APPEND-STABLE: a doc
+    joins the sample only by displacing the current k-th hash, so
+    audits stay comparable as the corpus grows.
+
+    Scale shape: the md5 rank key is computed in the scan; the ONE
+    exchange carries (source, doc_id, hash, n_chars) scalars — text
+    never moves — and the per-stratum window is bounded by the stratum,
+    never a global sort. At extreme per-stratum cardinality the same
+    plan drops the window for a per-stratum k-th-smallest-hash
+    threshold (two scalar passes); at |documents|/|sources| scales the
+    window is already the right plan."""
+    t = load_tables(spark, sf_dir)
+    h = t.documents.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5(F.concat(F.lit("samp_"), F.col("doc_id").cast("string"))).alias(
+            "hk"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy("hk", "doc_id")
+    return (
+        h.withColumn(
+            "sample_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("sample_rank") <= _STRAT_K)
+        .select("source", "doc_id", "sample_rank", "n_chars")
+    )

@@ -129,7 +129,7 @@ def headline_queries() -> dict[str, QueryFn]:
 
 # ---------------------------------------------------------------------------
 # ROUND-13 ROTATION, PREPARED (r12). The r8 cohort is 45 names, so
-# r13 has ≤5 free slots; THREE are pre-staged at the full bar
+# r13 has ≤5 free slots; ALL FIVE are pre-staged at the full bar
 # (implementation + DuckDB-parity tests in tests/test_prestaged_r13.py
 # + BASELINE scale rows, all landed in r12):
 #   - compact_table       (operators/spatial.py — small-file compaction
@@ -140,11 +140,18 @@ def headline_queries() -> dict[str, QueryFn]:
 #   - stream_asof_join    (operators/eventops.py — asof_join's custom-
 #                          stateful streaming twin; dual TWS/legacy
 #                          impls in streaming/events.py:stream_asof)
-# The r13 builder's first commit: @register the three (oracles are
+#   - chat_turns_audit    (operators/corpus.py — multi-turn SFT
+#                          transcript hygiene: role alternation +
+#                          opening-turn violations per source)
+#   - stratified_sample   (operators/corpus.py — exact-k-per-stratum
+#                          deterministic hash-rank sampling,
+#                          append-stability property-tested)
+# The r13 builder's first commit: @register the five (oracles are
 # COMPACT_TABLE_ORACLE / TRACE_TOOL_CALLS_ORACLE / STREAM_ASOF_ORACLE
-# next to each implementation), add their SURVEY §2 rows (243 → 246),
-# and lead _WINDOW_PRIORITY with them + the 45-name r8 cohort (the
-# remaining 2 slots: either 2 more pre-staged ops or 2 extra stale
-# rotations). Steady-state capacity is 50×5 = 250 registered
+# / CHAT_TURNS_ORACLE / STRATIFIED_SAMPLE_ORACLE next to each
+# implementation), add their SURVEY §2 rows (243 → 248), and lead
+# _WINDOW_PRIORITY with them + the 45-name r8 cohort (5 + 45 = all
+# 50 slots — the window is exactly full, NO other new registration
+# fits r13). Steady-state capacity is 50×5 = 250 registered
 # operators — grow §2.E (connectors/serving, unit-tested rather than
 # oracle-checked) past that, not §2.
