@@ -255,3 +255,54 @@ def test_stratified_sample_append_stability(spark, sf_dir):
     }
     got = {(r.source, r.doc_id): r.r for r in sub.itertuples()}
     assert got == want
+
+
+def test_prestaged_plan_shapes(spark, sf_dir):
+    """Pin the docstring scale claims of the pre-staged ops that return
+    live plans (compact_table / stream_asof_join return materialized
+    results — their shapes are asserted by their own demos): text never
+    rides an exchange, and the exchange count matches the claimed
+    single-shuffle shape. The registered-query sweep in
+    test_plan_shapes.py takes over once they register in r13."""
+    import re
+
+    from oil_wells_data_wrangling_spark.operators.corpus import (
+        chat_turns_audit,
+        stratified_sample,
+    )
+    from oil_wells_data_wrangling_spark.operators.inference import (
+        trace_tool_calls,
+    )
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def exchange_children(plan):
+        lines = plan.splitlines()
+        return [
+            lines[i + 1]
+            for i, line in enumerate(lines)
+            if "Exchange" in line and i + 1 < len(lines)
+        ]
+
+    # trace_tool_calls: parse in-scan, ONE exchange (the source agg)
+    plan = plan_of(trace_tool_calls(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for child in exchange_children(plan):
+        assert "text#" not in child, child
+
+    # stratified_sample: ONE exchange (the per-stratum window), hash
+    # key + scalars only
+    plan = plan_of(stratified_sample(spark, sf_dir))
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    for child in exchange_children(plan):
+        assert "text#" not in child, child
+
+    # chat_turns_audit: every window is conversation-partitioned (no
+    # empty partition spec anywhere) and text stays in the scan
+    df = chat_turns_audit(spark, sf_dir)
+    plan = plan_of(df)
+    for m in re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert m.group(1).strip(), "unpartitioned window"
+    for child in exchange_children(plan):
+        assert "text#" not in child, child
