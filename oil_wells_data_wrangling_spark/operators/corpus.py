@@ -2768,66 +2768,3 @@ def chat_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("has_dup") == 0) & (F.col("has_bad_start") == 0)
         ).alias("n_clean"),
     )
-
-
-# ------------------------------------------------------------ stratified_sample
-#
-# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — the 5th r13 slot,
-# same pre-stage bar.
-
-_STRAT_K = 5
-
-STRATIFIED_SAMPLE_ORACLE = f"""
-WITH h AS (
-  SELECT doc_id, source, n_chars,
-         md5('samp_' || CAST(doc_id AS VARCHAR)) AS hk
-  FROM documents
-),
-r AS (
-  SELECT doc_id, source, n_chars,
-         CAST(ROW_NUMBER() OVER (
-           PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
-           AS sample_rank
-  FROM h
-)
-SELECT source, doc_id, sample_rank, CAST(n_chars AS BIGINT) AS n_chars
-FROM r WHERE sample_rank <= {_STRAT_K}
-"""
-
-
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-k-per-stratum deterministic sampling — the reproducible
-    sample every pipeline audit needs (eval panels, human-review
-    batches, per-source quality probes): rank each stratum's rows by a
-    salted content-independent hash and keep the first k. Hash-rank
-    sampling is uniform-without-replacement per stratum, IDENTICAL
-    across engines, runs, and cluster sizes (no RNG state, no
-    seed-per-partition drift — the property `group_split` uses for
-    fraction splits, here for exact counts), and APPEND-STABLE: a doc
-    joins the sample only by displacing the current k-th hash, so
-    audits stay comparable as the corpus grows.
-
-    Scale shape: the md5 rank key is computed in the scan; the ONE
-    exchange carries (source, doc_id, hash, n_chars) scalars — text
-    never moves — and the per-stratum window is bounded by the stratum,
-    never a global sort. At extreme per-stratum cardinality the same
-    plan drops the window for a per-stratum k-th-smallest-hash
-    threshold (two scalar passes); at |documents|/|sources| scales the
-    window is already the right plan."""
-    t = load_tables(spark, sf_dir)
-    h = t.documents.select(
-        "doc_id",
-        "source",
-        F.col("n_chars").cast("bigint").alias("n_chars"),
-        F.md5(F.concat(F.lit("samp_"), F.col("doc_id").cast("string"))).alias(
-            "hk"
-        ),
-    )
-    w = Window.partitionBy("source").orderBy("hk", "doc_id")
-    return (
-        h.withColumn(
-            "sample_rank", F.row_number().over(w).cast("bigint")
-        )
-        .filter(F.col("sample_rank") <= _STRAT_K)
-        .select("source", "doc_id", "sample_rank", "n_chars")
-    )

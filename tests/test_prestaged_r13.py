@@ -200,63 +200,6 @@ def test_chat_turns_audit_properties(spark, sf_dir):
     ).all()
 
 
-def test_stratified_sample_matches_oracle(spark, duck, sf_dir):
-    from oil_wells_data_wrangling_spark.operators.corpus import (
-        STRATIFIED_SAMPLE_ORACLE,
-        stratified_sample,
-    )
-
-    sp = stratified_sample(spark, sf_dir).toPandas()
-    du = duck.execute(STRATIFIED_SAMPLE_ORACLE).fetchdf()
-    _assert_frames_match(sp, du, "stratified_sample")
-
-
-def test_stratified_sample_append_stability(spark, sf_dir):
-    """The property hash-rank sampling is chosen FOR: adding documents
-    can only displace sample members via smaller hashes — the sample
-    over a SUBSET of the corpus agrees with the full sample on every
-    stratum member whose rank survives. Checked by re-sampling with
-    the top-rank member of each stratum removed: ranks 2..k shift to
-    1..k-1 unchanged."""
-    from pyspark.sql import functions as F
-
-    from oil_wells_data_wrangling_spark.operators.corpus import (
-        stratified_sample,
-    )
-
-    full = stratified_sample(spark, sf_dir).toPandas()
-    assert (full.groupby("source")["sample_rank"].max() == 5).all()
-    top = set(
-        full[full["sample_rank"] == 1]["doc_id"].tolist()
-    )
-    # rebuild the same pipeline over documents minus the rank-1 docs
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        ~F.col("doc_id").isin(list(top))
-    )
-    h = docs.select(
-        "doc_id",
-        "source",
-        F.md5(F.concat(F.lit("samp_"), F.col("doc_id").cast("string"))).alias(
-            "hk"
-        ),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("source").orderBy("hk", "doc_id")
-    sub = (
-        h.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") <= 4)
-        .toPandas()
-    )
-    want = {
-        (r.source, r.doc_id): r.sample_rank - 1
-        for r in full.itertuples()
-        if r.sample_rank >= 2
-    }
-    got = {(r.source, r.doc_id): r.r for r in sub.itertuples()}
-    assert got == want
-
-
 def test_prestaged_plan_shapes(spark, sf_dir):
     """Pin the docstring scale claims of the pre-staged ops that return
     live plans (compact_table / stream_asof_join return materialized
@@ -268,7 +211,6 @@ def test_prestaged_plan_shapes(spark, sf_dir):
 
     from oil_wells_data_wrangling_spark.operators.corpus import (
         chat_turns_audit,
-        stratified_sample,
     )
     from oil_wells_data_wrangling_spark.operators.inference import (
         trace_tool_calls,
@@ -287,13 +229,6 @@ def test_prestaged_plan_shapes(spark, sf_dir):
 
     # trace_tool_calls: parse in-scan, ONE exchange (the source agg)
     plan = plan_of(trace_tool_calls(spark, sf_dir))
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
-    for child in exchange_children(plan):
-        assert "text#" not in child, child
-
-    # stratified_sample: ONE exchange (the per-stratum window), hash
-    # key + scalars only
-    plan = plan_of(stratified_sample(spark, sf_dir))
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
     for child in exchange_children(plan):
         assert "text#" not in child, child
