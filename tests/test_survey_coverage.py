@@ -55,3 +55,37 @@ def test_operator_index_in_sync():
         f"(missing {sorted(set(REGISTRY) - rows)[:5]}, "
         f"stale {sorted(rows - set(REGISTRY))[:5]})"
     )
+
+
+def test_no_shadowed_toplevel_names_in_package():
+    """Regression guard for the r12 near-miss: a new operator appended
+    to a module shadowed a same-named function (and rebound a shared
+    module constant out from under the registered original — one
+    parity red the full suite caught). Duplicate top-level
+    function/class defs or simple-name assignments within one module
+    are always an accident in this codebase; fail them at test time,
+    not at oracle time."""
+    import ast
+    import glob
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(__file__), "..", "oil_wells_data_wrangling_spark"
+    )
+    offenders = []
+    for path in sorted(glob.glob(os.path.join(pkg, "**", "*.py"),
+                                 recursive=True)):
+        tree = ast.parse(open(path).read())
+        names = []
+        for n in tree.body:
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef,
+                              ast.ClassDef)):
+                names.append(n.name)
+            elif isinstance(n, ast.Assign):
+                names.extend(
+                    t.id for t in n.targets if isinstance(t, ast.Name)
+                )
+        dups = sorted({x for x in names if names.count(x) > 1})
+        if dups:
+            offenders.append((os.path.relpath(path, pkg), dups))
+    assert not offenders, f"shadowed top-level names: {offenders}"
