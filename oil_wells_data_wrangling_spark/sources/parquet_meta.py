@@ -1,0 +1,177 @@
+"""Parquet footer inspector — the PRUNING-EVIDENCE reader for table
+maintenance.
+
+Every layout decision this engine makes for scan pruning (key-range
+compaction in ``operators/spatial.py::compact_table``, z-order
+clustering audited by ``zorder_stats``, the sorted CDX parquet mirror)
+ultimately cashes out as ROW-GROUP min/max statistics in parquet
+footers: that is what a reader's predicate actually checks before
+skipping IO. This module reads those footers back as a DataFrame so a
+maintenance job can PROVE a layout prunes instead of asserting it —
+per (file, row group, column): row count, min/max, byte sizes.
+
+Scale shape: the binaryFile listing is pruned to ``path`` (file bytes
+never enter the JVM — the SCALE.md §11 posture) and each task reads
+ONLY the footer of its files via pyarrow (a few KB of IO per file
+regardless of file size), one task per file inventory split. Footer
+reads require a SEEKABLE file, so like ``warc.fetch_record`` this is a
+documented exception to the streaming opener contract — it takes local
+task-visible paths (object stores: use their parquet-footer range-read
+API or a FUSE mount).
+
+Reference parity: none — the reference has no columnar layout to
+audit; this is part of the table-maintenance story (SURVEY §2.E).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from oil_wells_data_wrangling_spark.sources.pathutil import local_path
+
+ROW_GROUP_SCHEMA = (
+    "file string, row_group int, column string, n_rows long, "
+    "min_value string, max_value string, null_count long, "
+    "compressed_bytes long, uncompressed_bytes long"
+)
+
+
+def _stat_str(v) -> str | None:
+    """Footer statistics as portable strings (min/max types vary by
+    column; bytes decode best-effort — binary stats are truncated
+    prefixes by spec, so they are evidence, not exact values)."""
+    if v is None:
+        return None
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "replace")
+    return str(v)
+
+
+def row_group_stats(
+    spark: SparkSession,
+    folder: str,
+    columns: list[str] | None = None,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """One row per (file, row group, column) under ``folder``: row
+    count, min/max statistics, null count, and chunk byte sizes —
+    read executor-side from footers only. ``columns`` prunes to the
+    named columns (default: all)."""
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(folder)
+        .select("path")
+    )
+    wanted = list(columns) if columns else None
+
+    def _read_footers(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = {k: [] for k in (
+                "file", "row_group", "column", "n_rows", "min_value",
+                "max_value", "null_count", "compressed_bytes",
+                "uncompressed_bytes",
+            )}
+            for path in pdf["path"]:
+                p = local_path(path)
+                meta = pq.ParquetFile(p).metadata  # footer-only IO
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        name = c.path_in_schema
+                        if wanted is not None and name not in wanted:
+                            continue
+                        st = c.statistics
+                        # FULL path, not basename: one writer task
+                        # reuses its part-file name across partition
+                        # directories, so basenames collide
+                        rows["file"].append(p)
+                        rows["row_group"].append(rg)
+                        rows["column"].append(name)
+                        rows["n_rows"].append(g.num_rows)
+                        rows["min_value"].append(
+                            _stat_str(st.min) if st and st.has_min_max
+                            else None
+                        )
+                        rows["max_value"].append(
+                            _stat_str(st.max) if st and st.has_min_max
+                            else None
+                        )
+                        rows["null_count"].append(
+                            st.null_count
+                            if st and st.null_count is not None
+                            else None
+                        )
+                        rows["compressed_bytes"].append(
+                            c.total_compressed_size
+                        )
+                        rows["uncompressed_bytes"].append(
+                            c.total_uncompressed_size
+                        )
+            if rows["file"]:
+                yield pd.DataFrame(rows)
+
+    return files.mapInPandas(_read_footers, schema=ROW_GROUP_SCHEMA)
+
+
+def pruning_report(
+    spark: SparkSession,
+    folder: str,
+    column: str,
+    glob: str = "*.parquet",
+) -> DataFrame:
+    """Layout quality for one key column, per FILE: (file, n_rows,
+    min_value, max_value, n_row_groups) plus ``overlaps_any`` — True
+    when this file's [min,max] key range intersects another file's.
+    A well-compacted / range-clustered layout reads all-False: every
+    point or range predicate prunes to the minimal file set. (String
+    comparison of the stat strings is range-faithful for string keys
+    and for zero-padded numerics; for raw numerics compare after
+    casting in the caller — the stats are returned untyped on
+    purpose.)"""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per_file = (
+        row_group_stats(spark, folder, [column], glob)
+        .groupBy("file")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_row_groups"),
+        )
+    )
+    # overlap check against the NEXT file in min_value order: ranges
+    # sorted by start overlap somewhere iff one range's start is below
+    # its predecessor's end. The unpartitioned window is deliberate
+    # and safe: its input is the per-FILE aggregate (|files| rows of
+    # scalars — the file inventory, thousands at 100 TB), never data
+    w = Window.orderBy("min_value", "file")
+    marked = per_file.withColumn(
+        "overlaps_next",
+        F.coalesce(
+            F.col("max_value") >= F.lead("min_value").over(w), F.lit(False)
+        ),
+    )
+    marked = marked.withColumn(
+        "overlaps_prev",
+        F.coalesce(F.lag("overlaps_next").over(w), F.lit(False)),
+    )
+    return marked.select(
+        "file",
+        "n_rows",
+        "min_value",
+        "max_value",
+        "n_row_groups",
+        (F.col("overlaps_next") | F.col("overlaps_prev")).alias(
+            "overlaps_any"
+        ),
+    )

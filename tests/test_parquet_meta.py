@@ -1,0 +1,113 @@
+"""Parquet footer inspector (sources/parquet_meta.py): the pruning-
+evidence reader. Stats must match the data exactly, the per-file
+overlap report must read all-False on a range-clustered layout and
+flag a shuffled one, and compact_table's CLAIMED key bounding boxes
+must equal what the footers actually advertise to a pruning reader."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.sources.parquet_meta import (
+    pruning_report,
+    row_group_stats,
+)
+
+
+def test_row_group_stats_match_data(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"k{i:04d}", float(i) / 4) for i in range(1000)],
+        "id long, key string, val double",
+    )
+    path = str(tmp_path / "t")
+    df.repartitionByRange(4, "id").write.parquet(path)
+    stats = row_group_stats(spark, path).toPandas()
+    # every file reports all three columns; per-file row counts sum to
+    # the table
+    per_file_rows = (
+        stats[stats["column"] == "id"].groupby("file")["n_rows"].sum()
+    )
+    assert int(per_file_rows.sum()) == 1000
+    # string-key min/max per file must equal the true data bounds
+    truth = {}
+    got_rows = spark.read.parquet(path).select(
+        "key", F.input_file_name().alias("f")
+    )
+    from oil_wells_data_wrangling_spark.sources.pathutil import local_path
+
+    for r in got_rows.collect():
+        base = local_path(r.f)
+        lo, hi = truth.get(base, ("￿", ""))
+        truth[base] = (min(lo, r.key), max(hi, r.key))
+    key_stats = stats[stats["column"] == "key"]
+    for f, grp in key_stats.groupby("file"):
+        assert grp["min_value"].min() == truth[f][0]
+        assert grp["max_value"].max() == truth[f][1]
+    # byte sizes are positive and nulls are counted
+    assert (stats["compressed_bytes"] > 0).all()
+    assert (stats["null_count"] == 0).all()
+
+
+def test_pruning_report_flags_unclustered_layout(spark, tmp_path):
+    rows = [(f"k{i:04d}",) for i in range(400)]
+    df = spark.createDataFrame(rows, "key string")
+    clustered = str(tmp_path / "clustered")
+    df.repartitionByRange(4, "key").write.parquet(clustered)
+    shuffled = str(tmp_path / "shuffled")
+    df.repartition(4).write.parquet(shuffled)  # round-robin: full overlap
+
+    good = pruning_report(spark, clustered, "key").toPandas()
+    assert len(good) == 4 and not good["overlaps_any"].any(), good
+    bad = pruning_report(spark, shuffled, "key").toPandas()
+    assert bad["overlaps_any"].all(), bad
+
+
+def test_compact_table_bboxes_match_footers(spark, sf_dir, tmp_path):
+    """The tie-in: the key ranges compact_table REPORTS must be exactly
+    the ranges the parquet footers advertise — i.e. the evidence row a
+    maintenance job logs is the same thing a pruning reader will
+    actually see. Re-runs the compaction layout (bucketed clustered
+    write) and compares both views."""
+    from oil_wells_data_wrangling_spark.operators.spatial import (
+        compact_table,
+    )
+
+    claimed = {
+        int(r.bucket): (int(r.min_key), int(r.max_key))
+        for r in compact_table(spark, sf_dir).collect()
+    }
+    # rebuild the identical layout (compact_table cleans up its
+    # tempdir, so reproduce the write here) and read the FOOTERS
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    row = orders.agg(
+        F.min("o_orderkey").alias("mn"), F.max("o_orderkey").alias("mx")
+    ).collect()[0]
+    mn, mx = int(row["mn"]), int(row["mx"])
+    comp = str(tmp_path / "compacted")
+    orders.withColumn(
+        "bucket",
+        F.expr(f"CAST(((o_orderkey - {mn}) * 8) DIV {mx - mn + 1} AS BIGINT)"),
+    ).repartition(F.col("bucket")).write.partitionBy("bucket").parquet(comp)
+    stats = row_group_stats(spark, comp, ["o_orderkey"]).toPandas()
+    import os
+
+    # map each file back to its bucket directory via a listing
+    by_bucket = {}
+    for d in os.listdir(comp):
+        if d.startswith("bucket="):
+            b = int(d.split("=")[1])
+            for f in os.listdir(os.path.join(comp, d)):
+                if f.endswith(".parquet"):
+                    by_bucket[os.path.join(comp, d, f)] = b
+    footer = {}
+    for f, grp in stats.groupby("file"):
+        b = by_bucket[f]
+        lo = min(int(v) for v in grp["min_value"])
+        hi = max(int(v) for v in grp["max_value"])
+        cur = footer.get(b)
+        footer[b] = (
+            (min(cur[0], lo), max(cur[1], hi)) if cur else (lo, hi)
+        )
+    assert footer == claimed
