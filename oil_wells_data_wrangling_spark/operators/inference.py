@@ -652,3 +652,112 @@ def trace_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("k_sum"),
         )
     )
+
+
+# ------------------------------------------------------------ specdecode_accept
+#
+# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — fills r13's fifth
+# window slot at the same pre-stage bar (impl + parity test in
+# tests/test_prestaged_r13.py + BASELINE scale row). Checked against
+# the registry before building: nothing covers inference-log
+# acceptance analytics (the grpo/model_score family scores documents,
+# not draft/target token streams).
+
+_SPEC_GAMMA = 4  # draft block length (tokens proposed per target step)
+
+# Draft/target disagreement is CONTENT-derived: the draft model is
+# "wrong" at positions where md5(word, doc_id) % 5 == 0 (~20%) — so
+# the acceptance math has to touch every token, not replay doc_id
+# arithmetic.
+_SPEC_MM_S = (
+    "cast(conv(substr(md5(concat(w, '_', cast(doc_id as string))), 1, 4),"
+    " 16, 10) as bigint) % 5 = 0"
+)
+_SPEC_MM_D = (
+    "CAST('0x' || substr(md5(w || '_' || CAST(doc_id AS VARCHAR)), 1, 4)"
+    " AS BIGINT) % 5 = 0"
+)
+
+SPECDECODE_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(string_split(text, ' ')) AS w,
+         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+  FROM documents
+),
+flags AS (
+  SELECT doc_id, source,
+         CAST(pos // {_SPEC_GAMMA} AS BIGINT) AS block,
+         CAST(pos % {_SPEC_GAMMA} AS BIGINT) AS ppos,
+         ({_SPEC_MM_D}) AS mm
+  FROM tok
+),
+blocks AS (
+  SELECT doc_id, source, block,
+         CAST(COUNT(*) AS BIGINT) AS n_in_block,
+         CAST(LEAST(
+           COALESCE(MIN(CASE WHEN mm THEN ppos END), {_SPEC_GAMMA}),
+           COUNT(*)
+         ) AS BIGINT) AS n_accepted
+  FROM flags GROUP BY doc_id, source, block
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_blocks,
+       CAST(SUM(n_in_block) AS BIGINT) AS n_draft_tokens,
+       CAST(SUM(n_accepted) AS BIGINT) AS n_accepted,
+       CAST(SUM(n_accepted) * 1000 // SUM(n_in_block) AS BIGINT)
+         AS accept_permille
+FROM blocks GROUP BY source
+"""
+
+
+def specdecode_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding acceptance analytics — the measurement an
+    inference-data team runs over logged (draft, target) token streams
+    to size the draft model and the block length γ: within each
+    γ-token draft block, the target accepts the longest agreeing
+    PREFIX (the first mismatch rejects the rest of the block), so the
+    per-source acceptance rate is what the expected speedup formula
+    eats. Draft/target disagreement here is content-derived per token
+    (an md5 over the word and doc — the deterministic stand-in for a
+    real draft model's logged mismatches), which forces the acceptance
+    math through every token rather than replaying id arithmetic.
+
+    Scale shape: tokenize + position/block/flag arithmetic run inside
+    the scan (posexplode emits (doc_id, source, block, ppos, mm)
+    scalars — text never leaves the scan); the per-block prefix-match
+    is a (doc, block)-keyed partial agg and the per-source rollup is
+    |sources| groups. One exchange of scalar rows, integer permille —
+    exact in both engines."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split("text", " ")).alias("pos", "w"),
+    )
+    flags = tok.select(
+        "doc_id",
+        "source",
+        (F.col("pos") / _SPEC_GAMMA).cast("bigint").alias("block"),
+        (F.col("pos") % _SPEC_GAMMA).cast("bigint").alias("ppos"),
+        F.expr(_SPEC_MM_S).alias("mm"),
+    )
+    blocks = flags.groupBy("doc_id", "source", "block").agg(
+        F.count(F.lit(1)).alias("n_in_block"),
+        F.least(
+            F.coalesce(
+                F.min(F.when(F.col("mm"), F.col("ppos"))),
+                F.lit(_SPEC_GAMMA),
+            ),
+            F.count(F.lit(1)),
+        )
+        .cast("bigint")
+        .alias("n_accepted"),
+    )
+    return blocks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n_in_block").cast("bigint").alias("n_draft_tokens"),
+        F.sum("n_accepted").cast("bigint").alias("n_accepted"),
+        F.expr("CAST(sum(n_accepted) * 1000 DIV sum(n_in_block) AS BIGINT)")
+        .alias("accept_permille"),
+    )

@@ -129,7 +129,7 @@ def headline_queries() -> dict[str, QueryFn]:
 
 # ---------------------------------------------------------------------------
 # ROUND-13 ROTATION, PREPARED (r12). The r8 cohort is 45 names, so
-# r13 has ≤5 free slots; FOUR are pre-staged at the full bar
+# r13 has ≤5 free slots; ALL FIVE are pre-staged at the full bar
 # (implementation + DuckDB-parity tests in tests/test_prestaged_r13.py
 # + BASELINE scale rows, all landed in r12):
 #   - compact_table       (operators/spatial.py — small-file compaction
@@ -143,16 +143,21 @@ def headline_queries() -> dict[str, QueryFn]:
 #   - chat_turns_audit    (operators/corpus.py — multi-turn SFT
 #                          transcript hygiene: role alternation +
 #                          opening-turn violations per source)
-# (A fifth candidate, a per-source exact-k hash-rank sampler, was
-# built and DROPPED in-round: `stratified_sample` already exists in
-# the registry with the same semantics per lang — near-duplicate,
-# not worth a window slot.)
-# The r13 builder's first commit: @register the four (oracles are
+#   - specdecode_accept   (operators/inference.py — speculative-
+#                          decoding acceptance analytics over logged
+#                          draft/target streams: per-block prefix
+#                          acceptance, per-source permille)
+# (An earlier fifth candidate, a per-source exact-k hash-rank
+# sampler, was built and DROPPED in-round: `stratified_sample`
+# already exists in the registry with the same semantics per lang —
+# near-duplicate, not worth a window slot. specdecode_accept was
+# checked against the registry for novelty before building.)
+# The r13 builder's first commit: @register the five (oracles are
 # COMPACT_TABLE_ORACLE / TRACE_TOOL_CALLS_ORACLE / STREAM_ASOF_ORACLE
-# / CHAT_TURNS_ORACLE next to each implementation), add their SURVEY
-# §2 rows (243 → 247), and lead _WINDOW_PRIORITY with them + the
-# 45-name r8 cohort (4 + 45 = 49 slots; the one spare slot takes a
-# new pre-staged op or an extra stale rotation). Steady-state
-# capacity is 50×5 = 250 registered
+# / CHAT_TURNS_ORACLE / SPECDECODE_ORACLE next to each
+# implementation), add their SURVEY §2 rows (243 → 248), and lead
+# _WINDOW_PRIORITY with them + the 45-name r8 cohort (5 + 45 = all
+# 50 slots — the window is exactly full, NO other new registration
+# fits r13). Steady-state capacity is 50×5 = 250 registered
 # operators — grow §2.E (connectors/serving, unit-tested rather than
 # oracle-checked) past that, not §2.

@@ -241,3 +241,76 @@ def test_prestaged_plan_shapes(spark, sf_dir):
         assert m.group(1).strip(), "unpartitioned window"
     for child in exchange_children(plan):
         assert "text#" not in child, child
+
+
+def test_specdecode_accept_matches_oracle(spark, duck, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.inference import (
+        SPECDECODE_ORACLE,
+        specdecode_accept,
+    )
+
+    sp = specdecode_accept(spark, sf_dir).toPandas()
+    du = duck.execute(SPECDECODE_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "specdecode_accept")
+
+
+def test_specdecode_accept_properties(spark, sf_dir):
+    from oil_wells_data_wrangling_spark.operators.inference import (
+        specdecode_accept,
+    )
+
+    pdf = specdecode_accept(spark, sf_dir).toPandas()
+    # acceptance is a prefix: accepted <= drafted, and the ~20%
+    # content-derived mismatch rate puts the prefix-acceptance rate
+    # in a sane band (strictly between never and always)
+    assert (pdf["n_accepted"] <= pdf["n_draft_tokens"]).all()
+    assert (pdf["accept_permille"] > 300).all()
+    assert (pdf["accept_permille"] < 950).all()
+    assert (
+        pdf["accept_permille"]
+        == pdf["n_accepted"] * 1000 // pdf["n_draft_tokens"]
+    ).all()
+
+
+def test_specdecode_prefix_semantics_unit(spark):
+    """Hand-checkable fixture: one doc whose mismatch positions are
+    known — the first mismatch in a block rejects the REST of the
+    block even when later tokens agree."""
+    import duckdb
+
+    from oil_wells_data_wrangling_spark.operators.inference import (
+        _SPEC_GAMMA,
+        _SPEC_MM_D,
+    )
+
+    con = duckdb.connect()
+    words = [f"w{i}" for i in range(8)]  # 2 blocks of 4
+    mm = [
+        con.execute(
+            f"SELECT {_SPEC_MM_D}".replace("w ||", f"'{w}' ||").replace(
+                "doc_id", "7"
+            )
+        ).fetchone()[0]
+        for w in words
+    ]
+    # expected acceptance per block: index of first True, else gamma
+    exp = 0
+    for b in (0, 1):
+        flags = mm[b * _SPEC_GAMMA : (b + 1) * _SPEC_GAMMA]
+        exp += flags.index(True) if True in flags else _SPEC_GAMMA
+    df = spark.createDataFrame(
+        [(7, "s", " ".join(words))], "doc_id long, source string, text string"
+    )
+    import tempfile
+
+    from oil_wells_data_wrangling_spark.operators.inference import (
+        specdecode_accept,
+    )
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        for t in ("region nation customer supplier part orders lineitem "
+                  "events embeddings").split():
+            df.limit(0).write.parquet(f"{d}/{t}.parquet")
+        [r] = specdecode_accept(spark, d).collect()
+    assert r.n_accepted == exp and r.n_draft_tokens == 8
