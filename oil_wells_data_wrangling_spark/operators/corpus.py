@@ -2712,6 +2712,7 @@ FROM conv GROUP BY source
 """
 
 
+@register("chat_turns_audit", oracle=CHAT_TURNS_ORACLE)
 def chat_turns_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-turn transcript hygiene — the validation pass an SFT
     pipeline runs over conversation data before packing it: parse each

@@ -1879,6 +1879,7 @@ def log_histogram_quantile(cells: DataFrame, q_ppm: int) -> DataFrame:
 STREAM_ASOF_ORACLE = _ASOF_ORACLE
 
 
+@register("stream_asof_join", oracle=STREAM_ASOF_ORACLE)
 def stream_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming form of ``asof_join``, driven end-to-end: events
     arrive as TWO time-split waves (everything at-or-before the

@@ -588,6 +588,7 @@ FROM p GROUP BY source
 """
 
 
+@register("trace_tool_calls", oracle=TRACE_TOOL_CALLS_ORACLE)
 def trace_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Agentic-trace audit — the validation pass an SFT/RL pipeline
     runs over model-generated TOOL-CALL transcripts before training on
@@ -711,6 +712,7 @@ FROM blocks GROUP BY source
 """
 
 
+@register("specdecode_accept", oracle=SPECDECODE_ORACLE)
 def specdecode_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Speculative-decoding acceptance analytics — the measurement an
     inference-data team runs over logged (draft, target) token streams

@@ -268,6 +268,7 @@ FROM a GROUP BY bucket
 """
 
 
+@register("compact_table", oracle=COMPACT_TABLE_ORACLE)
 def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction with key clustering — the table-maintenance
     operator a streaming ingest (per-batch appends, `append_merge_

@@ -63,44 +63,47 @@ def _load_all() -> None:
 # The driver's CORRECTNESS gate checks the FIRST 50 queries in the
 # order ``queries()`` yields them, so this list — not module import
 # order — decides who gets a fresh driver-verified row this round.
-# Round-12 window: (1) the three operators pre-staged in r11
+# Round-13 window: (1) the FIVE operators pre-staged in r12
 # (never driver-checked names MUST be in-window the round they
-# register); (2) the FORTY-SEVEN operators whose newest driver row is
-# round 7 — the full r7 cohort, which goes stale the moment
-# CORRECTNESS_r12.json is committed (upcoming R = 13, bound R-5).
-# 3 new + 47 stale fills all 50 slots; there is NO free slot for
-# additional new registrations this round — r13 drains the 45-name
-# r8 cohort and has ≤5 free slots. Everything past 50 keeps its old
-# green row and stays covered by the identical local comparison in
-# tests/test_oracle_parity.py. A name listed here but not registered
-# fails loudly (KeyError) rather than silently shrinking the window;
-# tests/test_plans.py asserts the rotation INVARIANTS (never-checked
-# names in-window, no registrant's latest green row older than R-5)
-# from the committed CORRECTNESS_r*.json history. The bound is R-5,
-# not R-4, so that committing round N's own CORRECTNESS file (which
-# bumps R before the N+1 rotation lands) cannot red the suite — the
-# r10 round ended with exactly that one red, by design but noisily.
+# register); (2) the FORTY-FIVE operators whose newest driver row is
+# round 8 — the full r8 cohort, which goes stale the moment
+# CORRECTNESS_r13.json is committed (upcoming R = 14, bound R-5).
+# 5 new + 45 stale fills all 50 slots exactly; there is NO free slot
+# for additional new registrations this round. Everything past 50
+# keeps its old green row and stays covered by the identical local
+# comparison in tests/test_oracle_parity.py. A name listed here but
+# not registered fails loudly (KeyError) rather than silently
+# shrinking the window; tests/test_plans.py asserts the rotation
+# INVARIANTS (never-checked names in-window, no registrant's latest
+# green row older than R-5) from the committed CORRECTNESS_r*.json
+# history. The bound is R-5, not R-4, so that committing round N's
+# own CORRECTNESS file (which bumps R before the N+1 rotation lands)
+# cannot red the suite — the r10 round ended with exactly that one
+# red, by design but noisily.
 _WINDOW_PRIORITY = [
-    # -- new in round 12 (never driver-checked; pre-staged in r11)
-    "quality_ensemble",
-    "elo_ratings",
-    "cdx_domain_captures",
-    # -- last driver row is round 7 (the full cohort, alphabetical)
-    "ann_pq", "api_canonical", "bad_rows", "basket_lift",
-    "corpus_pipeline", "corpus_pipeline_full", "csv_repair",
-    "dp_histogram", "dsir_weights", "embed_neardup", "enrich_join",
-    "events_ab_lift", "events_burst", "excess_inventory_suppliers",
-    "extract_fields", "extract_repeated", "extract_stim",
-    "forecast_revenue", "fuzzy_match_names", "important_parts",
-    "late_arrival_audit", "local_supplier_volume", "market_share",
-    "minhash_containment", "mix_temperature", "mm_scene_cut",
-    "model_score", "nation_volume_shipping", "normalize_keys",
-    "numeric_sanitize", "pack_sequences_grouped", "parse_coordinates",
-    "product_type_profit", "quality_threshold_sweep", "quality_topk",
-    "returned_item_report", "rfm_segments", "sentinel_to_null",
-    "serve_wells", "serve_wells_full", "snapshot_diff",
-    "text_normalize", "triangle_count", "upsert_latest", "url_dedup",
-    "validate_report", "well_pipeline",
+    # -- new in round 13 (never driver-checked; pre-staged in r12)
+    "compact_table",
+    "trace_tool_calls",
+    "stream_asof_join",
+    "chat_turns_audit",
+    "specdecode_accept",
+    # -- last driver row is round 8 (the full cohort, alphabetical)
+    "agg_pricing_summary", "anchor_text_stats", "ann_recall_eval",
+    "boilerplate_lines", "bpe_pair_counts", "bpe_tokenize",
+    "bucket_quantiles", "c4_rules", "code_detect", "corpus_shuffle",
+    "decontaminate", "dedup_keep_best", "dedup_method_agreement",
+    "dedup_pipeline", "domain_cap", "eval_leakage_report",
+    "events_anomaly", "events_cms_topk", "events_funnel",
+    "geo_bucket", "gopher_rules", "grouping_sets",
+    "hll_register_sketch", "ivf_pq_search", "k_anonymity_report",
+    "knn_label_eval", "large_volume_customers", "link_graph_pagerank",
+    "lm_quality_buckets", "log_histogram_sketch", "min_cost_supplier",
+    "minhash_band_sensitivity", "minhash_jaccard_est",
+    "mm_audio_neardup", "mm_phash_dedup", "mm_phash_neardup",
+    "neardup_index_probe", "packing_efficiency", "robots_filter",
+    "score_calibration", "supplier_part_scope", "tokenizer_fertility",
+    "waiting_supplier_report", "winnow_dup_spans",
+    "winnow_index_probe",
 ]
 
 
@@ -128,7 +131,22 @@ def headline_queries() -> dict[str, QueryFn]:
 
 
 # ---------------------------------------------------------------------------
-# ROUND-13 ROTATION, PREPARED (r12). The r8 cohort is 45 names, so
+# REGISTRY CAPACITY POLICY (decided r13, per the r12 verdict):
+# steady-state re-verification capacity is 50 window slots × 5 rounds
+# (the R-5 staleness bound) = 250 registered operators. After the
+# round-13 activation the registry holds 248. Policy: §2 registration
+# is CAPPED AT 250 — at most TWO further operators may ever register,
+# and only if each clearly beats every existing operator on novelty
+# (no near-duplicates; the `stratified_sample` precedent applies).
+# From r14 on, rounds spend their effort on DEPTH (perf evidence,
+# long-stream proofs, learned-index quality) and on §2.E connector /
+# serving components, which are unit-tested and take no window slot.
+# Retire-and-replace is allowed (drop a near-duplicate id, register a
+# replacement) but the 250 cap is absolute — the rotation-invariant
+# test in tests/test_plans.py enforces the capacity math.
+# ---------------------------------------------------------------------------
+# ROUND-13 ROTATION (activated this round; staging notes kept for the
+# audit trail). The r8 cohort is 45 names, so
 # r13 has ≤5 free slots; ALL FIVE are pre-staged at the full bar
 # (implementation + DuckDB-parity tests in tests/test_prestaged_r13.py
 # + BASELINE scale rows, all landed in r12):
