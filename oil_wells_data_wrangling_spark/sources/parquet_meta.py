@@ -149,21 +149,27 @@ def pruning_report(
             F.count(F.lit(1)).alias("n_row_groups"),
         )
     )
-    # overlap check against the NEXT file in min_value order: ranges
-    # sorted by start overlap somewhere iff one range's start is below
-    # its predecessor's end. The unpartitioned window is deliberate
-    # and safe: its input is the per-FILE aggregate (|files| rows of
-    # scalars — the file inventory, thousands at 100 TB), never data
+    # overlap check with ranges sorted by start (min_value): file i
+    # intersects SOME other file iff (a) the next start is at-or-below
+    # i's end — lead(min) <= max — or (b) i's start is at-or-below the
+    # running max of ALL preceding files' ends (not just the immediate
+    # neighbor's: a wide early file can swallow a later narrow one
+    # whose adjacent neighbors are disjoint — the nested-range case).
+    # The unpartitioned window is deliberate and safe: its input is
+    # the per-FILE aggregate (|files| rows of scalars — the file
+    # inventory, thousands at 100 TB), never data.
     w = Window.orderBy("min_value", "file")
+    run_max_prev = F.max("max_value").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
     marked = per_file.withColumn(
         "overlaps_next",
         F.coalesce(
             F.col("max_value") >= F.lead("min_value").over(w), F.lit(False)
         ),
-    )
-    marked = marked.withColumn(
+    ).withColumn(
         "overlaps_prev",
-        F.coalesce(F.lag("overlaps_next").over(w), F.lit(False)),
+        F.coalesce(F.col("min_value") <= run_max_prev, F.lit(False)),
     )
     return marked.select(
         "file",

@@ -22,6 +22,7 @@ import os
 import shutil
 import uuid
 from collections.abc import Callable
+from urllib.parse import unquote
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -138,13 +139,15 @@ def upsert_parquet_partitioned(
         .filter(F.col("__rn") == 1)
         .drop("__rn", "__gen")
     )
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        latest.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set(mode_key, prev)
+    # per-WRITER option, not the session conf: a session-global toggle
+    # would leak into any concurrent query on the same SparkSession
+    # during the write window (r12 advice)
+    (
+        latest.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     return touched
 
 
@@ -153,19 +156,15 @@ def _read_store_as(spark: SparkSession, path: str, like: DataFrame) -> DataFrame
     and types. Two round-trip hazards are closed here for every caller:
     partition-directory TYPE INFERENCE (a string bucket '00' written as
     ``pk=00`` reads back as int 0 — cast to '0', a different key, and
-    the store forks; inference is disabled so the raw directory string
-    survives) and column order/type drift (explicit cast to the batch
-    frame's schema before any union)."""
-    key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try:
-        raw = spark.read.parquet(path)
-    finally:
-        spark.conf.set(key, prev)
-    return raw.select(
-        [F.col(f.name).cast(f.dataType) for f in like.schema.fields]
-    )
+    the store forks; passing the batch frame's schema to the reader
+    suppresses inference entirely, the partition string is cast
+    straight to the declared type) and column order/type drift
+    (explicit select in the batch frame's column order). A
+    reader-level schema rather than the session-global
+    ``partitionColumnTypeInference`` conf: toggling the conf would
+    leak into concurrent queries on the same session (r12 advice)."""
+    raw = spark.read.schema(like.schema).parquet(path)
+    return raw.select([F.col(f.name) for f in like.schema.fields])
 
 
 def merge_parquet_partitioned(
@@ -215,28 +214,42 @@ def merge_parquet_partitioned(
         eager=True
     )  # materialized once: reused by the write AND the emptied-
     # partition check below without re-running the merge
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prev = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(partition_col).parquet(path)
-    finally:
-        spark.conf.set(mode_key, prev)
+    # per-WRITER option, not the session conf (r12 advice: a session
+    # toggle leaks into concurrent queries during the write window)
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
     # dynamic overwrite only rewrites partitions PRESENT in the output:
     # a merge that legitimately empties a touched partition (tombstone
     # filtering dropped every key in it) would otherwise leave the old
     # files in place and the deleted rows would resurrect on the next
-    # read — delete those directories explicitly
+    # read — delete those directories explicitly. Match on the DECODED
+    # directory value, not a reconstructed f'{col}={v}' name: Spark
+    # percent-escapes special characters in partition paths (space,
+    # ':', '/', ...), so reconstruction misses those dirs and deleted
+    # rows resurrect (r12 advice).
     kept = {r[0] for r in out.select(partition_col).distinct().collect()}
-    for v in touched:
-        if v in kept:
-            continue
-        d = (
-            f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
-            if v is None
-            else f"{partition_col}={v}"
-        )
-        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    removed = {
+        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        for v in touched
+        if v not in kept
+    }
+    if removed:
+        prefix = f"{partition_col}="
+        for d in os.listdir(path):
+            if not d.startswith(prefix):
+                continue
+            raw = d[len(prefix):]
+            decoded = (
+                raw
+                if raw == "__HIVE_DEFAULT_PARTITION__"
+                else unquote(raw)
+            )
+            if decoded in removed:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     return touched
 
 
@@ -246,7 +259,7 @@ def _recover_append_store(path: str) -> None:
     orphaned ``.old-*`` rolls back to the pre-compaction log (the
     compaction is lost, the data never is); stale ``.old-*`` next to a
     live ``_deltas`` (crash after the swap, before cleanup) and stale
-    ``.compact-*`` staging dirs are deleted. Without this, a crash
+    ``.compact-*`` / ``.stage-*`` staging dirs are deleted. Without this, a crash
     between the two renames silently stranded the whole state."""
     if not os.path.isdir(path):
         return
@@ -264,7 +277,7 @@ def _recover_append_store(path: str) -> None:
     for d in olds:
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     for d in os.listdir(path):
-        if d.startswith(".compact-"):
+        if d.startswith(".compact-") or d.startswith(".stage-"):
             shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
@@ -286,8 +299,8 @@ def append_merge_parquet(
     O(state/compact_every)-per-batch trade.
 
     ``batch_id`` makes retries EXACTLY-ONCE under foreachBatch's
-    at-least-once contract: each batch's delta lands in its own
-    ``_deltas/b<id>`` dir via an idempotent overwrite, and a marker in
+    at-least-once contract: each batch's delta is staged then
+    atomically renamed into its own ``_deltas/b<id>`` dir, and a marker in
     ``_applied/`` (written only after the delta commits, and surviving
     compaction) makes a re-delivered batch a no-op — without it, a
     driver restart after the append but before the streaming commit
@@ -318,7 +331,21 @@ def append_merge_parquet(
     marker = os.path.join(applied, name)
     if batch_id is not None and os.path.exists(marker):
         return False  # re-delivered batch: its delta is already durable
-    batch_df.write.mode("overwrite").parquet(os.path.join(gen_dir, name))
+    # Publish the delta ATOMICALLY: write to a dot-prefixed staging dir
+    # first, then os.replace() it into _deltas/<name>. Writing straight
+    # into _deltas would let a crash mid-job leave a torn delta that
+    # read_merged treats as committed state — the _applied marker only
+    # guards double-application, not partial publication (r12 advice).
+    # A leftover destination (crash after publish, before the marker;
+    # or a marker-less retry) is replaced wholesale — the delta write
+    # is deterministic per batch, so replacement is idempotent.
+    stage = os.path.join(path, f".stage-{uuid.uuid4().hex[:8]}")
+    batch_df.write.mode("overwrite").parquet(stage)
+    os.makedirs(gen_dir, exist_ok=True)
+    dst = os.path.join(gen_dir, name)
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.replace(stage, dst)
     open(marker, "w").close()
     n = len(os.listdir(applied))
     if n % compact_every != 0:

@@ -62,6 +62,28 @@ def test_pruning_report_flags_unclustered_layout(spark, tmp_path):
     assert bad["overlaps_any"].all(), bad
 
 
+def test_pruning_report_flags_nested_range(spark, tmp_path):
+    """r12 advice (medium): a file whose key range NESTS inside an
+    earlier wider file must flag even when its adjacent neighbors in
+    min_value order are disjoint — adjacent-only lead/lag comparison
+    gave it a false negative. Layout: [k000,k999] swallows [k300,k350],
+    whose neighbor [k100,k150] is disjoint from it."""
+    path = str(tmp_path / "nested")
+    ranges = [
+        ("wide", ["k000", "k999"]),
+        ("a", ["k100", "k150"]),
+        ("b", ["k300", "k350"]),
+    ]
+    for name, keys in ranges:
+        spark.createDataFrame(
+            [(k,) for k in keys], "key string"
+        ).coalesce(1).write.parquet(f"{path}/part_{name}.parquet")
+    rep = pruning_report(spark, path, "key").toPandas()
+    assert len(rep) == 3
+    # every file intersects the wide one, so ALL must flag
+    assert rep["overlaps_any"].all(), rep
+
+
 def test_compact_table_bboxes_match_footers(spark, sf_dir, tmp_path):
     """The tie-in: the key ranges compact_table REPORTS must be exactly
     the ranges the parquet footers advertise — i.e. the evidence row a

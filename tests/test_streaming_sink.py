@@ -266,3 +266,84 @@ def test_merge_parquet_partitioned_string_buckets_and_emptied_partition(
     merge_parquet_partitioned(b3, table, keep_live, "pk")
     assert not os.path.exists(os.path.join(table, "pk=07"))
     assert read_store() == {("x", "00"): 7}
+
+
+def test_merge_parquet_partitioned_escaped_partition_cleanup(
+    spark, tmp_path
+):
+    """r12 advice: emptied-partition cleanup must delete dirs whose
+    VALUES Spark percent-escapes in partition paths (space, ':') — a
+    reconstructed f'{col}={v}' name misses them and the deleted rows
+    resurrect on the next read."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        merge_parquet_partitioned,
+    )
+
+    table = str(tmp_path / "mpe")
+
+    def keep_live(df):
+        agg = df.groupBy("k", "pk").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        return agg.filter(F.col("n") > 0)
+
+    b1 = spark.createDataFrame(
+        [("x", "a b", 5), ("y", "c:d", 3)], "k string, pk string, n long"
+    )
+    merge_parquet_partitioned(b1, table, keep_live, "pk")
+    dirs = {d for d in os.listdir(table) if d.startswith("pk=")}
+    # ':' is in Spark's partition-path escape set (space is not)
+    assert dirs == {"pk=a b", "pk=c%3Ad"}, dirs
+    # tombstone everything in 'c:d': its ESCAPED dir must be gone
+    b2 = spark.createDataFrame(
+        [("y", "c:d", -3)], "k string, pk string, n long"
+    )
+    merge_parquet_partitioned(b2, table, keep_live, "pk")
+    assert not os.path.exists(os.path.join(table, "pk=c%3Ad"))
+    got = {(r.k, r.pk): r.n for r in spark.read.parquet(table).collect()}
+    assert got == {("x", "a b"): 5}
+
+
+def test_append_merge_parquet_torn_delta_replaced(spark, tmp_path):
+    """r12 advice: delta publication must be atomic — a torn delta
+    (crash during the delta write, marker absent) must not be read as
+    committed state; the retry replaces it wholesale. Also: leftover
+    .stage-* staging dirs are swept by recovery."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        append_merge_parquet,
+        read_merged,
+    )
+
+    table = str(tmp_path / "amp2")
+
+    def agg(df):
+        return df.groupBy("k").agg(F.sum("n").cast("bigint").alias("n"))
+
+    b = spark.createDataFrame([("a", 1)], "k string, n long")
+    append_merge_parquet(b, table, agg, compact_every=10, batch_id=1)
+
+    # simulate a torn publish of batch 2 under the OLD direct-write
+    # scheme: a partial delta dir exists in _deltas, no marker
+    torn = os.path.join(table, "_deltas", "b2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-junk.parquet"), "wb") as f:
+        f.write(b"\x00not parquet")
+    # plus an orphaned staging dir from the same crash
+    os.makedirs(os.path.join(table, ".stage-deadbeef"))
+
+    # the retry of batch 2 must replace the torn dir atomically
+    b2 = spark.createDataFrame([("a", 10)], "k string, n long")
+    append_merge_parquet(b2, table, agg, compact_every=10, batch_id=2)
+    got = {r.k: r.n for r in read_merged(spark, table, agg).collect()}
+    assert got == {"a": 11}
+    assert not os.path.exists(os.path.join(table, ".stage-deadbeef"))
+    junk = [
+        f
+        for f in os.listdir(os.path.join(table, "_deltas", "b2"))
+        if f == "part-junk.parquet"
+    ]
+    assert not junk  # wholesale replacement, not overlay
