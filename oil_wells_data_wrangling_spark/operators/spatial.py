@@ -288,7 +288,11 @@ def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     including both file counts, which are deterministic by
     construction (round-robin leaves no empty input file at these row
     counts; each key-range bucket lands wholly in one writer task, so
-    dirs hold exactly one file).
+    dirs hold exactly one file). The per-bucket evidence (n_rows,
+    key bbox, files_after) is read from the PARQUET FOOTERS via
+    ``sources.parquet_meta.pruning_report`` — the numbers a pruning
+    reader will actually see, not a parallel recomputation from data
+    rows — so oracle agreement doubles as a footer-stats audit.
 
     Scale shape: ONE scan of the fragmented store + one bounded
     min/max aggregate (2-scalar collect) + one clustering exchange on
@@ -324,24 +328,30 @@ def compact_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).repartition(F.col("bucket"))
     compacted.write.partitionBy("bucket").parquet(comp)
-    files_after = sum(
-        1
-        for d in os.listdir(comp)
-        if d.startswith("bucket=")
-        for f in os.listdir(os.path.join(comp, d))
-        if f.endswith(".parquet")
+    # Evidence from the FOOTERS: per-file n_rows / key bbox / overlap
+    # verdict via the footer inspector, cast='bigint' because the key
+    # is an unpadded numeric (string stat order would misrank it).
+    from oil_wells_data_wrangling_spark.sources.parquet_meta import (
+        pruning_report,
     )
+
+    rep = pruning_report(
+        spark, comp, "o_orderkey", cast="bigint"
+    ).localCheckpoint(eager=True)  # sever lineage so the dir can go
+    files_after = rep.count()  # the footer reader's file inventory
     out = (
-        spark.read.parquet(comp)
-        .groupBy(F.col("bucket").cast("bigint").alias("bucket"))
+        rep.withColumn(
+            "bucket",
+            F.regexp_extract("file", r"bucket=(\d+)", 1).cast("bigint"),
+        )
+        .groupBy("bucket")
         .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.min("o_orderkey").cast("bigint").alias("min_key"),
-            F.max("o_orderkey").cast("bigint").alias("max_key"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.min("min_value").cast("bigint").alias("min_key"),
+            F.max("max_value").cast("bigint").alias("max_key"),
         )
         .withColumn("files_before", F.lit(files_before).cast("bigint"))
         .withColumn("files_after", F.lit(files_after).cast("bigint"))
-        .localCheckpoint(eager=True)  # sever lineage so the dir can go
     )
     shutil.rmtree(work, ignore_errors=True)
     return out

@@ -126,21 +126,29 @@ def pruning_report(
     folder: str,
     column: str,
     glob: str = "*.parquet",
+    cast: str | None = None,
 ) -> DataFrame:
     """Layout quality for one key column, per FILE: (file, n_rows,
     min_value, max_value, n_row_groups) plus ``overlaps_any`` — True
     when this file's [min,max] key range intersects another file's.
     A well-compacted / range-clustered layout reads all-False: every
-    point or range predicate prunes to the minimal file set. (String
+    point or range predicate prunes to the minimal file set. String
     comparison of the stat strings is range-faithful for string keys
-    and for zero-padded numerics; for raw numerics compare after
-    casting in the caller — the stats are returned untyped on
-    purpose.)"""
+    and for zero-padded numerics; for raw numeric keys pass ``cast``
+    (e.g. ``"bigint"``) — the stat strings are cast BEFORE the
+    per-file min/max aggregation and the overlap ordering, since
+    string order misranks unpadded numbers ('100' < '99') both within
+    a multi-row-group file and across files."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    stats = row_group_stats(spark, folder, [column], glob)
+    if cast is not None:
+        stats = stats.withColumn(
+            "min_value", F.col("min_value").cast(cast)
+        ).withColumn("max_value", F.col("max_value").cast(cast))
     per_file = (
-        row_group_stats(spark, folder, [column], glob)
+        stats
         .groupBy("file")
         .agg(
             F.sum("n_rows").alias("n_rows"),

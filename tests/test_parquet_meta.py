@@ -133,3 +133,24 @@ def test_compact_table_bboxes_match_footers(spark, sf_dir, tmp_path):
             (min(cur[0], lo), max(cur[1], hi)) if cur else (lo, hi)
         )
     assert footer == claimed
+
+
+def test_pruning_report_numeric_cast(spark, tmp_path):
+    """For unpadded numeric keys, string stat order lies ('100' < '99'
+    — both within a multi-row-group file and across files); the
+    ``cast`` parameter must yield typed, numerically-correct ranges
+    and verdicts."""
+    path = str(tmp_path / "num")
+    for name, keys in [("a", [9, 11]), ("b", [100, 102])]:
+        spark.createDataFrame(
+            [(k,) for k in keys], "key long"
+        ).coalesce(1).write.parquet(f"{path}/{name}.parquet")
+    rep = (
+        pruning_report(spark, path, "key", cast="bigint")
+        .toPandas()
+        .sort_values("min_value")
+        .reset_index(drop=True)
+    )
+    assert list(rep["min_value"]) == [9, 100]
+    assert list(rep["max_value"]) == [11, 102]
+    assert not rep["overlaps_any"].any(), rep
