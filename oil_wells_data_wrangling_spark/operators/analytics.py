@@ -2526,6 +2526,9 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _merge(batch_df: DataFrame, batch_id: int) -> None:
         append_merge_parquet(
+            # compact_every=2 is DEMO cadence (forces a live mid-stream
+            # compaction within 3 batches); long streams keep the
+            # measured default 8 — see append_merge_parquet's docstring
             batch_df, store, _keep_latest, compact_every=2, batch_id=batch_id
         )
 

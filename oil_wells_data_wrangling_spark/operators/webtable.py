@@ -651,6 +651,9 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         append_merge_parquet(
+            # compact_every=2 is DEMO cadence (live mid-stream
+            # compaction within the 2-wave demo); long streams keep
+            # the measured default 8 — see append_merge_parquet
             batch_h, store, _agg_latest, compact_every=2, batch_id=batch_id
         )
 

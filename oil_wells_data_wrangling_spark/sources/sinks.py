@@ -285,7 +285,7 @@ def append_merge_parquet(
     batch_df: DataFrame,
     path: str,
     merge: Callable[[DataFrame], DataFrame],
-    compact_every: int = 4,
+    compact_every: int = 8,
     batch_id=None,
 ) -> bool:
     """LSM-style MERGE-ON-READ state table — the honest O(batch)
@@ -297,6 +297,18 @@ def append_merge_parquet(
     (staging swap + crash recovery in ``_recover_append_store``),
     bounding read amplification at the standard amortized
     O(state/compact_every)-per-batch trade.
+
+    Cadence default (r13, measured): a 20-batch CDC ingest at sf0.1
+    (scripts/mor_long_stream.py; per-batch curves in BASELINE
+    "Round-13 long-stream MOR evidence") runs FLAT at both
+    compact_every=2 and 8 — no super-linear term in stream length —
+    but 8 halves total ingest cost (5.2s vs 12.3s over 20 batches):
+    compaction spikes are bounded by live-state size either way, so a
+    sparser cadence just pays them less often. The 3-batch registered
+    demos pass compact_every=2 ONLY so a live mid-stream compaction is
+    exercised inside the demo; a production long stream should keep
+    the default or raise it until read amplification (≤ compact_every
+    deltas per read) hurts readers.
 
     ``batch_id`` makes retries EXACTLY-ONCE under foreachBatch's
     at-least-once contract: each batch's delta is staged then
