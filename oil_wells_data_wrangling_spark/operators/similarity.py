@@ -2730,6 +2730,152 @@ def pq_encode_arrow(spark: SparkSession, emb: DataFrame, cb: DataFrame) -> DataF
     )
 
 
+# ----------------------------------------------------------------- opq_train
+
+_OPQ_SCALE = 1_000_000
+
+
+def _opq_rotate(spark: SparkSession, emb: DataFrame, r_int) -> DataFrame:
+    """Apply the int-quantized rotation to (vec_id, embedding) —
+    DETERMINISTIC regardless of partitioning: inputs quantize to
+    int64 (round(x·1e6)), the matmul is exact integer arithmetic
+    (|x|·|r| ≤ 1e12, ×{_DIM} terms ≪ int64 range), and only the final
+    rescale is floating — so every engine/partitioning computes the
+    identical rotated vector."""
+    import numpy as np
+    import pandas as pd
+
+    bc = spark.sparkContext.broadcast(r_int)
+
+    def _rot(it):
+        R = bc.value
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            Xi = np.rint(X * _OPQ_SCALE).astype(np.int64)
+            Y = (Xi @ R).astype(np.float64) / (_OPQ_SCALE * _OPQ_SCALE)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "embedding": list(Y)}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        _rot, schema="vec_id long, embedding array<double>"
+    )
+
+
+def opq_train(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = _PQ_K,
+    iters: int = 3,
+    pq_iters: int = _PQT_ITERS,
+    sample_n: int | None = _PQT_SAMPLE_N,
+    emb: DataFrame | None = None,
+):
+    """LEARNED OPQ rotation (Ge et al., "Optimized Product
+    Quantization", CVPR 2013 — non-parametric alternating
+    optimization): find an orthogonal R so that PQ over X·R loses less
+    than PQ over X. Each round (a) trains the {_PQ_M}×k codebooks on
+    the rotated sample through the EXISTING distributed
+    ``pq_train_codebook`` frame, (b) computes the quantized
+    reconstruction Y of X·R, and (c) re-solves R by orthogonal
+    Procrustes: R = U·Vᵀ from svd(Xᵀ·Y) — the closed-form argmin of
+    ‖X·R − Y‖². Init is the IDENTITY, so round 0 reproduces the
+    unrotated baseline exactly and the alternation can only reduce the
+    training objective (the r11 lesson: a data-BLIND rotation measured
+    0.181 vs 0.250 recall@5 — only a learned one is justifiable;
+    recall gate + decision in BASELINE.md round-13).
+
+    Returns ``(r_int, cb)``: the rotation as an int64 {_DIM}×{_DIM}
+    matrix in 1e6 units (one broadcast-able, engine-portable artifact
+    — consumers rotate via ``_opq_rotate`` and encode via
+    ``pq_encode_arrow``) and the final codebook frame trained on the
+    rotated inputs.
+
+    Scale shape: training is SAMPLE-BOUNDED like ``pq_train`` (faiss
+    practice); per round = one Arrow rotate pass + pq_train_codebook's
+    broadcast/partial-agg steps + one Arrow encode-and-cross pass
+    whose exchange is ONE {_DIM}×{_DIM} int64 partial sum per
+    partition (exact integer outer-product accumulation — order-
+    independent, so the walk is reproducible on any partitioning);
+    the SVD is a {_DIM}×{_DIM} driver-side solve. Nothing in the loop
+    grows with the corpus."""
+    import numpy as np
+    import pandas as pd
+
+    if emb is None:
+        t = load_tables(spark, sf_dir)
+        emb = t.embeddings.select("vec_id", "embedding")
+    if sample_n is not None:
+        emb = emb.filter(F.col("vec_id") < sample_n)
+    emb = emb.localCheckpoint(eager=True)
+
+    r_int = np.eye(_DIM, dtype=np.int64) * _OPQ_SCALE
+    cb = None
+    for _ in range(iters):
+        rot = _opq_rotate(spark, emb, r_int).localCheckpoint(eager=True)
+        cb = pq_train_codebook(
+            spark, sf_dir, k=k, iters=pq_iters, emb=rot
+        )
+        # one Arrow pass: re-rotate each batch from the ORIGINAL
+        # vectors (exact int matmul — no join against rot needed),
+        # encode against the broadcast codebook (plain float64 argmin,
+        # first minimum = lowest code; deterministic per vector), and
+        # emit the batch's exact int64 cross-matrix Xᵀ·Y partial sum
+        rows = cb.collect()
+        by_sub: dict[int, list] = {}
+        for r in rows:
+            by_sub.setdefault(int(r.sub), []).append(
+                (int(r.code), np.array(r.cd, dtype=np.float64))
+            )
+        packed = {
+            m: np.stack([a for _, a in sorted(v)])
+            for m, v in by_sub.items()
+        }
+        bc_cb = spark.sparkContext.broadcast(packed)
+        bc_r = spark.sparkContext.broadcast(r_int)
+
+        def _cross(it):
+            C = np.zeros((_DIM, _DIM), dtype=np.int64)
+            Rl, P = bc_r.value, bc_cb.value
+            seen = False
+            for pdf in it:
+                if len(pdf) == 0:
+                    continue
+                seen = True
+                X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                Xi = np.rint(X * _OPQ_SCALE).astype(np.int64)
+                Xr = (Xi @ Rl).astype(np.float64) / (
+                    _OPQ_SCALE * _OPQ_SCALE
+                )
+                Y = np.empty_like(Xr)
+                for m, M in sorted(P.items()):
+                    Xs = Xr[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB]
+                    diff = Xs[:, None, :] - M[None, :, :]
+                    jmin = (diff * diff).sum(axis=2).argmin(axis=1)
+                    Y[:, m * _PQ_DSUB : (m + 1) * _PQ_DSUB] = M[jmin]
+                Yi = np.rint(Y * _OPQ_SCALE).astype(np.int64)
+                C += Xi.T @ Yi  # exact: |x·y| ≤ 1e12 × |sample| ≪ 2^63
+            if seen:
+                yield pd.DataFrame({"c": [C.ravel().tolist()]})
+
+        parts = (
+            emb.mapInPandas(_cross, schema="c array<long>")
+            .collect()
+        )
+        C = np.zeros(_DIM * _DIM, dtype=np.int64)
+        for r in parts:
+            C += np.array(r.c, dtype=np.int64)
+        C = C.reshape(_DIM, _DIM).astype(np.float64)
+        U, _s, Vt = np.linalg.svd(C)
+        r_int = np.rint((U @ Vt) * _OPQ_SCALE).astype(np.int64)
+
+    rot = _opq_rotate(spark, emb, r_int).localCheckpoint(eager=True)
+    cb = pq_train_codebook(spark, sf_dir, k=k, iters=pq_iters, emb=rot)
+    return r_int, cb
+
+
 # ------------------------------------------------------------- kcenter_select
 
 # Greedy k-center coreset selection (Gonzalez 1985; the "diverse
