@@ -403,6 +403,49 @@ def read_warc_paths(
     return files.mapInPandas(_parse, schema=WARC_SCHEMA)
 
 
+def payload_text(
+    payload: str = "payload", content_type: str = "content_type"
+):
+    """Charset-aware text of a WARC payload as a JVM-side Column — the
+    decode step a real-archive pipeline needs where the synthetic demos
+    could get away with a blind UTF-8 cast (r13: surfaced by the
+    first REAL-bytes corpus run, scripts/e2e_real_corpus.py).
+
+    The charset comes from the HTTP Content-Type parameter per row:
+    UTF-8 (and unset/ascii/unknown) routes through
+    ``make_valid_utf8(cast(payload as string))`` — the raw cast never
+    throws and make_valid_utf8 substitutes U+FFFD for invalid
+    sequences (errors='replace' semantics, no session conf needed);
+    the Latin-1 family (iso-8859-1 / latin1 / windows-1252 / cp1252 —
+    the WHATWG-conflated legacy web encodings) routes through
+    ``decode(payload, 'iso-8859-1')``, which is total (every byte
+    sequence is valid Latin-1). Declared charsets outside both
+    families (utf-16 etc. — vanishingly rare in web archives) fall
+    back to Latin-1: mojibake over a crashed job, byte length
+    preserved. Everything stays in whole-stage codegen — no Python,
+    no session-global codingErrorAction toggle."""
+    from pyspark.sql import functions as F
+
+    cs = F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(content_type), F.lit("")),
+            r"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""",
+            1,
+        )
+    )
+    utf8ish = cs.isin("", "utf-8", "utf8", "ascii", "us-ascii")
+    # everything non-utf8ish (the Latin-1 family AND unknown legacy
+    # charsets) takes the total Latin-1 decode
+    return (
+        F.when(
+            utf8ish,
+            F.expr(f"make_valid_utf8(cast({payload} as string))"),
+        )
+        .otherwise(F.expr(f"decode({payload}, 'iso-8859-1')"))
+        .alias("text")
+    )
+
+
 def surt(url: str | None) -> str:
     """SURT urlkey (Sort-friendly URI Reordering Transform) — the key
     CommonCrawl's CDX index sorts on: scheme and leading ``www.``

@@ -783,3 +783,28 @@ def test_gzip_decompressors_agree_bitflip_large_single_member():
         for r in _iter_warc_stream(_MultiGzipStream(io.BytesIO(blob)), "f")
     ]
     assert ids == [f"<urn:big:{i}>" for i in range(len(ids))] and 0 < len(ids) < 30
+
+
+def test_payload_text_charset_aware(spark):
+    """payload_text (r13, surfaced by the real-bytes e2e run): per-row
+    charset routing — UTF-8 with U+FFFD replacement on invalid bytes,
+    total Latin-1 for the legacy family, Latin-1 fallback for unknown
+    declared charsets. All JVM-side, no session conf."""
+    from pyspark.sql import functions as F
+
+    from oil_wells_data_wrangling_spark.sources.warc import payload_text
+
+    rows = [
+        ("café utf8".encode(), "text/html; charset=utf-8"),
+        (b"caf\xe9 latin1", "text/html; charset=ISO-8859-1"),
+        (b"caf\xe9 cp1252", "text/html; charset=windows-1252"),
+        (b"\xff\xfe bad utf8", "text/plain"),  # no charset -> utf-8
+        (b"caf\xe9 unknown", "text/html; charset=x-mystery"),
+    ]
+    df = spark.createDataFrame(rows, "payload binary, content_type string")
+    got = [r.text for r in df.select(payload_text()).collect()]
+    assert got[0] == "café utf8"
+    assert got[1] == "café latin1"
+    assert got[2] == "café cp1252"
+    assert got[3] == "�� bad utf8"  # replaced, not raised
+    assert got[4] == "café unknown"  # unknown charset: total fallback
