@@ -26,6 +26,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
@@ -2013,4 +2014,184 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_weight_ppm",
             F.expr("sum_weight_ppm div n_docs").alias("eff_ppm"),
         )
+    )
+
+
+# ------------------------------------------------------------ dup_spans_exact
+
+# EXACT duplicated-substring detection at minimum span length L words —
+# the distributed equivalent of the Lee et al. 2022 suffix-array pass
+# at a fixed threshold, closing the "true suffix-array substring dedup"
+# gap winnow_dup_spans stood in for: a token position is inside a
+# duplicated substring of >= L words IFF some L-gram covering it occurs
+# >= 2 times in the corpus (within-doc repeats included), so duplicated
+# L-gram starts merged into maximal islands are EXACTLY the token mass
+# a substring-dedup pass cuts (md5 128-bit gram keys make collisions
+# ~2^-64 at any corpus size — the standard identity assumption).
+_DSE_L = 8  # matches winnow's w + k - 1 = 8-word guarantee
+_DSE_BOILER = (
+    "subscribe to our newsletter for the latest oil well reports"
+    " today free"
+)  # 12 words, injected mid-doc — cross-doc spans at DIFFERENT offsets
+
+
+def _dse_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with (a) a 12-word boilerplate injected after word 10
+    in every 5th doc — the shared-template span every crawl corpus
+    carries, at different offsets per doc — and (b) a whole-doc copy
+    (+tail) of every 9th doc, so maximal-island merging is exercised
+    on both mid-doc and near-whole-doc spans."""
+    base = load_tables(spark, sf_dir).documents.select("doc_id", "text")
+    boiler = ", ".join(f"'{w}'" for w in _DSE_BOILER.split(" "))
+    injected = base.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.expr(
+                "array_join(concat("
+                " slice(split(text, ' '), 1, least(10, size(split(text, ' ')))),"
+                f" array({boiler}),"
+                " slice(split(text, ' '), least(10, size(split(text, ' '))) + 1,"
+                "       size(split(text, ' ')))), ' ')"
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    copies = injected.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
+    )
+    return injected.unionAll(copies)
+
+
+def _dse_corpus_sql() -> str:
+    boiler = ", ".join(f"'{w}'" for w in _DSE_BOILER.split(" "))
+    inject = (
+        "array_to_string(list_concat(list_concat("
+        " list_slice(string_split(text, ' '), 1,"
+        "            least(10, len(string_split(text, ' ')))),"
+        f" [{boiler}]),"
+        " list_slice(string_split(text, ' '),"
+        "            least(10, len(string_split(text, ' '))) + 1,"
+        "            len(string_split(text, ' ')))), ' ')"
+    )
+    return f"""
+dsed AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN {inject} ELSE text END AS text
+  FROM documents
+),
+dse2 AS (
+  SELECT doc_id, text FROM dsed
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text || '{_NEAR_TAIL}' AS text
+  FROM dsed WHERE doc_id % 9 = 0
+)"""
+
+
+DUP_SPANS_EXACT_ORACLE = f"""
+WITH {_dse_corpus_sql()},
+dsw AS (SELECT doc_id, string_split(text, ' ') AS w FROM dse2),
+dsg AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(list_slice(w, i, i + {_DSE_L - 1}), ' ')) AS h
+  FROM dsw, UNNEST(generate_series(1, len(w) - {_DSE_L - 1})) AS t(i)
+  WHERE len(w) >= {_DSE_L}
+),
+dsc AS (
+  SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM dsg
+),
+dsi AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {_DSE_L} THEN 1 ELSE 0 END AS brk
+  FROM dsc WHERE c >= 2
+),
+dss AS (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM dsi
+),
+dsp AS (
+  SELECT doc_id, sid, MIN(pos) AS s, MAX(pos) + {_DSE_L - 1} AS e
+  FROM dss GROUP BY doc_id, sid
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+       CAST(MAX(e - s + 1) AS BIGINT) AS max_span_len
+FROM dsp GROUP BY doc_id
+"""
+
+
+def dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT duplicated-substring spans at threshold {_DSE_L} words —
+    the distributed form of the Lee et al. 2022 suffix-array dedup
+    pass (SURVEY "what's missing" item since r9; ``winnow_dup_spans``
+    is the sampled stand-in with the same 8-word guarantee, this is
+    the exact version): per doc, the maximal token islands covered by
+    SOME substring of >= {_DSE_L} words occurring >= 2 times anywhere
+    in the corpus (cross-doc or within-doc) — i.e. exactly the token
+    mass ExactSubstr dedup cuts. Detection is exact by the L-gram
+    reduction: a position is inside such a substring iff one of its
+    covering {_DSE_L}-grams repeats, so duplicated gram-starts merged
+    into gap-> {_DSE_L} islands reproduce the suffix-array answer
+    without materializing a suffix array (which does not distribute).
+    Output per affected doc: span count, covered token mass, longest
+    span — the numbers a dedup-cut planner reads.
+
+    Scale shape: grams are in-scan array ops (one md5 per token, the
+    specdecode/span_corruption per-token class — honest token-linear);
+    the duplicate test is one (hash)-keyed exchange carrying
+    (doc_id, pos, md5) scalars; island-merging is one doc-keyed
+    window over SURVIVING positions only (dup grams, a small fraction
+    of tokens). Text never shuffles. Hot template hashes (the whole
+    point of the operator) bound the per-hash fan-in at doc-frequency,
+    never df² — there is no pair join anywhere; at 100 TB the count
+    exchange is the one heavy stage and it is a pure partial-agg
+    shuffle shape."""
+    docs = _dse_corpus(spark, sf_dir)
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _DSE_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DSE_L - 1}),"
+                    f" i -> md5(array_join(slice(w, i, {_DSE_L}), ' ')))"
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    wh = Window.partitionBy("h")
+    covered = grams.withColumn(
+        "c", F.count(F.lit(1)).over(wh)
+    ).filter(F.col("c") >= 2)
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        covered.withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(wd) > _DSE_L, 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(
+                wd.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("doc_id", "sid")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (_DSE_L - 1)).alias("e"),
+        )
+    )
+    return spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.max(F.col("e") - F.col("s") + 1).cast("bigint").alias("max_span_len"),
     )

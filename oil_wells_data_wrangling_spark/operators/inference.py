@@ -763,3 +763,138 @@ def specdecode_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(sum(n_accepted) * 1000 DIV sum(n_in_block) AS BIGINT)")
         .alias("accept_permille"),
     )
+
+
+# ---------------------------------------------------------- kv_prefix_sharing
+
+# Radix/prefix-cache sizing analytics (the vLLM automatic-prefix-
+# caching / SGLang RadixAttention capacity question): over a request
+# log, how many prompt tokens are SHARED along the sorted prefix tree
+# within the first _KVP_CAP tokens (the cache's depth budget)? The
+# trie identity does the work: with prompts sorted lexicographically
+# by token sequence, the number of DISTINCT trie nodes (= KV blocks a
+# radix cache must hold) is sum(len_i - lcp(p_i, p_{i-1})) — each
+# request contributes only the tokens past its longest shared prefix
+# with its sorted predecessor. Everything is exact integer arithmetic.
+_KVP_CAP = 48  # cache depth budget (tokens considered for sharing)
+
+
+def _kvp_requests_expr() -> str:
+    """Prompt head (<= _KVP_CAP words) per request: a per-source system
+    preamble + the first (10 + doc_id % 30) words of the doc — the
+    shared-system-prompt-plus-user-payload shape of production request
+    logs, synthesized deterministically from documents."""
+    sys_words = (
+        "concat(array('system', 'you', 'are', 'a', 'helpful', 'assistant',"
+        " 'for'), array(source), array('documents', 'answer', 'briefly'))"
+    )
+    user = "slice(split(text, ' '), 1, 10 + cast(doc_id % 30 as int))"
+    return f"slice(concat({sys_words}, {user}), 1, {_KVP_CAP})"
+
+
+KV_PREFIX_SHARING_ORACLE = f"""
+WITH req AS (
+  SELECT doc_id, source,
+         list_slice(list_concat(list_concat(
+             ['system', 'you', 'are', 'a', 'helpful', 'assistant', 'for'],
+             [source]),
+             list_concat(['documents', 'answer', 'briefly'],
+               list_slice(string_split(text, ' '), 1,
+                          10 + CAST(doc_id % 30 AS INT)))),
+           1, {_KVP_CAP}) AS head
+  FROM documents
+),
+srt AS (
+  SELECT source, head, len(head) AS n,
+         LAG(head) OVER (PARTITION BY source
+                         ORDER BY array_to_string(head, ' '), doc_id)
+           AS prev
+  FROM req
+),
+lcpd AS (
+  SELECT source, n,
+         CASE WHEN prev IS NULL THEN 0
+              ELSE COALESCE(
+                NULLIF(list_position(
+                  list_transform(generate_series(1, least(n, len(prev))),
+                                 i -> head[i] = prev[i]),
+                  false), 0) - 1,
+                least(n, len(prev)))
+         END AS lcp
+  FROM srt
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_requests,
+       CAST(SUM(n) AS BIGINT) AS total_tokens,
+       CAST(SUM(n - lcp) AS BIGINT) AS trie_tokens,
+       CAST(SUM(lcp) AS BIGINT) AS shared_tokens,
+       CAST(SUM(lcp) * 1000 // SUM(n) AS BIGINT) AS share_permille,
+       CAST(MAX(lcp) AS BIGINT) AS max_lcp
+FROM lcpd GROUP BY source
+"""
+
+
+def kv_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-cache sharing analytics over a request log — the
+    measurement that sizes a radix KV cache (vLLM automatic prefix
+    caching / SGLang RadixAttention): per source, how many of the
+    first {_KVP_CAP} prompt tokens are shared along the prefix tree vs
+    how many distinct trie nodes (KV blocks) the cache must actually
+    hold. Uses the sorted-order trie identity — distinct trie tokens =
+    sum(len − lcp(sorted predecessor)) — so no pairwise comparison
+    ever happens: ONE neighbor-LCP per request replaces the all-pairs
+    longest-common-prefix matrix. Requests synthesize from documents
+    as per-source system preamble + doc-head payload (the production
+    log shape: high sharing inside a source via the system prompt,
+    deeper sharing where docs repeat).
+
+    Scale shape: prompt heads are CAPPED at {_KVP_CAP} tokens (the
+    cache's depth budget — deeper tokens can't be shared anyway), so
+    the one source-keyed sort exchange carries bounded prefixes, not
+    full prompts; the LCP is a zip_with/array_position expression in
+    the post-sort projection (no Python); the rollup is
+    |sources|-bounded. Sorting by the space-joined head string equals
+    token-lexicographic order because the separator (0x20) sorts below
+    every token character — the same argument both engines share, so
+    the walk is engine-portable. At 100 TB the sort-within-source is
+    the honest cost and is exactly a range-partitioned sort on
+    (source, head) — the shape AQE/range partitioning already
+    optimize; state never exceeds one request row."""
+    t = load_tables(spark, sf_dir)
+    req = t.documents.select(
+        "doc_id",
+        "source",
+        F.expr(_kvp_requests_expr()).alias("head"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.array_join("head", " "), "doc_id"
+    )
+    srt = req.select(
+        "source",
+        F.size("head").alias("n"),
+        "head",
+        F.lag("head").over(w).alias("prev"),
+    )
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.coalesce(
+            F.nullif(
+                F.array_position(
+                    F.expr("zip_with(head, prev, (x, y) -> x = y)"),
+                    F.lit(False),
+                ),
+                F.lit(0),
+            )
+            - 1,
+            F.least(F.size("head"), F.size("prev")),
+        )
+    )
+    per_req = srt.select("source", "n", lcp.cast("bigint").alias("lcp"))
+    return per_req.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_requests"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum(F.col("n") - F.col("lcp")).cast("bigint").alias("trie_tokens"),
+        F.sum("lcp").cast("bigint").alias("shared_tokens"),
+        F.expr("CAST(sum(lcp) * 1000 DIV sum(n) AS BIGINT)")
+        .alias("share_permille"),
+        F.max("lcp").cast("bigint").alias("max_lcp"),
+    )

@@ -144,6 +144,29 @@ def headline_queries() -> dict[str, QueryFn]:
 # Retire-and-replace is allowed (drop a near-duplicate id, register a
 # replacement) but the 250 cap is absolute — the rotation-invariant
 # test in tests/test_plans.py enforces the capacity math.
+#
+# ROUND-14 ROTATION, PREPARED (r13). The r9 cohort is 48 names, so
+# r14 has exactly 2 free slots — the registry's FINAL two under the
+# cap. BOTH are pre-staged at the full bar (implementation + DuckDB-
+# parity + brute-force/ground-truth property tests + plan-shape pins
+# in tests/test_prestaged_r14.py + BASELINE scale rows, all landed in
+# r13, novelty-checked against all 248 registered names):
+#   - dup_spans_exact   (operators/dedup.py — EXACT Lee-et-al-class
+#                        duplicated-substring spans at threshold L=8
+#                        via duplicated-L-gram islands; closes the
+#                        "true suffix-array substring dedup" gap
+#                        winnow_dup_spans stood in for; oracle
+#                        DUP_SPANS_EXACT_ORACLE)
+#   - kv_prefix_sharing (operators/inference.py — radix/prefix-cache
+#                        sizing over request logs via the sorted-
+#                        neighbor-LCP trie identity; first operator on
+#                        the prefix-sharing axis; oracle
+#                        KV_PREFIX_SHARING_ORACLE)
+# The r14 builder's first commit: @register both, add their SURVEY §2
+# rows (248 → 250 — REGISTRY FROZEN), and lead _WINDOW_PRIORITY with
+# them + the 48-name r9 cohort (2 + 48 = all 50 slots, window exactly
+# full). From r15 on: zero free slots every round (r10/r11 cohorts
+# are 50 each) and the cap is reached — depth and §2.E only.
 # ---------------------------------------------------------------------------
 # ROUND-13 ROTATION (activated this round; staging notes kept for the
 # audit trail). The r8 cohort is 45 names, so

@@ -1,0 +1,191 @@
+"""Round-14 pre-staged operators: dup_spans_exact and
+kv_prefix_sharing — the registry's FINAL two slots under the 250 cap
+(plans/registry.py capacity policy, decided r13).
+
+Fully implemented and parity-gated here with the same Spark-vs-DuckDB
+comparison the driver runs, but NOT yet @register'ed: the r13 window
+is full (5 new + the 45-name r8 cohort). Round 14 has exactly 2 free
+slots (the r9 cohort is 48 names); registering these costs one
+@register line + a window slot + a SURVEY §2 row each, after which
+the registry is frozen at 250. Novelty check done at design time:
+dup_spans_exact closes the named "true suffix-array substring dedup"
+gap (winnow_dup_spans is the sampled stand-in; nothing exact exists);
+kv_prefix_sharing is the first operator on the prefix-sharing/LCP
+axis (no existing operator computes trie/radix-cache structure)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.operators.dedup import (
+    _DSE_L,
+    DUP_SPANS_EXACT_ORACLE,
+    _dse_corpus,
+    dup_spans_exact,
+)
+from oil_wells_data_wrangling_spark.operators.inference import (
+    _KVP_CAP,
+    KV_PREFIX_SHARING_ORACLE,
+    _kvp_requests_expr,
+    kv_prefix_sharing,
+)
+from tests.test_oracle_parity import _assert_frames_match
+
+
+def test_dup_spans_exact_matches_oracle(spark, duck, sf_dir):
+    sp = dup_spans_exact(spark, sf_dir).toPandas()
+    du = duck.execute(DUP_SPANS_EXACT_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "dup_spans_exact")
+
+
+def test_dup_spans_exact_is_exact(spark, sf_dir):
+    """The exactness claim, pinned against BRUTE FORCE: rebuild the
+    full corpus gram-count dict driver-side and recompute every doc's
+    maximal duplicated islands in plain Python; the operator must
+    reproduce them verbatim (not just on planted dups — on every
+    natural repeat in the corpus too)."""
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in _dse_corpus(spark, sf_dir).collect()
+    }
+    counts: dict[str, int] = {}
+    for w in docs.values():
+        for i in range(len(w) - _DSE_L + 1):
+            h = hashlib.md5(
+                " ".join(w[i : i + _DSE_L]).encode()
+            ).hexdigest()
+            counts[h] = counts.get(h, 0) + 1
+    truth = {}
+    for d, w in docs.items():
+        starts = [
+            i + 1
+            for i in range(len(w) - _DSE_L + 1)
+            if counts[
+                hashlib.md5(" ".join(w[i : i + _DSE_L]).encode()).hexdigest()
+            ]
+            >= 2
+        ]
+        if not starts:
+            continue
+        spans = []
+        s = e = starts[0]
+        for p in starts[1:]:
+            if p - e > _DSE_L:
+                spans.append((s, e + _DSE_L - 1))
+                s = p
+            e = p
+        spans.append((s, e + _DSE_L - 1))
+        lens = [b - a + 1 for a, b in spans]
+        truth[d] = (len(spans), sum(lens), max(lens))
+    got = {
+        r.doc_id: (r.n_spans, r.dup_tokens, r.max_span_len)
+        for r in dup_spans_exact(spark, sf_dir).collect()
+    }
+    assert got == truth
+
+
+def test_dup_spans_exact_detects_planted(spark, sf_dir):
+    pdf = dup_spans_exact(spark, sf_dir).toPandas()
+    ids = set(pdf["doc_id"])
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in _dse_corpus(spark, sf_dir).collect()
+    }
+    # every boilerplate-injected doc (>= L words context) is flagged
+    # with at least the 12-token template span
+    by_id = pdf.set_index("doc_id")
+    for d, w in docs.items():
+        if d % 5 == 0 and d < 1_000_000 and len(w) >= 12:
+            assert d in ids, d
+            assert by_id.loc[d, "dup_tokens"] >= 12
+    # whole-copy pairs: original and its +1M copy both flagged, the
+    # copy's covered mass spanning nearly its whole length
+    copies = [d for d in docs if d >= 1_000_000]
+    assert copies
+    for c in copies[:5]:
+        assert c in ids and (c - 1_000_000) in ids
+
+
+def test_kv_prefix_sharing_matches_oracle(spark, duck, sf_dir):
+    sp = kv_prefix_sharing(spark, sf_dir).toPandas()
+    du = duck.execute(KV_PREFIX_SHARING_ORACLE).fetchdf()
+    _assert_frames_match(sp, du, "kv_prefix_sharing")
+
+
+def test_kv_prefix_sharing_trie_identity(spark, sf_dir):
+    """trie_tokens must equal the ACTUAL radix-tree size: the number
+    of distinct non-empty token prefixes among the capped heads —
+    verified by building the prefix set driver-side per source. This
+    pins the sorted-neighbor-LCP identity against ground truth, not
+    against another LCP implementation."""
+    from oil_wells_data_wrangling_spark.sources.readers import load_tables
+
+    t = load_tables(spark, sf_dir)
+    heads = (
+        t.documents.select(
+            "source", F.expr(_kvp_requests_expr()).alias("head")
+        )
+        .collect()
+    )
+    by_src: dict[str, list] = {}
+    for r in heads:
+        by_src.setdefault(r.source, []).append(tuple(r.head))
+    got = {
+        r.source: (r.trie_tokens, r.total_tokens, r.shared_tokens)
+        for r in kv_prefix_sharing(spark, sf_dir).collect()
+    }
+    for src, hs in by_src.items():
+        prefixes = set()
+        for h in hs:
+            for i in range(1, len(h) + 1):
+                prefixes.add(h[:i])
+        trie, total, shared = got[src]
+        assert trie == len(prefixes), src
+        assert shared == total - trie
+        assert len(hs[0]) <= _KVP_CAP
+
+
+def test_kv_prefix_sharing_system_prompt_shared(spark, sf_dir):
+    pdf = kv_prefix_sharing(spark, sf_dir).toPandas()
+    # the 11-token per-source system preamble guarantees deep sharing
+    # inside every source (>= 2 requests per source in the testdata)
+    assert (pdf["max_lcp"] >= 11).all()
+    assert (pdf["share_permille"] > 0).all()
+    assert (
+        pdf["shared_tokens"] + pdf["trie_tokens"] == pdf["total_tokens"]
+    ).all()
+
+
+def _plan_str(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dup_spans_exact_plan_shape(spark, sf_dir):
+    """Docstring scale claims, pinned: no pair join anywhere (the
+    operator is linear — a join would reintroduce the df² term the
+    design avoids), and text never rides an exchange (grams reduce to
+    (doc_id, pos, md5) scalars in-scan)."""
+    plan = _plan_str(dup_spans_exact(spark, sf_dir))
+    assert "Join" not in plan, "dup_spans_exact must not join"
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange" in line and i + 1 < len(lines):
+            nxt = lines[i + 1]
+            assert "text#" not in nxt, f"text rides an exchange: {nxt}"
+
+
+def test_kv_prefix_sharing_plan_shape(spark, sf_dir):
+    """One source-keyed sort exchange carrying CAPPED heads (never the
+    full prompt text), plus the bounded rollup — no extra shuffles, no
+    unpartitioned window."""
+    plan = _plan_str(kv_prefix_sharing(spark, sf_dir))
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 2, plan  # window shuffle + rollup partial agg
+    assert "Exchange SinglePartition" not in plan, plan
+    # the window is source-partitioned, never unpartitioned
+    import re
+
+    for m in re.finditer(r"Window .*partitionBy=\[\]", plan):
+        raise AssertionError(f"unpartitioned window: {m.group(0)[:120]}")
