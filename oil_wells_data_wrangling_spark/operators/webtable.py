@@ -16,6 +16,7 @@ from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
 from oil_wells_data_wrangling_spark.sources.html_table import parse_well_pages
+from oil_wells_data_wrangling_spark.sources.warc import payload_text
 from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
 _HTML_TABLE_ORACLE = r"""
@@ -310,7 +311,7 @@ def warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         "http_status",
         "content_type",
-        F.col("payload").cast("string").alias("html"),
+        payload_text().alias("html"),  # charset-aware (r13)
     )
     out = (
         page2.select(
@@ -437,7 +438,7 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/d/(\d+)", 1)
         .cast("bigint")
         .alias("doc_id"),
-        _strip_html(F.col("payload").cast("string")).alias("clean"),
+        _strip_html(payload_text()).alias("clean"),  # charset-aware
     )
     enriched = stripped.join(
         F.broadcast(t.documents.select("doc_id", "lang")), "doc_id"
@@ -451,7 +452,7 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality.select(
             F.md5("clean").alias("h"),
             "lang",
-            F.size(F.split("clean", " ")).alias("n_tokens"),
+            F.size(words).alias("n_tokens"),
         )
         .groupBy("h")
         .agg(
@@ -630,7 +631,7 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("target_uri", r"/d/(\d+)", 1)
             .cast("bigint")
             .alias("doc_id"),
-            _strip_html(F.col("payload").cast("string")).alias("clean"),
+            _strip_html(payload_text()).alias("clean"),  # charset-aware
         )
         words = F.split("clean", " ")
         quality = stripped.join(F.broadcast(lang_sidecar), "doc_id").filter(
