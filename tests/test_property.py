@@ -553,3 +553,47 @@ def test_warc_parser_truncation_never_raises_never_fabricates(case, cut):
         if offset <= len(data):
             fully_contained += 1
     assert len(out) >= fully_contained
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.binary(max_size=64),
+            st.one_of(
+                st.none(),
+                st.sampled_from(
+                    [
+                        "text/html",
+                        "text/html; charset=utf-8",
+                        "text/html; charset=ISO-8859-1",
+                        "text/plain; charset=windows-1252",
+                        "application/json; charset=UTF-16",
+                        'text/html; charset="x-weird-9"',
+                        "text/html; charset=",
+                    ]
+                ),
+                st.text(max_size=40),
+            ),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_payload_text_total_on_arbitrary_bytes(rows):
+    """payload_text must be TOTAL: any byte payload under any declared
+    (or garbage, or absent) charset decodes to a non-null string —
+    never a MALFORMED_CHARACTER_CODING raise, never a null — because a
+    crawl pipeline cannot crash on one bad page."""
+    from oil_wells_data_wrangling_spark.session import get_spark
+    from oil_wells_data_wrangling_spark.sources.warc import payload_text
+
+    spark = get_spark(
+        app_name="props", master="local[2]", shuffle_partitions=4
+    )  # module-level session reuse (hypothesis forbids fn fixtures)
+    df = spark.createDataFrame(
+        rows, "payload binary, content_type string"
+    )
+    got = [r.text for r in df.select(payload_text()).collect()]
+    assert len(got) == len(rows)
+    assert all(isinstance(t, str) for t in got)
