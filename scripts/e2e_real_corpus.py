@@ -184,6 +184,13 @@ def build_archive(arch_dir: str) -> dict:
 
 
 def main() -> None:
+    if not os.path.isdir(f"{REF}/static"):
+        print(
+            f"reference fixture tree not found at {REF} — this script "
+            "needs the real-bytes inputs; the committed audit output "
+            "lives at docs/E2E_REAL_CORPUS.md"
+        )
+        sys.exit(0)
     spark = get_spark(app_name="e2e_real_corpus")
     spark.sparkContext.setLogLevel("ERROR")
     work = tempfile.mkdtemp(prefix="e2e_real_")
