@@ -3666,19 +3666,26 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    stats = t.documents.agg(
+    # corpus stats collapse to TWO SCALARS — collect them once and
+    # inline as literals instead of cross-joining a 1-row aggregate
+    # into each leg: the aggregate subtree re-executed its full scan
+    # per consumer (leg A's crossJoin AND leg B's word total), so the
+    # literals remove two corpus passes (r13; bounded 1-row collect,
+    # the compact_table precedent)
+    srow = t.documents.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.size(F.split("text", " "))).alias("t_words"),
-    )
+    ).collect()[0]
+    n_docs, t_words = int(srow["n"]), int(srow["t_words"])
     bm = (
         tf.join(F.broadcast(dfreq), "word")
-        .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
             F.sum(
                 F.expr(
-                    f"((n - df + 1) * {_BM25_IDF_SCALE} div (df + 1)) * tf * 22"
-                    " div (10 * tf + (3 * (t_words + 3 * dl * n)) div t_words)"
+                    f"(({n_docs}L - df + 1) * {_BM25_IDF_SCALE} div (df + 1))"
+                    f" * tf * 22 div (10 * tf"
+                    f" + (3 * ({t_words}L + 3 * dl * {n_docs}L)) div {t_words}L)"
                 )
             )
             .cast("bigint")
@@ -3691,15 +3698,18 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_a") <= _RRF_POOL)
         .select("doc_id", "rank_a")
     )
-    # -- leg B: rarity (same exact-integer scorer as rarity_score)
+    # -- leg B: rarity (same exact-integer scorer as rarity_score).
+    # The corpus word total equals t_words exactly (count of exploded
+    # words == sum of dl), so leg B reuses the collected literal
+    # instead of a third full tokenize+count pass — same integers.
     cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
-    tw = tok.agg(F.count(F.lit(1)).alias("t"))
     rar = (
         tok.join(F.broadcast(cnt), "word")
-        .crossJoin(F.broadcast(tw))
         .groupBy("doc_id")
         .agg(
-            F.expr(f"sum((t * {_RARITY_SCALE}) div cnt) div count(*)")
+            F.expr(
+                f"sum(({t_words}L * {_RARITY_SCALE}) div cnt) div count(*)"
+            )
             .cast("bigint")
             .alias("score_b")
         )
