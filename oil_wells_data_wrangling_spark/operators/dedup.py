@@ -2148,9 +2148,15 @@ def dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     window over SURVIVING positions only (dup grams, a small fraction
     of tokens). Text never shuffles. Hot template hashes (the whole
     point of the operator) bound the per-hash fan-in at doc-frequency,
-    never df² — there is no pair join anywhere; at 100 TB the count
-    exchange is the one heavy stage and it is a pure partial-agg
-    shuffle shape."""
+    never df² — there is no pair join anywhere. The duplicate test is
+    a count-over-hash WINDOW on the one gram exchange, chosen by
+    measurement over the groupBy-count + join-back alternative (the
+    join recomputes the gram projection for its probe side and pays a
+    second hash exchange: 2.38s vs 1.47s at sf0.1, 17.1s vs 7.4s at
+    10× — r13 A/B). A single pathologically hot gram concentrates its
+    df positions on one window partition; that fan-in is df, not df²,
+    and a df-cap filter (the winnow _W_DF_CAP recipe) composes here
+    if a corpus ever needs it."""
     docs = _dse_corpus(spark, sf_dir)
     grams = (
         docs.select("doc_id", F.split("text", " ").alias("w"))

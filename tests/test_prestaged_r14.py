@@ -189,3 +189,98 @@ def test_kv_prefix_sharing_plan_shape(spark, sf_dir):
 
     for m in re.finditer(r"Window .*partitionBy=\[\]", plan):
         raise AssertionError(f"unpartitioned window: {m.group(0)[:120]}")
+
+
+def test_dup_spans_exact_edge_corpora(spark):
+    """Hand-picked edge corpora vs brute force: all-same-word docs
+    (every gram identical — one island covering the doc), docs exactly
+    L words, docs below L (no grams), and a cross-doc shared phrase at
+    offset 0 vs mid-doc. Runs the operator's CORE (gram→count→island)
+    on an injected frame rather than the registered corpus synth."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from oil_wells_data_wrangling_spark.operators.dedup import _DSE_L
+
+    corpora = {
+        1: "a " * 20,                       # 20x same word: full-cover island
+        2: "w" + " w".join(str(i) for i in range(_DSE_L - 1)),  # L words, unique
+        3: "short doc only",                # < L words: no grams
+        4: "p q r s t u v w x y z extra",   # shares 8-gram prefix with 5
+        5: "p q r s t u v w other tail words here",
+        6: "lead in words p q r s t u v w trailing",  # same phrase mid-doc
+    }
+    docs = spark.createDataFrame(
+        [(k, v.strip()) for k, v in corpora.items()], "doc_id long, text string"
+    )
+    # replicate the operator's core on this frame
+    grams = (
+        docs.select("doc_id", F.split("text", " ").alias("w"))
+        .filter(F.size("w") >= _DSE_L)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {_DSE_L - 1}),"
+                    f" i -> md5(array_join(slice(w, i, {_DSE_L}), ' ')))"
+                )
+            ).alias("p0", "h"),
+        )
+        .select("doc_id", (F.col("p0") + 1).alias("pos"), "h")
+    )
+    wh = Window.partitionBy("h")
+    covered = grams.withColumn("c", F.count(F.lit(1)).over(wh)).filter(
+        F.col("c") >= 2
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        covered.withColumn(
+            "brk",
+            F.when(F.col("pos") - F.lag("pos").over(wd) > _DSE_L, 1)
+            .otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("brk").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "sid")
+        .agg(F.min("pos").alias("s"), (F.max("pos") + _DSE_L - 1).alias("e"))
+    )
+    got = {
+        (r.doc_id, r.s, r.e) for r in spans.collect()
+    }
+    # brute force
+    import hashlib
+
+    toks = {k: v.strip().split(" ") for k, v in corpora.items()}
+    counts: dict[str, int] = {}
+    for w in toks.values():
+        for i in range(len(w) - _DSE_L + 1):
+            h = hashlib.md5(" ".join(w[i : i + _DSE_L]).encode()).hexdigest()
+            counts[h] = counts.get(h, 0) + 1
+    want = set()
+    for d, w in toks.items():
+        starts = [
+            i + 1
+            for i in range(len(w) - _DSE_L + 1)
+            if counts[
+                hashlib.md5(" ".join(w[i : i + _DSE_L]).encode()).hexdigest()
+            ]
+            >= 2
+        ]
+        if not starts:
+            continue
+        s = e = starts[0]
+        for p in starts[1:]:
+            if p - e > _DSE_L:
+                want.add((d, s, e + _DSE_L - 1))
+                s = p
+            e = p
+        want.add((d, s, e + _DSE_L - 1))
+    assert got == want
+    # the all-same-word doc must be one island covering positions 1..20
+    assert (1, 1, 20) in got
+    # the unique L-word doc and the short doc must be absent
+    assert not any(d in (2, 3) for d, _, _ in got)
+    # the shared phrase flags at offset 1 (doc 4/5) and mid-doc (doc 6)
+    assert (4, 1, 8) in got and (5, 1, 8) in got and (6, 4, 11) in got
