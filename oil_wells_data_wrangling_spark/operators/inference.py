@@ -769,13 +769,30 @@ def specdecode_accept(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Radix/prefix-cache sizing analytics (the vLLM automatic-prefix-
 # caching / SGLang RadixAttention capacity question): over a request
-# log, how many prompt tokens are SHARED along the sorted prefix tree
-# within the first _KVP_CAP tokens (the cache's depth budget)? The
-# trie identity does the work: with prompts sorted lexicographically
-# by token sequence, the number of DISTINCT trie nodes (= KV blocks a
-# radix cache must hold) is sum(len_i - lcp(p_i, p_{i-1})) — each
-# request contributes only the tokens past its longest shared prefix
-# with its sorted predecessor. Everything is exact integer arithmetic.
+# log, how many prompt tokens are SHARED along the prefix tree within
+# the first _KVP_CAP tokens (the cache's depth budget)? Two equivalent
+# identities exist: (a) sorted-neighbor — trie nodes =
+# sum(len_i - lcp(sorted predecessor)) — which needs a per-source
+# GLOBAL sort (parallelism bounded by |sources|: a scale-killer when
+# a few sources dominate); (b) level-sum — trie nodes =
+# sum over depth d of |distinct depth-d prefixes|, and
+# max_lcp = deepest node shared by >= 2 requests. The engine uses (b):
+# a pure partial-agg shape with no sort and no window, fully parallel
+# at any source skew; the exchange carries (source, d, md5(prefix))
+# scalars — <= CAP rows of 16-byte hashes per request, the honest
+# trade for killing the serial sort. THREE prefix identities were
+# measured at 1x/10x/100x (min-of-2, noop sink): sorted-window
+# 0.85/0.93/3.04s (fastest wall-clock but parallelism = |sources| —
+# dies on a few-source 100 TB log), per-prefix md5 1.62/7.36/19.2s,
+# and a rolling polynomial hash pair 2.29/10.7/28.0s (the O(d)
+# aggregate() lambdas are INTERPRETED per element — the SCALE.md §7
+# codegen lesson — so "cheap int ops" lose to codegen'd md5). The
+# registered form is the per-prefix md5 level-sum: scale-safe and the
+# fastest of the scale-safe forms; md5 prefix identity is the
+# engine's standard collision assumption, and the trie-identity test
+# pins the output against a driver-built ACTUAL prefix tree. Outputs
+# are provably identical across all three forms (verified at two SFs
+# each).
 _KVP_CAP = 48  # cache depth budget (tokens considered for sharing)
 
 
@@ -804,33 +821,33 @@ WITH req AS (
            1, {_KVP_CAP}) AS head
   FROM documents
 ),
-srt AS (
-  SELECT source, head, len(head) AS n,
-         LAG(head) OVER (PARTITION BY source
-                         ORDER BY array_to_string(head, ' '), doc_id)
-           AS prev
-  FROM req
+lv AS (
+  SELECT source, d,
+         md5(array_to_string(list_slice(head, 1, d), ' ')) AS ph
+  FROM req, UNNEST(generate_series(1, len(head))) AS t(d)
 ),
-lcpd AS (
-  SELECT source, n,
-         CASE WHEN prev IS NULL THEN 0
-              ELSE COALESCE(
-                NULLIF(list_position(
-                  list_transform(generate_series(1, least(n, len(prev))),
-                                 i -> head[i] = prev[i]),
-                  false), 0) - 1,
-                least(n, len(prev)))
-         END AS lcp
-  FROM srt
+nodes AS (
+  SELECT source, d, ph, COUNT(*) AS c FROM lv GROUP BY source, d, ph
+),
+trie AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS trie_tokens,
+         CAST(COALESCE(MAX(CASE WHEN c >= 2 THEN d END), 0) AS BIGINT)
+           AS max_lcp
+  FROM nodes GROUP BY source
+),
+base AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_requests,
+         CAST(SUM(len(head)) AS BIGINT) AS total_tokens
+  FROM req GROUP BY source
 )
-SELECT source,
-       CAST(COUNT(*) AS BIGINT) AS n_requests,
-       CAST(SUM(n) AS BIGINT) AS total_tokens,
-       CAST(SUM(n - lcp) AS BIGINT) AS trie_tokens,
-       CAST(SUM(lcp) AS BIGINT) AS shared_tokens,
-       CAST(SUM(lcp) * 1000 // SUM(n) AS BIGINT) AS share_permille,
-       CAST(MAX(lcp) AS BIGINT) AS max_lcp
-FROM lcpd GROUP BY source
+SELECT b.source, b.n_requests, b.total_tokens, t.trie_tokens,
+       CAST(b.total_tokens - t.trie_tokens AS BIGINT) AS shared_tokens,
+       CAST((b.total_tokens - t.trie_tokens) * 1000 // b.total_tokens
+            AS BIGINT) AS share_permille,
+       t.max_lcp
+FROM base b JOIN trie t ON b.source = t.source
 """
 
 
@@ -840,61 +857,66 @@ def kv_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     caching / SGLang RadixAttention): per source, how many of the
     first {_KVP_CAP} prompt tokens are shared along the prefix tree vs
     how many distinct trie nodes (KV blocks) the cache must actually
-    hold. Uses the sorted-order trie identity — distinct trie tokens =
-    sum(len − lcp(sorted predecessor)) — so no pairwise comparison
-    ever happens: ONE neighbor-LCP per request replaces the all-pairs
-    longest-common-prefix matrix. Requests synthesize from documents
-    as per-source system preamble + doc-head payload (the production
-    log shape: high sharing inside a source via the system prompt,
-    deeper sharing where docs repeat).
+    hold. Uses the LEVEL-SUM trie identity — distinct trie tokens =
+    Σ over depth d of |distinct depth-d prefixes|, and the deepest
+    node with ≥ 2 visitors IS the max pairwise LCP — so no pairwise
+    comparison AND no sort ever happens. (The sorted-neighbor form,
+    Σ(len − lcp(sorted predecessor)), computes the same numbers but
+    needs a per-source global sort whose parallelism is bounded by
+    |sources| — a scale-killer when a few sources dominate a 100 TB
+    log; this form was built first, proven output-equal, and
+    replaced.) Requests synthesize from documents as per-source
+    system preamble + doc-head payload (the production log shape:
+    high sharing inside a source via the system prompt, deeper
+    sharing where docs repeat).
 
     Scale shape: prompt heads are CAPPED at {_KVP_CAP} tokens (the
-    cache's depth budget — deeper tokens can't be shared anyway), so
-    the one source-keyed sort exchange carries bounded prefixes, not
-    full prompts; the LCP is a zip_with/array_position expression in
-    the post-sort projection (no Python); the rollup is
-    |sources|-bounded. Sorting by the space-joined head string equals
-    token-lexicographic order because the separator (0x20) sorts below
-    every token character — the same argument both engines share, so
-    the walk is engine-portable. At 100 TB the sort-within-source is
-    the honest cost and is exactly a range-partitioned sort on
-    (source, head) — the shape AQE/range partitioning already
-    optimize; state never exceeds one request row."""
+    cache's depth budget — deeper tokens can't be shared anyway);
+    each request expands in-scan to ≤ {_KVP_CAP} (source, depth,
+    md5(prefix)) scalar rows and everything after is partial-agg
+    shuffles on those 16-byte hashes — fully parallel at any source
+    skew, no window, no sort, no Python. The trie-identity test pins
+    the output against a driver-built ACTUAL prefix tree."""
     t = load_tables(spark, sf_dir)
     req = t.documents.select(
-        "doc_id",
         "source",
         F.expr(_kvp_requests_expr()).alias("head"),
     )
-    w = Window.partitionBy("source").orderBy(
-        F.array_join("head", " "), "doc_id"
-    )
-    srt = req.select(
+    lv = req.select(
         "source",
-        F.size("head").alias("n"),
-        "head",
-        F.lag("head").over(w).alias("prev"),
-    )
-    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
-        F.coalesce(
-            F.nullif(
-                F.array_position(
-                    F.expr("zip_with(head, prev, (x, y) -> x = y)"),
-                    F.lit(False),
-                ),
-                F.lit(0),
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(head)),"
+                " d -> md5(array_join(slice(head, 1, d), ' ')))"
             )
-            - 1,
-            F.least(F.size("head"), F.size("prev")),
-        )
+        ).alias("d0", "ph"),
+    ).select("source", (F.col("d0") + 1).alias("d"), "ph")
+    nodes = lv.groupBy("source", "d", "ph").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    per_req = srt.select("source", "n", lcp.cast("bigint").alias("lcp"))
-    return per_req.groupBy("source").agg(
+    trie = nodes.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("trie_tokens"),
+        F.coalesce(
+            F.max(F.when(F.col("c") >= 2, F.col("d"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("max_lcp"),
+    )
+    base = req.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_requests"),
-        F.sum("n").cast("bigint").alias("total_tokens"),
-        F.sum(F.col("n") - F.col("lcp")).cast("bigint").alias("trie_tokens"),
-        F.sum("lcp").cast("bigint").alias("shared_tokens"),
-        F.expr("CAST(sum(lcp) * 1000 DIV sum(n) AS BIGINT)")
-        .alias("share_permille"),
-        F.max("lcp").cast("bigint").alias("max_lcp"),
+        F.sum(F.size("head")).cast("bigint").alias("total_tokens"),
+    )
+    return base.join(trie, "source").select(
+        "source",
+        "n_requests",
+        "total_tokens",
+        "trie_tokens",
+        (F.col("total_tokens") - F.col("trie_tokens"))
+        .cast("bigint")
+        .alias("shared_tokens"),
+        F.expr(
+            "CAST((total_tokens - trie_tokens) * 1000 DIV total_tokens"
+            " AS BIGINT)"
+        ).alias("share_permille"),
+        "max_lcp",
     )

@@ -158,9 +158,10 @@ def headline_queries() -> dict[str, QueryFn]:
 #                        winnow_dup_spans stood in for; oracle
 #                        DUP_SPANS_EXACT_ORACLE)
 #   - kv_prefix_sharing (operators/inference.py — radix/prefix-cache
-#                        sizing over request logs via the sorted-
-#                        neighbor-LCP trie identity; first operator on
-#                        the prefix-sharing axis; oracle
+#                        sizing over request logs via the LEVEL-SUM
+#                        trie identity (sort-free, window-free —
+#                        three forms measured, BASELINE r13); first
+#                        operator on the prefix-sharing axis; oracle
 #                        KV_PREFIX_SHARING_ORACLE)
 # The r14 builder's first commit: @register both, add their SURVEY §2
 # rows (248 → 250 — REGISTRY FROZEN), and lead _WINDOW_PRIORITY with

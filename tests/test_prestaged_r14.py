@@ -118,7 +118,7 @@ def test_kv_prefix_sharing_trie_identity(spark, sf_dir):
     """trie_tokens must equal the ACTUAL radix-tree size: the number
     of distinct non-empty token prefixes among the capped heads —
     verified by building the prefix set driver-side per source. This
-    pins the sorted-neighbor-LCP identity against ground truth, not
+    pins the level-sum trie identity against ground truth, not
     against another LCP implementation."""
     from oil_wells_data_wrangling_spark.sources.readers import load_tables
 
@@ -177,18 +177,16 @@ def test_dup_spans_exact_plan_shape(spark, sf_dir):
 
 
 def test_kv_prefix_sharing_plan_shape(spark, sf_dir):
-    """One source-keyed sort exchange carrying CAPPED heads (never the
-    full prompt text), plus the bounded rollup — no extra shuffles, no
-    unpartitioned window."""
+    """The level-sum form's scale contract, pinned: NO window and NO
+    sort anywhere (the sorted-neighbor alternative serializes each
+    source onto one task — the exact failure this operator avoids);
+    only partial-agg hash exchanges over (source, depth, md5) scalars,
+    never a single-partition collapse."""
     plan = _plan_str(kv_prefix_sharing(spark, sf_dir))
-    n_exchanges = plan.count("Exchange hashpartitioning")
-    assert n_exchanges <= 2, plan  # window shuffle + rollup partial agg
+    assert "Window" not in plan, plan
+    assert "SortExec" not in plan and "Sort " not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
     assert "Exchange SinglePartition" not in plan, plan
-    # the window is source-partitioned, never unpartitioned
-    import re
-
-    for m in re.finditer(r"Window .*partitionBy=\[\]", plan):
-        raise AssertionError(f"unpartitioned window: {m.group(0)[:120]}")
 
 
 def test_dup_spans_exact_edge_corpora(spark):
