@@ -189,3 +189,77 @@ def pruning_report(
             "overlaps_any"
         ),
     )
+
+
+def advise_partitioning(
+    spark: SparkSession,
+    folder: str,
+    glob: str = "*.parquet",
+    target_partition_mb: int = 128,
+    executor_mem_mb: int = 4096,
+) -> DataFrame:
+    """Partition-sizing advisor — turns the footer inventory into the
+    two knobs a 100 TB job actually tunes, computed from MEASURED
+    layout instead of rules of thumb:
+
+    - ``rec_max_partition_bytes`` for ``spark.sql.files.
+      maxPartitionBytes``: the scan-split size that yields
+      ~``target_partition_mb`` of UNCOMPRESSED data per task. Spark
+      splits on on-disk (compressed) bytes, so the recommendation
+      divides the target by the table's measured compression ratio —
+      a 4x-compressed table read with the default 128 MB split hands
+      each task ~512 MB of decoded data, the classic scan-OOM.
+    - ``rec_shuffle_partitions`` for ``spark.sql.shuffle.partitions``
+      on a full-table shuffle: uncompressed total / (1/4 of executor
+      task memory) — oversized shuffle partitions spill; this is the
+      sizing rule SCALE.md applies.
+
+    Also reports the evidence: file/row-group/row counts, compressed
+    and uncompressed totals, the measured compression ratio (permille),
+    the largest row group's decoded size (the per-task floor no split
+    setting can go below), and ``small_files`` (files under a tenth of
+    the target — the ``compact_table`` trigger).
+
+    One footer pass: column-chunk byte sizes sum to row-group sizes,
+    row groups roll up per file, and the output is a single row of
+    scalars — nothing here reads data pages."""
+    from pyspark.sql import functions as F
+
+    stats = row_group_stats(spark, folder, None, glob)
+    per_rg = stats.groupBy("file", "row_group").agg(
+        F.sum("compressed_bytes").alias("cb"),
+        F.sum("uncompressed_bytes").alias("ub"),
+        F.max("n_rows").alias("rows"),
+    )
+    per_file = per_rg.groupBy("file").agg(
+        F.sum("cb").alias("fcb"),
+        F.sum("ub").alias("fub"),
+        F.sum("rows").alias("frows"),
+        F.count(F.lit(1)).alias("n_rgs"),
+        F.max("ub").alias("max_rg_ub"),
+    )
+    target_b = target_partition_mb * 1024 * 1024
+    task_budget_b = executor_mem_mb * 1024 * 1024 // 4
+    return per_file.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_rgs").cast("bigint").alias("n_row_groups"),
+        F.sum("frows").cast("bigint").alias("n_rows"),
+        F.sum("fcb").cast("bigint").alias("compressed_bytes"),
+        F.sum("fub").cast("bigint").alias("uncompressed_bytes"),
+        F.expr("sum(fub) * 1000 div greatest(sum(fcb), 1)")
+        .cast("bigint")
+        .alias("compression_permille"),
+        F.max("max_rg_ub").cast("bigint").alias("largest_row_group_bytes"),
+        F.sum((F.col("fcb") < target_b // 10).cast("int"))
+        .cast("bigint")
+        .alias("small_files"),
+    ).select(
+        "*",
+        F.expr(
+            f"cast({target_b}L * 1000 div compression_permille as bigint)"
+        ).alias("rec_max_partition_bytes"),
+        F.expr(
+            f"cast(greatest(uncompressed_bytes div {task_budget_b}L + 1,"
+            " 1) as bigint)"
+        ).alias("rec_shuffle_partitions"),
+    )

@@ -154,3 +154,39 @@ def test_pruning_report_numeric_cast(spark, tmp_path):
     assert list(rep["min_value"]) == [9, 100]
     assert list(rep["max_value"]) == [11, 102]
     assert not rep["overlaps_any"].any(), rep
+
+
+def test_advise_partitioning_math(spark, tmp_path):
+    """The advisor's recommendations must follow from the measured
+    layout: rec_max_partition_bytes = target / compression ratio, and
+    rec_shuffle_partitions covers the uncompressed total at a quarter
+    of task memory. Uses a compressible table (repeated strings) so
+    the ratio is materially > 1, plus deliberate small files."""
+    from oil_wells_data_wrangling_spark.sources.parquet_meta import (
+        advise_partitioning,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "the same compressible sentence " * 20) for i in range(4000)],
+        "id long, text string",
+    )
+    path = str(tmp_path / "t")
+    df.repartition(8).write.parquet(path)  # 8 small files
+    row = advise_partitioning(
+        spark, path, target_partition_mb=128, executor_mem_mb=4096
+    ).collect()[0]
+    assert row.n_files == 8
+    assert row.n_rows == 4000
+    assert row.compressed_bytes > 0
+    assert row.uncompressed_bytes > row.compressed_bytes  # compressible
+    ratio = row.compression_permille
+    assert ratio == row.uncompressed_bytes * 1000 // row.compressed_bytes
+    assert row.rec_max_partition_bytes == (128 * 1024 * 1024) * 1000 // ratio
+    # a 4x-compressed table must be told to use a SMALLER split
+    assert row.rec_max_partition_bytes < 128 * 1024 * 1024
+    budget = 4096 * 1024 * 1024 // 4
+    assert row.rec_shuffle_partitions == max(
+        row.uncompressed_bytes // budget + 1, 1
+    )
+    assert row.small_files == 8  # all files far below 12.8 MB
+    assert row.largest_row_group_bytes > 0
