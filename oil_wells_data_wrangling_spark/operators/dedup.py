@@ -2125,6 +2125,7 @@ FROM dsp GROUP BY doc_id
 """
 
 
+@register("dup_spans_exact", oracle=DUP_SPANS_EXACT_ORACLE)
 def dup_spans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT duplicated-substring spans at threshold {_DSE_L} words —
     the distributed form of the Lee et al. 2022 suffix-array dedup

@@ -531,10 +531,8 @@ def grpo_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ trace_tool_calls
 #
-# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — ships at the r12
-# pre-stage bar (implementation + parity test in
-# tests/test_prestaged_r13.py + BASELINE scale row); registration is
-# one @register line + a window slot + a SURVEY §2 row in r13.
+# Pre-staged in r12, ACTIVATED (registered) in r13 — parity test in
+# tests/test_prestaged_r13.py + BASELINE scale row.
 
 _TRACE_TOOLS = ("search", "calc")  # the pipeline's allowed tool set
 
@@ -657,9 +655,8 @@ def trace_tool_calls(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------ specdecode_accept
 #
-# PRE-STAGED FOR ROUND 13 (not yet @register'ed) — fills r13's fifth
-# window slot at the same pre-stage bar (impl + parity test in
-# tests/test_prestaged_r13.py + BASELINE scale row). Checked against
+# Pre-staged in r12, ACTIVATED (registered) in r13 (impl + parity test
+# in tests/test_prestaged_r13.py + BASELINE scale row). Checked against
 # the registry before building: nothing covers inference-log
 # acceptance analytics (the grpo/model_score family scores documents,
 # not draft/target token streams).
@@ -851,6 +848,7 @@ FROM base b JOIN trie t ON b.source = t.source
 """
 
 
+@register("kv_prefix_sharing", oracle=KV_PREFIX_SHARING_ORACLE)
 def kv_prefix_sharing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-cache sharing analytics over a request log — the
     measurement that sizes a radix KV cache (vLLM automatic prefix

@@ -81,29 +81,26 @@ def _load_all() -> None:
 # cannot red the suite — the r10 round ended with exactly that one
 # red, by design but noisily.
 _WINDOW_PRIORITY = [
-    # -- new in round 13 (never driver-checked; pre-staged in r12)
-    "compact_table",
-    "trace_tool_calls",
-    "stream_asof_join",
-    "chat_turns_audit",
-    "specdecode_accept",
-    # -- last driver row is round 8 (the full cohort, alphabetical)
-    "agg_pricing_summary", "anchor_text_stats", "ann_recall_eval",
-    "boilerplate_lines", "bpe_pair_counts", "bpe_tokenize",
-    "bucket_quantiles", "c4_rules", "code_detect", "corpus_shuffle",
-    "decontaminate", "dedup_keep_best", "dedup_method_agreement",
-    "dedup_pipeline", "domain_cap", "eval_leakage_report",
-    "events_anomaly", "events_cms_topk", "events_funnel",
-    "geo_bucket", "gopher_rules", "grouping_sets",
-    "hll_register_sketch", "ivf_pq_search", "k_anonymity_report",
-    "knn_label_eval", "large_volume_customers", "link_graph_pagerank",
-    "lm_quality_buckets", "log_histogram_sketch", "min_cost_supplier",
-    "minhash_band_sensitivity", "minhash_jaccard_est",
-    "mm_audio_neardup", "mm_phash_dedup", "mm_phash_neardup",
-    "neardup_index_probe", "packing_efficiency", "robots_filter",
-    "score_calibration", "supplier_part_scope", "tokenizer_fertility",
-    "waiting_supplier_report", "winnow_dup_spans",
-    "winnow_index_probe",
+    # -- new in round 14 (never driver-checked; pre-staged in r13 —
+    #    the registry's FINAL two under the 250 capacity cap)
+    "dup_spans_exact",
+    "kv_prefix_sharing",
+    # -- last driver row is round 9 (the full cohort, alphabetical)
+    "ann_lsh", "ann_pipeline", "ann_topk", "anomaly_mad",
+    "asof_join", "bitext_mining", "cdc_apply", "chunk_dedup",
+    "chunk_dedup_rewrite", "dedup_clusters", "dedup_exact",
+    "dedup_minhash", "dedup_simhash", "events_dedup",
+    "events_gap_fill", "events_retention", "events_rolling",
+    "events_sessionize", "events_sessionize_native",
+    "events_sliding_agg", "fingerprint", "integrity_report",
+    "ivf_assign", "ivf_recluster", "kmeans_iterate", "kmeans_step",
+    "lang_id", "length_histogram", "ngram_counts", "ngram_jaccard",
+    "pack_sequences", "percentiles", "pii_redact", "pivot_status",
+    "promo_revenue", "pseudonymize", "quality_score", "range_join",
+    "repetition_filter", "rollup_cube", "salted_agg_join",
+    "semdedup_pipeline", "semi_anti_join", "skew_report",
+    "spatial_bbox", "vector_quantize", "window_lag_delta",
+    "winsorize",
 ]
 
 
@@ -145,7 +142,16 @@ def headline_queries() -> dict[str, QueryFn]:
 # replacement) but the 250 cap is absolute — the rotation-invariant
 # test in tests/test_plans.py enforces the capacity math.
 #
-# ROUND-14 ROTATION, PREPARED (r13). The r9 cohort is 48 names, so
+# ROUND-15 ROTATION, FORCED (recorded r14): the registry is FROZEN at
+# 250 and every cohort from here is exactly 50 names, so each round's
+# window is fully determined — r15's window IS the r10 cohort (the 50
+# names whose latest green driver row is round 10: read them from the
+# committed CORRECTNESS_r*.json history exactly as
+# tests/test_plans.py::_driver_row_history does). Zero free slots
+# every round from now on; rounds spend effort on DEPTH and §2.E.
+# ---------------------------------------------------------------------------
+# ROUND-14 ROTATION (ACTIVATED r14 — registry now FROZEN at the 250
+# cap; staging notes kept for the audit trail). The r9 cohort is 48 names, so
 # r14 has exactly 2 free slots — the registry's FINAL two under the
 # cap. BOTH are pre-staged at the full bar (implementation + DuckDB-
 # parity + brute-force/ground-truth property tests + plan-shape pins

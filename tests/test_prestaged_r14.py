@@ -2,12 +2,11 @@
 kv_prefix_sharing — the registry's FINAL two slots under the 250 cap
 (plans/registry.py capacity policy, decided r13).
 
-Fully implemented and parity-gated here with the same Spark-vs-DuckDB
-comparison the driver runs, but NOT yet @register'ed: the r13 window
-is full (5 new + the 45-name r8 cohort). Round 14 has exactly 2 free
-slots (the r9 cohort is 48 names); registering these costs one
-@register line + a window slot + a SURVEY §2 row each, after which
-the registry is frozen at 250. Novelty check done at design time:
+Both were pre-staged (implemented + parity-gated here) in r13 and
+ACTIVATED in r14: @register'ed, leading _WINDOW_PRIORITY with the
+48-name r9 cohort, SURVEY §2 rows added — the registry is now FROZEN
+at the 250 capacity cap. These tests stay as the operators' standing
+parity/property suite. Novelty check done at design time:
 dup_spans_exact closes the named "true suffix-array substring dedup"
 gap (winnow_dup_spans is the sampled stand-in; nothing exact exists);
 kv_prefix_sharing is the first operator on the prefix-sharing/LCP
