@@ -3654,6 +3654,15 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction at ANY corpus scale. The final fused window is over
     ≤100 rows — bounded, not corpus-bounded."""
     t = load_tables(spark, sf_dir)
+    # INVARIANT (r13 advice): tok's row count MUST stay exactly
+    # sum(size(split(text, ' '))) over documents — leg B below reuses
+    # the collected t_words literal AS tok's word total (split() of
+    # any string, including '', yields size >= 1 and explode emits
+    # every element, so the identity holds today). If tok ever
+    # filters tokens (empty-string drop, lowercasing with dedup,
+    # stopword removal), leg B's scores silently break; derive the
+    # word total from tok itself in that case. Guarded by the DuckDB
+    # parity test (oracle counts exploded tokens independently).
     tok = t.documents.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),

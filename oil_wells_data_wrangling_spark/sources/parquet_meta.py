@@ -255,11 +255,19 @@ def advise_partitioning(
         .alias("small_files"),
     ).select(
         "*",
+        # degenerate guard: a table with zero decoded bytes (or zero
+        # row groups) has compression_permille 0/NULL and `div 0`
+        # would NULL the recommendation — treat it as 1:1 (permille
+        # 1000) so the advice degrades to the plain target
         F.expr(
-            f"cast({target_b}L * 1000 div compression_permille as bigint)"
+            f"cast({target_b}L * 1000"
+            " div greatest(coalesce(nullif(compression_permille, 0),"
+            " 1000), 1) as bigint)"
         ).alias("rec_max_partition_bytes"),
+        # true ceiling — `x div b + 1` overcounts by one whole
+        # partition whenever x is an exact multiple of the budget
         F.expr(
-            f"cast(greatest(uncompressed_bytes div {task_budget_b}L + 1,"
-            " 1) as bigint)"
+            f"cast(greatest((uncompressed_bytes + {task_budget_b - 1}L)"
+            f" div {task_budget_b}L, 1) as bigint)"
         ).alias("rec_shuffle_partitions"),
     )

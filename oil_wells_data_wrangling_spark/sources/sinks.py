@@ -231,10 +231,29 @@ def merge_parquet_partitioned(
     # percent-escapes special characters in partition paths (space,
     # ':', '/', ...), so reconstruction misses those dirs and deleted
     # rows resurrect (r12 advice).
-    kept = {r[0] for r in out.select(partition_col).distinct().collect()}
+    # Render partition values through Spark's OWN string cast, not
+    # Python str(): the two diverge off the string/int path
+    # (str(True)='True' vs dir 'pk=true'; float/date/timestamp
+    # formatting differs), and a mis-rendered value means an emptied
+    # partition is missed and its deleted rows resurrect (r13 advice).
+    # Spark renders partition paths as the value's UTF8 cast, percent-
+    # escaped — which unquote() below undoes, so cast('string') on
+    # both sides is the exact comparison.
+    kept = {
+        r[0]
+        for r in out.select(F.col(partition_col).cast("string"))
+        .distinct()
+        .collect()
+    }
+    touched_rendered = {
+        r[0]
+        for r in batch_df.select(F.col(partition_col).cast("string"))
+        .distinct()
+        .collect()
+    }
     removed = {
-        "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
-        for v in touched
+        "__HIVE_DEFAULT_PARTITION__" if v is None else v
+        for v in touched_rendered
         if v not in kept
     }
     if removed:

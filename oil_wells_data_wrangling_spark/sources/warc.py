@@ -420,20 +420,19 @@ def payload_text(
     the WHATWG-conflated legacy web encodings) routes through
     ``decode(payload, 'iso-8859-1')``, which is total (every byte
     sequence is valid Latin-1). Declared charsets outside both
-    families (utf-16 etc. — vanishingly rare in web archives) fall
-    back to Latin-1: mojibake over a crashed job, byte length
-    preserved. Everything stays in whole-stage codegen — no Python,
-    no session-global codingErrorAction toggle."""
+    families fall back to Latin-1: mojibake over a crashed job, byte
+    length preserved — and multi-byte legacy encodings (shift_jis,
+    gbk, big5, euc-kr, utf-16 …) are NOT rare in real archives, so
+    that fallback is silent data damage if unmarked. Select the
+    companion ``payload_charset_unhandled()`` column alongside this
+    one to quarantine or count those rows (r13 advice); the decode
+    itself stays total either way. Everything stays in whole-stage
+    codegen — no Python, no session-global codingErrorAction
+    toggle."""
     from pyspark.sql import functions as F
 
-    cs = F.lower(
-        F.regexp_extract(
-            F.coalesce(F.col(content_type), F.lit("")),
-            r"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""",
-            1,
-        )
-    )
-    utf8ish = cs.isin("", "utf-8", "utf8", "ascii", "us-ascii")
+    cs = _declared_charset(content_type)
+    utf8ish = cs.isin(*_UTF8ISH)
     # everything non-utf8ish (the Latin-1 family AND unknown legacy
     # charsets) takes the total Latin-1 decode
     return (
@@ -444,6 +443,45 @@ def payload_text(
         .otherwise(F.expr(f"decode({payload}, 'iso-8859-1')"))
         .alias("text")
     )
+
+
+# the two charset families payload_text decodes FAITHFULLY; anything
+# else is decoded totally (Latin-1) but is mojibake for multi-byte
+# legacy encodings — payload_charset_unhandled marks those rows
+_UTF8ISH = ("", "utf-8", "utf8", "ascii", "us-ascii")
+_LATIN1ISH = ("iso-8859-1", "iso8859-1", "latin1", "latin-1",
+              "windows-1252", "cp1252")
+
+
+def _declared_charset(content_type: str = "content_type"):
+    """Lowercased charset parameter of the HTTP Content-Type header
+    ('' when absent) — shared by payload_text and its quarantine
+    flag so the two can never disagree on what was declared."""
+    from pyspark.sql import functions as F
+
+    return F.lower(
+        F.regexp_extract(
+            F.coalesce(F.col(content_type), F.lit("")),
+            r"""charset\s*=\s*["']?([A-Za-z0-9_\-]+)""",
+            1,
+        )
+    )
+
+
+def payload_charset_unhandled(content_type: str = "content_type"):
+    """Companion flag for ``payload_text`` (r13 advice): TRUE when the
+    row DECLARES a charset outside the two faithfully-decoded families
+    (UTF-8ish and Latin-1ish) — shift_jis / gbk / big5 / euc-kr /
+    utf-16 and friends, which are common in real web archives and
+    which payload_text folds into Latin-1 output (total decode, but
+    mojibake for multi-byte encodings). Pipelines select this column
+    alongside the text to QUARANTINE or count affected rows instead
+    of silently feeding mojibake into token/quality/dedup stats.
+    Pure codegen; same charset extraction as payload_text."""
+    cs = _declared_charset(content_type)
+    return (
+        ~cs.isin(*(_UTF8ISH + _LATIN1ISH))
+    ).alias("charset_unhandled")
 
 
 def surt(url: str | None) -> str:

@@ -185,8 +185,31 @@ def test_advise_partitioning_math(spark, tmp_path):
     # a 4x-compressed table must be told to use a SMALLER split
     assert row.rec_max_partition_bytes < 128 * 1024 * 1024
     budget = 4096 * 1024 * 1024 // 4
+    # true ceiling (r13 advice): exact multiples of the budget must
+    # NOT gain a phantom extra partition
     assert row.rec_shuffle_partitions == max(
-        row.uncompressed_bytes // budget + 1, 1
+        -(-row.uncompressed_bytes // budget), 1
     )
     assert row.small_files == 8  # all files far below 12.8 MB
     assert row.largest_row_group_bytes > 0
+
+
+def test_advise_partitioning_degenerate_empty(spark, tmp_path):
+    """r13 advice regression: a degenerate table (zero rows → zero
+    decoded bytes / zero row groups) has compression_permille 0 or
+    NULL; the recommendations must degrade to the plain target and
+    one shuffle partition instead of going NULL via `div 0`."""
+    from oil_wells_data_wrangling_spark.sources.parquet_meta import (
+        advise_partitioning,
+    )
+
+    path = str(tmp_path / "empty")
+    spark.createDataFrame([], "id long, text string").coalesce(1).write.parquet(
+        path
+    )
+    row = advise_partitioning(
+        spark, path, target_partition_mb=128, executor_mem_mb=4096
+    ).collect()[0]
+    assert row.rec_max_partition_bytes == 128 * 1024 * 1024  # 1:1 fallback
+    assert row.rec_shuffle_partitions == 1
+    assert (row.n_rows or 0) == 0

@@ -306,6 +306,50 @@ def test_merge_parquet_partitioned_escaped_partition_cleanup(
     assert got == {("x", "a b"): 5}
 
 
+def test_merge_parquet_partitioned_nonstring_partition_cleanup(
+    spark, tmp_path
+):
+    """r13 advice: the emptied-partition comparison must use Spark's
+    OWN rendering of partition values, not Python str(v) — for a
+    BOOLEAN partition column Python renders 'True' while the dir is
+    'pk=true', so the emptied partition was missed and its deleted
+    rows resurrected on the next read. Same class: float/date
+    formatting."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        merge_parquet_partitioned,
+    )
+
+    table = str(tmp_path / "mpb")
+
+    def keep_live(df):
+        agg = df.groupBy("k", "pk").agg(
+            F.sum("n").cast("bigint").alias("n")
+        )
+        return agg.filter(F.col("n") > 0)
+
+    b1 = spark.createDataFrame(
+        [("x", True, 5), ("y", False, 3)], "k string, pk boolean, n long"
+    )
+    merge_parquet_partitioned(b1, table, keep_live, "pk")
+    assert os.path.isdir(os.path.join(table, "pk=true"))
+    # tombstone everything in pk=true: the dir must be GONE (str(True)
+    # = 'True' never matched 'true', leaving the stale files behind)
+    b2 = spark.createDataFrame(
+        [("x", True, -5)], "k string, pk boolean, n long"
+    )
+    merge_parquet_partitioned(b2, table, keep_live, "pk")
+    assert not os.path.exists(os.path.join(table, "pk=true"))
+    got = {
+        (r.k, r.pk): r.n
+        for r in spark.read.schema("k string, pk boolean, n long")
+        .parquet(table)
+        .collect()
+    }
+    assert got == {("y", False): 3}
+
+
 def test_append_merge_parquet_torn_delta_replaced(spark, tmp_path):
     """r12 advice: delta publication must be atomic — a torn delta
     (crash during the delta write, marker absent) must not be read as

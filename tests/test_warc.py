@@ -808,3 +808,36 @@ def test_payload_text_charset_aware(spark):
     assert got[2] == "café cp1252"
     assert got[3] == "�� bad utf8"  # replaced, not raised
     assert got[4] == "café unknown"  # unknown charset: total fallback
+
+
+def test_payload_charset_unhandled_flag(spark):
+    """r13 advice: multi-byte legacy charsets (shift_jis, gbk, big5,
+    euc-kr, utf-16 …) are NOT rare in real archives and payload_text's
+    Latin-1 fallback is mojibake for them — the companion flag must
+    mark exactly the rows whose DECLARED charset is outside the two
+    faithfully-decoded families, so pipelines can quarantine/count
+    them instead of silently poisoning downstream stats."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        payload_charset_unhandled,
+        payload_text,
+    )
+
+    rows = [
+        (b"ok", "text/html; charset=utf-8"),
+        (b"ok", "text/html; charset=ISO-8859-1"),
+        (b"ok", "text/html; charset=windows-1252"),
+        (b"ok", "text/plain"),  # no declared charset
+        (b"ok", None),  # no content-type at all
+        (b"\x83\x65", "text/html; charset=Shift_JIS"),
+        (b"\xd6\xd0", "text/html; charset=GBK"),
+        (b"ok", 'text/html; charset="EUC-KR"'),
+        (b"\xff\xfe", "application/json; charset=UTF-16"),
+    ]
+    df = spark.createDataFrame(rows, "payload binary, content_type string")
+    out = df.select(payload_text(), payload_charset_unhandled()).collect()
+    assert [r.charset_unhandled for r in out] == (
+        [False] * 5 + [True] * 4
+    )
+    # the decode itself stays TOTAL on flagged rows — quarantine is
+    # the pipeline's choice, not forced
+    assert all(r.text is not None for r in out)
