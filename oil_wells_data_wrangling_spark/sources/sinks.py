@@ -18,6 +18,7 @@ java.sql.DriverManager via py4j when a driver is on the classpath.
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import uuid
@@ -386,6 +387,16 @@ def append_merge_parquet(
     )
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
     compacted.write.parquet(os.path.join(staging, "base"))
+    # Snapshot metadata for the time-travel reader (read_snapshot):
+    # record which committed batches this base now covers. The dot-
+    # prefixed file inside the parquet dir is invisible to Spark's
+    # file index (hidden-file filter), rides the existing atomic
+    # staging swap (no new crash window), and is replaced wholesale by
+    # the next compaction. covers[-1] is the watermark: the base IS
+    # the state as-of that snapshot; anything older is expired.
+    covers = [name for name, _ in _snapshot_order(path)]
+    with open(os.path.join(staging, "base", ".covers"), "w") as fh:
+        json.dump({"covers": covers, "watermark": covers[-1]}, fh)
     old = os.path.join(path, f".old-{uuid.uuid4().hex[:8]}")
     os.replace(gen_dir, old)
     os.replace(staging, gen_dir)
@@ -408,6 +419,130 @@ def read_merged(
         spark.read.option("recursiveFileLookup", "true").parquet(
             os.path.join(path, "_deltas")
         )
+    )
+
+
+# --------------------------------------------------- snapshot-addressed reads
+#
+# The Iceberg/Delta-shaped face of the append_merge_parquet store
+# (r13 verdict item 7): every committed batch IS a snapshot — its
+# ``_applied/<name>`` marker is the commit record (written last, so a
+# marker implies a fully-published delta), commit order is the
+# marker's mtime, and compaction records its watermark in a hidden
+# ``.covers`` file inside the new base. That closes the gap between
+# the hand-rolled LSM store and what a 100 TB shop mounts: snapshot
+# listing + time-travel reads by snapshot id, with Iceberg's exact
+# retention semantics — compaction EXPIRES the snapshots it folds in
+# (all but its watermark, whose state the base is). No new I/O shape:
+# listing reads marker metadata only; a time-travel read is the same
+# merge-over-parquet-dirs plan as read_merged over a subset of dirs.
+
+
+class SnapshotExpiredError(Exception):
+    """The requested snapshot predates the last compaction watermark —
+    its per-batch delta was folded into the base and the intermediate
+    state is no longer reconstructible (Iceberg's expired-snapshot)."""
+
+
+def _snapshot_order(path: str) -> list[tuple[str, int]]:
+    """Committed snapshots as (name, commit_time_ns), oldest first.
+    Markers are written only after the delta publish, so this list is
+    exactly the committed history; mtime_ns ordering (name tie-break)
+    is the commit order — batches are single-writer serialized."""
+    applied = os.path.join(path, "_applied")
+    if not os.path.isdir(applied):
+        return []
+    entries = [
+        (d, os.stat(os.path.join(applied, d)).st_mtime_ns)
+        for d in os.listdir(applied)
+    ]
+    return sorted(entries, key=lambda e: (e[1], e[0]))
+
+
+def _base_covers(path: str) -> dict:
+    """The current base's snapshot metadata ({} when the store has
+    never compacted, or the base predates snapshot support)."""
+    covers = os.path.join(path, "_deltas", "base", ".covers")
+    if not os.path.exists(covers):
+        return {}
+    with open(covers) as fh:
+        return json.load(fh)
+
+
+def list_snapshots(path: str) -> list[dict]:
+    """Snapshot listing for an ``append_merge_parquet`` store — the
+    ``table.snapshots()`` face: one row per committed batch, oldest
+    first, with ``snapshot_id`` (the batch marker name, ``b<id>`` for
+    exactly-once batches), ``committed_at_ns``, ``retained`` (a
+    ``read_snapshot`` as-of this id still works: its delta survives,
+    or it is the compaction watermark whose state IS the base) and
+    ``is_current``. Metadata-only: reads marker stats and one hidden
+    JSON, never a data file."""
+    _recover_append_store(path)
+    order = _snapshot_order(path)
+    gen_dir = os.path.join(path, "_deltas")
+    deltas = (
+        {d for d in os.listdir(gen_dir) if not d.startswith(("_", "."))}
+        if os.path.isdir(gen_dir)
+        else set()
+    )
+    watermark = _base_covers(path).get("watermark")
+    return [
+        {
+            "snapshot_id": name,
+            "committed_at_ns": ts,
+            "retained": name in deltas or name == watermark,
+            "is_current": i == len(order) - 1,
+        }
+        for i, (name, ts) in enumerate(order)
+    ]
+
+
+def read_snapshot(
+    spark: SparkSession,
+    path: str,
+    merge: Callable[[DataFrame], DataFrame],
+    as_of: str,
+) -> DataFrame:
+    """Time-travel read: the store's state as of snapshot ``as_of``
+    (a ``snapshot_id`` from ``list_snapshots``, i.e. the ``b<id>``
+    marker name of a committed batch) — the ``VERSION AS OF`` face of
+    the MOR store. State = merge over the base (if compacted) plus
+    every delta committed at-or-before ``as_of``; same plan shape as
+    ``read_merged``, just over a prefix of the delta dirs. Snapshots
+    at or after the last compaction watermark are readable forever
+    (until a later compaction folds them); older ones raise
+    ``SnapshotExpiredError`` — exactly Iceberg's expire-snapshots
+    contract, with compaction as the expiry point."""
+    _recover_append_store(path)
+    order = _snapshot_order(path)
+    names = [name for name, _ in order]
+    if as_of not in names:
+        raise KeyError(f"unknown snapshot {as_of!r}; committed: {names}")
+    gen_dir = os.path.join(path, "_deltas")
+    deltas = {d for d in os.listdir(gen_dir) if not d.startswith(("_", "."))}
+    watermark = _base_covers(path).get("watermark")
+    pos = {name: i for i, name in enumerate(names)}
+    dirs: list[str] = []
+    if "base" in deltas:
+        deltas.discard("base")
+        # every surviving delta committed AFTER the compaction that
+        # built the base, so base + (deltas <= as_of) is the as-of
+        # state whenever as_of's own delta survives; without it, as_of
+        # must BE the watermark (the base is exactly its state) or the
+        # intermediate state is gone
+        if as_of not in deltas and as_of != watermark:
+            raise SnapshotExpiredError(
+                f"snapshot {as_of!r} predates the compaction watermark"
+                f" {watermark!r}; its delta was folded into the base"
+            )
+        dirs.append(os.path.join(gen_dir, "base"))
+    selected = [
+        d for d in deltas if d in pos and pos[d] <= pos[as_of]
+    ]
+    dirs += [os.path.join(gen_dir, d) for d in sorted(selected)]
+    return merge(
+        spark.read.option("recursiveFileLookup", "true").parquet(*dirs)
     )
 
 

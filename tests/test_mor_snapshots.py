@@ -1,0 +1,123 @@
+"""Snapshot listing + time-travel reads over the append_merge_parquet
+MOR store (r13 verdict item 7) — the Iceberg/Delta-shaped reader face:
+every committed batch is a snapshot; compaction is the expiry point
+(its watermark snapshot's state IS the new base; older intermediates
+are gone, exactly Iceberg's expire-snapshots contract)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oil_wells_data_wrangling_spark.sources.sinks import (
+    SnapshotExpiredError,
+    append_merge_parquet,
+    list_snapshots,
+    read_merged,
+    read_snapshot,
+)
+
+
+def _sum_merge(df):
+    return df.groupBy("k").agg(F.sum("n").cast("bigint").alias("n"))
+
+
+def _batch(spark, i):
+    # batch i writes (key_i, i) and bumps the shared key by i
+    return spark.createDataFrame(
+        [(f"key_{i}", i), ("shared", i)], "k string, n long"
+    )
+
+
+def _state(spark, table, as_of):
+    return {
+        (r.k, r.n)
+        for r in read_snapshot(spark, table, _sum_merge, as_of).collect()
+    }
+
+
+def _expect(upto):
+    exp = {(f"key_{i}", i) for i in range(1, upto + 1)}
+    exp.add(("shared", sum(range(1, upto + 1))))
+    return exp
+
+
+def test_snapshots_before_any_compaction(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(1, 4):
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=100, batch_id=i
+        )
+    snaps = list_snapshots(table)
+    assert [s["snapshot_id"] for s in snaps] == ["b1", "b2", "b3"]
+    assert all(s["retained"] for s in snaps)
+    assert [s["is_current"] for s in snaps] == [False, False, True]
+    # commit order is strictly increasing
+    ts = [s["committed_at_ns"] for s in snaps]
+    assert ts == sorted(ts)
+    for i in range(1, 4):
+        assert _state(spark, table, f"b{i}") == _expect(i)
+
+
+def test_time_travel_across_compaction(spark, tmp_path):
+    """compact_every=3: batch 3 triggers compaction. b1/b2 expire
+    (folded into the base), b3 is the watermark (base state), b4/b5
+    stay delta-addressable on top of the base."""
+    table = str(tmp_path / "t")
+    for i in range(1, 6):
+        did = append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=3, batch_id=i
+        )
+        assert did == (i == 3)
+    snaps = {s["snapshot_id"]: s for s in list_snapshots(table)}
+    assert set(snaps) == {"b1", "b2", "b3", "b4", "b5"}
+    assert [snaps[f"b{i}"]["retained"] for i in range(1, 6)] == [
+        False, False, True, True, True,
+    ]
+    assert snaps["b5"]["is_current"]
+    # watermark read = base only; later snapshots layer deltas on it
+    for i in (3, 4, 5):
+        assert _state(spark, table, f"b{i}") == _expect(i)
+    # current snapshot must agree with read_merged
+    cur = {
+        (r.k, r.n)
+        for r in read_merged(spark, table, _sum_merge).collect()
+    }
+    assert _state(spark, table, "b5") == cur
+    for i in (1, 2):
+        with pytest.raises(SnapshotExpiredError):
+            read_snapshot(spark, table, _sum_merge, f"b{i}")
+    with pytest.raises(KeyError):
+        read_snapshot(spark, table, _sum_merge, "b99")
+
+
+def test_watermark_advances_on_second_compaction(spark, tmp_path):
+    table = str(tmp_path / "t")
+    for i in range(1, 7):  # compactions at b3 and b6
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=3, batch_id=i
+        )
+    snaps = {s["snapshot_id"]: s for s in list_snapshots(table)}
+    assert [snaps[f"b{i}"]["retained"] for i in range(1, 7)] == [
+        False, False, False, False, False, True,
+    ]
+    assert _state(spark, table, "b6") == _expect(6)
+    for i in range(1, 6):
+        with pytest.raises(SnapshotExpiredError):
+            read_snapshot(spark, table, _sum_merge, f"b{i}")
+
+
+def test_redelivered_batch_creates_no_snapshot(spark, tmp_path):
+    """exactly-once: a foreachBatch re-delivery is a no-op and must not
+    mint a second snapshot or move the commit history."""
+    table = str(tmp_path / "t")
+    for i in (1, 2):
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=100, batch_id=i
+        )
+    before = list_snapshots(table)
+    append_merge_parquet(  # re-delivery of batch 2
+        _batch(spark, 2), table, _sum_merge, compact_every=100, batch_id=2
+    )
+    assert list_snapshots(table) == before
+    assert _state(spark, table, "b2") == _expect(2)
