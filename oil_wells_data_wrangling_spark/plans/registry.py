@@ -147,8 +147,25 @@ def headline_queries() -> dict[str, QueryFn]:
 # window is fully determined — r15's window IS the r10 cohort (the 50
 # names whose latest green driver row is round 10: read them from the
 # committed CORRECTNESS_r*.json history exactly as
-# tests/test_plans.py::_driver_row_history does). Zero free slots
-# every round from now on; rounds spend effort on DEPTH and §2.E.
+# tests/test_plans.py::_driver_row_history does). Computed from the
+# r01–r13 history at r14 time (re-derive to confirm; CORRECTNESS_r14
+# re-greens the r9 cohort and cannot change this set):
+#   ann_pq_trained, approx_distinct, approx_percentiles, bigram_lift,
+#   blocklist_filter, bm25_topk, bpe_train_batched, bpe_train_steps,
+#   contamination_report, correlated_avg_filter, crawl_to_corpus,
+#   custdist, dataset_card_stats, dedup_cross,
+#   disjunctive_filter_revenue, distinct_count, domain_pagerank,
+#   dpo_pairs, dup_ngram_fraction, embedding_outliers,
+#   events_attribution, events_distinct_windowed, events_enrich,
+#   events_rate_limit, events_topk, events_transitions, html_to_text,
+#   l_diversity_report, link_hits, mix_schedule, pq_train,
+#   sample_corpus, sft_pack, shard_stats, simhash_pairs,
+#   span_corruption, sql_serving, stratified_sample,
+#   stream_warc_ingest, text_chunks, tfidf_topk, token_count,
+#   tokenizer_vocab_prune, train_val_split, url_canonical, url_stats,
+#   vector_normalize, vocab_topk, warc_pipeline, zorder_stats
+# Zero free slots every round from now on; rounds spend effort on
+# DEPTH and §2.E.
 # ---------------------------------------------------------------------------
 # ROUND-14 ROTATION (ACTIVATED r14 — registry now FROZEN at the 250
 # cap; staging notes kept for the audit trail). The r9 cohort is 48 names, so
