@@ -546,6 +546,69 @@ def read_snapshot(
     )
 
 
+def read_changes(
+    spark: SparkSession,
+    path: str,
+    after: str | None,
+    until: str | None = None,
+) -> DataFrame:
+    """Incremental read — Iceberg's incremental-scan face: the RAW
+    delta rows committed strictly AFTER snapshot ``after`` (exclusive;
+    None = since the beginning) up to ``until`` (inclusive; None =
+    current). This is what an incremental consumer (a downstream
+    refresh, a changelog subscriber) reads instead of re-merging the
+    whole store: cost ∝ the consumed deltas, never the table. Rows are
+    the per-batch PARTIAL rollups the writer appended (the store's
+    changelog grain) — consumers re-aggregate with their own merge, as
+    read_merged does. ``after`` must still be delta-addressable (at or
+    after the compaction watermark) or its boundary is gone:
+    SnapshotExpiredError, same contract as read_snapshot; an expired
+    consumer falls back to a full read_merged refresh."""
+    _recover_append_store(path)
+    order = _snapshot_order(path)
+    names = [name for name, _ in order]
+    pos = {name: i for i, name in enumerate(names)}
+    for s in (after, until):
+        if s is not None and s not in pos:
+            raise KeyError(f"unknown snapshot {s!r}; committed: {names}")
+    lo = -1 if after is None else pos[after]
+    hi = len(names) - 1 if until is None else pos[until]
+    gen_dir = os.path.join(path, "_deltas")
+    deltas = (
+        {d for d in os.listdir(gen_dir) if not d.startswith(("_", "."))}
+        if os.path.isdir(gen_dir)
+        else set()
+    )
+    has_base = "base" in deltas
+    deltas.discard("base")
+    watermark = _base_covers(path).get("watermark")
+    # every selected boundary batch must still exist as a delta — a
+    # compaction inside (after, until] folded the history away
+    wanted = [n for n in names if lo < pos[n] <= hi]
+    missing = [n for n in wanted if n not in deltas]
+    if missing or (
+        has_base and after is not None
+        and after not in deltas and after != watermark
+    ):
+        raise SnapshotExpiredError(
+            f"changes after {after!r} include compacted batches"
+            f" {missing or [after]}; fall back to a full refresh"
+            f" (watermark {watermark!r})"
+        )
+    if not wanted:
+        # empty-but-typed frame: schema from any surviving dir
+        any_dir = os.path.join(
+            gen_dir, "base" if has_base else next(iter(deltas))
+        )
+        empty = spark.read.option("recursiveFileLookup", "true").parquet(
+            any_dir
+        )
+        return empty.filter(F.lit(False))
+    return spark.read.option("recursiveFileLookup", "true").parquet(
+        *[os.path.join(gen_dir, n) for n in wanted]
+    )
+
+
 def jdbc_merge_sql(
     table: str,
     staging: str,

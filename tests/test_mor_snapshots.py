@@ -121,3 +121,52 @@ def test_redelivered_batch_creates_no_snapshot(spark, tmp_path):
     )
     assert list_snapshots(table) == before
     assert _state(spark, table, "b2") == _expect(2)
+
+
+def test_incremental_read_changes(spark, tmp_path):
+    """Incremental consumption: read_changes(after, until) returns
+    exactly the delta rows of the batches in (after, until] — cost
+    ∝ consumed deltas; an incremental consumer whose boundary was
+    compacted away gets SnapshotExpiredError (fall back to full
+    refresh), never silently-wrong partial history."""
+    from oil_wells_data_wrangling_spark.sources.sinks import read_changes
+
+    table = str(tmp_path / "t")
+    for i in range(1, 5):
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=100, batch_id=i
+        )
+    # (b1, b3] = batches 2 and 3, raw changelog grain
+    got = {
+        (r.k, r.n)
+        for r in read_changes(spark, table, "b1", "b3").collect()
+    }
+    assert got == {("key_2", 2), ("shared", 2), ("key_3", 3), ("shared", 3)}
+    # after=None → everything; until=None → through current
+    assert read_changes(spark, table, None).count() == 8
+    assert read_changes(spark, table, "b3").count() == 2  # just b4
+    # empty window keeps the schema
+    empty = read_changes(spark, table, "b4")
+    assert empty.count() == 0 and set(empty.columns) == {"k", "n"}
+    with pytest.raises(KeyError):
+        read_changes(spark, table, "b99")
+
+
+def test_incremental_read_changes_across_compaction(spark, tmp_path):
+    from oil_wells_data_wrangling_spark.sources.sinks import read_changes
+
+    table = str(tmp_path / "t")
+    for i in range(1, 6):  # compaction at b3
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=3, batch_id=i
+        )
+    # boundaries at/after the watermark still serve incrementally
+    got = {
+        (r.k, r.n)
+        for r in read_changes(spark, table, "b3", "b5").collect()
+    }
+    assert got == {("key_4", 4), ("shared", 4), ("key_5", 5), ("shared", 5)}
+    # a window that includes folded batches is gone — loud, not wrong
+    for after, until in ((None, None), ("b1", "b4"), (None, "b3")):
+        with pytest.raises(SnapshotExpiredError):
+            read_changes(spark, table, after, until)
