@@ -305,7 +305,7 @@ def append_merge_parquet(
     batch_df: DataFrame,
     path: str,
     merge: Callable[[DataFrame], DataFrame],
-    compact_every: int = 8,
+    compact_every: int | None = 8,
     batch_id=None,
 ) -> bool:
     """LSM-style MERGE-ON-READ state table — the honest O(batch)
@@ -379,11 +379,13 @@ def append_merge_parquet(
         shutil.rmtree(dst)
     os.replace(stage, dst)
     open(marker, "w").close()
+    if not compact_every:
+        return False  # pure changelog table: never folds its history
     n = len(os.listdir(applied))
     if n % compact_every != 0:
         return False
     compacted = merge(
-        spark.read.option("recursiveFileLookup", "true").parquet(gen_dir)
+        spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(gen_dir)
     )
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
     compacted.write.parquet(os.path.join(staging, "base"))
@@ -416,7 +418,7 @@ def read_merged(
     a partial store."""
     _recover_append_store(path)
     return merge(
-        spark.read.option("recursiveFileLookup", "true").parquet(
+        spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(
             os.path.join(path, "_deltas")
         )
     )
@@ -542,7 +544,7 @@ def read_snapshot(
     ]
     dirs += [os.path.join(gen_dir, d) for d in sorted(selected)]
     return merge(
-        spark.read.option("recursiveFileLookup", "true").parquet(*dirs)
+        spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(*dirs)
     )
 
 
@@ -600,12 +602,41 @@ def read_changes(
         any_dir = os.path.join(
             gen_dir, "base" if has_base else next(iter(deltas))
         )
-        empty = spark.read.option("recursiveFileLookup", "true").parquet(
+        empty = spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(
             any_dir
         )
         return empty.filter(F.lit(False))
-    return spark.read.option("recursiveFileLookup", "true").parquet(
+    return spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(
         *[os.path.join(gen_dir, n) for n in wanted]
+    )
+
+
+def stream_changes(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Streaming changelog subscription — ``read_changes`` as a live
+    feed: a file-source stream over the store's delta log, delivering
+    each committed batch's partial-rollup rows exactly once per
+    checkpoint (the file source tracks seen files). Rows belonging to
+    a compaction BASE are filtered out by provenance, so a compaction
+    never re-delivers already-consumed history as "new" rows.
+
+    Compaction contract (the Iceberg expire-vs-incremental-consumer
+    race, stated rather than hidden): a subscriber that lags behind
+    the compaction cadence LOSES the batches folded before it listed
+    them — the file source never saw those delta files. Safe postures:
+    (a) a pure changelog store (``compact_every=None`` — history never
+    folds; bound the log by retention jobs instead), or (b) a
+    compacting store where the subscriber provably keeps up (e.g. the
+    same foreachBatch that writes also consumes). A late joiner on a
+    compacting store bootstraps with ``read_merged`` and subscribes
+    from then on. ``schema`` is required (streaming file sources don't
+    infer); pass the delta schema, widened if the store evolved."""
+    src = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(os.path.join(path, "_deltas"))
+    )
+    return src.filter(
+        ~F.input_file_name().contains("/_deltas/base/")
     )
 
 
