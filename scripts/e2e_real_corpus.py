@@ -136,6 +136,15 @@ def build_archive(arch_dir: str) -> dict:
          "text/html; charset=ISO-8859-1"),
         ("http://legacy.example/cp1252.html", cp1252_body,
          "text/html; charset=windows-1252"),
+        # multi-byte legacy charset OUTSIDE the handled families: the
+        # decode must stay total (Latin-1 fallback) and the row must
+        # carry the payload_charset_unhandled quarantine flag (r13
+        # advice — these are common in real archives, not rare)
+        ("http://legacy.example/sjis.html",
+         ("<html><body><p>石油の井戸データ" + readme.decode(
+             "utf-8", "replace")[:120] + "</p></body></html>"
+          ).encode("shift_jis", "replace"),
+         "text/html; charset=Shift_JIS"),
         ("http://wells.example/marker.png", png, "image/png"),  # binary
     ]
     plain = b""

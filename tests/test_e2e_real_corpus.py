@@ -136,6 +136,24 @@ def test_charset_contracts_on_real_pages(spark, corpus):
     assert "\N{REPLACEMENT CHARACTER}" not in cp.text
 
 
+def test_unhandled_charset_flagged_for_quarantine(corpus):
+    """r13 advice on real-shaped bytes: the Shift_JIS page decodes
+    TOTALLY (Latin-1 fallback — mojibake, never a crash) and is the
+    ONLY row payload_charset_unhandled marks; pipelines quarantine on
+    the flag instead of silently ingesting the mojibake."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        payload_charset_unhandled,
+    )
+
+    flagged = corpus["texty"].select(
+        "target_uri", payload_text(), payload_charset_unhandled()
+    )
+    rows = {r.target_uri: r for r in flagged.collect()}
+    assert all(r.text is not None for r in rows.values())  # total decode
+    marked = {u for u, r in rows.items() if r.charset_unhandled}
+    assert marked == {"http://legacy.example/sjis.html"}
+
+
 def test_exact_dup_detected_on_real_pages(corpus):
     clusters = (
         corpus["docs"]
