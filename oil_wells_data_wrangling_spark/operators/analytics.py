@@ -141,8 +141,16 @@ GROUP BY r_name, n_name
 
 @register("join_region_rollup", oracle=_REGION_ROLLUP_ORACLE, headline=True)
 def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star join: fact filtered then joined to broadcast dims; revenue per
-    customer nation/region. At 100 TB the only shuffle is the final agg."""
+    """Star join: fact filtered then joined to dims; revenue per
+    customer nation/region. nation/region are broadcast by HINT (25/5
+    rows at ANY scale factor — threshold-proof); the customer dim is
+    deliberately NOT hinted (r14 fix: an explicit broadcast(dim) here
+    broadcast a CUSTOMER-sized frame — fine at test SFs, fatal at
+    100 TB where customer is billions of rows). Declared hint-free,
+    AQE picks broadcast when the dim measures small at runtime and a
+    shuffle join when it doesn't — the same code is optimal at both
+    scales (A/B at sf0.1: output-identical, 0.91 vs 1.04 min-of-3).
+    At 100 TB the shuffles are the custkey join and the final agg."""
     t = load_tables(spark, sf_dir)
     dim = (
         t.customer.join(
@@ -159,7 +167,7 @@ def join_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(dim), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("r_name", "n_name")
         .agg(
             dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 6).alias("revenue"),
@@ -478,14 +486,16 @@ GROUP BY 1
 @register("promo_revenue", oracle=_PROMO_ORACLE)
 def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-style promo revenue share per ship year: conditional
-    aggregation over a broadcast part join, LIKE-prefix predicate
-    evaluated in the scan stage."""
+    aggregation over the part join, LIKE-prefix predicate evaluated
+    in the scan stage. The part side carries NO broadcast hint (r14:
+    part scales with SF — billions of rows at 100 TB); AQE broadcasts
+    it when it measures small and shuffle-joins when it doesn't."""
     t = load_tables(spark, sf_dir)
     disc = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), disc).otherwise(F.lit(0.0))
     return (
         t.lineitem.join(
-            F.broadcast(t.part.select("p_partkey", "p_type")),
+            t.part.select("p_partkey", "p_type"),
             F.col("l_partkey") == F.col("p_partkey"),
         )
         .groupBy(F.year("l_shipdate").alias("ship_year"))
@@ -554,7 +564,7 @@ def salted_agg_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return salted.join(
-        F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+        t.supplier.select("s_suppkey", "s_name"),
         F.col("l_suppkey") == F.col("s_suppkey"),
     ).select("s_name", "revenue", "n_items")
 
@@ -1058,7 +1068,8 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: revenue per supplier is one partial-agg shuffle over
     the date-pruned lineitem scan (the predicate reaches the parquet
     reader); the global max is a scalar broadcast back onto the bounded
-    per-supplier aggregate, and the name lookup is a broadcast dimension
+    per-supplier aggregate, and the name lookup is a hint-free dimension
+    join (supplier scales with SF, so AQE decides broadcast-vs-shuffle)
     join. Revenue accumulates as exact bigint cents so the max-equality
     predicate cannot be split by FP addition order — the one failure
     mode a double-summed Q15 has at scale."""
@@ -1079,7 +1090,7 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(best))
         .filter(F.col("rev_cents") == F.col("best"))
         .join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("s_suppkey") == F.col("l_suppkey"),
         )
         .select(
@@ -2264,7 +2275,7 @@ def waiting_supplier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name")),
+            t.supplier.select("s_suppkey", "s_name"),
             F.col("w_suppkey") == F.col("s_suppkey"),
         )
         .groupBy("s_name")
@@ -2451,7 +2462,7 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("n_nationkey", "n_name")
     return (
         hot.join(
-            F.broadcast(t.supplier.select("s_suppkey", "s_name", "s_nationkey")),
+            t.supplier.select("s_suppkey", "s_name", "s_nationkey"),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
         .join(F.broadcast(nations), F.col("s_nationkey") == F.col("n_nationkey"))

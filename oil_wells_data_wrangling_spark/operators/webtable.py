@@ -395,8 +395,8 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl → corpus END-TO-END: pages archive as real WARC/1.0
     records (a quarter of them twice, under a second URI — the
     same-page-two-URLs dup every crawl contains), ``read_warc`` parses
-    the archive back, the strip chain extracts clean text, a broadcast
-    metadata join recovers the language sidecar, and corpus_pipeline's
+    the archive back, the strip chain extracts clean text, a metadata
+    join recovers the language sidecar, and corpus_pipeline's
     back end (quality filter → exact dedup → per-language stats) runs
     over text that genuinely round-tripped ISO 28500. The oracle
     replays page synthesis + dup union + strip + the same back end
@@ -404,10 +404,14 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     content-preserving by construction (warc_pipeline's argument).
 
     Scale shape: the round trip itself is shuffle-free (file-per-
-    partition write, file-inventory read); downstream, the dedup
-    exchange carries (md5, lang, n_tokens) scalars only — payload
-    bytes never leave the scan that strips them; the lang sidecar
-    broadcasts. Same demo-harness tempdir + eager-localCheckpoint
+    partition write, file-inventory read); each page quality-gates and
+    reduces to (doc_id, md5, n_tokens) scalars IN the scan, so the
+    sidecar join and the dedup exchange both carry scalars only —
+    payload bytes never leave the scan that strips them, and the join
+    needs no broadcast hint (r14: the sidecar is corpus-cardinality —
+    hinting it broadcast was a driver bomb at 100 TB; with both sides
+    scalar-width, AQE's runtime choice is safe either way). Same
+    demo-harness tempdir + eager-localCheckpoint
     caveats as ``warc_pipeline`` (production passes a shared URI and
     keeps the archive)."""
     import os
@@ -440,20 +444,24 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         _strip_html(payload_text()).alias("clean"),  # charset-aware
     )
-    enriched = stripped.join(
-        F.broadcast(t.documents.select("doc_id", "lang")), "doc_id"
-    )
+    # quality-gate and reduce each page to scalars IN THE SCAN, before
+    # any join: the sidecar join then carries (doc_id, 32-char md5,
+    # int) on both sides, so its strategy is immaterial at any scale
+    # (r14 — the prior form joined the full clean text against a
+    # broadcast of the corpus-sized sidecar: text in the join if AQE
+    # shuffles, driver death if it broadcasts)
     words = F.split("clean", " ")
-    quality = enriched.filter(
+    page_scalars = stripped.filter(
         (F.size(words) >= 20)
         & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
+    ).select(
+        "doc_id",
+        F.md5("clean").alias("h"),
+        F.size(words).alias("n_tokens"),
     )
     deduped = (
-        quality.select(
-            F.md5("clean").alias("h"),
-            "lang",
-            F.size(words).alias("n_tokens"),
-        )
+        page_scalars.join(t.documents.select("doc_id", "lang"), "doc_id")
+        .select("h", "lang", "n_tokens")
         .groupBy("h")
         .agg(
             F.min("lang").alias("lang"),
@@ -633,17 +641,21 @@ def stream_crawl_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("doc_id"),
             _strip_html(payload_text()).alias("clean"),  # charset-aware
         )
+        # scalars in-scan before the sidecar join — crawl_to_corpus's
+        # r14 shape: text never enters the join, so join strategy is
+        # immaterial at any scale
         words = F.split("clean", " ")
-        quality = stripped.join(F.broadcast(lang_sidecar), "doc_id").filter(
+        page_scalars = stripped.filter(
             (F.size(words) >= 20)
             & (F.size(F.array_distinct(words)) / F.size(words) >= 0.4)
+        ).select(
+            "doc_id",
+            F.md5("clean").alias("h"),
+            F.size(words).alias("n_tokens"),
         )
         batch_h = (
-            quality.select(
-                F.md5("clean").alias("h"),
-                "lang",
-                F.size(F.split("clean", " ")).alias("n_tokens"),
-            )
+            page_scalars.join(lang_sidecar, "doc_id")
+            .select("h", "lang", "n_tokens")
             .groupBy("h")
             .agg(
                 F.min("lang").alias("lang"),
