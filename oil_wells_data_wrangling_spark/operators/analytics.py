@@ -100,14 +100,16 @@ LIMIT 10
 
 @register("join_revenue_topn", oracle=_REVENUE_TOPN_ORACLE, headline=True)
 def join_revenue_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: broadcast the filtered customer dim, one agg shuffle,
-    top-n via sort-limit (Spark plans TakeOrderedAndProject — no full sort)."""
+    """TPC-H Q3-style: hint-free filtered customer dim (customer scales
+    with SF — AQE broadcasts it when it measures small, shuffle-joins
+    at 100 TB), one agg shuffle, top-n via sort-limit (Spark plans
+    TakeOrderedAndProject — no full sort)."""
     t = load_tables(spark, sf_dir)
     cust = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     cutoff = F.lit("1998-06-30 00:00:00").cast("timestamp")
     return (
         t.orders.filter(F.col("o_orderdate") < cutoff)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .join(
             t.lineitem.filter(F.col("l_shipdate") > cutoff),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1012,7 +1014,8 @@ def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the per-part average is a partial-agg shuffle carrying
     (partkey, scaled-sum, count) — map-side combine collapses the fan-in
     before the exchange. The brand filter is pushed into the part scan
-    and that dimension side broadcasts; the avg side joins on the same
+    and that dimension side is hint-free (part scales with SF; AQE
+    broadcasts when it fits, shuffle-joins at scale); the avg side joins on the same
     l_partkey hash partitioning. Averages derive from exact scaled-int64
     sums (functions/exact.py) so the 0.2×avg threshold — and therefore
     the row set — is bit-identical across engines; the final rollup is a
@@ -1024,7 +1027,7 @@ def correlated_avg_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand = t.part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
     return (
         t.lineitem.join(
-            F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey")
+            brand, F.col("l_partkey") == F.col("p_partkey")
         )
         .join(pa, "l_partkey")
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
@@ -1653,7 +1656,8 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c_nationkey = s_nationkey) that join reordering has to get right.
 
     Scale shape: supplier ⋈ nation ⋈ region (region-filtered) collapses
-    to one small broadcast dim, so the only shuffles are
+    to one dim (nation/region hinted — schema-bounded; the
+    supplier-sized result hint-free, AQE decides), so the only shuffles are
     lineitem ⋈ orders on the order key and the subsequent customer join
     on the customer key; the date filter sits on the orders scan
     (pushed) and prunes before the first shuffle. The
@@ -1684,7 +1688,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
         )
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             t.customer.select("c_custkey", "c_nationkey"),
             (F.col("o_custkey") == F.col("c_custkey"))
@@ -1767,9 +1771,10 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations, both directions, per ship year — the query whose WHERE is
     a disjunction over a PAIR of dimension attributes.
 
-    Scale shape: both nation lookups are broadcast; the supplier side
-    is collapsed to a broadcast (suppkey → nation) map filtered to the
-    two nations of interest, which prunes lineitem rows at the first
+    Scale shape: both nation lookups are broadcast (schema-bounded);
+    the supplier side is collapsed to a hint-free (suppkey → nation)
+    map filtered to the two nations of interest (supplier-sized:
+    AQE decides broadcast-vs-shuffle), which prunes lineitem rows at the first
     join. The customer side filters to the same two nations before its
     shuffle join, so the pair-disjunction residual runs on rows already
     restricted to 2×2 nation combinations. Two wide shuffles total
@@ -1795,7 +1800,7 @@ def nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
     return (
-        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             t.orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -1849,8 +1854,8 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: part (type-filtered), supplier ⋈ nation (the
     numerator tag), and the region-restricted customer-nation dim are
-    all broadcast; the part filter prunes lineitem at its first
-    (broadcast) join so the two wide shuffles — order key, then
+    all hint-free (each scales with SF; AQE broadcasts what fits);
+    the part filter prunes lineitem at its first join so the two wide shuffles — order key, then
     customer key — move only qualifying rows. Numerator and
     denominator are computed in ONE aggregation pass as a conditional
     and an unconditional exact scaled-int64 sum; the share is a single
@@ -1885,10 +1890,10 @@ def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select(
             "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg((dsum(tagged, 6) / dsum(disc, 6)).alias("mkt_share"))
     )
@@ -1943,8 +1948,8 @@ def product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_orderkey", "l_partkey", "l_suppkey",
             "l_extendedprice", "l_discount", "l_quantity",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(
             t.orders.select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -2076,7 +2081,7 @@ def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select(
             "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
         )
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(cents).cast("bigint").alias("value_cents"))
     )
@@ -2127,7 +2132,7 @@ def supplier_part_scope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     return (
         t.lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -2360,8 +2365,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.select(
             "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(eur_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey", "s_name", "n_name")
         .agg(F.min(unit_cents).alias("unit_cents"))
     )
@@ -2443,7 +2448,7 @@ def excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq = (
         t.lineitem.select("l_suppkey", "l_partkey", "l_quantity", "l_shipdate")
-        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .join(red, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(qty).cast("bigint").alias("total_qty"),

@@ -510,7 +510,11 @@ FROM events LEFT JOIN customer ON user_id = c_custkey
 @register("events_enrich", oracle=_ENRICH_ORACLE)
 def events_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: fact stream joins a broadcast dimension.
-    In streaming form the static side is re-broadcast per micro-batch."""
+    In streaming form the static side is re-broadcast per micro-batch.
+    The hint is the PATTERN being demonstrated and presumes the
+    dimension fits executor memory (a user/account dim usually does);
+    for a dimension that grows past broadcast size, drop the hint and
+    let the micro-batch shuffle-join — same code shape."""
     t = load_tables(spark, sf_dir)
     dim = t.customer.select("c_custkey", "c_mktsegment")
     return t.events.join(

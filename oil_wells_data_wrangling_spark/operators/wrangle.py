@@ -735,7 +735,7 @@ def serve_wells(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     stats = t.orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"))
     return (
-        coords.join(F.broadcast(stats), F.col("doc_id") == F.col("o_custkey"), "left")
+        coords.join(stats, F.col("doc_id") == F.col("o_custkey"), "left")
         .select(
             "doc_id",
             "latitude",
@@ -926,7 +926,7 @@ def well_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt = F.col("cnt")
     return (
         header.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
-        .join(F.broadcast(stats), F.col("doc_id") == F.col("o_custkey"), "left")
+        .join(stats, F.col("doc_id") == F.col("o_custkey"), "left")
         .select(
             "doc_id",
             "operator",

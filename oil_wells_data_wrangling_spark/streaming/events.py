@@ -159,7 +159,9 @@ def stream_attribution(events: DataFrame) -> DataFrame:
 
 
 def stream_enrich(events: DataFrame, customer: DataFrame) -> DataFrame:
-    """Stream-static join; the static dimension broadcasts per micro-batch."""
+    """Stream-static join; the static dimension broadcasts per micro-batch
+    (the hint presumes the dim fits executor memory — drop it for
+    dimensions that outgrow broadcast size; see events_enrich)."""
     dim = customer.select("c_custkey", "c_mktsegment")
     return events.join(
         F.broadcast(dim), F.col("user_id") == F.col("c_custkey"), "left"
