@@ -81,26 +81,27 @@ def _load_all() -> None:
 # cannot red the suite — the r10 round ended with exactly that one
 # red, by design but noisily.
 _WINDOW_PRIORITY = [
-    # -- new in round 14 (never driver-checked; pre-staged in r13 —
-    #    the registry's FINAL two under the 250 capacity cap)
-    "dup_spans_exact",
-    "kv_prefix_sharing",
-    # -- last driver row is round 9 (the full cohort, alphabetical)
-    "ann_lsh", "ann_pipeline", "ann_topk", "anomaly_mad",
-    "asof_join", "bitext_mining", "cdc_apply", "chunk_dedup",
-    "chunk_dedup_rewrite", "dedup_clusters", "dedup_exact",
-    "dedup_minhash", "dedup_simhash", "events_dedup",
-    "events_gap_fill", "events_retention", "events_rolling",
-    "events_sessionize", "events_sessionize_native",
-    "events_sliding_agg", "fingerprint", "integrity_report",
-    "ivf_assign", "ivf_recluster", "kmeans_iterate", "kmeans_step",
-    "lang_id", "length_histogram", "ngram_counts", "ngram_jaccard",
-    "pack_sequences", "percentiles", "pii_redact", "pivot_status",
-    "promo_revenue", "pseudonymize", "quality_score", "range_join",
-    "repetition_filter", "rollup_cube", "salted_agg_join",
-    "semdedup_pipeline", "semi_anti_join", "skew_report",
-    "spatial_bbox", "vector_quantize", "window_lag_delta",
-    "winsorize",
+    # -- round 15 forced cohort: the 50 names whose last green driver
+    #    row is round 10 (registry FROZEN at 250; every window from
+    #    here is the full R-5 cohort, re-derived from the committed
+    #    CORRECTNESS_r*.json history — matches the recorded ROUND-15
+    #    ROTATION note below exactly). Alphabetical.
+    "ann_pq_trained", "approx_distinct", "approx_percentiles",
+    "bigram_lift", "blocklist_filter", "bm25_topk",
+    "bpe_train_batched", "bpe_train_steps", "contamination_report",
+    "correlated_avg_filter", "crawl_to_corpus", "custdist",
+    "dataset_card_stats", "dedup_cross", "disjunctive_filter_revenue",
+    "distinct_count", "domain_pagerank", "dpo_pairs",
+    "dup_ngram_fraction", "embedding_outliers", "events_attribution",
+    "events_distinct_windowed", "events_enrich", "events_rate_limit",
+    "events_topk", "events_transitions", "html_to_text",
+    "l_diversity_report", "link_hits", "mix_schedule", "pq_train",
+    "sample_corpus", "sft_pack", "shard_stats", "simhash_pairs",
+    "span_corruption", "sql_serving", "stratified_sample",
+    "stream_warc_ingest", "text_chunks", "tfidf_topk", "token_count",
+    "tokenizer_vocab_prune", "train_val_split", "url_canonical",
+    "url_stats", "vector_normalize", "vocab_topk", "warc_pipeline",
+    "zorder_stats",
 ]
 
 
