@@ -21,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from collections.abc import Callable
 from urllib.parse import unquote
@@ -192,9 +193,23 @@ def merge_parquet_partitioned(
     the touched partition values (bounded by the bucket count).
     """
     spark = batch_df.sparkSession
-    touched = [
-        r[0] for r in batch_df.select(partition_col).distinct().collect()
-    ]
+    # One collect yields BOTH renderings of the touched values: the
+    # raw value (partition pruning + return) and Spark's own string
+    # cast (matching the partition DIRECTORY rendering, used by the
+    # emptied-partition sweep below). Collecting them separately re-
+    # ran the un-checkpointed batch_df lineage an extra time per merge
+    # (r14 advice); the string cast is a pure function of the value,
+    # so distinct pairs == distinct values.
+    touched_rows = (
+        batch_df.select(
+            F.col(partition_col).alias("v"),
+            F.col(partition_col).cast("string").alias("s"),
+        )
+        .distinct()
+        .collect()
+    )
+    touched = [r["v"] for r in touched_rows]
+    touched_rendered = {r["s"] for r in touched_rows}
     if os.path.exists(path):
         non_null = [v for v in touched if v is not None]
         prune = (
@@ -243,12 +258,6 @@ def merge_parquet_partitioned(
     kept = {
         r[0]
         for r in out.select(F.col(partition_col).cast("string"))
-        .distinct()
-        .collect()
-    }
-    touched_rendered = {
-        r[0]
-        for r in batch_df.select(F.col(partition_col).cast("string"))
         .distinct()
         .collect()
     }
@@ -351,6 +360,20 @@ def append_merge_parquet(
 
     Returns True when this call compacted. Single-writer (foreachBatch
     serializes batches; concurrent writers need a table format's log).
+
+    Reader concurrency during compaction (r14 advice): the swap is two
+    ``os.replace`` calls — ``_deltas`` is briefly ABSENT between them,
+    and a delta dir listed by a concurrent reader can vanish before
+    its files are opened. Readers in the SAME process are safe when
+    serialized with the writer (the foreachBatch pattern: the batch
+    that writes also reads). A reader in ANOTHER process must either
+    tolerate a retry on FileNotFound / "path does not exist", or set
+    ``spark.sql.files.ignoreMissingFiles=true`` for its reads of this
+    store — that skips files deleted between listing and scan, which
+    for this store is exactly the already-folded-into-base deltas, so
+    the merged result is still correct (merge is idempotent on
+    compacted state). A real multi-process deployment wants a table
+    format's metadata log (Iceberg/Delta) instead.
     """
     spark = batch_df.sparkSession
     _recover_append_store(path)
@@ -378,7 +401,20 @@ def append_merge_parquet(
     if os.path.exists(dst):
         shutil.rmtree(dst)
     os.replace(stage, dst)
-    open(marker, "w").close()
+    # The marker is the commit record AND carries the commit order in
+    # its CONTENT (seq + timestamp): mtime-based ordering does not
+    # survive cp/rsync/tar/object-store round-trips (r14 advice). A
+    # crash mid-write leaves a torn marker, which still reads as
+    # committed (legacy ordering) — same contract as the old empty
+    # marker.
+    with open(marker, "w") as fh:
+        json.dump(
+            {
+                "seq": _next_marker_seq(applied),
+                "committed_at_ns": time.time_ns(),
+            },
+            fh,
+        )
     if not compact_every:
         return False  # pure changelog table: never folds its history
     n = len(os.listdir(applied))
@@ -446,19 +482,74 @@ class SnapshotExpiredError(Exception):
     state is no longer reconstructible (Iceberg's expired-snapshot)."""
 
 
+def _marker_meta(marker_path: str) -> tuple[int, int] | None:
+    """(seq, committed_at_ns) persisted INSIDE a marker file, or None
+    for a legacy/torn marker (pre-sequencing empty file, or a crash
+    mid-write — either way the marker still means "committed", it just
+    carries no authoritative order)."""
+    try:
+        with open(marker_path) as fh:
+            raw = fh.read()
+        if raw.strip():
+            meta = json.loads(raw)
+            return int(meta["seq"]), int(meta.get("committed_at_ns", 0))
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    return None
+
+
+def _marker_tiebreak(name: str) -> tuple[int, int, str]:
+    """Deterministic marker tie-break: numeric parse of the ``b<id>``
+    suffix (so b2 < b10 — raw string compare misorders them), falling
+    back to the name itself for ad-hoc ``a<hex>`` markers."""
+    if name[:1] == "b" and name[1:].isdigit():
+        return (0, int(name[1:]), "")
+    return (1, 0, name)
+
+
+def _next_marker_seq(applied: str) -> int:
+    """Next commit sequence number: one past the highest persisted in
+    any existing marker. Single-writer serialized (same contract as
+    the store), so the read-then-increment is race-free. Legacy
+    markers carry no seq and don't advance it — they sort before
+    every sequenced marker regardless (see _snapshot_order)."""
+    best = -1
+    for d in os.listdir(applied):
+        meta = _marker_meta(os.path.join(applied, d))
+        if meta is not None and meta[0] > best:
+            best = meta[0]
+    return best + 1
+
+
 def _snapshot_order(path: str) -> list[tuple[str, int]]:
     """Committed snapshots as (name, commit_time_ns), oldest first.
     Markers are written only after the delta publish, so this list is
-    exactly the committed history; mtime_ns ordering (name tie-break)
-    is the commit order — batches are single-writer serialized."""
+    exactly the committed history. Commit ORDER is the sequence number
+    persisted INSIDE each marker (Iceberg stores commit order in
+    metadata content for the same reason): filesystem mtimes are NOT
+    durable order — cp/rsync/tar/object-store syncs rewrite them and
+    would silently scramble which deltas read_snapshot/read_changes
+    merge (r14 advice). Legacy markers (empty files from before
+    sequencing) sort before every sequenced marker, ordered by mtime
+    among themselves — all of them predate the upgrade, so the group
+    ordering is exact. Ties break on numeric ``b<id>`` parse, never
+    raw string compare (b10 vs b2)."""
     applied = os.path.join(path, "_applied")
     if not os.path.isdir(applied):
         return []
-    entries = [
-        (d, os.stat(os.path.join(applied, d)).st_mtime_ns)
-        for d in os.listdir(applied)
-    ]
-    return sorted(entries, key=lambda e: (e[1], e[0]))
+    entries = []
+    for d in os.listdir(applied):
+        p = os.path.join(applied, d)
+        meta = _marker_meta(p)
+        if meta is None:
+            ts = os.stat(p).st_mtime_ns
+            key = (0, ts, _marker_tiebreak(d))
+        else:
+            seq, ts = meta
+            key = (1, seq, _marker_tiebreak(d))
+        entries.append((key, d, ts))
+    entries.sort(key=lambda e: e[0])
+    return [(d, ts) for _, d, ts in entries]
 
 
 def _base_covers(path: str) -> dict:
@@ -553,6 +644,7 @@ def read_changes(
     path: str,
     after: str | None,
     until: str | None = None,
+    schema=None,
 ) -> DataFrame:
     """Incremental read — Iceberg's incremental-scan face: the RAW
     delta rows committed strictly AFTER snapshot ``after`` (exclusive;
@@ -565,7 +657,14 @@ def read_changes(
     read_merged does. ``after`` must still be delta-addressable (at or
     after the compaction watermark) or its boundary is gone:
     SnapshotExpiredError, same contract as read_snapshot; an expired
-    consumer falls back to a full read_merged refresh."""
+    consumer falls back to a full read_merged refresh.
+
+    ``schema`` (optional) types the empty frame when the window is
+    empty AND the store holds no files to infer from — the bootstrap
+    read of a consumer polling before the first batch commits.
+    Without it, that case raises ValueError (not a bare iterator
+    error) so the caller knows the store is empty rather than merely
+    quiet (r14 advice)."""
     _recover_append_store(path)
     order = _snapshot_order(path)
     names = [name for name, _ in order]
@@ -598,6 +697,16 @@ def read_changes(
             f" (watermark {watermark!r})"
         )
     if not wanted:
+        if not has_base and not deltas:
+            # never-written store: nothing to infer a schema from
+            if schema is not None:
+                return spark.createDataFrame([], schema)
+            raise ValueError(
+                f"append_merge_parquet store at {path!r} is empty (no"
+                " committed batches, no base); pass schema= for a"
+                " typed empty frame, or bootstrap after the first"
+                " commit"
+            )
         # empty-but-typed frame: schema from any surviving dir
         any_dir = os.path.join(
             gen_dir, "base" if has_base else next(iter(deltas))

@@ -301,3 +301,80 @@ def test_stream_changes_never_redelivers_compacted_base(spark, tmp_path):
     assert sorted(seen) == sorted(
         [("key_1", 1), ("shared", 1), ("key_2", 2), ("shared", 2)]
     )
+
+
+def test_commit_order_survives_mtime_scramble(spark, tmp_path):
+    """r14 advice (medium): commit order must live in marker CONTENT,
+    not filesystem mtimes — a cp/rsync/tar/backup-restore rewrites
+    mtimes and a mtime-ordered history silently merges the wrong delta
+    subset. Scramble every marker's mtime (reverse order, then all
+    equal) and the snapshot history must not move."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import read_changes
+
+    table = str(tmp_path / "t")
+    n = 12  # past b9 so lexicographic order (b10 < b2) would misorder
+    for i in range(1, n + 1):
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=100, batch_id=i
+        )
+    expect = [f"b{i}" for i in range(1, n + 1)]
+    applied = str(tmp_path / "t" / "_applied")
+
+    # reversed mtimes: newest commit gets the oldest timestamp
+    for j, name in enumerate(expect):
+        t = 1_000_000_000 + (n - j) * 60
+        os.utime(os.path.join(applied, name), (t, t))
+    assert [s["snapshot_id"] for s in list_snapshots(table)] == expect
+
+    # coarse clock: every marker shares one mtime
+    for name in expect:
+        os.utime(os.path.join(applied, name), (1_000_000_000, 1_000_000_000))
+    assert [s["snapshot_id"] for s in list_snapshots(table)] == expect
+    # the windowed incremental read still selects the RIGHT deltas
+    got = {
+        (r.k, r.n) for r in read_changes(spark, table, "b10", "b11").collect()
+    }
+    assert got == {("key_11", 11), ("shared", 11)}
+    # time travel unaffected too
+    assert _state(spark, table, "b2") == _expect(2)
+
+
+def test_legacy_empty_markers_order_numerically_on_tied_mtime(spark, tmp_path):
+    """Pre-sequencing stores have EMPTY markers; on a coarse-clock
+    filesystem two can share an mtime, where a raw string tie-break
+    misorders b10 before b2. The legacy fallback must tie-break on the
+    numeric b<id> parse."""
+    import os
+
+    table = str(tmp_path / "t")
+    for i in (1, 2, 10, 11):
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=100, batch_id=i
+        )
+    applied = str(tmp_path / "t" / "_applied")
+    for name in os.listdir(applied):
+        # truncate to the legacy empty-marker form and tie the mtimes
+        open(os.path.join(applied, name), "w").close()
+        os.utime(os.path.join(applied, name), (1_000_000_000, 1_000_000_000))
+    assert [s["snapshot_id"] for s in list_snapshots(table)] == [
+        "b1",
+        "b2",
+        "b10",
+        "b11",
+    ]
+
+
+def test_read_changes_empty_store(spark, tmp_path):
+    """r14 advice (low): a consumer bootstrapping before the first
+    commit must get a clear signal, not a bare StopIteration — a
+    ValueError without a schema, a typed empty frame with one."""
+    from oil_wells_data_wrangling_spark.sources.sinks import read_changes
+
+    table = str(tmp_path / "never_written")
+    with pytest.raises(ValueError, match="empty"):
+        read_changes(spark, table, None)
+    empty = read_changes(spark, table, None, schema="k string, n long")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "n"]

@@ -391,3 +391,43 @@ def test_append_merge_parquet_torn_delta_replaced(spark, tmp_path):
         if f == "part-junk.parquet"
     ]
     assert not junk  # wholesale replacement, not overlay
+
+
+def test_merge_parquet_partitioned_single_batch_scan_for_touched(
+    spark, tmp_path
+):
+    """r14 advice (low): the touched-partition values and their
+    directory-name renderings must come from ONE collect over
+    batch_df, not two — the batch lineage is un-checkpointed, so every
+    extra collect re-runs it. An accumulator-counting UDF in the batch
+    lineage observes exactly two materializations: the combined
+    touched collect and the merge's eager localCheckpoint (the write
+    and the kept-partition sweep reuse the checkpoint)."""
+    from pyspark.sql.types import IntegerType
+
+    from oil_wells_data_wrangling_spark.sources.sinks import (
+        merge_parquet_partitioned,
+    )
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def counted(n):
+        acc.add(1)
+        return n
+
+    count_udf = F.udf(counted, IntegerType())
+    rows = [("a", 0, 1), ("b", 1, 1), ("c", None, 1)]
+    # the UDF computes the PARTITION column, so no projection of the
+    # batch can prune it — every batch materialization counts
+    batch = spark.createDataFrame(
+        rows, "k string, pk int, n long"
+    ).withColumn("pk", count_udf(F.col("pk")))
+
+    def agg_merge(df):
+        return df.groupBy("k", "pk").agg(F.sum("n").cast("bigint").alias("n"))
+
+    touched = merge_parquet_partitioned(
+        batch, str(tmp_path / "t"), agg_merge, "pk"
+    )
+    assert sorted(touched, key=lambda v: (v is None, v)) == [0, 1, None]
+    assert acc.value == 2 * len(rows)
