@@ -316,6 +316,7 @@ def append_merge_parquet(
     merge: Callable[[DataFrame], DataFrame],
     compact_every: int | None = 8,
     batch_id=None,
+    min_retained_batches: int = 0,
 ) -> bool:
     """LSM-style MERGE-ON-READ state table — the honest O(batch)
     shape for hash-keyed streaming state: each batch APPENDS its delta
@@ -357,6 +358,20 @@ def append_merge_parquet(
     pruning overhead (measured: 1.4–2.7× slower at every scale on the
     stream_cdc/stream_crawl workloads). Merge-on-read is exactly the
     Delta/Iceberg MOR + deletion-vector posture, in plain parquet.
+
+    ``min_retained_batches`` is the retention guard for incremental
+    consumers (the Iceberg expire-vs-lagging-consumer race, r14
+    verdict): compaction folds only deltas OLDER than the newest N —
+    those N survive as delta dirs, so a ``read_changes`` /
+    ``stream_changes`` subscriber lagging by up to N committed batches
+    still finds every un-consumed delta instead of hitting
+    ``SnapshotExpiredError`` (or, for the file-source stream, silently
+    losing folded batches). Set it to the consumer's worst-case lag in
+    batches (a compaction that would leave nothing to fold is skipped
+    entirely). 0 keeps the original fold-everything behavior; the
+    bounded cost is N extra delta dirs copied per compaction and N
+    more dirs per merged read — the same read-amplification currency
+    compact_every already prices.
 
     Returns True when this call compacted. Single-writer (foreachBatch
     serializes batches; concurrent writers need a table format's log).
@@ -420,8 +435,32 @@ def append_merge_parquet(
     n = len(os.listdir(applied))
     if n % compact_every != 0:
         return False
+    # Retention guard: the newest min_retained_batches committed
+    # deltas stay OUT of the fold so lagging incremental consumers can
+    # still read them (docstring). Order is the marker-content commit
+    # order, so "newest" is exact even after a backup round-trip.
+    order_names = [name for name, _ in _snapshot_order(path)]
+    present = {
+        d
+        for d in os.listdir(gen_dir)
+        if not d.startswith(("_", ".")) and d != "base"
+    }
+    present_in_order = [nm for nm in order_names if nm in present]
+    retained = (
+        present_in_order[-min_retained_batches:]
+        if min_retained_batches > 0
+        else []
+    )
+    fold = [nm for nm in present_in_order if nm not in retained]
+    if not fold:
+        return False  # everything inside the retention window
+    fold_dirs = [os.path.join(gen_dir, nm) for nm in fold]
+    if os.path.isdir(os.path.join(gen_dir, "base")):
+        fold_dirs.insert(0, os.path.join(gen_dir, "base"))
     compacted = merge(
-        spark.read.option("recursiveFileLookup", "true").option("mergeSchema", "true").parquet(gen_dir)
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(*fold_dirs)
     )
     staging = os.path.join(path, f".compact-{uuid.uuid4().hex[:8]}")
     compacted.write.parquet(os.path.join(staging, "base"))
@@ -432,9 +471,18 @@ def append_merge_parquet(
     # staging swap (no new crash window), and is replaced wholesale by
     # the next compaction. covers[-1] is the watermark: the base IS
     # the state as-of that snapshot; anything older is expired.
-    covers = [name for name, _ in _snapshot_order(path)]
+    # Retained deltas are NOT covered — they stay readable as deltas.
+    covers = [nm for nm in order_names if nm not in retained]
     with open(os.path.join(staging, "base", ".covers"), "w") as fh:
         json.dump({"covers": covers, "watermark": covers[-1]}, fh)
+    # Retained deltas ride the same atomic swap: COPIED (not moved)
+    # into staging so a crash before the swap loses only the staging
+    # dir — the live log is untouched until the single os.replace
+    # publish; the copy cost is bounded by the retention window.
+    for nm in retained:
+        shutil.copytree(
+            os.path.join(gen_dir, nm), os.path.join(staging, nm)
+        )
     old = os.path.join(path, f".old-{uuid.uuid4().hex[:8]}")
     os.replace(gen_dir, old)
     os.replace(staging, gen_dir)
@@ -733,9 +781,14 @@ def stream_changes(spark: SparkSession, path: str, schema) -> DataFrame:
     the compaction cadence LOSES the batches folded before it listed
     them — the file source never saw those delta files. Safe postures:
     (a) a pure changelog store (``compact_every=None`` — history never
-    folds; bound the log by retention jobs instead), or (b) a
+    folds; bound the log by retention jobs instead), (b) a
     compacting store where the subscriber provably keeps up (e.g. the
-    same foreachBatch that writes also consumes). A late joiner on a
+    same foreachBatch that writes also consumes), or (c) a compacting
+    store written with ``min_retained_batches`` at least the
+    subscriber's worst-case lag in batches — the retention guard keeps
+    that many newest deltas out of every fold, so the race is
+    unlosable within the bound (enforced, not just stated). A late
+    joiner on a
     compacting store bootstraps with ``read_merged`` and subscribes
     from then on. ``schema`` is required (streaming file sources don't
     infer); pass the delta schema, widened if the store evolved."""

@@ -378,3 +378,79 @@ def test_read_changes_empty_store(spark, tmp_path):
     empty = read_changes(spark, table, None, schema="k string, n long")
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ["k", "n"]
+
+
+def test_lagging_consumer_survives_compaction_with_retention(spark, tmp_path):
+    """r14 verdict item 4: min_retained_batches keeps the newest N
+    deltas OUT of the compaction fold, so an incremental consumer
+    lagging by up to N batches still reads its window instead of
+    SnapshotExpiredError. The fold still happens (base advances), the
+    merged state is unchanged, and anything older than the watermark
+    still expires."""
+    import os
+
+    from oil_wells_data_wrangling_spark.sources.sinks import read_changes
+
+    table = str(tmp_path / "t")
+    # consumer checkpointed at b4; batch 6 triggers compaction
+    for i in range(1, 7):
+        append_merge_parquet(
+            _batch(spark, i),
+            table,
+            _sum_merge,
+            compact_every=6,
+            batch_id=i,
+            min_retained_batches=2,
+        )
+    # compaction ran: base exists, and EXACTLY the newest two deltas
+    # (b5, b6) survived the fold
+    deltas = {
+        d
+        for d in os.listdir(os.path.join(table, "_deltas"))
+        if not d.startswith((".", "_"))
+    }
+    assert deltas == {"base", "b5", "b6"}
+    # the lagging consumer (last saw b4 = the watermark) catches up
+    got = {(r.k, r.n) for r in read_changes(spark, table, "b4").collect()}
+    assert got == {
+        ("key_5", 5),
+        ("shared", 5),
+        ("key_6", 6),
+        ("shared", 6),
+    }
+    # a consumer inside the retained window also works (after=b5)
+    got5 = {(r.k, r.n) for r in read_changes(spark, table, "b5").collect()}
+    assert got5 == {("key_6", 6), ("shared", 6)}
+    # merged state is the full six-batch fold regardless of retention
+    state = {
+        (r.k, r.n) for r in read_merged(spark, table, _sum_merge).collect()
+    }
+    assert state == _expect(6)
+    # pre-watermark history is still expired, same contract as before
+    with pytest.raises(SnapshotExpiredError):
+        read_changes(spark, table, "b2")
+    # snapshot listing: b1-b3 expired, b4 is the watermark, b5/b6 live
+    retained = {
+        s["snapshot_id"]: s["retained"] for s in list_snapshots(table)
+    }
+    assert retained == {
+        "b1": False,
+        "b2": False,
+        "b3": False,
+        "b4": True,
+        "b5": True,
+        "b6": True,
+    }
+    # a compaction whose fold would be EMPTY is skipped outright
+    table2 = str(tmp_path / "t2")
+    for i in (1, 2):
+        compacted = append_merge_parquet(
+            _batch(spark, i),
+            table2,
+            _sum_merge,
+            compact_every=2,
+            batch_id=i,
+            min_retained_batches=2,
+        )
+    assert compacted is False
+    assert not os.path.isdir(os.path.join(table2, "_deltas", "base"))
