@@ -31,6 +31,9 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from oil_wells_data_wrangling_spark.sources.pathutil import local_path
 
@@ -477,11 +480,120 @@ def payload_charset_unhandled(content_type: str = "content_type"):
     mojibake for multi-byte encodings). Pipelines select this column
     alongside the text to QUARANTINE or count affected rows instead
     of silently feeding mojibake into token/quality/dedup stats.
-    Pure codegen; same charset extraction as payload_text."""
+    Pure codegen; same charset extraction as payload_text.
+
+    ``decode_payload_text`` (below) decodes the top multi-byte
+    families for real; use ITS narrowed flag when you take that path —
+    this one keeps flagging them because ``payload_text`` alone still
+    mojibakes them."""
     cs = _declared_charset(content_type)
     return (
         ~cs.isin(*(_UTF8ISH + _LATIN1ISH))
     ).alias("charset_unhandled")
+
+
+# Top multi-byte legacy families seen in volume in real CommonCrawl
+# (r14 verdict item 5), mapped declared-label -> stdlib codec. Codec
+# choices follow the WHATWG encoding spec's label folding, which is
+# what browsers did to the bytes these archives captured: shift_jis
+# labels mean the windows-31j superset (cp932), euc-kr means the
+# windows-949 superset (cp949), the gb* family folds into the gb18030
+# superset (strict superset of gbk/gb2312 — every gbk byte sequence
+# decodes identically), big5-hkscs is kept distinct from plain big5.
+# utf-16/32 are here too: Spark's JVM decode() handles them only with
+# a session-global legacy conf on malformed input, while the Arrow
+# path is total (errors='replace') with BOM handling. All stdlib — no
+# new dependencies.
+_MULTIBYTE_CODECS = {
+    "shift_jis": "cp932", "shift-jis": "cp932", "sjis": "cp932",
+    "x-sjis": "cp932", "windows-31j": "cp932", "cp932": "cp932",
+    "ms_kanji": "cp932",
+    "gbk": "gb18030", "gb2312": "gb18030", "gb-2312": "gb18030",
+    "x-gbk": "gb18030", "gb18030": "gb18030", "chinese": "gb18030",
+    "csgb2312": "gb18030",
+    "big5": "big5", "big-5": "big5", "csbig5": "big5",
+    "big5-hkscs": "big5hkscs",
+    "euc-kr": "cp949", "euc_kr": "cp949", "cseuckr": "cp949",
+    "ks_c_5601-1987": "cp949", "ksc5601": "cp949", "korean": "cp949",
+    "cp949": "cp949", "uhc": "cp949",
+    "euc-jp": "euc_jp", "euc_jp": "euc_jp", "cseucpkdfmtjapanese":
+    "euc_jp",
+    "iso-2022-jp": "iso2022_jp", "csiso2022jp": "iso2022_jp",
+    "utf-16": "utf-16", "utf16": "utf-16",
+    "utf-16le": "utf-16-le", "utf-16be": "utf-16-be",
+    "utf-32": "utf-32", "utf-32le": "utf-32-le",
+    "utf-32be": "utf-32-be",
+}
+
+
+@pandas_udf(StringType())  # concrete type: a DDL string would need a
+# live session at import time
+def _decode_multibyte(payload: pd.Series, charset: pd.Series) -> pd.Series:
+    """Arrow-batched total decode for the _MULTIBYTE_CODECS families:
+    stdlib codecs with errors='replace' (U+FFFD, never a raised
+    exception — same posture as make_valid_utf8 on the JVM path).
+    Only ever invoked on rows whose declared charset is in the map;
+    an unexpected label degrades to the Latin-1 total fallback rather
+    than None so the column stays total."""
+    out = []
+    for raw, label in zip(payload, charset):
+        if raw is None:
+            out.append(None)
+            continue
+        codec = _MULTIBYTE_CODECS.get(label)
+        b = bytes(raw)
+        if codec is None:
+            out.append(b.decode("iso-8859-1"))
+        else:
+            out.append(b.decode(codec, errors="replace"))
+    return pd.Series(out, dtype="object")
+
+
+def decode_payload_text(
+    df: DataFrame,
+    payload: str = "payload",
+    content_type: str = "content_type",
+    text_col: str = "text",
+    flag_col: str = "charset_unhandled",
+) -> DataFrame:
+    """Charset-aware payload decode with REAL multi-byte support (r14
+    verdict item 5) — the DataFrame-level face of ``payload_text``:
+    adds ``text_col`` (total decode, never null for non-null payloads)
+    and ``flag_col`` (TRUE only for declared charsets outside ALL
+    handled families — the rows still worth quarantining).
+
+    Routing is a filter-split-union so each family takes its honest
+    physical path at scale: UTF-8ish and Latin-1ish rows (the
+    overwhelming majority of any real crawl) stay on payload_text's
+    whole-stage-codegen JVM expressions — zero Python, zero Arrow
+    transfer; only rows DECLARING a multi-byte family (shift_jis /
+    gb* / big5 / euc-kr / euc-jp / iso-2022-jp / utf-16/32) cross to
+    the Arrow-batched stdlib-codec decode. Both legs prune on the
+    same codegen charset predicate, so a parquet-backed source scans
+    twice but pushes the split down; the union is by-name and adds no
+    shuffle. (A when/otherwise over a Python UDF would instead pull
+    EVERY row through Arrow — Spark evaluates extracted Python UDFs
+    unconditionally — which is exactly the scale trap this avoids.)
+
+    The leftover ``flag_col`` quarantine set (EBCDIC dialects, KOI8,
+    TIS-620, junk labels …) keeps the Latin-1 total fallback, same as
+    payload_text."""
+    cs = _declared_charset(content_type)
+    multibyte = cs.isin(*_MULTIBYTE_CODECS)
+    unhandled = (~cs.isin(*(_UTF8ISH + _LATIN1ISH)) & ~multibyte).alias(
+        flag_col
+    )
+    fast = df.filter(~multibyte).select(
+        "*",
+        payload_text(payload, content_type).alias(text_col),
+        unhandled,
+    )
+    slow = df.filter(multibyte).select(
+        "*",
+        _decode_multibyte(F.col(payload), cs).alias(text_col),
+        F.lit(False).alias(flag_col),
+    )
+    return fast.unionByName(slow)
 
 
 def surt(url: str | None) -> str:

@@ -43,6 +43,7 @@ from oil_wells_data_wrangling_spark.operators.webtable import (  # noqa: E402
 )
 from oil_wells_data_wrangling_spark.session import get_spark  # noqa: E402
 from oil_wells_data_wrangling_spark.sources.warc import (  # noqa: E402
+    decode_payload_text,
     payload_text,
     read_warc,
 )
@@ -136,15 +137,33 @@ def build_archive(arch_dir: str) -> dict:
          "text/html; charset=ISO-8859-1"),
         ("http://legacy.example/cp1252.html", cp1252_body,
          "text/html; charset=windows-1252"),
-        # multi-byte legacy charset OUTSIDE the handled families: the
-        # decode must stay total (Latin-1 fallback) and the row must
-        # carry the payload_charset_unhandled quarantine flag (r13
-        # advice — these are common in real archives, not rare)
+        # multi-byte legacy charsets, IN VOLUME in real CommonCrawl
+        # (r14 verdict item 5): decode_payload_text's Arrow stdlib-
+        # codec leg decodes these for REAL; payload_text alone still
+        # Latin-1-mojibakes them and its broad quarantine flag still
+        # marks them — both contracts asserted downstream
         ("http://legacy.example/sjis.html",
          ("<html><body><p>石油の井戸データ" + readme.decode(
              "utf-8", "replace")[:120] + "</p></body></html>"
           ).encode("shift_jis", "replace"),
          "text/html; charset=Shift_JIS"),
+        ("http://legacy.example/gbk.html",
+         ("<html><body><p>油井数据测试 — 真实的钻井记录。" + header_csv.decode(
+             "utf-8", "replace")[:120] + "</p></body></html>"
+          ).encode("gbk", "replace"),
+         "text/html; charset=GBK"),
+        ("http://legacy.example/euckr.html",
+         ("<html><body><p>유정 데이터 시험 — 실제 시추 기록." + readme.decode(
+             "utf-8", "replace")[:120] + "</p></body></html>"
+          ).encode("cp949", "replace"),
+         "text/html; charset=EUC-KR"),
+        # genuinely UNDECODED single-byte legacy charset: stays on the
+        # Latin-1 total fallback and keeps the narrowed quarantine
+        # flag even through decode_payload_text
+        ("http://legacy.example/koi8.html",
+         ("<html><body><p>Нефтяная скважина — данные испытаний."
+          "</p></body></html>").encode("koi8_r", "replace"),
+         "text/html; charset=KOI8-R"),
         ("http://wells.example/marker.png", png, "image/png"),  # binary
     ]
     plain = b""
@@ -268,12 +287,41 @@ def main() -> None:
         F.col("target_uri") == "http://legacy.example/cp1252.html"
     ).collect()[0]
     assert "�" not in cp.text
-    lines += ["## Charset decode (payload_text)", "",
+    # multi-byte contract (r14 verdict item 5): the DataFrame-level
+    # decode_payload_text routes declared-multibyte rows through the
+    # Arrow stdlib-codec leg — the CJK pages decode INTACT, and only
+    # the genuinely-unhandled KOI8-R page keeps the narrowed flag
+    mb = {
+        r.target_uri: r
+        for r in decode_payload_text(texty)
+        .select("target_uri", "text", "charset_unhandled")
+        .filter(F.col("target_uri").startswith("http://legacy.example/"))
+        .collect()
+    }
+    assert "石油の井戸データ" in mb["http://legacy.example/sjis.html"].text
+    assert "油井数据测试" in mb["http://legacy.example/gbk.html"].text
+    assert "유정 데이터 시험" in mb["http://legacy.example/euckr.html"].text
+    assert not any(
+        "\N{REPLACEMENT CHARACTER}" in mb[u].text
+        for u in (
+            "http://legacy.example/sjis.html",
+            "http://legacy.example/gbk.html",
+            "http://legacy.example/euckr.html",
+        )
+    )
+    narrowed = {u for u, r in mb.items() if r.charset_unhandled}
+    assert narrowed == {"http://legacy.example/koi8.html"}, narrowed
+    lines += ["## Charset decode (payload_text + decode_payload_text)", "",
               f"- latin1.html: accents decoded intact ('Café résumé "
               f"naïve' present); a blind UTF-8 cast would have produced "
               f"{n_repl_blind} U+FFFD replacements in this page alone",
               "- cp1252.html: declared windows-1252 routed through the "
-              "total Latin-1 decode, zero replacement chars", ""]
+              "total Latin-1 decode, zero replacement chars",
+              "- sjis/gbk/euckr pages: decoded INTACT via the Arrow "
+              "stdlib-codec leg (decode_payload_text) — zero U+FFFD in "
+              "any of the three CJK bodies",
+              "- koi8.html: outside every handled family — Latin-1 "
+              "total fallback, narrowed charset_unhandled flag kept", ""]
 
     # quality gate at >=5 tokens: REAL navigation pages are text-light
     # (the reference's actual index.html strips to 6 tokens, map.html

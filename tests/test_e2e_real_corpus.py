@@ -137,10 +137,11 @@ def test_charset_contracts_on_real_pages(spark, corpus):
 
 
 def test_unhandled_charset_flagged_for_quarantine(corpus):
-    """r13 advice on real-shaped bytes: the Shift_JIS page decodes
-    TOTALLY (Latin-1 fallback — mojibake, never a crash) and is the
-    ONLY row payload_charset_unhandled marks; pipelines quarantine on
-    the flag instead of silently ingesting the mojibake."""
+    """r13 advice on real-shaped bytes: every declared-non-Latin-1/
+    UTF-8 page decodes TOTALLY through payload_text (mojibake, never a
+    crash) and payload_charset_unhandled's BROAD flag marks exactly
+    those rows — the contract for pipelines using the codegen-only
+    column; decode_payload_text's narrowed flag is tested below."""
     from oil_wells_data_wrangling_spark.sources.warc import (
         payload_charset_unhandled,
     )
@@ -151,7 +152,45 @@ def test_unhandled_charset_flagged_for_quarantine(corpus):
     rows = {r.target_uri: r for r in flagged.collect()}
     assert all(r.text is not None for r in rows.values())  # total decode
     marked = {u for u, r in rows.items() if r.charset_unhandled}
-    assert marked == {"http://legacy.example/sjis.html"}
+    assert marked == {
+        "http://legacy.example/sjis.html",
+        "http://legacy.example/gbk.html",
+        "http://legacy.example/euckr.html",
+        "http://legacy.example/koi8.html",
+    }
+
+
+def test_multibyte_charsets_decode_for_real(corpus):
+    """r14 verdict item 5 on real-shaped bytes: shift_jis / gbk /
+    euc-kr pages decode INTACT through decode_payload_text's Arrow
+    stdlib-codec leg (zero U+FFFD in the CJK bodies), and the narrowed
+    quarantine flag marks ONLY the genuinely-unhandled KOI8-R page —
+    which still decodes totally via the Latin-1 fallback."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        decode_payload_text,
+    )
+
+    rows = {
+        r.target_uri: r
+        for r in decode_payload_text(corpus["texty"])
+        .select("target_uri", "text", "charset_unhandled")
+        .filter(F.col("target_uri").startswith("http://legacy.example/"))
+        .collect()
+    }
+    assert "石油の井戸データ" in rows["http://legacy.example/sjis.html"].text
+    assert "油井数据测试" in rows["http://legacy.example/gbk.html"].text
+    assert (
+        "유정 데이터 시험" in rows["http://legacy.example/euckr.html"].text
+    )
+    for u in (
+        "http://legacy.example/sjis.html",
+        "http://legacy.example/gbk.html",
+        "http://legacy.example/euckr.html",
+    ):
+        assert "\N{REPLACEMENT CHARACTER}" not in rows[u].text
+    marked = {u for u, r in rows.items() if r.charset_unhandled}
+    assert marked == {"http://legacy.example/koi8.html"}
+    assert rows["http://legacy.example/koi8.html"].text is not None
 
 
 def test_exact_dup_detected_on_real_pages(corpus):

@@ -841,3 +841,81 @@ def test_payload_charset_unhandled_flag(spark):
     # the decode itself stays TOTAL on flagged rows — quarantine is
     # the pipeline's choice, not forced
     assert all(r.text is not None for r in out)
+
+
+def test_decode_payload_text_multibyte_families(spark):
+    """r14 verdict item 5: the top multi-byte legacy families decode
+    for REAL through the Arrow stdlib-codec leg (WHATWG label folding:
+    shift_jis->cp932, euc-kr->cp949, gb*->gb18030), the UTF-8/Latin-1
+    majority stays on the JVM codegen leg, and only genuinely
+    undecodable declarations keep the quarantine flag."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        decode_payload_text,
+    )
+
+    rows = [
+        # JVM fast path
+        ("id0", "héllo utf8".encode(), "text/html; charset=utf-8"),
+        ("id1", b"caf\xe9 latin1", "text/html; charset=ISO-8859-1"),
+        # genuine multi-byte bodies, one per family
+        ("id2", "日本語テスト".encode("cp932"),
+         "text/html; charset=Shift_JIS"),
+        ("id3", "中文测试".encode("gb18030"),
+         "text/html; charset=GB2312"),
+        ("id4", "中文測試".encode("big5"), "text/html; charset=Big5"),
+        ("id5", "한국어 시험".encode("cp949"),
+         'text/html; charset="EUC-KR"'),
+        ("id6", "日本語えぅc".encode("euc_jp"),
+         "text/plain; charset=euc-jp"),
+        ("id7", "utf16 тест".encode("utf-16"),
+         "application/json; charset=UTF-16"),
+        # malformed bytes under a multi-byte declaration (dangling
+        # cp932 lead byte): replaced, never raised (total decode)
+        ("id8", b"\x83\x65 ok \x82", "text/html; charset=sjis"),
+        # still-unhandled declaration -> flagged, Latin-1 fallback
+        ("id9", b"caf\xe9 koi8", "text/html; charset=KOI8-R"),
+    ]
+    df = spark.createDataFrame(
+        rows, "id string, payload binary, content_type string"
+    )
+    out = {
+        r.id: (r.text, r.charset_unhandled)
+        for r in decode_payload_text(df).collect()
+    }
+    assert len(out) == 10  # split-union loses no rows
+    assert out["id0"] == ("héllo utf8", False)
+    assert out["id1"] == ("café latin1", False)
+    assert out["id2"] == ("日本語テスト", False)
+    assert out["id3"] == ("中文测试", False)
+    assert out["id4"] == ("中文測試", False)
+    assert out["id5"] == ("한국어 시험", False)
+    assert out["id6"] == ("日本語えぅc", False)
+    assert out["id7"] == ("utf16 тест", False)
+    assert out["id8"][0].startswith("テ ok ")  # cp932 lead byte pair
+    assert "�" in out["id8"][0] and out["id8"][1] is False
+    assert out["id9"] == ("café koi8", True)  # quarantined, total
+
+
+def test_decode_payload_text_plan_split(spark):
+    """Scale posture of the split-union: the JVM leg contains NO
+    Python/Arrow evaluation node and the Arrow leg prunes to the
+    declared-multibyte predicate — a when/otherwise over the UDF
+    would instead drag every row through Arrow."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        decode_payload_text,
+    )
+
+    df = spark.createDataFrame(
+        [(b"x", "text/html; charset=utf-8")],
+        "payload binary, content_type string",
+    )
+    plan = (
+        decode_payload_text(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one Arrow evaluation node, on the filtered slow leg only
+    assert plan.count("ArrowEvalPython") == 1
+    union_branches = plan.split("Union")[-1]
+    assert "ArrowEvalPython" in union_branches
