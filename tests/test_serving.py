@@ -348,3 +348,80 @@ def test_wsgi_application_parity_with_http_tier(spark, sf_dir, tmp_path):
         del os.environ["OWDW_EXPORT_DIR"]
     assert status_box == ["200 OK"]
     assert len(json.loads(body)) == len(want)
+
+
+def test_band_fetch_reads_exactly_one_partitions_files(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r14 verdict item 10: the viewport (?band=) fetch must READ only
+    the one partition directory, not walk-and-filter — tracked by
+    shadowing the serving module's open() and comparing against the
+    band directory's exact file inventory."""
+    import os
+
+    from oil_wells_data_wrangling_spark import serving
+
+    pos = with_coordinates(load_tables(spark, sf_dir).supplier).withColumn(
+        "band", (F.col("cell_lat") / 30).cast("int")
+    )
+    export = pos.drop("cell_lat", "cell_lon")
+    path = str(tmp_path / "wells_json")
+    export_json(export, path, partition_col="band")
+    bands = sorted(r.band for r in export.select("band").distinct().collect())
+    assert len(bands) > 1  # pruning is only meaningful with siblings
+    band = bands[0]
+
+    opened: list[str] = []
+    real_open = open
+
+    def tracking_open(p, *a, **k):
+        opened.append(str(p))
+        return real_open(p, *a, **k)
+
+    # module-global shadows the builtin inside _iter_json_rows only
+    monkeypatch.setattr(serving, "open", tracking_open, raising=False)
+    rows = list(serving._iter_json_rows(path, ("band", str(band))))
+    assert rows and all(str(r["band"]) == str(band) for r in rows)
+
+    band_dir = os.path.join(path, f"band={band}")
+    expected = {
+        os.path.join(band_dir, fn)
+        for fn in os.listdir(band_dir)
+        if fn.startswith("part-") and fn.endswith(".json")
+    }
+    assert expected, "partition dir unexpectedly empty"
+    assert set(opened) == expected  # one partition's files, nothing else
+
+
+def test_export_layout_pruning_proof_via_footers(spark, sf_dir, tmp_path):
+    """r14 verdict item 10, footer half: a parquet rendering of the
+    SAME serving layout (range-clustered on the band key) carries the
+    pruning proof in its row-group footers — pruning_report reads
+    zero overlaps and a band point-predicate maps to exactly one
+    file, which is the statistics-level statement of 'the viewport
+    fetch is a one-partition read' that holds at any scale."""
+    from oil_wells_data_wrangling_spark.sources.parquet_meta import (
+        pruning_report,
+    )
+
+    pos = with_coordinates(load_tables(spark, sf_dir).supplier).withColumn(
+        "band", (F.col("cell_lat") / 30).cast("int")
+    )
+    export = pos.drop("cell_lat", "cell_lon")
+    bands = sorted(r.band for r in export.select("band").distinct().collect())
+    pq = str(tmp_path / "wells_pq")
+    # range-clustered companion: contiguous band ranges per file (the
+    # band column stays IN the files, so footers carry its min/max)
+    export.repartitionByRange(len(bands), "band").write.parquet(pq)
+
+    rep = pruning_report(spark, pq, "band", cast="bigint").collect()
+    assert len(rep) > 1
+    assert all(not r.overlaps_any for r in rep)  # disjoint key ranges
+    for band in bands:
+        covering = [
+            r.file
+            for r in rep
+            if r.min_value is not None
+            and r.min_value <= band <= r.max_value
+        ]
+        assert len(covering) == 1, (band, covering)
