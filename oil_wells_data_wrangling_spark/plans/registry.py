@@ -143,6 +143,29 @@ def headline_queries() -> dict[str, QueryFn]:
 # replacement) but the 250 cap is absolute — the rotation-invariant
 # test in tests/test_plans.py enforces the capacity math.
 #
+# ROUND-16 ROTATION, FORCED (recorded r15): the r16 window IS the r11
+# cohort — the 50 names whose latest green driver row is round 11
+# (CORRECTNESS_r15 re-greens the r10 cohort and cannot change this
+# set; re-derive from the committed CORRECTNESS_r*.json history as
+# tests/test_plans.py::_driver_row_history does to confirm):
+#   bloom_blocklist, curriculum_schedule, dp_mean_clipped,
+#   events_window_agg, fim_plan, fingerprint_diff, group_split,
+#   grpo_advantage, hard_negative_mining, hll_persist_incremental,
+#   hll_union_daily, html_table, idle_rich_customers,
+#   importance_resample, incremental_rollup, join_region_rollup,
+#   join_revenue_topn, json_props, kcenter_select,
+#   lang_mismatch_matrix, late_shipment_priority, license_classify,
+#   mix_balance, mm_audio_chunks, mm_caption_align, mm_frame_sample,
+#   mm_meta, mm_resize, moe_router_stats, mrl_recall_eval,
+#   neardup_incremental, pca_top_component, preference_bt,
+#   rarity_score, rrf_fusion, scd2_apply, scd2_attribution,
+#   secrets_scan, semdedup_clusters, soft_dedup_weights,
+#   stream_cdc_apply, stream_crawl_corpus, text_augment_plan,
+#   top_supplier_revenue, ulm_tokenize, ulm_train_steps,
+#   vocab_coverage, warc_dedup_digest, window_rank, window_running
+# The r16 builder's FIRST commit swaps _WINDOW_PRIORITY to exactly
+# this set (alphabetical), then depth + §2.E only.
+# ---------------------------------------------------------------------------
 # ROUND-15 ROTATION, FORCED (recorded r14): the registry is FROZEN at
 # 250 and every cohort from here is exactly 50 names, so each round's
 # window is fully determined — r15's window IS the r10 cohort (the 50
