@@ -454,3 +454,59 @@ def test_lagging_consumer_survives_compaction_with_retention(spark, tmp_path):
         )
     assert compacted is False
     assert not os.path.isdir(os.path.join(table2, "_deltas", "base"))
+
+
+def test_stream_changes_lagging_subscriber_saved_by_retention(
+    spark, tmp_path
+):
+    """The streaming half of the retention guard: the race the test
+    above documents (a lagging stream_changes subscriber LOSES batches
+    folded before it listed them) becomes unlosable when the writer
+    uses min_retained_batches >= the subscriber's lag — the retained
+    delta files survive the fold for the file source to discover."""
+    from oil_wells_data_wrangling_spark.sources.sinks import stream_changes
+
+    table = str(tmp_path / "t")
+    ckpt = str(tmp_path / "ckpt")
+    seen = []
+
+    def drain():
+        q = (
+            stream_changes(spark, table, "k string, n long")
+            .writeStream.foreachBatch(
+                lambda df, _bid: seen.extend(
+                    (r.k, r.n) for r in df.collect()
+                )
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    for i in (1, 2):
+        append_merge_parquet(
+            _batch(spark, i),
+            table,
+            _sum_merge,
+            compact_every=4,
+            batch_id=i,
+            min_retained_batches=2,
+        )
+    drain()  # consumed b1, b2
+    # b3 and b4 land while the subscriber lags; b4 triggers compaction
+    # which folds b1/b2 but RETAINS b3/b4 — the subscriber's window
+    for i in (3, 4):
+        append_merge_parquet(
+            _batch(spark, i),
+            table,
+            _sum_merge,
+            compact_every=4,
+            batch_id=i,
+            min_retained_batches=2,
+        )
+    drain()  # the lagging drain now FINDS b3/b4 instead of losing them
+    assert sorted(seen) == sorted(
+        [(f"key_{i}", i) for i in (1, 2, 3, 4)]
+        + [("shared", i) for i in (1, 2, 3, 4)]
+    )
