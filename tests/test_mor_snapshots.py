@@ -510,3 +510,38 @@ def test_stream_changes_lagging_subscriber_saved_by_retention(
         [(f"key_{i}", i) for i in (1, 2, 3, 4)]
         + [("shared", i) for i in (1, 2, 3, 4)]
     )
+
+
+def test_torn_marker_still_counts_as_committed(spark, tmp_path):
+    """A crash mid-marker-write leaves a torn (partial-JSON) marker;
+    the batch's delta was already published, so the marker must still
+    read as COMMITTED (legacy ordering path), never lost — and later
+    sequenced commits keep ordering after it."""
+    import os
+
+    table = str(tmp_path / "t")
+    for i in (1, 2):
+        append_merge_parquet(
+            _batch(spark, i), table, _sum_merge, compact_every=100, batch_id=i
+        )
+    # tear b2's marker: truncated JSON prefix (not valid, not empty)
+    marker = os.path.join(table, "_applied", "b2")
+    with open(marker, "w") as fh:
+        fh.write('{"seq": 1, "commi')
+    # still committed, still ordered after b1 (legacy group sorts
+    # before sequenced markers only when mixed with NEWER sequenced
+    # ones; here b1 is sequenced so b2-torn sorts first — the order
+    # check below is on the RE-SEQUENCED follow-up commits)
+    ids = {s["snapshot_id"] for s in list_snapshots(table)}
+    assert ids == {"b1", "b2"}
+    # the store still reads whole and exact
+    state = {
+        (r.k, r.n) for r in read_merged(spark, table, _sum_merge).collect()
+    }
+    assert state == _expect(2)
+    # a new commit sequences AFTER both and lands last in history
+    append_merge_parquet(
+        _batch(spark, 3), table, _sum_merge, compact_every=100, batch_id=3
+    )
+    order = [s["snapshot_id"] for s in list_snapshots(table)]
+    assert order[-1] == "b3" and set(order) == {"b1", "b2", "b3"}
