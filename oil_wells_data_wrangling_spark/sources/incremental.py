@@ -33,7 +33,17 @@ partial-agg plans as any MOR read, and appends O(batch) to the
 destination. Correctness contract, same as ``read_changes``: the
 changelog rows are the source's per-batch PARTIAL rollups, so
 ``view_merge`` must be associative over them (sums/counts/min/max
-rollups — anything that absorbs partials).
+rollups — anything that absorbs partials). One subtlety, caught by
+measurement (r15): any view GROUPING column must be stable per source
+key — a pure function of the key, or an attribute constant across
+deliveries of that key. Grouping by a batch-local attribute (e.g. a
+``min(lang)`` the source collapses per key ACROSS batches) attributes
+each delivery to its batch's value while a from-state rebuild
+attributes all of the key's history to the final collapsed value —
+the two grains legitimately disagree, so the bootstrap/full-refresh
+path (from state) and the incremental path (from deliveries) would
+drift. Additive measures (counts, sums) keyed by stable columns are
+always safe.
 
 Reference parity: the reference recomputes its well_info join from
 scratch on every load (pdf_to_db.py:202-244 re-upserts the full
