@@ -136,3 +136,34 @@ def test_spark_outputs_publish_together(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(root, "stats")).collect()
     }
     assert got == {(i, 100 // 7 + (1 if i < 100 % 7 else 0)) for i in range(7)}
+
+
+def test_publish_corpus_with_manifest_inside_the_transaction(
+    spark, tmp_path
+):
+    """Composition shape (r15): the corpus shards AND their integrity
+    manifest publish as ONE transaction — the manifest is written
+    inside the staged corpus before the commit point, so no reader
+    can ever see shards without their manifest (or a manifest naming
+    shards that aren't there), and verify_manifest reads clean on the
+    published final."""
+    from oil_wells_data_wrangling_spark.sources.manifest import (
+        verify_manifest,
+        write_manifest,
+    )
+
+    root = str(tmp_path / "pub")
+    df = spark.range(50).selectExpr("id", "cast(id * 2 as long) as v")
+
+    def corpus_writer(stage: str) -> None:
+        df.repartition(2).write.parquet(stage)
+        write_manifest(spark, stage, glob="*.parquet")
+
+    publish_atomic(root, {"corpus": corpus_writer})
+    final = os.path.join(root, "corpus")
+    statuses = {
+        r.status
+        for r in verify_manifest(spark, final, glob="*.parquet").collect()
+    }
+    assert statuses == {"ok"}
+    assert spark.read.parquet(final).count() == 50
