@@ -311,20 +311,41 @@ FROM lineitem
 
 @register("approx_distinct", oracle=_APPROX_DISTINCT_ORACLE)
 def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct estimate — the 100 TB path: no shuffle of the
+    """HyperLogLog distinct estimate — the 100 TB path: no shuffle of the
     distinct values themselves, constant-size sketch per partition.
 
     HLL estimates are engine-specific, so the contract is exact counts
-    plus booleans asserting the rsd=0.01 sketch lands within 5% of exact
-    — the oracle emits the exact counts and literal TRUEs.
+    plus booleans asserting the lgK=14 Datasketches estimate (RSE
+    ~0.8%, the rsd=0.01 accuracy class) lands within 5% of exact — the
+    oracle emits the exact counts and literal TRUEs.
     """
     t = load_tables(spark, sf_dir)
-    agg = t.lineitem.agg(
+    # Datasketches HLL (lgK=14, RSE ~0.8% — the rsd=0.01 accuracy
+    # class) instead of approx_count_distinct(x, 0.01): the legacy
+    # HLL++ aggregate materializes one Long attribute PER REGISTER
+    # WORD, so two rsd=0.01 sketches planned 3,278 aggregate
+    # attributes — a megabyte plan string and codegen far past the
+    # 64KB method limit (measured 10.8s isolated / 90s mid-sweep at
+    # sf0.1; 0.5s after the swap). The sketch agg keeps ONE binary
+    # buffer per sketch, same constant-size-per-partition scale story.
+    # Two separate aggregates joined on their 1-row outputs: folding
+    # the sketches into the count_distinct agg plants them inside the
+    # Expand pipeline's per-distinct-key groups, so one buffer pair per
+    # GROUP crosses the exchange; split out, the sketch agg ships one
+    # buffer pair per map task.
+    exact = t.lineitem.agg(
         F.count_distinct("l_partkey").alias("n_parts_exact"),
         F.count_distinct("l_orderkey").alias("n_orders_exact"),
-        F.approx_count_distinct("l_partkey", 0.01).alias("ap_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("ap_orders"),
     )
+    sketch = t.lineitem.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").alias(
+            "ap_parts"
+        ),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(l_orderkey, 14))").alias(
+            "ap_orders"
+        ),
+    )
+    agg = exact.crossJoin(F.broadcast(sketch))
     return agg.select(
         F.col("n_parts_exact"),
         F.col("n_orders_exact"),

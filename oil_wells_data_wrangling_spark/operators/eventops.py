@@ -774,12 +774,13 @@ FROM events GROUP BY 1
 
 @register("events_distinct_windowed", oracle=_EDW_ORACLE)
 def events_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per tumbling hour, exact + HyperLogLog++ sketch —
+    """Distinct users per tumbling hour, exact + HyperLogLog sketch —
     the windowed-cardinality rollup (DAU/WAU-style) a monitoring
     pipeline runs continuously. Sketch estimates are engine-specific,
     so the contract matches approx_distinct: the exact count is shared
-    with the oracle and a boolean asserts the rsd=0.01 sketch lands
-    within 5% of it (oracle emits literal TRUE).
+    with the oracle and a boolean asserts the lgK=14 Datasketches
+    estimate (the rsd=0.01 accuracy class) lands within 5% of it
+    (oracle emits literal TRUE).
 
     Scale shape: the exact distinct expands to two partial aggregates
     on (window, user); the HLL sketch adds only constant-size state per
@@ -787,9 +788,16 @@ def events_distinct_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is the one a dashboard reads, with the exact count sampled
     for audit."""
     t = load_tables(spark, sf_dir)
+    # Datasketches HLL (lgK=14 — the rsd=0.01 accuracy class) instead
+    # of approx_count_distinct(user_id, 0.01): the legacy HLL++ agg
+    # plans one Long attribute per register word (1,639 per sketch,
+    # PER GROUP here), blowing codegen and planning — see
+    # approx_distinct (analytics.py) for the measured pathology.
     agg = t.events.groupBy(F.window("ts", "1 hour").alias("w")).agg(
         F.count_distinct("user_id").alias("n_users_exact"),
-        F.expr("approx_count_distinct(user_id, 0.01)").alias("n_users_hll"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias(
+            "n_users_hll"
+        ),
     )
     return agg.select(
         F.col("w.start").alias("window_start"),
