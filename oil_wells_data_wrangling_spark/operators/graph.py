@@ -132,11 +132,14 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     + coalesce."""
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "source")
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    # Edge extraction: the heavy, corpus-sized stage.
-    targets = docs.crossJoin(F.broadcast(n)).select(
+    # 1-row scalar collected once and inlined as a literal (the
+    # rrf_fusion precedent) — drops the BroadcastNestedLoopJoin Cross
+    # and its count subtree from the corpus-sized stage.
+    n_val = docs.count()
+    # Edge extraction: the heavy, corpus-sized stage — run ONCE.
+    targets = docs.select(
         F.col("source").alias("src"),
-        ((F.col("doc_id") * 31 + 7) % F.col("n")).alias("t_id"),
+        ((F.col("doc_id") * 31 + 7) % F.lit(n_val)).alias("t_id"),
     )
     edges = (
         targets.join(
@@ -147,14 +150,27 @@ def domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("w"))
     )
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = edges.join(outw, "src")
-    nodes = docs.select(F.col("source").alias("node")).distinct()
+    # ew and nodes are HOST-bounded; materialize them so the plan for
+    # every iteration (and the in-degree audit) starts from the tiny
+    # table instead of re-embedding the corpus-sized extraction
+    # subtree. Without this the final AQE plan re-ran the document
+    # scan 7x / the edge aggregation 2x (r15 plan audit: only 2 of 8
+    # shuffle stages were reused) — at 100 TB each un-reused copy is a
+    # full corpus pass.
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = (
+        docs.select(F.col("source").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
     for _ in range(3):
         ranks = _pr_iteration(nodes, ew, ranks)
 
-    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
+    # ew is one row per (src, dst), so the in-degree count over it is
+    # identical to counting the pre-outw edge list.
+    indeg = ew.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
     return (
         ranks.join(indeg, ranks.node == indeg.dst, "left")
         .select(
