@@ -753,7 +753,17 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (blocking), confirmed by hamming distance ≤ 6 on the full 32-bit
     hash. The self-join is bucket-local — the quadratic blowup a direct
     hamming join would cost never materializes."""
-    sims = dedup_simhash(spark, sf_dir).select("doc_id", "simhash", "bucket")
+    # Materialize the (doc_id, simhash, bucket) scalars once: the
+    # self-join consumes the corpus-sized simhash computation on BOTH
+    # sides, and without the truncation each side re-embeds the full
+    # tokenize+hash subtree (4.1s -> 1.3s at sf0.1; the r15
+    # domain_pagerank lesson — AQE stage reuse is partial, a
+    # materialized scalar table is guaranteed).
+    sims = (
+        dedup_simhash(spark, sf_dir)
+        .select("doc_id", "simhash", "bucket")
+        .localCheckpoint(eager=True)
+    )
     a, b = sims.alias("a"), sims.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))

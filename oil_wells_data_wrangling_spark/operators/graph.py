@@ -486,12 +486,18 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     edges = link_edges(_lg_pages(t))
     outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
-    ew = edges.join(outw, "src")
-    nodes = _lg_nodes(t)
+    # Host-bounded ew/nodes materialized once (the domain_pagerank r15
+    # fix): without the truncation every iteration re-embeds the
+    # corpus-sized href-parse subtree and AQE stage reuse only
+    # partially saves it.
+    ew = edges.join(outw, "src").localCheckpoint(eager=True)
+    nodes = _lg_nodes(t).localCheckpoint(eager=True)
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("bigint").alias("r"))
     for _ in range(3):
         ranks = _pr_iteration(nodes, ew, ranks)
-    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
+    # ew is one row per (src, dst), so counting it per dst equals
+    # counting the pre-outw edge list.
+    indeg = ew.groupBy("dst").agg(F.count(F.lit(1)).alias("in_edges"))
     return ranks.join(indeg, ranks.node == indeg.dst, "left").select(
         F.col("node").alias("host"),
         F.col("r").alias("rank_fp"),
@@ -719,10 +725,13 @@ def link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     node/edge tables are host-bounded, so iteration cost is
     independent of corpus size after the edge build."""
     t = load_tables(spark, sf_dir)
-    # cache-free like link_graph_pagerank: AQE reuses the edge-build
-    # shuffle stage across the consumers, and nothing leaks into storage
-    edges = link_edges(_lg_pages(t))
-    nodes = _lg_nodes(t)
+    # Host-bounded edges/nodes materialized once (the domain_pagerank
+    # r15 fix): the three gather rounds plus the degree audits consume
+    # edges five times, and the r15 plan audit showed AQE stage reuse
+    # only partially covers repeated subtrees — each un-reused copy is
+    # a corpus-sized href-parse pass.
+    edges = link_edges(_lg_pages(t)).localCheckpoint(eager=True)
+    nodes = _lg_nodes(t).localCheckpoint(eager=True)
 
     def gather(scores: DataFrame, score_col: str, edge_key: str,
                other_key: str, out_col: str) -> DataFrame:

@@ -1411,48 +1411,39 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.expr("aggregate(zip_with(xi, xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"),
     )
-    a = nrm.select(
-        F.col("vec_id").alias("a_id"),
-        F.col("label"),
-        F.col("xi").alias("a_xi"),
-        F.col("n2").alias("a_n2"),
-    )
-    b = nrm.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label"),
-        F.col("xi").alias("b_xi"),
-        F.col("n2").alias("b_n2"),
-    )
-    dot = F.expr(
-        "aggregate(zip_with(a_xi, b_xi, (p, q) -> p * q), 0L, (acc, v) -> acc + v)"
-    )
-    dropped = (
-        a.join(b, "label")
-        .filter(F.col("b_id") < F.col("a_id"))
-        .withColumn("dot", dot)
-        .filter(
-            (F.col("dot") > 0)
-            & (
-                F.col("dot") * F.col("dot") * F.lit(_SEM_TAU2_DEN)
-                >= F.lit(_SEM_TAU2_NUM) * F.col("a_n2") * F.col("b_n2")
-            )
+    # Pair test as ONE exact-int64 Gram matmul per cluster (the
+    # semdedup_pipeline kernel, r15): the previous bucket self-join
+    # evaluated ~|cluster|² interpreted zip_with/aggregate array dots
+    # and shuffled the xi arrays on BOTH join sides. One Arrow-batched
+    # applyInPandas pass shuffles each vector once, and the decision
+    # arithmetic is the same integer comparison — |xi| ≤ 500 over 64
+    # dims keeps every term below 2^62, so the numpy int64 matmul is
+    # bit-identical to the SQL form (semdedup_pipeline's argument).
+    import numpy as np
+    import pandas as pd
+
+    tau_num, tau_den = _SEM_TAU2_NUM, _SEM_TAU2_DEN
+
+    def cluster_audit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = np.array(pdf["xi"].tolist(), dtype=np.int64)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        n2 = pdf["n2"].to_numpy(dtype=np.int64)
+        g = x @ x.T
+        cond = (g > 0) & (g * g * tau_den >= tau_num * np.outer(n2, n2))
+        smaller = ids[None, :] < ids[:, None]
+        dropped = int((cond & smaller).any(axis=1).sum())
+        return pd.DataFrame(
+            {
+                "label": pdf["label"].iloc[:1],
+                "n_vectors": [len(ids)],
+                "n_dropped": [dropped],
+                "n_kept": [len(ids) - dropped],
+            }
         )
-        .select(F.col("a_id").alias("vec_id"))
-        .distinct()
-        .withColumn("is_dropped", F.lit(1))
-    )
-    return (
-        nrm.join(dropped, "vec_id", "left")
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vectors"),
-            F.sum(F.when(F.col("is_dropped").isNotNull(), 1).otherwise(0)).alias(
-                "n_dropped"
-            ),
-            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0)).alias(
-                "n_kept"
-            ),
-        )
+
+    return nrm.groupBy("label").applyInPandas(
+        cluster_audit,
+        "label int, n_vectors long, n_dropped long, n_kept long",
     )
 
 
@@ -3088,22 +3079,46 @@ def mrl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = t.embeddings.filter(
         F.col("vec_id").between(_MRL_Q_LO, _MRL_Q_HI)
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # The corpus side of the panel cross join reads as ONE file split
+    # at bench scale, so the (interpreted higher-order-function)
+    # cosine arithmetic ran on a single task; spread it across the
+    # executor cores first — at real scale the scan has >= cores
+    # splits and the round-robin repartition of (id, vector) rows is
+    # a no-op-sized safety shuffle next to the scoring cost.
+    corpus_side = t.embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+    )
+    if corpus_side.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        corpus_side = corpus_side.repartition(
+            spark.sparkContext.defaultParallelism
+        )
     c = (
-        t.embeddings.select(F.col("vec_id").alias("neighbor_id"),
-                            F.col("embedding").alias("ne"))
-        .crossJoin(F.broadcast(q))
+        corpus_side.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
+    # ONE corpus pass computing every truncation's cosine as a column,
+    # materialized (panel-bounded: |panel| rows per corpus vector, and
+    # the eval runs on a sample in production): the per-dim loop
+    # previously re-embedded the corpus x panel cosine scan in every
+    # ranking AND in every rollup's ground-truth side — 2x|dims|
+    # corpus passes for a 3-dim curve (r15; the domain_pagerank
+    # materialize-once lesson).
+    scored = c.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.round(F.expr(_cos_spark_d("qe", "ne", d)), 6).alias(f"cos_{d}")
+            for d in _MRL_DIMS
+        ],
+    ).localCheckpoint(eager=True)
     tops = {}
     for d in _MRL_DIMS:
         w = Window.partitionBy("query_id").orderBy(
             F.desc("cos_r"), F.asc("neighbor_id")
         )
         tops[d] = (
-            c.select(
-                "query_id",
-                "neighbor_id",
-                F.round(F.expr(_cos_spark_d("qe", "ne", d)), 6).alias("cos_r"),
+            scored.select(
+                "query_id", "neighbor_id", F.col(f"cos_{d}").alias("cos_r")
             )
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= _MRL_K)
