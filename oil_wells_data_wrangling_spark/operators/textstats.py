@@ -3643,55 +3643,49 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     contribute 0 — all bigint, so the fused order is bit-identical
     across engines.
 
-    Scale shape (r15): ONE tokenize pass. The corpus explodes to
-    (doc_id, dl, word) once and partial-aggregates to the term-
-    frequency proxy table (doc_id, dl, word, tf) — text never leaves
-    the scan, and the one corpus-sized exchange carries scalar token
-    rows. That proxy is materialized (localCheckpoint), so BOTH legs
-    and the two corpus scalars derive from it without re-tokenizing:
-    the previous form ran FIVE corpus scans (leg A's tf + dfreq, leg
-    B's cnt + rar, the scalar collect), each re-splitting every
-    document. Each leg ends in a per-partition top-K
-    (LimitPushDownThroughWindow compiles the rank filter to
-    TakeOrderedAndProject below the window — plan-pinned), so the
-    fusion join touches two ≤50-row frames: broadcast-sized by
+    Scale shape: each leg keeps its standalone operator's plan (leg A
+    prunes to query-term tokens IN the scan, before any shuffle —
+    bm25_topk's shape; leg B is rarity_score's two-exchange shape), so
+    the corpus streams through independent scans exactly as it would
+    if the rankers ran as separate systems. Each leg ends in a
+    per-partition top-K (LimitPushDownThroughWindow compiles the rank
+    filter to TakeOrderedAndProject below the window — plan-pinned),
+    so the fusion join touches two ≤50-row frames: broadcast-sized by
     construction at ANY corpus scale. The final fused window is over
-    ≤100 rows — bounded, not corpus-bounded. The materialized proxy
-    is O(distinct (doc, word) pairs) of scalar columns — the standard
-    decide-on-small-rows trade: one bounded intermediate vs four full
-    re-reads of the corpus."""
+    ≤100 rows — bounded, not corpus-bounded."""
     t = load_tables(spark, sf_dir)
-    # INVARIANT (r13 advice): toktf's tf total MUST stay exactly
-    # sum(size(split(text, ' '))) over documents — leg B below uses
-    # sum(tf) AS the corpus word total (split() of any string,
-    # including '', yields size >= 1 and explode emits every element,
-    # so the identity holds today). If the tokenizer ever filters
-    # tokens (empty-string drop, lowercasing with dedup, stopword
-    # removal), leg B's scores silently break; derive the word total
-    # upstream of the filter in that case. Guarded by the DuckDB
+    # INVARIANT (r13 advice): tok's row count MUST stay exactly
+    # sum(size(split(text, ' '))) over documents — leg B below reuses
+    # the collected t_words literal AS tok's word total (split() of
+    # any string, including '', yields size >= 1 and explode emits
+    # every element, so the identity holds today). If tok ever
+    # filters tokens (empty-string drop, lowercasing with dedup,
+    # stopword removal), leg B's scores silently break; derive the
+    # word total from tok itself in that case. Guarded by the DuckDB
     # parity test (oracle counts exploded tokens independently).
     tok = t.documents.select(
         "doc_id",
         F.size(F.split("text", " ")).alias("dl"),
         F.explode(F.split("text", " ")).alias("word"),
     )
-    toktf = (
-        tok.groupBy("doc_id", "dl", "word")
+    # -- leg A: BM25 (same exact-integer scorer as bm25_topk)
+    tf = (
+        tok.filter(F.col("word").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "dl", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)
     )
-    # corpus stats collapse to TWO SCALARS — collected once from the
-    # proxy (not from another corpus scan) and inlined as literals:
-    # n = docs (every doc has >= 1 token row), t_words = sum of term
-    # frequencies = total token instances.
-    srow = toktf.agg(
-        F.count_distinct("doc_id").alias("n"),
-        F.sum("tf").alias("t_words"),
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    # corpus stats collapse to TWO SCALARS — collect them once and
+    # inline as literals instead of cross-joining a 1-row aggregate
+    # into each leg: the aggregate subtree re-executed its full scan
+    # per consumer (leg A's crossJoin AND leg B's word total), so the
+    # literals remove two corpus passes (r13; bounded 1-row collect,
+    # the compact_table precedent)
+    srow = t.documents.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size(F.split("text", " "))).alias("t_words"),
     ).collect()[0]
     n_docs, t_words = int(srow["n"]), int(srow["t_words"])
-    # -- leg A: BM25 (same exact-integer scorer as bm25_topk)
-    tf = toktf.filter(F.col("word").isin(*_BM25_QUERY))
-    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     bm = (
         tf.join(F.broadcast(dfreq), "word")
         .groupBy("doc_id")
@@ -3713,19 +3707,17 @@ def rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank_a") <= _RRF_POOL)
         .select("doc_id", "rank_a")
     )
-    # -- leg B: rarity (same exact-integer scorer as rarity_score),
-    # over the SAME proxy: per-word instance counts are sum(tf), and
-    # the per-instance sum Σ (t_words·S div cnt) over a doc's tokens
-    # equals Σ_w tf_w·(t_words·S div cnt_w) with count(*) = Σ tf_w —
-    # identical bigint arithmetic, no re-explode.
-    cnt = toktf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    # -- leg B: rarity (same exact-integer scorer as rarity_score).
+    # The corpus word total equals t_words exactly (count of exploded
+    # words == sum of dl), so leg B reuses the collected literal
+    # instead of a third full tokenize+count pass — same integers.
+    cnt = tok.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
     rar = (
-        toktf.join(F.broadcast(cnt), "word")
+        tok.join(F.broadcast(cnt), "word")
         .groupBy("doc_id")
         .agg(
             F.expr(
-                f"sum(tf * (({t_words}L * {_RARITY_SCALE}) div cnt))"
-                " div sum(tf)"
+                f"sum(({t_words}L * {_RARITY_SCALE}) div cnt) div count(*)"
             )
             .cast("bigint")
             .alias("score_b")
