@@ -695,6 +695,16 @@ def ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts as one tiny array-struct frame."""
     t = load_tables(spark, sf_dir)
     emb = t.embeddings.select("vec_id", "embedding")
+    # The index-encode stage is CPU-bound (8 interpreted sub-distance
+    # folds x 16 centroids per vector) and the whole corpus reads as
+    # one file split at bench scale, so it ran single-task; spread to
+    # core count when starved (3.4s -> 2.2s min-of-4 interleaved at
+    # sf0.1/local[32]) — a no-op at real scale where the scan already
+    # has >= cores splits (the r15 fuzzy_match_names lesson: AQE/split
+    # sizing balances bytes, not per-row compute).
+    par = spark.sparkContext.defaultParallelism
+    if emb.rdd.getNumPartitions() < par:
+        emb = emb.repartition(par, "vec_id")
     cb = F.broadcast(
         emb.filter(F.col("vec_id") < _PQ_K).select(
             F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
