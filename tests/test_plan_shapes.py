@@ -343,3 +343,36 @@ def test_bpe_tokenize_apply_is_map_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "bpe_tokenize")
     assert "Exchange" not in plan, "bpe_tokenize apply must not shuffle"
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_sketch_aggregates_stay_buffer_shaped(spark, sf_dir):
+    """r15: approx_count_distinct(x, 0.01) planned one Long attribute
+    per HLL register word (3,278 aggregate attributes for two
+    sketches — megabyte plans, codegen past the 64KB limit, 90s at
+    sf0.1). Pin the Datasketches form: the distinct-estimate queries
+    must plan NO legacy HLL++ aggregate and keep their plan strings
+    sane."""
+    for name in ("approx_distinct", "events_distinct_windowed"):
+        plan = _plan(spark, sf_dir, name)
+        assert "approx_count_distinct" not in plan, (
+            f"{name}: legacy HLL++ aggregate is back"
+        )
+        assert "hll_sketch_agg" in plan, f"{name}: sketch aggregate missing"
+        assert len(plan) < 200_000, (
+            f"{name}: plan string blew up ({len(plan)} chars) — "
+            "register-word attributes have probably returned"
+        )
+
+
+def test_fuzzy_match_best_pick_is_partial_aggregation(spark, sf_dir):
+    """r15: the blocked-pair best match must stay a min(struct(...))
+    aggregation with a map-side partial (the window form shuffled
+    every scored pair to sort it), and the pair stage's reduce
+    partition count must be the pinned core-count repartition, not an
+    AQE byte-coalesced handful of tasks."""
+    plan = _plan(spark, sf_dir, "fuzzy_match_names")
+    assert "Window" not in plan, "fuzzy_match_names: rank window is back"
+    assert "partial_min" in plan, "map-side partial min missing"
+    assert re.search(r"Exchange hashpartitioning\(blk#\d+L?, \d+\), REPARTITION", plan), (
+        "pair-stage parallelism pin (user repartition on blk) missing"
+    )
