@@ -404,6 +404,7 @@ def connected_components(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=True)
     )
+    labels_ckpt = labels
     rounds = 0
     for _ in range(max_rounds):
         rounds += 1
@@ -412,10 +413,16 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("lbl").alias("nlbl"))
         )
+        # lbl0 (the round's starting label) rides along so convergence
+        # is a narrow filter+count over the checkpointed frame instead
+        # of a label-table self-join — one fewer shuffle job per round
+        # (r16; labels are monotone non-increasing, so lbl != lbl0 is
+        # exactly "changed this round").
         cand = (
             labels.join(prop, labels.node == prop.src, "left")
             .select(
                 "node",
+                F.col("lbl").alias("lbl0"),
                 F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
                     "lbl"
                 ),
@@ -426,28 +433,25 @@ def connected_components(
         # always a node id in the same component, so the jump is safe
         # and monotone (labels only ever decrease).
         hop = cand.select(F.col("node").alias("h_node"), F.col("lbl").alias("h_lbl"))
-        new_labels = (
+        new_full = (
             cand.join(hop, cand.lbl == F.col("h_node"), "left")
             .select(
                 "node",
+                "lbl0",
                 F.least(F.col("lbl"), F.coalesce(F.col("h_lbl"), F.col("lbl"))).alias(
                     "lbl"
                 ),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        # new_labels is materialized and the convergence check is done:
+        changed = new_full.filter(F.col("lbl") != F.col("lbl0")).count()
+        # new_full is materialized and the convergence check is done:
         # this round's intermediate (cand) and the previous round's
         # labels are dead — free their checkpoint blocks now.
         _free_checkpoint(cand)
-        _free_checkpoint(labels)
-        labels = new_labels
+        _free_checkpoint(labels_ckpt)
+        labels = new_full.select("node", "lbl")
+        labels_ckpt = new_full
         if changed == 0:
             break
     sym.unpersist()
@@ -1872,7 +1876,14 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    hashed = docs2.select("doc_id", F.md5("text").alias("h"))
+    # Materialize the (doc_id, md5) scalar table ONCE: the exact
+    # detector consumes it four times (group-cap agg + join + both
+    # self-join sides), each of which would otherwise re-embed the
+    # corpus-sized docs2 text union (r15's simhash_pairs
+    # materialize-once pattern; the checkpoint is scalar-width).
+    hashed = docs2.select(
+        "doc_id", F.md5("text").alias("h")
+    ).localCheckpoint(eager=True)
     hok = (
         hashed.groupBy("h")
         .agg(F.count(F.lit(1)).alias("gn"))
@@ -1894,10 +1905,15 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     harr = F.expr(
         "transform(split(text, ' '), s -> " + _H32_SPARK.format(s="s") + ")"
     )
-    hh = docs2.select("doc_id", harr.alias("harr")).cache()
+    hh = docs2.select("doc_id", harr.alias("harr"))
+    # Same materialize-once for the (doc_id, simhash) scalars: both
+    # self-join sides re-embedded the tokenize+hash subtree (the
+    # previous .cache() of the token arrays still paid the text scan
+    # and stored corpus-sized token arrays; the checkpointed scalar
+    # row is 16 bytes).
     sim = hh.select(
         "doc_id", F.expr(_simhash_terms_spark()).alias("simhash")
-    )
+    ).localCheckpoint(eager=True)
     sa, sb = sim.alias("a"), sim.alias("b")
     s_pairs = (
         sa.join(

@@ -24,6 +24,7 @@ import hashlib
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from oil_wells_data_wrangling_spark.plans.registry import register
@@ -85,6 +86,79 @@ def _cos_duck(a: str, b: str) -> str:
     return (
         f"{_dot_duck(a, b)} / (sqrt({_dot_duck(a, a)}) * sqrt({_dot_duck(b, b)}))"
     )
+
+
+def _fold_dot_np(A, B):
+    """Row-wise dot products with the EXACT addition order of
+    ``_dot_spark``'s ``aggregate(zip_with(...), 0D, (acc, v) -> acc + v)``
+    fold: per-element fp64 products (float→double casts are exact and
+    IEEE multiplication is identical in numpy and the JVM), then a
+    left-to-right accumulation done as one vectorized column-add per
+    element position.  Every row's sum is therefore the same
+    left-associated fp64 addition chain the JVM evaluates, so the
+    result is BIT-IDENTICAL to the interpreted HOF — not merely close
+    (a numpy ``A @ B`` matmul would use pairwise/SIMD summation and
+    could differ in the last ulp, which a later round-to-6dp could
+    amplify into a rank flip)."""
+    import numpy as np
+
+    P = A * B
+    acc = np.zeros(P.shape[0], dtype=np.float64)
+    for i in range(P.shape[1]):
+        acc = acc + P[:, i]
+    return acc
+
+
+def _cos_exact_batch(a, b):
+    """Vectorized twin of :func:`cosine` over two pandas Series of
+    float arrays — same fp op sequence (dot / (sqrt(aa) * sqrt(bb)));
+    numpy sqrt/multiply/divide are the same correctly-rounded IEEE
+    ops as the JVM's, so outputs are bit-identical to the HOF form."""
+    import numpy as np
+    import pandas as pd
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    A = np.array(a.tolist(), dtype=np.float64)
+    B = np.array(b.tolist(), dtype=np.float64)
+    num = _fold_dot_np(A, B)
+    den = np.sqrt(_fold_dot_np(A, A)) * np.sqrt(_fold_dot_np(B, B))
+    return pd.Series(num / den)
+
+
+# Arrow-vectorized exact cosine for pair frames (guide §4.2): replaces
+# the per-row interpreted zip_with/aggregate lambda dispatch with numpy
+# batch arithmetic while keeping bit-equality (argument above). Used by
+# the similarity EVAL operators whose pair rows already carry both
+# vectors; operators whose plans win from pure-JVM codegen (ann_topk's
+# window shape) deliberately stay on the HOF/unrolled forms.
+_cos_exact_pd = F.pandas_udf(_cos_exact_batch, DoubleType())
+
+
+def _gram_dropped_mask(x, ids, n2, tau_num, tau_den):
+    """Per-row "has a smaller-id cluster-mate with cos ≥ τ" verdict for
+    the SemDeDup kernels, computed as ROW-CHUNKED exact-int64 Gram
+    blocks (guide §5): one chunk × |cluster| block at a time bounds the
+    task's Gram memory at ~tens of MB regardless of cluster size — the
+    one-shot |cluster|² matmul of a mega-cell would OOM the task where
+    the pre-r15 SQL pair join merely spilled. Per-pair arithmetic is
+    unchanged (same int64 products, same ``dot>0 AND dot²·τ_den ≥
+    τ_num·‖a‖²·‖b‖²`` comparison), so verdicts are bit-identical to the
+    unblocked matmul."""
+    import numpy as np
+
+    n = len(ids)
+    out = np.zeros(n, dtype=bool)
+    chunk = max(1, (4 << 20) // max(n, 1))  # ≈32 MB of int64 per block
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        g = x[lo:hi] @ x.T
+        cond = (g > 0) & (
+            g * g * tau_den >= tau_num * np.outer(n2[lo:hi], n2)
+        )
+        smaller = ids[None, :] < ids[lo:hi, None]
+        out[lo:hi] = (cond & smaller).any(axis=1)
+    return out
 
 
 # ------------------------------------------------------------------ ann_topk
@@ -890,7 +964,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             joined.select(
                 "query_id",
                 "neighbor_id",
-                F.round(cosine("qe", "ne"), 6).alias("cos_r"),
+                F.round(_cos_exact_pd("qe", "ne"), 6).alias("cos_r"),
             )
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= 5)
@@ -1438,10 +1512,10 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.array(pdf["xi"].tolist(), dtype=np.int64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         n2 = pdf["n2"].to_numpy(dtype=np.int64)
-        g = x @ x.T
-        cond = (g > 0) & (g * g * tau_den >= tau_num * np.outer(n2, n2))
-        smaller = ids[None, :] < ids[:, None]
-        dropped = int((cond & smaller).any(axis=1).sum())
+        # blocked Gram (guide §5): bit-identical verdicts, bounded memory
+        dropped = int(
+            _gram_dropped_mask(x, ids, n2, tau_num, tau_den).sum()
+        )
         return pd.DataFrame(
             {
                 "label": pdf["label"].iloc[:1],
@@ -1713,13 +1787,10 @@ def semdedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         x = np.array(pdf["xi"].tolist(), dtype=np.int64)
         ids = pdf["vec_id"].to_numpy(dtype=np.int64)
         n2 = pdf["n2"].to_numpy(dtype=np.int64)
-        g = x @ x.T
         # |xi| ≤ XS/2 per dim (embeddings in [-0.5, 0.5]) keeps every
         # term below 2^62 — the same int64-range assumption the SQL
-        # comparison already makes
-        cond = (g > 0) & (g * g * tau_den >= tau_num * np.outer(n2, n2))
-        smaller = ids[None, :] < ids[:, None]
-        dropped = (cond & smaller).any(axis=1)
+        # comparison already makes; blocked Gram bounds task memory
+        dropped = _gram_dropped_mask(x, ids, n2, tau_num, tau_den)
         return pd.DataFrame(
             {
                 "vec_id": ids,
@@ -2123,7 +2194,7 @@ def _bt_scored(joined: DataFrame, u: int) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine("qe", "ce"), 6).alias("cos_r"),
+            F.round(_cos_exact_pd("qe", "ce"), 6).alias("cos_r"),
         )
         .distinct()
     )
@@ -2278,7 +2349,7 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_label",
             "cand_id",
             "cand_label",
-            F.round(cosine("qe", "ce"), 6).alias("cos_r"),
+            F.round(_cos_exact_pd("qe", "ce"), 6).alias("cos_r"),
         )
         .distinct()
     )
@@ -3079,22 +3150,84 @@ def mrl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 of 64 dims = 4× memory/bandwidth back IF the recall row holds).
     The full-dim row is the =1e6 sanity anchor.
 
-    Scale shape: candidates = panel × corpus with the panel broadcast
-    (ann_topk's documented brute-force bound — this is the EVALUATION,
+    Scale shape: candidates = panel × corpus with the panel CLOSED
+    OVER an Arrow kernel (bounded 32 vectors — this is the EVALUATION,
     run on a sample in production; the serving path stays ann_lsh/
-    ivf_pq); per-dim ranking is a query-keyed window with rank-limit
-    pushdown (WindowGroupLimit), and the per-dim rollup joins two
-    {_MRL_K}·|panel|-row frames."""
+    ivf_pq), so the corpus is scanned exactly once, with no join; all
+    truncation ranks compute in one query-keyed exchange (three
+    in-partition sorts), and the only materialized intermediate is the
+    ≤ 3·{_MRL_K}·|panel|-row rank survivors — nothing corpus-sized is
+    checkpointed (r16; closes the r15 spill-bomb caveat)."""
+    import numpy as np
+    import pandas as pd
+
     t = load_tables(spark, sf_dir)
-    q = t.embeddings.filter(
-        F.col("vec_id").between(_MRL_Q_LO, _MRL_Q_HI)
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
-    # The corpus side of the panel cross join reads as ONE file split
-    # at bench scale, so the (interpreted higher-order-function)
-    # cosine arithmetic ran on a single task; spread it across the
+    # The query panel is BOUNDED by construction (32 vec_ids); collect
+    # it once and close over it, so the corpus is scanned exactly ONCE
+    # with no join at all (guide §8 "broadcast the plan" — here the
+    # plan is 32 vectors). The float32→float64 materialization is
+    # exact, so the kernel sees the same doubles the JVM cast produces.
+    panel = sorted(
+        t.embeddings.filter(
+            F.col("vec_id").between(_MRL_Q_LO, _MRL_Q_HI)
+        )
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
+    )
+    q_ids = np.array([r["vec_id"] for r in panel], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in panel], dtype=np.float64)
+    dims = _MRL_DIMS
+    # Per-query prefix norms, each via the same left-to-right fold.
+    q_norm = {
+        d: np.sqrt(_fold_dot_np(q_mat[:, :d], q_mat[:, :d])) for d in dims
+    }
+
+    def score(batches):
+        """ONE corpus pass emitting every (corpus, panel) pair with all
+        truncation cosines as columns. The fp64 arithmetic reproduces
+        ``_cos_spark_d`` bit-for-bit: prefix products, left-to-right
+        accumulation (``_fold_dot_np``), IEEE sqrt/multiply/divide —
+        see _fold_dot_np's equality argument."""
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            X = np.array(pdf["ne"].tolist(), dtype=np.float64)
+            x_norm = {
+                d: np.sqrt(_fold_dot_np(X[:, :d], X[:, :d])) for d in dims
+            }
+            out_q, out_n = [], []
+            cos_cols: dict[int, list] = {d: [] for d in dims}
+            for j in range(len(q_ids)):
+                mask = ids != q_ids[j]
+                if not mask.any():
+                    continue
+                Xm = X[mask]
+                out_n.append(ids[mask])
+                out_q.append(np.full(int(mask.sum()), q_ids[j]))
+                for d in dims:
+                    dots = _fold_dot_np(Xm[:, :d], q_mat[j, :d][None, :])
+                    cos_cols[d].append(
+                        dots / (q_norm[d][j] * x_norm[d][mask])
+                    )
+            if not out_q:
+                continue
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    **{
+                        f"cos_{d}": np.concatenate(cos_cols[d])
+                        for d in dims
+                    },
+                }
+            )
+
+    # The corpus reads as ONE file split at bench scale, which would
+    # run the scoring kernel on a single task; spread it across the
     # executor cores first — at real scale the scan has >= cores
-    # splits and the round-robin repartition of (id, vector) rows is
-    # a no-op-sized safety shuffle next to the scoring cost.
+    # splits and the guard is a no-op (r15's split-starvation class).
     corpus_side = t.embeddings.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
     )
@@ -3102,53 +3235,44 @@ def mrl_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_side = corpus_side.repartition(
             spark.sparkContext.defaultParallelism
         )
-    c = (
-        corpus_side.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = corpus_side.mapInPandas(
+        score,
+        "query_id long, neighbor_id long, "
+        + ", ".join(f"cos_{d} double" for d in dims),
     )
-    # ONE corpus pass computing every truncation's cosine as a column,
-    # materialized (panel-bounded: |panel| rows per corpus vector, and
-    # the eval runs on a sample in production): the per-dim loop
-    # previously re-embedded the corpus x panel cosine scan in every
-    # ranking AND in every rollup's ground-truth side — 2x|dims|
-    # corpus passes for a 3-dim curve (r15; the domain_pagerank
-    # materialize-once lesson).
-    scored = c.select(
+    # All three truncation ranks in ONE window pass over the pair
+    # frame: same partitioning exchange (query_id), three in-partition
+    # sorts — no per-dim corpus re-scan, no joins, and (unlike r15's
+    # form) NO corpus-sized localCheckpoint: the only materialized
+    # frame below is the rank-filtered survivors, ≤ 3·K·|panel| rows.
+    # Rounding stays in Spark (the same Round expression as before),
+    # so rank order is unchanged by construction.
+    ranked = scored.select(
         "query_id",
         "neighbor_id",
-        *[
-            F.round(F.expr(_cos_spark_d("qe", "ne", d)), 6).alias(f"cos_{d}")
-            for d in _MRL_DIMS
-        ],
-    ).localCheckpoint(eager=True)
-    tops = {}
-    for d in _MRL_DIMS:
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos_r"), F.asc("neighbor_id")
-        )
-        tops[d] = (
-            scored.select(
-                "query_id", "neighbor_id", F.col(f"cos_{d}").alias("cos_r")
-            )
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _MRL_K)
-            .select("query_id", "neighbor_id")
-        )
-    gt = tops[_MRL_DIMS[-1]].select(
-        F.col("query_id").alias("g_qid"), F.col("neighbor_id").alias("gt_id")
+        *[F.round(F.col(f"cos_{d}"), 6).alias(f"cos_r_{d}") for d in dims],
     )
-    out = None
-    for d in _MRL_DIMS:
-        j = tops[d].join(
-            gt,
-            (tops[d].query_id == gt.g_qid)
-            & (tops[d].neighbor_id == gt.gt_id),
-            "left",
+    for d in dims:
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc(f"cos_r_{d}"), F.asc("neighbor_id")
         )
+        ranked = ranked.withColumn(f"rk_{d}", F.row_number().over(w))
+    in_top = {d: F.col(f"rk_{d}") <= _MRL_K for d in dims}
+    survivors = ranked.filter(
+        in_top[dims[0]] | in_top[dims[1]] | in_top[dims[-1]]
+    ).localCheckpoint(eager=True)
+    # Recall rollup without joins: a pair is in top_d ∩ top_gt exactly
+    # when both rank predicates hold on its single row (each (query,
+    # neighbor) pair occurs once), which is what the old
+    # tops[d] LEFT JOIN gt counted (gt keys are unique, so that join
+    # was row-preserving).
+    out = None
+    for d in dims:
         row = (
-            j.agg(
+            survivors.filter(in_top[d])
+            .agg(
                 F.countDistinct("query_id").cast("bigint").alias("n_queries"),
-                F.sum(F.col("gt_id").isNotNull().cast("int"))
+                F.sum(in_top[dims[-1]].cast("int"))
                 .cast("bigint")
                 .alias("n_overlap"),
                 F.count(F.lit(1)).alias("total"),

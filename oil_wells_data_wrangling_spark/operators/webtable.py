@@ -301,7 +301,14 @@ def warc_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = _synth_pages(t)
     work = tempfile.mkdtemp(prefix="warc_pipe_")
     arch = os.path.join(work, "crawl")
-    write_warc(pages, arch).collect()
+    # same split-starvation guard as crawl_to_corpus (r16, guide §6)
+    par = spark.sparkContext.defaultParallelism
+    nparts = pages.rdd.getNumPartitions()
+    write_warc(
+        pages,
+        arch,
+        min_files_per_task=-(-par // nparts) if nparts < par else 1,
+    ).collect()
     resp = read_warc(spark, arch).filter(
         (F.col("warc_type") == "response") & (F.col("http_status") == 200)
     )
@@ -434,7 +441,21 @@ def crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     work = tempfile.mkdtemp(prefix="crawl_corpus_")
     arch = os.path.join(work, "crawl")
-    write_warc(crawl, arch).collect()
+    # Shuffle-free read parallelism (r16, guide §6): when the write
+    # side has fewer partitions than cores (the 2-split bench scan),
+    # each write task rolls its output into enough byte-balanced
+    # archive files that the read_warc strip stage sees ~core-count
+    # splits — no payload shuffle, record bytes unchanged. At real
+    # scale the write side already has >= cores partitions, the guard
+    # is a no-op, and write_warc's 1 GiB default roll is what bounds
+    # archive size (the honest CommonCrawl file-sizing knob).
+    par = spark.sparkContext.defaultParallelism
+    nparts = crawl.rdd.getNumPartitions()
+    write_warc(
+        crawl,
+        arch,
+        min_files_per_task=-(-par // nparts) if nparts < par else 1,
+    ).collect()
     resp = read_warc(spark, arch).filter(
         (F.col("warc_type") == "response") & (F.col("http_status") == 200)
     )

@@ -626,6 +626,8 @@ def write_warc(
     date: str = "1970-01-01T00:00:00Z",
     compress: bool = False,
     cdx: bool = False,
+    max_file_bytes: int | None = 1 << 30,
+    min_files_per_task: int = 1,
 ) -> DataFrame:
     """Export pages as WARC/1.0 **response** records — full HTTP
     envelope (status line + Content-Type) ahead of the body, i.e. the
@@ -653,7 +655,23 @@ def write_warc(
     Primary use: archiving a fetched page table; also lets the
     registered ``warc_pipeline`` round-trip the crawl front door
     end-to-end (write → read_warc → envelope split → html_to_text)
-    without an external fixture."""
+    without an external fixture.
+
+    ``max_file_bytes`` ROLLS each task's output to a fresh archive file
+    whenever the current file reaches the cap (default 1 GiB — the
+    CommonCrawl archive-sizing convention), flushing completed files as
+    it goes: a task holding a 10 GB partition no longer buffers 10 GB
+    in Python NOR emits one 10 GB unsplittable archive that a
+    binaryFile reader cannot parallelize (guide §6 output file sizing).
+    ``min_files_per_task`` additionally splits the task's TAIL into at
+    least that many byte-balanced files — the shuffle-free
+    read-parallelism knob for split-starved writes (a 2-partition bench
+    write otherwise yields a 2-split read); it never splits below one
+    record per file. The first file keeps the legacy
+    ``part-{{pid}}.{{ext}}`` name; rolled files append ``-{{k}}``.
+    Record content is byte-identical either way — only file boundaries
+    (and CDX offsets/filenames, which are file-layout artifacts by
+    definition) change."""
     import base64
     import gzip
     import hashlib
@@ -674,12 +692,75 @@ def write_warc(
         ctx = TaskContext.get()
         pid = ctx.partitionId()
         ext = "warc.gz" if compress else "warc"
-        fname = f"part-{pid:05d}.{ext}"
-        path = os.path.join(out_dir, fname)
+        files: list[tuple[str, int]] = []  # committed (path, n_records)
+
+        def _fname(k: int) -> str:
+            # first file keeps the legacy single-file name so existing
+            # readers/tests addressing part-NNNNN.<ext> stay valid
+            return (
+                f"part-{pid:05d}.{ext}"
+                if k == 0
+                else f"part-{pid:05d}-{k:04d}.{ext}"
+            )
+
+        def _commit(recs: list[bytes], metas: list[tuple]) -> None:
+            """Atomically write one archive file (and its CDX sidecar)
+            from a contiguous run of records.
+
+            temp-plus-rename commit: a retried or speculative attempt
+            writes its own attempt-suffixed file, then atomically
+            renames over the final path — concurrent attempts can
+            never interleave bytes, the last completed attempt wins.
+            DOT-PREFIXED temp name: Spark's file listing skips names
+            starting with '.' or '_', so a leftover temp from a
+            killed attempt can never be ingested as an archive (a
+            plain "<path>.attempt-N.tmp" would match the reader's
+            default '*.warc*' glob)."""
+            if not recs:
+                return
+            fname = _fname(len(files))
+            path = os.path.join(out_dir, fname)
+            os.makedirs(out_dir, exist_ok=True)
+            tmp = os.path.join(
+                out_dir, f".{fname}.attempt-{ctx.taskAttemptId()}.tmp"
+            )
+            with open(tmp, "wb") as f:
+                f.write(b"".join(recs))
+            os.replace(tmp, path)
+            if cdx:
+                # CDX offsets are per-file by definition; archive
+                # renames FIRST so a committed index never points at a
+                # missing file
+                lines = []
+                offset = 0
+                for rec, (urlkey, url, digest) in zip(recs, metas):
+                    lines.append(
+                        f"{urlkey} {ts14} "
+                        + json.dumps(
+                            {
+                                "url": url,
+                                "digest": digest,
+                                "offset": offset,
+                                "length": len(rec),
+                                "filename": fname,
+                            },
+                            separators=(",", ":"),
+                        )
+                    )
+                    offset += len(rec)
+                cdx_name = fname[: -len(ext) - 1] + ".cdx"
+                cdx_tmp = os.path.join(
+                    out_dir, f".{cdx_name}.attempt-{ctx.taskAttemptId()}.tmp"
+                )
+                with open(cdx_tmp, "w") as f:
+                    f.write("\n".join(lines) + "\n")
+                os.replace(cdx_tmp, os.path.join(out_dir, cdx_name))
+            files.append((path, len(recs)))
+
+        cur: list[bytes] = []
+        cur_meta: list[tuple] = []
+        cur_bytes = 0
         n = 0
-        offset = 0
-        buf: list[bytes] = []
-        cdx_lines: list[str] = []
         for pdf in it:
             for uri, html in zip(pdf[uri_col], pdf[html_col]):
                 body = ("" if html is None else str(html)).encode("utf-8")
@@ -710,53 +791,43 @@ def write_warc(
                             hashlib.sha1(body).digest()
                         ).decode()
                     )
-                    cdx_lines.append(
-                        f"{surt(uri)} {ts14} "
-                        + json.dumps(
-                            {
-                                "url": "" if uri is None else str(uri),
-                                "digest": digest,
-                                "offset": offset,
-                                "length": len(rec),
-                                "filename": fname,
-                            },
-                            separators=(",", ":"),
-                        )
+                    cur_meta.append(
+                        (surt(uri), "" if uri is None else str(uri), digest)
                     )
-                buf.append(rec)
-                offset += len(rec)
+                cur.append(rec)
+                cur_bytes += len(rec)
                 n += 1
-        if n:
-            os.makedirs(out_dir, exist_ok=True)
-            # temp-plus-rename commit: a retried or speculative attempt
-            # writes its own attempt-suffixed file, then atomically
-            # renames over the final path — concurrent attempts can
-            # never interleave bytes, the last completed attempt wins
-            # DOT-PREFIXED temp name: Spark's file listing skips names
-            # starting with '.' or '_', so a leftover temp from a
-            # killed attempt can never be ingested as an archive (a
-            # plain "<path>.attempt-N.tmp" would match the reader's
-            # default '*.warc*' glob)
-            tmp = os.path.join(
-                out_dir,
-                f".{os.path.basename(path)}.attempt-{ctx.taskAttemptId()}.tmp",
+                # roll + flush at the size cap: bounded task memory AND
+                # bounded (hence read-splittable) archive files
+                if max_file_bytes and cur_bytes >= max_file_bytes:
+                    _commit(cur, cur_meta)
+                    cur, cur_meta, cur_bytes = [], [], 0
+        # tail: split into byte-balanced files until the task has
+        # min_files_per_task archives (never below one record per file)
+        want = min(min_files_per_task - len(files), len(cur))
+        if want > 1:
+            i = 0
+            for j in range(want, 0, -1):  # j files remaining incl. this
+                if j == 1:
+                    _commit(cur[i:], cur_meta[i:])
+                    i = len(cur)
+                    break
+                target = sum(len(r) for r in cur[i:]) / j
+                k, b = i, 0
+                while k < len(cur) - (j - 1) and (k == i or b < target):
+                    b += len(cur[k])
+                    k += 1
+                _commit(cur[i:k], cur_meta[i:k])
+                i = k
+        else:
+            _commit(cur, cur_meta)
+        if files:
+            yield pd.DataFrame(
+                {
+                    "warc_out_file": [p for p, _ in files],
+                    "n_records": [c for _, c in files],
+                }
             )
-            with open(tmp, "wb") as f:
-                f.write(b"".join(buf))
-            os.replace(tmp, path)
-            if cdx:
-                # same temp-plus-rename commit; archive renames FIRST
-                # so a committed index never points at a missing file
-                cdx_path = os.path.join(out_dir, f"part-{pid:05d}.cdx")
-                cdx_tmp = os.path.join(
-                    out_dir,
-                    f".{os.path.basename(cdx_path)}"
-                    f".attempt-{ctx.taskAttemptId()}.tmp",
-                )
-                with open(cdx_tmp, "w") as f:
-                    f.write("\n".join(cdx_lines) + "\n")
-                os.replace(cdx_tmp, cdx_path)
-            yield pd.DataFrame({"warc_out_file": [path], "n_records": [n]})
 
     return df.select(uri_col, html_col).mapInPandas(
         _write, schema="warc_out_file string, n_records long"

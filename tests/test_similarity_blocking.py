@@ -212,3 +212,38 @@ def test_bitext_candidates_scale_linearly(spark, sf_dir):
     # fixed-space ~64x signature
     assert c8 <= 24 * c1, (c1, c8)
     assert c8 >= 2 * c1, (c1, c8)
+
+
+def test_gram_blocked_mask_matches_unblocked_on_large_cluster():
+    """The r16 row-chunked Gram kernel must produce bit-identical
+    keep/drop verdicts to the one-shot |cluster|² matmul, including on
+    a cluster large enough to span many chunks (memory-bounding must
+    not change a single decision)."""
+    import numpy as np
+
+    from oil_wells_data_wrangling_spark.operators.similarity import (
+        _SEM_TAU2_DEN,
+        _SEM_TAU2_NUM,
+        _gram_dropped_mask,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 5000  # chunk = (4<<20)//5000 ≈ 838 → 6 blocks
+    x = rng.randint(-500, 501, size=(n, 64)).astype(np.int64)
+    # plant exact duplicates (must drop the higher id) and negations
+    # (dot<0 — must keep) like the operator's corpus does
+    x[100] = x[3]
+    x[200] = -x[5]
+    ids = np.arange(n, dtype=np.int64)
+    n2 = (x * x).sum(axis=1)
+
+    g = x @ x.T
+    cond = (g > 0) & (
+        g * g * _SEM_TAU2_DEN >= _SEM_TAU2_NUM * np.outer(n2, n2)
+    )
+    smaller = ids[None, :] < ids[:, None]
+    expect = (cond & smaller).any(axis=1)
+
+    got = _gram_dropped_mask(x, ids, n2, _SEM_TAU2_NUM, _SEM_TAU2_DEN)
+    assert (got == expect).all()
+    assert bool(got[100]) and not bool(got[200])

@@ -919,3 +919,73 @@ def test_decode_payload_text_plan_split(spark):
     assert plan.count("ArrowEvalPython") == 1
     union_branches = plan.split("Union")[-1]
     assert "ArrowEvalPython" in union_branches
+
+
+def test_write_warc_rolls_files_and_roundtrips(spark, tmp_path):
+    """The r16 file roll: max_file_bytes splits a task's output into
+    multiple archives mid-stream, min_files_per_task splits the tail,
+    and the record CONTENT round-trips identically either way (file
+    boundaries are the only difference)."""
+    from oil_wells_data_wrangling_spark.sources.warc import write_warc
+
+    pages = spark.createDataFrame(
+        [
+            (f"https://x.example/d/{i}", f"<html><body>pg {i} {'x' * 200}</body></html>")
+            for i in range(20)
+        ],
+        "target_uri string, html string",
+    ).coalesce(1)
+
+    # (a) byte-cap roll: ~300-byte records, 1 KB cap -> several files
+    out_a = str(tmp_path / "cap")
+    man_a = write_warc(pages, out_a, max_file_bytes=1024).collect()
+    assert len(man_a) > 3
+    assert sum(m.n_records for m in man_a) == 20
+
+    # (b) tail split: no cap reached, min_files_per_task forces 4 files
+    out_b = str(tmp_path / "tail")
+    man_b = write_warc(pages, out_b, min_files_per_task=4).collect()
+    assert len(man_b) == 4
+    assert sum(m.n_records for m in man_b) == 20
+
+    # (c) unrolled reference: identical records after read_warc
+    out_c = str(tmp_path / "one")
+    man_c = write_warc(pages, out_c).collect()
+    assert len(man_c) == 1
+
+    def snap(folder):
+        return sorted(
+            (r.target_uri, bytes(r.payload))
+            for r in read_warc(spark, folder).collect()
+        )
+
+    ref = snap(out_c)
+    assert snap(out_a) == ref
+    assert snap(out_b) == ref
+
+
+def test_write_warc_roll_keeps_cdx_contract(spark, tmp_path):
+    """CDX sidecars written under a roll must keep per-file offsets:
+    every index row random-access-decodes to its own record."""
+    from oil_wells_data_wrangling_spark.sources.warc import (
+        fetch_record,
+        read_cdx,
+        write_warc,
+    )
+
+    pages = spark.createDataFrame(
+        [(f"https://x.example/d/{i}", f"<html><body>pg {i}</body></html>")
+         for i in range(9)],
+        "target_uri string, html string",
+    ).coalesce(1)
+    out = str(tmp_path / "arch")
+    man = write_warc(
+        pages, out, compress=True, cdx=True, min_files_per_task=3
+    ).collect()
+    assert len(man) == 3
+    idx = read_cdx(spark, out).collect()
+    assert len(idx) == 9
+    assert len({r.filename for r in idx}) == 3
+    for row in idx:
+        rec = fetch_record(f"{out}/{row.filename}", row.offset, row.length)
+        assert rec["target_uri"] == row.url
