@@ -399,9 +399,18 @@ def connected_components(
     # the logical plan doubles per round and Catalyst analysis goes
     # exponential. Checkpointing keeps every round's plan constant-size.
     # (On a cluster with flaky executors, swap for reliable checkpoint.)
+    #
+    # Fused init (r16): with lbl = node, round 1's neighbor-min join is
+    # an identity lookup — min over neighbors of lbl(dst) is just
+    # min(dst) — so seed labels directly as least(node, min neighbor)
+    # from ONE aggregation over sym. That replaces the init distinct
+    # exchange AND round 1's corpus-label join with a single groupBy;
+    # the fixpoint (component-min labels) is unchanged, it just arrives
+    # one propagation round earlier.
     labels = (
-        sym.select(F.col("src").alias("node")).distinct()
-        .withColumn("lbl", F.col("node"))
+        sym.groupBy("src")
+        .agg(F.least(F.col("src"), F.min("dst")).alias("lbl"))
+        .select(F.col("src").alias("node"), "lbl")
         .localCheckpoint(eager=True)
     )
     labels_ckpt = labels
@@ -1111,12 +1120,21 @@ def _band_pairs(sig_df: DataFrame, n_bands: int, rows: int) -> DataFrame:
 
 
 def _pair_summary(pairs: DataFrame, label: str) -> DataFrame:
-    docs = pairs.select(F.col("doc_a").alias("d")).unionAll(
-        pairs.select(F.col("doc_b").alias("d"))
+    # ONE pass over the candidate pairs (r16, guide §2.4): the old
+    # count-crossJoin-countDistinct form referenced ``pairs`` three
+    # times (count + doc_a branch + doc_b branch), re-executing the
+    # bucket self-join + distinct per reference. Exploding each pair
+    # into its two endpoints yields both metrics from a single
+    # aggregation — every pair contributes exactly 2 rows, so
+    # n_pairs = count(rows) div 2 exactly (integer, no rounding).
+    return (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .agg(
+            F.expr("count(1) div 2").alias("n_pairs"),
+            F.countDistinct("d").alias("n_docs"),
+        )
+        .select(F.lit(label).alias("config"), "n_pairs", "n_docs")
     )
-    return pairs.agg(F.count(F.lit(1)).alias("n_pairs")).crossJoin(
-        docs.agg(F.countDistinct("d").alias("n_docs"))
-    ).select(F.lit(label).alias("config"), "n_pairs", "n_docs")
 
 
 @register("minhash_band_sensitivity", oracle=_BAND_SENS_ORACLE)
@@ -1198,8 +1216,15 @@ _W_DF_CAP = 50  # drop fingerprints appearing in more docs (boilerplate)
 _W_MIN_SHARED = 2  # report pairs sharing at least this many fingerprints
 
 
-def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+def winnow_fingerprints(docs: DataFrame, materialize: bool = False) -> DataFrame:
     """(doc_id, fp) — distinct winnowed fingerprints per doc.
+
+    ``materialize=True`` additionally caches the exploded (doc_id, fp)
+    scalar table — for consumers that reference it MORE than once (the
+    df-cap aggregate + both sides of the pair self-join re-embed the
+    whole fingerprint subtree otherwise, re-running the O(n·w)
+    winnowing transform per reference). Single-pass consumers (index
+    build/append/probe) leave it False and pay no cache write.
 
     k-gram hashes are a polynomial combine of per-WORD md5 hashes
     (base ``_WB`` mod ``_P``, products < 2⁵² — exact int64 on both
@@ -1232,7 +1257,8 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         f"array_distinct(transform(sequence(1, size(hk) - {_WW - 1}), "
         f"j -> array_min(slice(hk, j, {_WW}))))"
     )
-    return hk_df.select("doc_id", F.explode(fps).alias("fp"))
+    fp = hk_df.select("doc_id", F.explode(fps).alias("fp"))
+    return fp.cache() if materialize else fp
 
 
 def _winnow_poly_duck() -> str:
@@ -1302,7 +1328,9 @@ def winnow_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped and thresholded, so the output exchange carries scalar
     triples. Text never shuffles."""
     docs = _docs_with_dups(spark, sf_dir, every=10, tail=_NEAR_TAIL)
-    fp = winnow_fingerprints(docs)
+    # materialized once: the df-cap agg and both self-join sides would
+    # otherwise re-run the winnowing transform (guide §2.4)
+    fp = winnow_fingerprints(docs, materialize=True)
     keep = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1728,7 +1756,7 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
         .cache()
     )
-    fp = winnow_fingerprints(kept)
+    fp = winnow_fingerprints(kept, materialize=True)
     keepfp = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -309,7 +309,13 @@ def _contamination_corpus(
     evals = base.filter(F.col("doc_id") % 11 == 0)
     train = base.filter(F.col("doc_id") % 11 != 0)
 
-    kc = evals.agg(F.count(F.lit(1)).alias("k"))
+    # k collected once and inlined as a literal (the domain_pagerank
+    # r15 pattern): a scalar, scale-safe, and it keeps the full-corpus
+    # train2 row off any cross-join operator — crossJoin(broadcast(kc))
+    # over ALL train rows compiled to a BroadcastNestedLoopJoin Cross
+    # that broke codegen and cost ~2× on the bench. Construction
+    # becomes eager by one column-pruned count of the eval split.
+    k = evals.select("doc_id").count()
     snippets = evals.select(
         F.col("doc_id").alias("pick"),
         F.array_join(F.slice(F.split("text", " "), 1, _NGRAM), " ").alias(
@@ -322,10 +328,23 @@ def _contamination_corpus(
     # original text instead of silently vanishing from train2 (an inner
     # join would drop them — and both engines would agree, so the
     # oracle could never catch the data loss).
-    injected = (
-        train.filter(F.col("doc_id") % 13 == 0)
-        .crossJoin(F.broadcast(kc))
-        .withColumn("pick", 11 * (F.col("doc_id") % F.col("k")))
+    #
+    # SINGLE-SCAN form (r16, guide §6): train2 used to be a 2-branch
+    # union (injected %13 docs + the rest), so every consumer of
+    # train2's text — the corpus-sized Arrow shingle pass — read TWO
+    # scans of the documents table. Instead, every train row flows
+    # through the same broadcast left join with a CONDITIONAL join key:
+    # pick is NULL for non-injected rows, a null key never matches, the
+    # snippet comes back NULL and the text passes through unchanged —
+    # exactly the old non-injected branch. Same rows, same texts, one
+    # scan.
+    train2 = (
+        train.withColumn(
+            "pick",
+            F.when(
+                F.col("doc_id") % 13 == 0, 11 * (F.col("doc_id") % F.lit(k))
+            ),
+        )
         .join(F.broadcast(snippets), "pick", "left")
         .select(
             "doc_id",
@@ -336,7 +355,6 @@ def _contamination_corpus(
             ).alias("text"),
         )
     )
-    train2 = train.filter(F.col("doc_id") % 13 != 0).unionAll(injected)
     return evals, train, train2
 
 
@@ -578,21 +596,29 @@ def eval_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     evals, _train, train2 = _contamination_corpus(t.documents)
 
+    from pyspark.sql.window import Window
+
     tpairs = shingle_hashes(train2).distinct()
-    ok = (
-        tpairs.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("df"))
+    # df-cap as a count-over-h WINDOW on the one (doc_id, h) exchange
+    # (r16, guide §2.4 — the pattern dup_spans_exact picked by A/B):
+    # the old groupBy + join-back re-ran the corpus-sized Arrow shingle
+    # pass for the probe side (tpairs is not cached) and paid a second
+    # h-exchange. Same rows survive: a row passes iff its h's distinct
+    # train-doc count is <= the cap, exactly the old semi-join test.
+    # The hot-key fan-in is df (a window partition), never df².
+    tok = (
+        tpairs.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
         .filter(F.col("df") <= _LEAK_DF_CAP)
-        .select("h")
+        .select(F.col("doc_id").alias("train_id"), "h")
     )
     epairs = (
         shingle_hashes(evals)
         .distinct()
         .withColumnRenamed("doc_id", "eval_id")
     )
-    hits = epairs.join(ok, "h").join(
-        tpairs.withColumnRenamed("doc_id", "train_id"), "h"
-    )
+    hits = epairs.join(tok, "h")
     agg = hits.groupBy("eval_id").agg(
         F.count_distinct("train_id").alias("n_train_docs"),
         F.count_distinct("h").alias("n_shared"),
