@@ -253,17 +253,22 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global triangle count is its sum."""
     t = load_tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "source")
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    # corpus count collected once and inlined (the r15 domain_pagerank
+    # pattern, r16): crossJoin(broadcast(1-row count)) compiled to a
+    # BroadcastNestedLoopJoin Cross over every document row in the
+    # edge-extraction stage — a row-copy operator between the scan and
+    # the t_id join for a single scalar. Construction gains one
+    # column-pruned count job; the modulus value is identical.
+    n = docs.count()
     raw = (
-        docs.crossJoin(F.broadcast(n))
-        .select(
+        docs.select(
             F.col("source").alias("a"),
             (
                 F.expr(
                     "cast(conv(substr(md5(concat('lnk', doc_id)), 1, 8),"
                     " 16, 10) as bigint) % 2147483647"
                 )
-                % F.col("n")
+                % F.lit(n)
             ).alias("t_id"),
         )
         .join(
