@@ -49,14 +49,26 @@ def _perm(i: int) -> tuple[int, int]:
 def _docs_with_dups(
     spark: SparkSession, sf_dir: str, every: int, tail: str
 ) -> DataFrame:
-    """documents ∪ synthetic duplicates (same text + optional tail)."""
+    """documents ∪ synthetic duplicates (same text + optional tail).
+
+    SINGLE-SCAN form (r16, guide §6): the 2-branch union read the
+    documents table twice per consumer; each row now explodes into its
+    1–2 output rows from ONE scan (identical multiset — checksum-
+    verified and oracle-pinned by every consumer's parity test).
+    The duplicate row's text is concat'd per row inside the scan, the
+    same expression the dropped branch evaluated."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
-    dups = base.filter(F.col("doc_id") % every == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(tail)).alias("text"),
-    )
-    return base.unionAll(dups)
+    return base.select(
+        F.explode(
+            F.expr(
+                f"filter(array(struct(doc_id, text), "
+                f"struct(doc_id + 1000000L as doc_id,"
+                f" concat(text, '{tail}') as text)), "
+                f"(x, i) -> i = 0 or doc_id % {every} = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
 
 
 def _docs2_sql(every: int, tail: str) -> str:
@@ -853,21 +865,21 @@ def minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (id+3M) and a container with that fragment appended (id+4M)."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
-    frag_text = F.array_join(
-        F.slice(F.split("text", " "), 1, _FRAG_WORDS), " "
-    )
-    sevens = base.filter(F.col("doc_id") % 7 == 0)
-    corpus = base.unionAll(
-        sevens.select(
-            (F.col("doc_id") + 3_000_000).alias("doc_id"),
-            frag_text.alias("text"),
-        )
-    ).unionAll(
-        sevens.select(
-            (F.col("doc_id") + 4_000_000).alias("doc_id"),
-            F.concat("text", F.lit(" "), frag_text).alias("text"),
-        )
-    )
+    # single-scan 3-layer synthesis (r16, guide §6 — see dedup_pipeline):
+    # base row + leading fragment (+3M) + container with the fragment
+    # appended (+4M), both planted on %7 docs, from ONE documents scan
+    frag_sql = f"array_join(slice(split(text, ' '), 1, {_FRAG_WORDS}), ' ')"
+    corpus = base.select(
+        F.explode(
+            F.expr(
+                f"filter(array(struct(doc_id, text), "
+                f"struct(doc_id + 3000000L as doc_id, {frag_sql} as text), "
+                f"struct(doc_id + 4000000L as doc_id,"
+                f" concat(text, ' ', {frag_sql}) as text)), "
+                f"(x, i) -> i = 0 or doc_id % 7 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
     pairs = minhash_pairs(corpus)
     hd = hashed_shingles(corpus).select(
         "doc_id", F.array_distinct("harr").alias("hd")
@@ -1705,16 +1717,21 @@ def dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     assembles via one-row-aggregate cross joins (broadcast scalars)."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
-    docs3 = base.unionAll(
-        base.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    ).unionAll(
-        base.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
-        )
-    )
+    # single-scan 3-layer synthesis (r16, guide §6): one documents
+    # scan explodes into the base row + its exact copy (%4) + its
+    # tailed near-dup (%10) — the union form scanned documents 3×
+    docs3 = base.select(
+        F.explode(
+            F.expr(
+                f"filter(array(struct(doc_id, text), "
+                f"struct(doc_id + 1000000L as doc_id, text), "
+                f"struct(doc_id + 2000000L as doc_id,"
+                f" concat(text, '{_NEAR_TAIL}') as text)), "
+                f"(x, i) -> i = 0 or (i = 1 and doc_id % 4 = 0)"
+                f" or (i = 2 and doc_id % 10 = 0))"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
     surv = (
         docs3.groupBy(F.md5("text"))
         .agg(F.min("doc_id").alias("doc_id"), F.min("text").alias("text"))
@@ -1893,16 +1910,19 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs anywhere."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
-    docs2 = base.unionAll(
-        base.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    ).unionAll(
-        base.filter(F.col("doc_id") % 7 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(_NEAR_TAIL)).alias("text"),
-        )
-    )
+    # single-scan 3-layer synthesis (r16, guide §6 — see dedup_pipeline)
+    docs2 = base.select(
+        F.explode(
+            F.expr(
+                f"filter(array(struct(doc_id, text), "
+                f"struct(doc_id + 1000000L as doc_id, text), "
+                f"struct(doc_id + 2000000L as doc_id,"
+                f" concat(text, '{_NEAR_TAIL}') as text)), "
+                f"(x, i) -> i = 0 or (i = 1 and doc_id % 10 = 0)"
+                f" or (i = 2 and doc_id % 7 = 0))"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
 
     # Materialize the (doc_id, md5) scalar table ONCE: the exact
     # detector consumes it four times (group-cap agg + join + both
@@ -2112,11 +2132,19 @@ def _dse_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    copies = injected.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.concat("text", F.lit(_NEAR_TAIL)).alias("text"),
-    )
-    return injected.unionAll(copies)
+    # single-scan 2-layer synthesis (r16, guide §6 — see dedup_pipeline):
+    # the copies branch re-derived the injected projection from a
+    # second documents scan; the explode keeps it to one
+    return injected.select(
+        F.explode(
+            F.expr(
+                f"filter(array(struct(doc_id, text), "
+                f"struct(doc_id + 1000000L as doc_id,"
+                f" concat(text, '{_NEAR_TAIL}') as text)), "
+                f"(x, i) -> i = 0 or doc_id % 9 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
 
 
 def _dse_corpus_sql() -> str:
