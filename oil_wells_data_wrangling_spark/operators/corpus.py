@@ -243,17 +243,21 @@ def corpus_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate scalars."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text", "lang")
-    corpus = base.unionAll(
-        base.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
-        )
-    ).unionAll(
-        base.filter(F.col("doc_id") % 10 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat("text", F.lit(" near dup tail marker")).alias("text"),
-            "lang",
-        )
-    )
+    # single-scan 3-layer synthesis (r16, guide §6): corpus is consumed
+    # twice (quality path + winner-text rejoin); the 3-branch union
+    # form cost 6 documents scans, the explode form costs 2
+    corpus = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(doc_id, text, lang), "
+                "struct(doc_id + 1000000L as doc_id, text, lang), "
+                "struct(doc_id + 2000000L as doc_id,"
+                " concat(text, ' near dup tail marker') as text, lang)), "
+                "(x, i) -> i = 0 or (i = 1 and doc_id % 4 = 0)"
+                " or (i = 2 and doc_id % 10 = 0))"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text", "r.lang")
     words = F.split("text", " ")
     quality = corpus.filter(
         (F.size(words) >= 20)
@@ -305,11 +309,16 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     min() over the per-row scalars equals the winner row's values."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text", "lang")
-    corpus = base.unionAll(
-        base.filter(F.col("doc_id") % 4 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text", "lang"
-        )
-    )
+    # single-scan 2-layer synthesis (r16, guide §6 — see corpus_pipeline_full)
+    corpus = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(doc_id, text, lang), "
+                "struct(doc_id + 1000000L as doc_id, text, lang)), "
+                "(x, i) -> i = 0 or doc_id % 4 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text", "r.lang")
     words = F.split("text", " ")
     quality = corpus.filter(
         (F.size(words) >= 20)
@@ -486,11 +495,16 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash, ids) shuffle — chunk text stays in the scan stage."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
-    docs2 = base.unionAll(
-        base.filter(F.col("doc_id") % 3 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    )
+    # single-scan 2-layer synthesis (r16, guide §6 — see corpus_pipeline_full)
+    docs2 = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(doc_id, text), "
+                "struct(doc_id + 1000000L as doc_id, text)), "
+                "(x, i) -> i = 0 or doc_id % 3 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
     tok = docs2.select("doc_id", F.split("text", " ").alias("words"))
     chunk_arr = F.expr(
         f"transform(sequence(1, size(words), {_STEP}), "
@@ -1255,11 +1269,16 @@ def chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted copy re-assembles to NULL."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", "text")
-    docs2 = base.unionAll(
-        base.filter(F.col("doc_id") % 3 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    )
+    # single-scan 2-layer synthesis (r16, guide §6 — see corpus_pipeline_full)
+    docs2 = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(doc_id, text), "
+                "struct(doc_id + 1000000L as doc_id, text)), "
+                "(x, i) -> i = 0 or doc_id % 3 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.text")
     seg_arr = F.expr(
         f"transform(sequence(1, size(words), {_RW_SEG}), "
         f"s -> struct(cast((s - 1) div {_RW_SEG} as int) as seg_id, "

@@ -343,9 +343,20 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly-once). Batch twin of dropDuplicatesWithinWatermark."""
     t = load_tables(spark, sf_dir)
     e = t.events.select("event_id", "ts", "user_id", "event_type", "value")
-    dups = e.filter(F.col("event_id") % 5 == 0)
+    # single-scan 2-layer synthesis (r16, guide §6): the dups branch
+    # re-scanned events; each %5 row now explodes into two copies
+    e2 = e.select(
+        F.explode(
+            F.expr(
+                "filter(array("
+                "struct(event_id, ts, user_id, event_type, value), "
+                "struct(event_id, ts, user_id, event_type, value)), "
+                "(x, i) -> i = 0 or event_id % 5 = 0)"
+            )
+        ).alias("r")
+    ).select("r.event_id", "r.ts", "r.user_id", "r.event_type", "r.value")
     return (
-        e.unionAll(dups)
+        e2
         .groupBy("event_id")
         .agg(
             F.min("ts").alias("ts"),

@@ -944,15 +944,21 @@ def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
-    dups = (
-        t.documents.filter(F.col("doc_id") % 10 == 0)
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.unhex(F.md5("text")).alias("payload"),
-        )
-    )
+    # single-scan 2-layer synthesis (r16, guide §6): the dups branch
+    # re-scanned documents AND re-derived the payload; the explode
+    # reuses the one projected payload — at scale this halves the
+    # heavy-bytes reads
+    imgs = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(doc_id, payload), "
+                "struct(doc_id + 1000000L as doc_id, payload)), "
+                "(x, i) -> i = 0 or doc_id % 10 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.payload")
     return (
-        phash_features(base.unionAll(dups))
+        phash_features(imgs)
         .groupBy("phash")
         .agg(
             F.min("doc_id").alias("keep_id"),
@@ -1020,11 +1026,17 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (xor + bit_count), no re-decode, no bytes."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select("doc_id", F.unhex(F.md5("text")).alias("payload"))
-    dups = t.documents.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.unhex(F.md5("text")).alias("payload"),
-    )
-    ph = phash_features(base.unionAll(dups))
+    # single-scan 2-layer synthesis (r16, guide §6 — see mm_phash_dedup)
+    imgs = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(doc_id, payload), "
+                "struct(doc_id + 1000000L as doc_id, payload)), "
+                "(x, i) -> i = 0 or doc_id % 10 = 0)"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.payload")
+    ph = phash_features(imgs)
     bands = (
         ph.select(
             "doc_id",
@@ -1206,17 +1218,22 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = t.documents.select(
         "doc_id", F.lit(0).alias("gain"), payload.alias("payload")
     )
-    copies = t.documents.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"),
-        F.lit(0).alias("gain"),
-        payload.alias("payload"),
-    )
-    nears = t.documents.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"),
-        F.lit(_AE_GAIN).alias("gain"),
-        payload.alias("payload"),
-    )
-    fps = audio_envelope_fp(base.unionAll(copies).unionAll(nears))
+    # single-scan 3-layer synthesis (r16, guide §6 — see mm_phash_dedup):
+    # base + exact copy (%10, gain 0) + gain-shifted near-dup (%7)
+    # from one documents scan; the payload is projected once
+    clips = base.select(
+        F.explode(
+            F.expr(
+                f"filter(array(struct(doc_id, gain, payload), "
+                f"struct(doc_id + 1000000L as doc_id, gain, payload), "
+                f"struct(doc_id + 2000000L as doc_id,"
+                f" {_AE_GAIN} as gain, payload)), "
+                f"(x, i) -> i = 0 or (i = 1 and doc_id % 10 = 0)"
+                f" or (i = 2 and doc_id % 7 = 0))"
+            )
+        ).alias("r")
+    ).select("r.doc_id", "r.gain", "r.payload")
+    fps = audio_envelope_fp(clips)
     bands = fps.select(
         "doc_id",
         "fp",

@@ -1471,19 +1471,21 @@ def semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     it); negation and duplication are FP-exact in both engines."""
     t = load_tables(spark, sf_dir)
     base = t.embeddings.select("vec_id", "label", "embedding")
-    emb2 = base.unionAll(
-        base.filter(F.col("vec_id") % 7 == 0).select(
-            (F.col("vec_id") + 100_000).alias("vec_id"),
-            "label",
-            "embedding",
-        )
-    ).unionAll(
-        base.filter(F.col("vec_id") % 11 == 0).select(
-            (F.col("vec_id") + 200_000).alias("vec_id"),
-            "label",
-            F.expr("transform(embedding, e -> -e)").alias("embedding"),
-        )
-    )
+    # single-scan 3-layer synthesis (r16, guide §6): one embeddings
+    # scan explodes into base + exact duplicate (%7) + negated copy
+    # (%11) — the union form scanned embeddings 3×
+    emb2 = base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(vec_id, label, embedding), "
+                "struct(vec_id + 100000L as vec_id, label, embedding), "
+                "struct(vec_id + 200000L as vec_id, label,"
+                " transform(embedding, e -> -e) as embedding)), "
+                "(x, i) -> i = 0 or (i = 1 and vec_id % 7 = 0)"
+                " or (i = 2 and vec_id % 11 = 0))"
+            )
+        ).alias("r")
+    ).select("r.vec_id", "r.label", "r.embedding")
     xi = F.expr(
         f"transform(embedding, e -> cast(round(cast(e as double) * {_SEM_XS}) as bigint))"
     )
@@ -1615,17 +1617,19 @@ def _semp_emb2(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = load_tables(spark, sf_dir).embeddings.select(
         "vec_id", "label", "embedding"
     )
-    return base.unionAll(
-        base.filter(F.col("vec_id") % 7 == 0).select(
-            (F.col("vec_id") + 100_000).alias("vec_id"), "label", "embedding"
-        )
-    ).unionAll(
-        base.filter(F.col("vec_id") % 11 == 0).select(
-            (F.col("vec_id") + 200_000).alias("vec_id"),
-            "label",
-            F.expr("transform(embedding, e -> -e)").alias("embedding"),
-        )
-    )
+    # single-scan 3-layer synthesis (r16, guide §6 — see semdedup_clusters)
+    return base.select(
+        F.explode(
+            F.expr(
+                "filter(array(struct(vec_id, label, embedding), "
+                "struct(vec_id + 100000L as vec_id, label, embedding), "
+                "struct(vec_id + 200000L as vec_id, label,"
+                " transform(embedding, e -> -e) as embedding)), "
+                "(x, i) -> i = 0 or (i = 1 and vec_id % 7 = 0)"
+                " or (i = 2 and vec_id % 11 = 0))"
+            )
+        ).alias("r")
+    ).select("r.vec_id", "r.label", "r.embedding")
 
 
 def _semp_u(n: int) -> int:
